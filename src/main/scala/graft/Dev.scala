@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Fast iteration helper (not part of the driver contract): run a subset of
+  * queries by name prefix. `runMain graft.Dev <sfDir> <outDir> [prefix]`.
+  */
+object Dev {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val prefix = if (args.length > 2) args(2) else ""
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    new java.io.File(outDir).mkdirs()
+    val selected = Registry.all.filter(_.name.startsWith(prefix))
+    selected.foreach { q =>
+      val t0 = System.nanoTime()
+      try {
+        q.fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/${q.name}")
+        println(f"[dev] ${q.name} ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      } catch {
+        case e: Throwable => println(s"[dev] ${q.name} FAILED: ${e.getMessage.take(300)}")
+      }
+    }
+    // Same escaping as Verify — subset oracle for tools/oracle_check.py.
+    def esc(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = selected.flatMap(q => q.oracle.map(o => s"${esc(q.name)}: ${esc(o)}"))
+      .mkString("{", ",", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}

@@ -1,0 +1,333 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+
+/** Cross-engine determinism helpers.
+  *
+  * Double SUMs are not associative, so a parallel Spark sum and a DuckDB sum
+  * can differ in the last ulp and break the driver's hash compare. We route
+  * every floating aggregate through an exact decimal accumulator
+  * (order-independent) and cast the final value back to double; both engines
+  * then produce bit-identical results.
+  */
+object Det {
+  private val Dec = DecimalType(38, 6)
+
+  /** Exact, order-independent sum of a double column; returns double. */
+  def dsum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+
+  /** Oracle-side equivalent of [[dsum]]. */
+  def dsumSql(e: String): String =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+
+  /** Windowed variant (frame order is deterministic in both engines). */
+  def dsumOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum(c.cast(Dec)).over(w).cast(DoubleType)
+}
+
+/** Relational operator coverage: scans, filters, projections, joins
+  * (broadcast/shuffle/semi/anti), aggregations, windows, sorts/limits,
+  * set ops, rollup, JSON access, sessionization, latest-per-key.
+  *
+  * The reference has none of these (SURVEY.md §2.5-2.7: no joins, aggs,
+  * windows or sorts exist in its 28 source files) — they're in scope as
+  * "capabilities" of the Spark-native engine and all map to built-ins so
+  * Catalyst/Tungsten optimize them (predicate pushdown, broadcast joins,
+  * partial aggregation, WholeStageCodegen).
+  */
+object RelationalOps {
+  import Det._
+
+  /** TPC-H Q1-style pricing summary: scan + filter pushdown + hash agg. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Star-schema join: fact ⋈ broadcast dims (customer, nation, region). */
+  def revenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val c = Tables(s, dir, "customer")
+    val n = Tables(s, dir, "nation")
+    val r = Tables(s, dir, "region")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Fact-fact shuffle join + agg + deterministic top-k. */
+  def topOrdersByRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val o = Tables(s, dir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderstatus"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Left-semi join (EXISTS). */
+  def customersWithOpenOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders").filter(col("o_orderstatus") === "O")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join (NOT EXISTS). */
+  def customersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Window top-k per group (row_number with total tie-break order). */
+  def topLinesPerSupplier(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    li.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
+        col("l_linenumber").cast(LongType).as("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  /** Running aggregate over an ordered frame. Keyed on events because
+    * event_id is unique — lineitem has no unique key, so a frame ordered by
+    * (orderkey, linenumber) is not a total order and prefix sums would be
+    * nondeterministic across engines. */
+  def runningValuePerUser(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col("user_id"), col("event_id"),
+        dsumOver(col("value"), w).as("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Global sort + limit (Spark TakeOrderedAndProject — no full sort). */
+  def topPricedLines(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+        col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  /** UNION / INTERSECT / EXCEPT over comparable key sets. */
+  def nationSetOps(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer").select(col("c_nationkey").cast(LongType).as("nationkey")).distinct()
+    val su = Tables(s, dir, "supplier").select(col("s_nationkey").cast(LongType).as("nationkey")).distinct()
+    val u = c.union(su).distinct().withColumn("op", lit("union"))
+    val i = c.intersect(su).withColumn("op", lit("intersect"))
+    val e = c.except(su).withColumn("op", lit("except"))
+    u.union(i).union(e).select(col("op"), col("nationkey")).orderBy(col("op"), col("nationkey"))
+  }
+
+  /** Scalar aggregate panel incl. exact distinct counts. */
+  def lineitemStats(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem").agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"),
+      dsum(col("l_tax")).as("sum_tax"))
+
+  /** ROLLUP hierarchy aggregate (NULL grouping slots coalesced). */
+  def rollupByFlagStatus(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"), col("n"), col("sum_qty"))
+      .orderBy(col("flag"), col("status"))
+
+  /** Event-time tumbling aggregation (batch shape of a streaming window). */
+  def eventsHourly(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Sessionization: gaps-and-islands on millisecond epochs (30 min gap).
+    * Millis are used on both engines so nanosecond-precision timestamps
+    * cannot produce boundary disagreements. */
+  def userSessions(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ems"))
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ems"), col("event_id"))
+    val flagged = ev
+      .withColumn("prev", lag(col("ems"), 1).over(wOrd))
+      .withColumn("new_sess",
+        when(col("prev").isNull.or(col("ems") - col("prev") > lit(1800000L)), 1L).otherwise(0L))
+    val sess = flagged
+      .withColumn("session_id", sum(col("new_sess")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("n_sessions"), sum(col("len")).as("n_events"),
+        max(col("len")).as("max_session_len"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Latest-change-per-key reduction — the exact shape the materialized-view
+    * sink needs before writing (SURVEY.md §2.7/§7.4 risk 3: the reference
+    * applies CDC sequentially per shard; under Spark parallelism we must
+    * reduce to the latest image per PK first). */
+  def latestEventPerUser(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_millis(col("ts")).desc, col("event_id").desc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Semi-structured access: JSON property extraction from a string column. */
+  def eventPropsJson(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .orderBy(col("event_id"))
+}
+
+object Relational {
+  import Det._
+
+  val queries: Seq[Q] = Seq(
+    Q("q01_pricing_summary", RelationalOps.pricingSummary, Some(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${dsumSql("l_quantity")} / COUNT(*) AS avg_qty,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin), headline = true),
+
+    Q("q02_revenue_by_nation", RelationalOps.revenueByNation, Some(
+      s"""SELECT r_name, n_name, ${dsumSql("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin), headline = true),
+
+    Q("q03_top_orders_by_revenue", RelationalOps.topOrdersByRevenue, Some(
+      s"""SELECT o_orderkey, o_orderstatus,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderkey, o_orderstatus
+         |ORDER BY revenue DESC, o_orderkey LIMIT 100""".stripMargin), headline = true),
+
+    Q("q04_semi_join_open_orders", RelationalOps.customersWithOpenOrders, Some(
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin)),
+
+    Q("q05_anti_join_no_orders", RelationalOps.customersWithoutOrders, Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    Q("q06_window_topk_per_supplier", RelationalOps.topLinesPerSupplier, Some(
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin)),
+
+    Q("q07_window_running_sum", RelationalOps.runningValuePerUser, Some(
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin)),
+
+    Q("q08_sort_limit", RelationalOps.topPricedLines, Some(
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+        |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin)),
+
+    Q("q09_set_ops", RelationalOps.nationSetOps, Some(
+      """WITH c AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer),
+        |     s AS (SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier)
+        |SELECT 'union' AS op, nationkey FROM (SELECT nationkey FROM c UNION SELECT nationkey FROM s)
+        |UNION ALL
+        |SELECT 'intersect' AS op, nationkey FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+        |UNION ALL
+        |SELECT 'except' AS op, nationkey FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+        |ORDER BY op, nationkey""".stripMargin)),
+
+    Q("q10_stats_distinct", RelationalOps.lineitemStats, Some(
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+         |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+         |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+         |  ${dsumSql("l_tax")} AS sum_tax
+         |FROM lineitem""".stripMargin)),
+
+    Q("q11_rollup", RelationalOps.rollupByFlagStatus, Some(
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+         |  COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY flag, status""".stripMargin)),
+
+    Q("q12_events_hourly", RelationalOps.eventsHourly, Some(
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,
+         |  COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin), headline = true),
+
+    Q("q13_sessionize", RelationalOps.userSessions, Some(
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ems FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ems,
+        |    CASE WHEN lag(ems) OVER w IS NULL OR ems - lag(ems) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ems, event_id)),
+        |s AS (
+        |  SELECT user_id, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ems, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f),
+        |g AS (SELECT user_id, session_id, COUNT(*) AS len FROM s GROUP BY 1, 2)
+        |SELECT user_id, MAX(session_id) AS n_sessions, CAST(SUM(len) AS BIGINT) AS n_events,
+        |  MAX(len) AS max_session_len
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin), headline = true),
+
+    Q("q14_latest_per_key", RelationalOps.latestEventPerUser, Some(
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    Q("q15_json_extract", RelationalOps.eventPropsJson, Some(
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin))
+  )
+}

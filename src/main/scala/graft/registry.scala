@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine capability exposed through the driver's correctness gate.
+  *
+  * @param name    stable query id (key in SparkEntry.queries / oracleSql)
+  * @param fn      (session, sfDir) => result DataFrame
+  * @param oracle  equivalent DuckDB SQL over the same parquet tables;
+  *                None => driver records a weaker rows-only check
+  * @param headline include in Bench headline timings
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = false)
+
+object Tables {
+  /** Load a driver-generated parquet table from the given sf dir.
+    *
+    * `events.parquet` carries TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects; we read nanos as long (legacy conf) and rebuild a microsecond
+    * TimestampType column with integer arithmetic (`div`, not `/` — an epoch
+    * in nanos exceeds double's 2^53 exact-integer range).
+    */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+}
+
+/** Aggregates every module's query list into the driver contract. */
+object Registry {
+  lazy val all: Seq[Q] =
+    ops.Relational.queries ++
+      ops.CdcQueries.queries ++
+      ops.TextOps.queries ++
+      ops.DedupOps.queries ++
+      ops.VectorOps.queries ++
+      ops.MultimodalOps.queries
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}
