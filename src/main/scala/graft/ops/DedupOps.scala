@@ -1,0 +1,184 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB shape:
+  *
+  *  - exact: one hash-shuffle on md5(text) — the canonical-doc group-by.
+  *  - n-gram Jaccard: candidate generation via equi-join on *rare* shingles
+  *    (document frequency ≤ DF_CAP). Joining on all shingles of a dense
+  *    vocabulary is quadratic; DF-capping is the standard prefix-filtering
+  *    move and bounds the join to Σ min(df, cap)² per shingle.
+  *  - MinHash+LSH: 8 minhash signatures → 4 bands of 2 → bucket join with a
+  *    bucket-size cap. Shuffle cost is O(docs × bands), never all-pairs.
+  *  - SimHash: 16-bit signature from per-token hashes; near-dup buckets come
+  *    from signature equality / small hamming radius.
+  *
+  * Portable hashing: md5 hex strings are byte-identical across Spark and
+  * DuckDB, and lexicographic MIN over fixed-width lowercase hex equals
+  * numeric min — so MinHash needs no integer conversion anywhere.
+  */
+object DedupOpsImpl {
+
+  val DfCap = 20
+  val BucketCap = 50
+
+  /** doc_id + deduplicated 3-token shingles (word 3-grams). */
+  def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(expr(
+          """array_distinct(filter(transform(sequence(1, size(toks)),
+            |  i -> concat(try_element_at(toks, i), ' ', try_element_at(toks, i + 1),
+            |              ' ', try_element_at(toks, i + 2))),
+            |  x -> x IS NOT NULL))""".stripMargin)).as("sh"))
+
+  /** Exact dedup: canonical doc per identical text (min doc_id wins). */
+  def exact(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("canonical_doc"), count(lit(1)).as("n_copies"))
+      .orderBy(col("canonical_doc"))
+
+  /** Near-dup pairs by n-gram Jaccard ≥ 0.5 over the rare-shingle space. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap).select("sh")
+    val docsh = sh.join(rare, "sh")
+    val sizes = docsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = docsh.as("a").join(docsh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("inter"), col("uni"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val seeds = 0 until 8
+
+  /** Per-doc MinHash signature: h_i = min(md5(seed_i || shingle)). */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    shingles(s, dir)
+      .groupBy(col("doc_id"))
+      .agg(min(md5(concat(lit("0:"), col("sh")))).as("h0"),
+        seeds.tail.map(i => min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i")): _*)
+
+  /** LSH candidate pairs: 4 bands × 2 rows; same band hash → candidate.
+    * Buckets larger than BucketCap are dropped (standard LSH cap — they are
+    * stop-shingle artifacts and would produce quadratic pair blowup). */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(s, dir)
+      .withColumn("bands", array(
+        (0 until 4).map(b => struct(lit(b).as("band"),
+          md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh"))): _*))
+      .select(col("doc_id"), explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val okBuckets = sig.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
+      .filter(col("n") <= BucketCap).select("band", "bh")
+    val bucketed = sig.join(okBuckets, Seq("band", "bh"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** 16-bit SimHash over distinct tokens; bit j comes from nibble j/4 of the
+    * token's md5 (nibble decoded portably via strpos on the hex alphabet). */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tk"))
+      .withColumn("h", md5(col("tk")))
+    val bitSums = (0 until 16).map { j =>
+      val pos = j / 4 + 1
+      val shift = 1 << (3 - j % 4)
+      sum(expr(
+        s"CASE WHEN pmod((instr('0123456789abcdef', substr(h, $pos, 1)) - 1) div $shift, 2) = 1 " +
+          s"THEN 1 ELSE -1 END")).as(s"s$j")
+    }
+    tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+}
+
+object DedupOps {
+  import DedupOpsImpl._
+
+  /** Shared DuckDB shingle CTE (mirror of [[DedupOpsImpl.shingles]]). */
+  private val shingleSql =
+    """sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_filter(list_transform(
+      |    generate_series(1, len(t)),
+      |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]),
+      |    x -> x IS NOT NULL))) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+    Q("q40_dedup_exact", exact, Some(
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_doc, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY canonical_doc""".stripMargin)),
+
+    Q("q41_dedup_ngram_jaccard", ngramJaccard, Some(
+      s"""WITH $shingleSql,
+         |rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= $DfCap),
+         |docsh AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM docsh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |  FROM docsh a JOIN docsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, inter, na.n + nb.n - inter AS uni,
+         |  CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
+         |FROM pairs
+         |JOIN sizes na ON na.doc_id = a_id
+         |JOIN sizes nb ON nb.doc_id = b_id
+         |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin), headline = true),
+
+    Q("q42_dedup_minhash_lsh", minhashLsh, Some {
+      val hs = (0 until 8).map(i => s"MIN(md5('$i:' || sh)) AS h$i").mkString(", ")
+      val bands = (0 until 4).map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bh FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH $shingleSql,
+         |sig AS (SELECT doc_id, $hs FROM sh GROUP BY doc_id),
+         |bands AS ($bands),
+         |ok AS (SELECT band, bh FROM bands GROUP BY band, bh HAVING COUNT(*) <= $BucketCap),
+         |bk AS (SELECT b.doc_id, b.band, b.bh FROM bands b JOIN ok USING (band, bh))
+         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |FROM bk a JOIN bk b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |ORDER BY a_id, b_id""".stripMargin
+    }, headline = true),
+
+    Q("q43_dedup_simhash", simhash, Some {
+      val sums = (0 until 16).map { j =>
+        val pos = j / 4 + 1
+        val shift = 1 << (3 - j % 4)
+        s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, $pos, 1)) - 1) // $shift) % 2 = 1 THEN 1 ELSE -1 END) AS s$j"
+      }.mkString(", ")
+      val bits = (0 until 16).map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, md5(tk) AS h FROM (
+         |    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tk
+         |    FROM documents)),
+         |sums AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums ORDER BY doc_id""".stripMargin
+    })
+  )
+}

@@ -1,0 +1,184 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+
+/** Similarity-search operators over the `embeddings` table
+  * (`embedding: array<float>[64]`).
+  *
+  * Scale design (100 TB):
+  *  - brute-force top-k broadcasts the (small) query set and streams the
+  *    corpus once — no shuffle of the big side, O(corpus × queries) flops in
+  *    one codegen stage;
+  *  - IVF: k centroids broadcast to executors; assignment is a narrow map.
+  *    At scale the same assignment feeds partition pruning (search only the
+  *    probed cluster's partitions);
+  *  - LSH: 16 sign-random-projection bits → bucket equi-join, the shuffle is
+  *    O(n) on bucket keys instead of O(n²) pairs.
+  *
+  * Cross-engine determinism: all dot products / distances are UNROLLED
+  * left-associative double expressions — Spark and DuckDB evaluate the same
+  * IEEE operation sequence, so results match bitwise with no rounding fudge.
+  * The LSH hyperplanes are ±1 constants derived from md5 at codegen time and
+  * baked into both engines' SQL as literals.
+  */
+object VectorOpsImpl {
+
+  val Dims = 64
+
+  /** Unrolled Σ f(i) over dims, identical text modulo element accessor. */
+  private def unroll(f: Int => String): String = (1 to Dims).map(f).mkString(" + ")
+
+  def sparkDot(a: String, b: String): String =
+    unroll(i => s"CAST(element_at($a, $i) AS DOUBLE) * CAST(element_at($b, $i) AS DOUBLE)")
+  def duckDot(a: String, b: String): String =
+    unroll(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+
+  def norms(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings").select(
+      col("vec_id"),
+      col("label").cast(LongType).as("label"),
+      expr(s"sqrt(${sparkDot("embedding", "embedding")})").as("norm"),
+      expr("CAST(element_at(embedding, 1) AS DOUBLE)").as("c0"))
+      .orderBy(col("vec_id"))
+
+  /** Brute-force cosine top-5 per query vector (query set = vec_id < 8). */
+  def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val joined = broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        expr(s"(${sparkDot("qe", "ce")}) / (sqrt(${sparkDot("qe", "qe")}) * sqrt(${sparkDot("ce", "ce")}))"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    joined.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** Exact per-label centroids (order-independent decimal accumulation),
+    * first four components exposed. */
+  def centroids(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val dims = (1 to 4).map(i =>
+      (expr(s"CAST(SUM(CAST(CAST(element_at(embedding, $i) AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)")
+        / count(lit(1))).as(s"c$i"))
+    e.groupBy(col("label").cast(LongType).as("label"))
+      .agg(count(lit(1)).as("n"), dims: _*)
+      .orderBy(col("label"))
+  }
+
+  /** IVF coarse quantization: assign every vector to its nearest exact
+    * label-centroid (L2, tie → smaller centroid label). */
+  def ivfAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val sums = count(lit(1)).as("n") +: (1 to Dims).map(i =>
+      expr(s"CAST(SUM(CAST(CAST(element_at(embedding, $i) AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)").as(s"s$i"))
+    val cent = e.groupBy(col("label").cast(LongType).as("clabel"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("clabel") +: (1 to Dims).map(i => (col(s"s$i") / col("n")).as(s"c$i")): _*)
+    val dist2 = unroll(i =>
+      s"(CAST(element_at(embedding, $i) AS DOUBLE) - c$i) * (CAST(element_at(embedding, $i) AS DOUBLE) - c$i)")
+    val joined = e.select(col("vec_id"), col("label").cast(LongType).as("label"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .withColumn("dist2", expr(dist2))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("clabel"))
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("clabel").as("assigned"),
+        (col("clabel") === col("label")).as("correct"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Deterministic ±1 hyperplanes: sign = parity of the first hex nibble of
+    * md5("j:i"). Computed once here and baked into both engines' SQL. */
+  lazy val hyperplanes: IndexedSeq[IndexedSeq[Int]] = {
+    val mdt = MessageDigest.getInstance("MD5")
+    (0 until 16).map { j =>
+      (1 to Dims).map { i =>
+        val h = mdt.digest(s"$j:$i".getBytes(StandardCharsets.UTF_8))
+        if (((h(0) >> 4) & 1) == 1) 1 else -1
+      }
+    }
+  }
+
+  /** 16-bit sign-random-projection LSH signature per vector. At scale,
+    * equal signatures form the ANN candidate buckets. */
+  def lshSignature(elem: Int => String): String =
+    (0 until 16).map { j =>
+      val proj = (1 to Dims).map(i => s"${hyperplanes(j)(i - 1)} * ${elem(i)}").mkString(" + ")
+      s"CASE WHEN ($proj) > 0.0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+
+  def lshBuckets(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings").select(
+      col("vec_id"),
+      expr(s"CAST(${lshSignature(i => s"CAST(element_at(embedding, $i) AS DOUBLE)")} AS BIGINT)")
+        .as("sig"))
+      .orderBy(col("vec_id"))
+}
+
+object VectorOps {
+  import VectorOpsImpl._
+
+  def queries: Seq[Q] = Seq(
+    Q("q50_embed_norm", norms, Some(
+      s"""SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |  sqrt(${duckDot("embedding", "embedding")}) AS norm,
+         |  CAST(embedding[1] AS DOUBLE) AS c0
+         |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    Q("q51_embed_cosine_topk", cosineTopK, Some(
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    (${duckDot("a.embedding", "b.embedding")})
+         |      / (sqrt(${duckDot("a.embedding", "a.embedding")})
+         |         * sqrt(${duckDot("b.embedding", "b.embedding")})) AS cosine
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id < 8 AND b.vec_id <> a.vec_id),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM p)
+         |SELECT query_id, rn, neighbor_id, cosine FROM r WHERE rn <= 5
+         |ORDER BY query_id, rn""".stripMargin), headline = true),
+
+    Q("q52_embed_centroids", centroids, Some {
+      val dims = (1 to 4).map(i =>
+        s"CAST(SUM(CAST(CAST(embedding[$i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c$i")
+        .mkString(", ")
+      s"""SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n, $dims
+         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+    }),
+
+    Q("q53_embed_ivf_assign", ivfAssign, Some {
+      val sums = (1 to Dims).map(i =>
+        s"CAST(SUM(CAST(CAST(embedding[$i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c$i")
+        .mkString(", ")
+      val dist = (1 to Dims).map(i =>
+        s"(CAST(e.embedding[$i] AS DOUBLE) - c.c$i) * (CAST(e.embedding[$i] AS DOUBLE) - c.c$i)")
+        .mkString(" + ")
+      s"""WITH c AS (SELECT CAST(label AS BIGINT) AS clabel, $sums
+         |  FROM embeddings GROUP BY label),
+         |d AS (
+         |  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, c.clabel, ($dist) AS dist2
+         |  FROM embeddings e, c),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, clabel) AS rn
+         |  FROM d)
+         |SELECT vec_id, label, clabel AS assigned, clabel = label AS correct
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    }, headline = true),
+
+    Q("q54_embed_lsh_sig", lshBuckets, Some(
+      s"""SELECT vec_id,
+         |  CAST(${lshSignature(i => s"CAST(embedding[$i] AS DOUBLE)")} AS BIGINT) AS sig
+         |FROM embeddings ORDER BY vec_id""".stripMargin))
+  )
+}
