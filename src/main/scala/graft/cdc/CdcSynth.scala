@@ -36,8 +36,13 @@ object CdcSynth {
     StructField("value", DoubleType),
     StructField("k", LongType)))
 
-  def fromEvents(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir, "events")
+  def fromEvents(spark: SparkSession, dir: String): DataFrame =
+    envelope(Tables(spark, dir, "events"))
+
+  /** Pure transform (works on batch AND streaming DataFrames of the events
+    * schema). */
+  def envelope(events: DataFrame): DataFrame = {
+    val ev = events
       .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
       .withColumn("m", pmod(col("event_id"), lit(8L)))
     val origin = when(col("m").isin(0L, 1L, 2L), "USER")

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.cdc.Cdc
+import graft.config.GraftConfig
+import graft.expr.Jexl
+
+/** Pipeline assembly — the Spark analogue of `KCLMainRunner.main`
+  * (KCLMainRunner.java:25-102): config → source → JEXL filter → projection →
+  * sink, with checkpointing.
+  *
+  * Execution shape vs the reference (SURVEY.md §3.1): KCL per-shard threads
+  * become Spark tasks; the DynamoDB lease table becomes the checkpoint
+  * location (offsets + WAL); at-least-once `foreachBatch` delivery replaces
+  * the reference's checkpoint-after-write (which can silently skip poison
+  * batches — KeyspacesRecordProcessor.java:57-59; ours replays them).
+  * The plan is narrow end to end: no shuffle for file/SQS/vector paths, one
+  * key shuffle for the MV path — identical at 1 shard or 10,000.
+  */
+object Pipeline {
+
+  /** Filter (F1) + record-format (P2) + fields-to-include (P1) over the CDC
+    * envelope — the per-batch dataflow of KeyspacesRecordProcessor.processRecords. */
+  def transform(env: DataFrame, settings: GraftConfig.ConnectorSettings,
+      imageSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val filtered = Jexl.filter(env, settings.filterExpression)
+    val shaped = Cdc.selectImage(filtered, settings.recordFormat)
+    val pruned =
+      if (settings.fieldsToInclude.isEmpty) shaped
+      else if (settings.recordFormat == "full")
+        shaped
+          .withColumn("image", Cdc.includeFields(col("image"), imageSchema, settings.fieldsToInclude))
+          .withColumn("oldImage", Cdc.includeFields(col("oldImage"), imageSchema, settings.fieldsToInclude))
+      else shaped.withColumn("image",
+        Cdc.includeFields(col("image"), imageSchema, settings.fieldsToInclude))
+    if (settings.includeMetadata) pruned else pruned.drop("metadata")
+  }
+
+  /** Wire a streaming envelope source into a sink with checkpointing. */
+  def run(env: DataFrame, settings: GraftConfig.ConnectorSettings,
+      imageSchema: org.apache.spark.sql.types.StructType,
+      sink: Sinks.BatchSink, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): DataStreamWriter[Row] =
+    transform(env, settings, imageSchema)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) => sink(batch, id) }
+}
+
+/** Exact greedy message packing — reference semantics
+  * (AbstractJSONConverter.java:93-183): walk records in sequence order,
+  * roll a message when adding the next record would cross max-message-size
+  * OR max-records-per-message. Inherently sequential per shard, so it runs
+  * as a sorted per-shard group traversal (one shuffle on the shard key,
+  * shards process in parallel — exactly the reference's per-shard
+  * parallelism). The closed-form declarative variant for huge batch
+  * backfills is [[graft.cdc.Cdc.packBySize]].
+  */
+object Packing {
+
+  final case class PackedRecord(shard: String, seq: String, bytes: Long, messageBin: Long)
+
+  def greedyPack(df: DataFrame, shardCol: String, seqCol: String, sizeCol: String,
+      maxBytes: Long, maxRecords: Int): Dataset[PackedRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(shardCol).cast("string"), col(seqCol).cast("string"),
+        col(sizeCol).cast("long"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val sorted = it.toVector.sortBy(_._2)
+        var bin = 0L
+        var bytes = 0L
+        var count = 0
+        sorted.map { case (_, seq, size) =>
+          val wouldOverflow = count > 0 &&
+            (bytes + size > maxBytes || (maxRecords > 0 && count + 1 > maxRecords))
+          if (wouldOverflow) { bin += 1; bytes = 0L; count = 0 }
+          bytes += size; count += 1
+          PackedRecord(shard, seq, size, bin)
+        }
+      }
+  }
+}

@@ -1,0 +1,251 @@
+package graft.streaming
+
+import scala.collection.mutable
+import scala.util.Random
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Streaming sink layer: each sink is a `foreachBatch` body
+  * (`(DataFrame, Long) => Unit`), the Spark shape of the reference's
+  * `ITargetMapper.handleRecords` (ITargetMapper.java:8-15). Structured
+  * Streaming's checkpointed micro-batches give at-least-once delivery for
+  * these sinks — strictly stronger than the reference, whose poison batches
+  * can skip checkpoints entirely (KeyspacesRecordProcessor.java:41-60).
+  */
+object Sinks {
+
+  type BatchSink = (DataFrame, Long) => Unit
+
+  /** Registry keyed by sink name — the Spark analogue of the reference's
+    * reflective `getTargetMapper` instantiation (KeyspacesConfig.java:407-420). */
+  final class SinkRegistry {
+    private val sinks = mutable.Map[String, BatchSink]()
+    def register(name: String, sink: BatchSink): this.type = { sinks(name) = sink; this }
+    def apply(name: String): BatchSink = sinks.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown sink '$name'; known: ${sinks.keys.mkString(",")}"))
+  }
+
+  // ------------------------------------------------------------------ S3/file
+  /** Partitioned file sink (B3/B4): JSON (or any Spark format) under
+    * `prefix/yyyy/MM/dd/HH/...`, event-time partitions from the arrival
+    * timestamp. File naming parity (`firstSeq-lastSeq-ts`) lives in message
+    * ids inside the payload; Spark's commit protocol owns physical names —
+    * that's what makes the write exactly-once at 1000-executor scale,
+    * unlike the reference's hand-rolled puts. */
+  def fileSink(path: String, format: String = "json",
+      granularity: String = "hours"): BatchSink = (batch, _) => {
+    val ts = timestamp_millis(col("metadata.stream_arrival_timestamp"))
+    val parts = graft.cdc.Cdc.timePartitionColumns(ts, granularity)
+    val names = Seq("year", "month", "day", "hour", "minute", "second").take(parts.size)
+    batch.select((col("*") +: parts): _*)
+      .write.mode("append").format(format)
+      .partitionBy(names: _*)
+      .save(path)
+  }
+
+  // ------------------------------------------------------------------ SQS
+  /** Failure semantics of the reference's SQS sink
+    * (SQSTargetMapper.java:111-155). */
+  final class PartialFailureException(val failed: Int, val total: Int)
+    extends RuntimeException(s"$failed of $total entries failed")
+  final class AllItemsFailureException(val total: Int)
+    extends RuntimeException(s"all $total entries failed")
+
+  final case class SqsEntry(id: String, body: String, delaySeconds: Int)
+  final case class SqsBatchResult(successful: Seq[String], failed: Seq[String])
+
+  /** Queue client contract; production impl wraps the AWS SDK, tests use
+    * [[InMemorySqsClient]] (zero-egress environment — SURVEY.md §7 risk 6). */
+  trait SqsClient extends Serializable {
+    def sendBatch(entries: Seq[SqsEntry]): SqsBatchResult
+  }
+
+  /** In-memory fakes route state through a JVM-static store keyed by
+    * instance id: task closures are serialized even in local mode, so a
+    * plain field would be mutated on a deserialized COPY and the test/driver
+    * instance would never see the writes. */
+  object LocalStore {
+    val sqs = mutable.Map[String, mutable.Buffer[Seq[SqsEntry]]]()
+    val tables = mutable.Map[String, mutable.Map[Seq[Any], Map[String, Any]]]()
+    val indexes = mutable.Map[String, mutable.Map[String, PutVector]]()
+  }
+
+  final class InMemorySqsClient(failIds: Set[String] = Set.empty) extends SqsClient {
+    private val id = java.util.UUID.randomUUID().toString
+    LocalStore.sqs.synchronized { LocalStore.sqs(id) = mutable.Buffer() }
+    def sent: Seq[Seq[SqsEntry]] = LocalStore.sqs.synchronized { LocalStore.sqs(id).toSeq }
+    def sendBatch(entries: Seq[SqsEntry]): SqsBatchResult = LocalStore.sqs.synchronized {
+      LocalStore.sqs(id) += entries
+      val (bad, good) = entries.partition(e => failIds.contains(e.id))
+      SqsBatchResult(good.map(_.id), bad.map(_.id))
+    }
+  }
+
+  /** SQS sink (Q1): JSON-serialized messages in SendMessageBatch chunks of
+    * ≤10 (SQSTargetMapper.java:90-101); all-failed → AllItemsFailure,
+    * some-failed → PartialFailure (:119-150). Batches are sent from the
+    * executors (foreachPartition) — no collect-to-driver bottleneck. */
+  def sqsSink(client: SqsClient, delaySeconds: Int = 0,
+      maxBatch: Int = 10): BatchSink = (batch, _) => {
+    val json = batch.select(
+      col("metadata.stream_sequence_number").as("id"),
+      to_json(struct(col("*"))).as("body"))
+    json.foreachPartition { (rows: Iterator[Row]) =>
+      rows.map(r => SqsEntry(r.getString(0), r.getString(1), delaySeconds))
+        .grouped(maxBatch)
+        .foreach { chunk =>
+          val res = client.sendBatch(chunk)
+          if (res.failed.nonEmpty) {
+            if (res.successful.isEmpty) throw new AllItemsFailureException(chunk.size)
+            else throw new PartialFailureException(res.failed.size, chunk.size)
+          }
+        }
+    }
+  }
+
+  // ------------------------------------------------------------------ MV
+  /** Keyed table client for the materialized-view sink; tests use
+    * [[InMemoryKeyedTable]], production wraps a CQL session. */
+  trait KeyedTable extends Serializable {
+    def upsert(key: Seq[Any], row: Map[String, Any]): Unit
+    def delete(key: Seq[Any]): Unit
+  }
+
+  final class InMemoryKeyedTable extends KeyedTable {
+    private val id = java.util.UUID.randomUUID().toString
+    LocalStore.tables.synchronized { LocalStore.tables(id) = mutable.Map() }
+    def data: Map[Seq[Any], Map[String, Any]] =
+      LocalStore.tables.synchronized { LocalStore.tables(id).toMap }
+    def upsert(key: Seq[Any], row: Map[String, Any]): Unit =
+      LocalStore.tables.synchronized { LocalStore.tables(id)(key) = row }
+    def delete(key: Seq[Any]): Unit =
+      LocalStore.tables.synchronized { LocalStore.tables(id).remove(key) }
+  }
+
+  private val DeleteOps = Set("DELETE", "REPLICATED_DELETE", "TTL")
+  private val UpsertOps = Set("INSERT", "UPDATE", "REPLICATED_INSERT", "REPLICATED_UPDATE")
+
+  /** Materialized-view sink (K1, KeyspacesViewTargetMapper.java:81-154):
+    * upsert from newImage on INSERT/UPDATE, delete by PK from oldImage on
+    * DELETE/TTL. Correctness under parallelism (SURVEY.md §7.4 risk 3): the
+    * batch is first reduced to the LATEST change per key by sequence number
+    * — the reference relies on per-shard sequential apply, which Spark's
+    * parallel tasks would otherwise violate. One shuffle on the key, then
+    * partition-local writes. */
+  def mvSink(table: KeyedTable, keyFields: Seq[String],
+      valueFields: Seq[String]): BatchSink = (batch, _) => {
+    val keyCols = keyFields.map(f =>
+      coalesce(col(s"image.$f"), col(s"oldImage.$f")).as(s"k_$f"))
+    val w = Window.partitionBy(keyFields.map(f => col(s"k_$f")): _*)
+      .orderBy(col("metadata.stream_sequence_number").desc)
+    val latest = batch
+      .select((col("*") +: keyCols): _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(
+        (keyFields.map(f => col(s"k_$f")) :+
+          col("metadata.stream_operation_type").as("__op")) ++
+          valueFields.map(f => col(s"image.$f").as(s"v_$f")): _*)
+    latest.foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        val key = keyFields.indices.map(i => r.get(i))
+        val op = r.getString(keyFields.size)
+        if (DeleteOps.contains(op)) table.delete(key)
+        else if (UpsertOps.contains(op))
+          table.upsert(key, valueFields.zipWithIndex
+            .map { case (f, i) => f -> r.get(keyFields.size + 1 + i) }.toMap)
+        else throw new IllegalArgumentException(s"unsupported operation $op")
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------ Vector
+  /** Embedding provider (V1): production wraps a model endpoint with
+    * [[Retry]]; tests use [[HashEmbedder]] — deterministic, offline. */
+  trait Embedder extends Serializable {
+    def embed(text: String, dims: Int): Array[Float]
+  }
+
+  object HashEmbedder extends Embedder {
+    def embed(text: String, dims: Int): Array[Float] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(dims) { i =>
+        val h = md.digest(s"$i:$text".getBytes("UTF-8"))
+        ((h(0) & 0xFF) - 128) / 128.0f
+      }
+    }
+  }
+
+  final case class PutVector(key: String, data: Array[Float], metadata: Map[String, Any])
+
+  trait VectorIndex extends Serializable {
+    def putVectors(vectors: Seq[PutVector]): Unit
+  }
+
+  final class InMemoryVectorIndex extends VectorIndex {
+    private val id = java.util.UUID.randomUUID().toString
+    LocalStore.indexes.synchronized { LocalStore.indexes(id) = mutable.Map() }
+    def vectors: Map[String, PutVector] =
+      LocalStore.indexes.synchronized { LocalStore.indexes(id).toMap }
+    def putVectors(vs: Seq[PutVector]): Unit = LocalStore.indexes.synchronized {
+      vs.foreach(v => LocalStore.indexes(id)(v.key) = v)
+    }
+  }
+
+  /** Vector sink (V1+V2, S3VectorTargetMapper.java:81-181): embeds the
+    * configured text field of the NEW image (empty → fall back to the key
+    * field's text; both empty → error, :100-118), attaches scalar metadata,
+    * puts per partition. The embedder is a per-executor lazy singleton in
+    * production (VectorHelper.java:47-54 parity). */
+  def vectorSink(index: VectorIndex, embedder: Embedder, keyField: String,
+      embeddingField: String, dims: Int,
+      metadataFields: Seq[String]): BatchSink = (batch, _) => {
+    val projected = batch
+      .filter(col("image").isNotNull)
+      .select(
+        (col(s"image.$keyField").cast("string").as("__key") +:
+          col(s"image.$embeddingField").cast("string").as("__text") +:
+          metadataFields.map(f => col(s"image.$f").as(s"m_$f"))): _*)
+    projected.foreachPartition { (rows: Iterator[Row]) =>
+      val puts = rows.map { r =>
+        val key = r.getString(0)
+        val text = Option(r.getString(1)).filter(_.nonEmpty)
+          .orElse(Option(key).filter(_.nonEmpty))
+          .getOrElse(throw new IllegalArgumentException(
+            s"both embedding field '$embeddingField' and key field '$keyField' are empty"))
+        PutVector(key, embedder.embed(text, dims),
+          metadataFields.zipWithIndex.map { case (f, i) => f -> r.get(2 + i) }
+            .filter(_._2 != null).toMap)
+      }.toSeq
+      if (puts.nonEmpty) index.putVectors(puts)
+    }
+  }
+
+  // ------------------------------------------------------------------ Retry
+  /** Exponential backoff with jitter — reference parity: base 1000 ms, ×2,
+    * cap 10000 ms, ±10% jitter, default 3 retries (VectorHelper.java:27-31,
+    * :61-74). Sink-layer retries are finer than Spark's whole-task retry. */
+  object Retry {
+    def apply[T](maxRetries: Int = 3, baseDelayMs: Long = 1000,
+        maxDelayMs: Long = 10000, multiplier: Double = 2.0,
+        jitter: Double = 0.1, sleep: Long => Unit = Thread.sleep,
+        rng: Random = new Random())(
+        isRetryable: Throwable => Boolean)(body: => T): T = {
+      var attempt = 0
+      while (true) {
+        try return body
+        catch {
+          case t: Throwable if attempt < maxRetries && isRetryable(t) =>
+            val exp = math.min(maxDelayMs,
+              (baseDelayMs * math.pow(multiplier, attempt)).toLong)
+            val jittered = (exp * (1.0 + (rng.nextDouble() * 2 - 1) * jitter)).toLong
+            sleep(math.max(0L, jittered))
+            attempt += 1
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+  }
+}
