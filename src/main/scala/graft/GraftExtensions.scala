@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.{DecimalType, IntegerType}
+
+import graft.expr.SimHashExpr
+
+/** Session extensions: SQL-level registration of the engine's function
+  * surface, mirroring the reference's JEXL `converters:` namespace
+  * (JexlFilterService.java:36-39, JexlFilterFunctions.java:4-21) plus the
+  * native simhash (graft.expr.SimHashExpr).
+  *
+  * Activate with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`; after that
+  * `SELECT to_big_decimal(x)`, `compare_to(a, b)` and
+  * `simhash(tokens, bits)` work in plain SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def tryDecimal(e: Expression): Expression =
+    Cast(e, DecimalType(38, 18), None, EvalMode.TRY)
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("to_big_decimal"),
+      new ExpressionInfo(classOf[Cast].getName, "to_big_decimal"),
+      (args: Seq[Expression]) => tryDecimal(args.head)),
+
+    (new FunctionIdentifier("compare_to"),
+      new ExpressionInfo(classOf[Signum].getName, "compare_to"),
+      (args: Seq[Expression]) =>
+        Cast(Signum(Subtract(tryDecimal(args(0)), tryDecimal(args(1)), EvalMode.TRY)),
+          IntegerType)),
+
+    (new FunctionIdentifier("simhash"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "simhash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(tokens) => SimHashExpr(tokens, 63)
+        case Seq(tokens, Literal(bits: Int, IntegerType)) => SimHashExpr(tokens, bits)
+        case _ => throw new IllegalArgumentException(
+          "simhash(tokens array<string>[, bits int literal])")
+      }))
+
+  /** Register into an already-running session (extensions only apply at
+    * session construction; getOrCreate on an existing session ignores
+    * withExtensions). */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}

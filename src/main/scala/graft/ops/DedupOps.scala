@@ -116,6 +116,17 @@ object DedupOpsImpl {
           .reduce(_ + _).as("simhash"))
       .orderBy(col("doc_id"))
   }
+
+  /** Same signature via the native codegen'd Catalyst expression
+    * (graft.expr.SimHashExpr) — one pass per row, no explode/shuffle at all;
+    * this is the hot-path form for 100 TB corpora. 48 bits so the DuckDB
+    * oracle stays in signed-BIGINT range. */
+  def simhashNative(s: SparkSession, dir: String): DataFrame =
+    graft.Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.expr.SimHashFunctions.simhash(array_distinct(split(col("text"), " ")), 48)
+          .as("simhash"))
+      .orderBy(col("doc_id"))
 }
 
 object DedupOps {
@@ -173,6 +184,21 @@ object DedupOps {
         s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, $pos, 1)) - 1) // $shift) % 2 = 1 THEN 1 ELSE -1 END) AS s$j"
       }.mkString(", ")
       val bits = (0 until 16).map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, md5(tk) AS h FROM (
+         |    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tk
+         |    FROM documents)),
+         |sums AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums ORDER BY doc_id""".stripMargin
+    }),
+
+    Q("q44_dedup_simhash_native", simhashNative, Some {
+      val sums = (0 until 48).map { j =>
+        val pos = j / 4 + 1
+        val shift = 1 << (3 - j % 4)
+        s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, $pos, 1)) - 1) // $shift) % 2 = 1 THEN 1 ELSE -1 END) AS s$j"
+      }.mkString(", ")
+      val bits = (0 until 48).map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
       s"""WITH tok AS (
          |  SELECT doc_id, md5(tk) AS h FROM (
          |    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tk

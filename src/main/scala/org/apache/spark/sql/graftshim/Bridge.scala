@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ catalyst Expression bridge. Spark 4 split `Column` (sql-api)
+  * from `Expression` (catalyst) and made the converters `private[sql]`;
+  * extension libraries that define native expressions need this one-file
+  * shim inside the sql package to expose them. No Spark internals are
+  * modified — this only re-exports two conversions.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
