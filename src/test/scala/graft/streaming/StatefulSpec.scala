@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.SparkSpec
+
+class StatefulSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rec(seq: Int, op: String, userId: Long, arrivalMs: Long): TestCdc = {
+    val img = if (Set("DELETE", "REPLICATED_DELETE", "TTL").contains(op)) null
+    else TestImage(s"u$userId", userId.toDouble, userId.toInt)
+    val old = if (op == "INSERT") null else TestImage(s"u$userId", 0.0, 0)
+    TestCdc(if (op == "TTL") "TTL" else "USER",
+      TestMeta("media", "movies", op, arrivalMs, f"$seq%020d"), img, old)
+  }
+
+  // envelope with a user_id-bearing image for latestImageChanges
+  private case class Img(user_id: Long, v: Double)
+  private case class Env(origin: String, metadata: TestMeta, image: Img, oldImage: Img)
+  private def env(seq: Int, op: String, uid: Long, arrivalMs: Long = 0L): Env =
+    Env("USER", TestMeta("ks", "t", op, arrivalMs, f"$seq%020d"),
+      if (Set("DELETE", "TTL").contains(op)) null else Img(uid, seq.toDouble),
+      if (op == "INSERT") null else Img(uid, 0.0))
+
+  test("watermarked window aggregation drops late data and bounds state") {
+    val input = MemoryStream[TestCdc](spark)
+    val agg = Stateful.windowedOpCounts(input.toDF(), "10 minutes", "1 hour")
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("winagg")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    val h0 = 1700000000000L - (1700000000000L % 3600000L) // hour bucket start
+    try {
+      input.addData(rec(1, "INSERT", 1, h0), rec(2, "INSERT", 2, h0 + 60000))
+      q.processAllAvailable()
+      // advance event time far beyond watermark so the h0 window closes
+      input.addData(rec(3, "INSERT", 3, h0 + 5 * 3600000L))
+      q.processAllAvailable()
+      input.addData(rec(4, "INSERT", 4, h0)) // late beyond watermark -> dropped
+      q.processAllAvailable()
+      val rows = spark.table("winagg").as[(java.sql.Timestamp, String, Long)].collect()
+      val closed = rows.filter(_._1.getTime == h0)
+      assert(closed.toSeq == Seq((new java.sql.Timestamp(h0), "INSERT", 2L)),
+        s"expected the h0 INSERT window to close with 2 rows (late row dropped), got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("latest-image state machine emits upserts and deletes per key") {
+    val input = MemoryStream[Env](spark)
+    val changes = Stateful.latestImageChanges(input.toDF())
+    val q = changes.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("mvstate")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      input.addData(env(1, "INSERT", 10), env(2, "UPDATE", 10), env(3, "INSERT", 20))
+      q.processAllAvailable()
+      input.addData(env(4, "DELETE", 20), env(5, "UPDATE", 10))
+      q.processAllAvailable()
+      input.addData(env(1, "INSERT", 10)) // stale replay: older seq -> ignored
+      q.processAllAvailable()
+      val out = spark.table("mvstate").as[Stateful.Change].collect()
+        .map(c => (c.key, c.op, c.seq.toLong.toInt)).toSeq.sorted
+      assert(out == Seq(("10", "UPSERT", 2), ("10", "UPSERT", 5),
+        ("20", "DELETE", 4), ("20", "UPSERT", 3)))
+    } finally q.stop()
+  }
+}
