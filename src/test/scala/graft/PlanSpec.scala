@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan shape assertions — the properties that make these operators
+  * survive a 100× scale-up. A regression here (lost pushdown, a broadcast
+  * degrading to sort-merge, codegen falling out) is a performance bug even
+  * while results stay correct, so it's locked by test.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("q01 scan prunes to the five needed lineitem columns") {
+    val s = plan(ops.RelationalOps.pricingSummary(spark, dir))
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(s).get
+    assert(read.contains("l_quantity") && read.contains("l_returnflag"))
+    assert(!read.contains("l_orderkey") && !read.contains("l_shipdate"))
+  }
+
+  test("q02 star joins broadcast all three dimension tables") {
+    val s = plan(ops.RelationalOps.revenueByNation(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(s).size == 3, s)
+    assert(!s.contains("SortMergeJoin"))
+  }
+
+  test("q51 pushes the query-set predicate into the parquet scan and broadcasts it") {
+    val s = plan(ops.VectorOpsImpl.cosineTopK(spark, dir))
+    assert(s.contains("LessThan(vec_id,8)"), "query-set filter must reach PushedFilters")
+    assert(s.contains("BroadcastNestedLoopJoin"), "small query side must broadcast")
+  }
+
+  test("JEXL filter pipeline stays pruned and codegen'd") {
+    val df = ops.CdcQueriesImpl.jexlFilter(spark, dir)
+    val s = plan(df)
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(s).get
+    assert(!read.contains("props") && !read.contains("event_type"),
+      s"filter on value must not read unrelated columns: $read")
+    // codegen markers are hidden under the AQE wrapper until execution;
+    // disable AQE for the shape check (the plan itself is identical)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val noAqe = plan(ops.CdcQueriesImpl.jexlFilter(spark, dir))
+      assert(noAqe.contains("*("), "whole-stage codegen must cover the filter/project pipeline")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("exact dedup is a single hash-aggregate, no sort before grouping") {
+    val s = plan(ops.DedupOpsImpl.exact(spark, dir))
+    assert("HashAggregate".r.findAllIn(s).size >= 2, "expect partial+final hash agg")
+  }
+}
