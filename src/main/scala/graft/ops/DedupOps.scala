@@ -117,6 +117,22 @@ object DedupOpsImpl {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end corpus dedup — the composition a real pipeline runs:
+    * 1. exact dedup (min doc_id per identical text);
+    * 2. LSH candidate pairs (q42 semantics) verified by rare-shingle
+    *    Jaccard ≥ 0.5 (q41 semantics);
+    * 3. drop the higher doc_id of every verified pair.
+    * Output: the kept document ids. All stages shuffle on hash/bucket keys —
+    * never all-pairs — so the composition scales like its parts. */
+  def dedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    val keepExact = exact(s, dir).select(col("canonical_doc").as("doc_id"))
+    val verified = ngramJaccard(s, dir).select(col("a_id"), col("b_id"))
+      .join(minhashLsh(s, dir), Seq("a_id", "b_id"))
+    val dropped = verified.select(col("b_id").as("doc_id")).distinct()
+    keepExact.join(dropped, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   /** Same signature via the native codegen'd Catalyst expression
     * (graft.expr.SimHashExpr) — one pass per row, no explode/shuffle at all;
     * this is the hot-path form for 100 TB corpora. 48 bits so the DuckDB
@@ -191,6 +207,38 @@ object DedupOps {
          |sums AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id)
          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums ORDER BY doc_id""".stripMargin
     }),
+
+    Q("q45_dedup_pipeline", dedupPipeline, Some {
+      val hs = (0 until 8).map(i => s"MIN(md5('$i:' || sh)) AS h$i").mkString(", ")
+      val bands = (0 until 4).map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bh FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH $shingleSql,
+         |keep_exact AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= $DfCap),
+         |docsh AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM docsh GROUP BY doc_id),
+         |jpairs AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |    FROM docsh a JOIN docsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) p
+         |  JOIN sizes na ON na.doc_id = a_id JOIN sizes nb ON nb.doc_id = b_id
+         |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5),
+         |sig AS (SELECT doc_id, $hs FROM sh GROUP BY doc_id),
+         |bands AS ($bands),
+         |ok AS (SELECT band, bh FROM bands GROUP BY band, bh HAVING COUNT(*) <= $BucketCap),
+         |bk AS (SELECT b.doc_id, b.band, b.bh FROM bands b JOIN ok USING (band, bh)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |dropped AS (
+         |  SELECT DISTINCT j.b_id AS doc_id FROM jpairs j JOIN cand c
+         |    ON j.a_id = c.a_id AND j.b_id = c.b_id)
+         |SELECT doc_id FROM keep_exact
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |ORDER BY doc_id""".stripMargin
+    }, headline = true),
 
     Q("q44_dedup_simhash_native", simhashNative, Some {
       val sums = (0 until 48).map { j =>

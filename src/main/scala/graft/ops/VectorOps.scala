@@ -77,9 +77,9 @@ object VectorOpsImpl {
       .orderBy(col("label"))
   }
 
-  /** IVF coarse quantization: assign every vector to its nearest exact
-    * label-centroid (L2, tie → smaller centroid label). */
-  def ivfAssign(s: SparkSession, dir: String): DataFrame = {
+  /** Nearest-exact-centroid assignment for every vector (L2, tie → smaller
+    * centroid label): vec_id, label, embedding, assigned. */
+  private def assignAll(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     val sums = count(lit(1)).as("n") +: (1 to Dims).map(i =>
       expr(s"CAST(SUM(CAST(CAST(element_at(embedding, $i) AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)").as(s"s$i"))
@@ -94,9 +94,36 @@ object VectorOpsImpl {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("clabel"))
     joined.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("clabel").as("assigned"),
-        (col("clabel") === col("label")).as("correct"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("clabel").as("assigned"))
+  }
+
+  /** IVF coarse quantization (assignment view). */
+  def ivfAssign(s: SparkSession, dir: String): DataFrame =
+    assignAll(s, dir)
+      .select(col("vec_id"), col("label"), col("assigned"),
+        (col("assigned") === col("label")).as("correct"))
       .orderBy(col("vec_id"))
+
+  /** IVF-probed ANN: search only the query's own coarse cluster instead of
+    * the whole corpus — the 100 TB scale path (cluster = partition prune;
+    * cost drops from O(corpus) to O(corpus / k) per query at equal recall
+    * for in-cluster neighbors). Top-3 by cosine within the probed cluster. */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val asg = assignAll(s, dir)
+    val q = asg.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("assigned").as("qcluster"))
+    val c = asg.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      col("assigned").as("ncluster"))
+    val joined = broadcast(q).join(c,
+        col("qcluster") === col("ncluster") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        expr(s"(${sparkDot("qe", "ce")}) / (sqrt(${sparkDot("qe", "qe")}) * sqrt(${sparkDot("ce", "ce")}))"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    joined.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rn"))
   }
 
   /** Deterministic ±1 hyperplanes: sign = parity of the first hex nibble of
@@ -174,6 +201,36 @@ object VectorOps {
          |  FROM d)
          |SELECT vec_id, label, clabel AS assigned, clabel = label AS correct
          |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    }, headline = true),
+
+    Q("q55_embed_ivf_topk", ivfTopK, Some {
+      val sums = (1 to Dims).map(i =>
+        s"CAST(SUM(CAST(CAST(embedding[$i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c$i")
+        .mkString(", ")
+      val dist = (1 to Dims).map(i =>
+        s"(CAST(e.embedding[$i] AS DOUBLE) - c.c$i) * (CAST(e.embedding[$i] AS DOUBLE) - c.c$i)")
+        .mkString(" + ")
+      s"""WITH c AS (SELECT CAST(label AS BIGINT) AS clabel, $sums
+         |  FROM embeddings GROUP BY label),
+         |d AS (
+         |  SELECT e.vec_id, c.clabel, ($dist) AS dist2 FROM embeddings e, c),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, clabel) AS rn
+         |  FROM d),
+         |asg AS (SELECT vec_id, clabel AS assigned FROM r WHERE rn = 1),
+         |p AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    (${duckDot("a.embedding", "b.embedding")})
+         |      / (sqrt(${duckDot("a.embedding", "a.embedding")})
+         |         * sqrt(${duckDot("b.embedding", "b.embedding")})) AS cosine
+         |  FROM embeddings a
+         |  JOIN asg qa ON qa.vec_id = a.vec_id
+         |  JOIN asg nb ON nb.assigned = qa.assigned AND nb.vec_id <> a.vec_id
+         |  JOIN embeddings b ON b.vec_id = nb.vec_id
+         |  WHERE a.vec_id < 8),
+         |rr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM p)
+         |SELECT query_id, rn, neighbor_id, cosine FROM rr WHERE rn <= 3
+         |ORDER BY query_id, rn""".stripMargin
     }, headline = true),
 
     Q("q54_embed_lsh_sig", lshBuckets, Some(
