@@ -206,6 +206,22 @@ object RelationalOps {
       .orderBy(col("user_id"))
   }
 
+  /** Window top-k via the custom TopKPerKey physical operator
+    * (graft.plans.TopK): bounded per-key heaps with a map-side partial
+    * before the shuffle — ≤ k rows per key per partition cross the wire,
+    * no per-partition full sort (the window+row_number formulation in q06
+    * shuffles and sorts everything). Same semantics, checked against the
+    * same oracle shape. */
+  def topLinesPerSupplierNative(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    graft.plans.TopK.topKPerKey(li, 3, Seq("l_suppkey"),
+        Seq(graft.plans.TopK.desc("l_extendedprice"),
+          graft.plans.TopK.asc("l_orderkey"), graft.plans.TopK.asc("l_linenumber")))
+      .select(col("l_suppkey"), col("rank").as("rn"), col("l_orderkey"),
+        col("l_linenumber").cast(LongType).as("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
   /** Semi-structured access: JSON property extraction from a string column. */
   def eventPropsJson(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
@@ -325,6 +341,14 @@ object Relational {
         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    Q("q16_topk_native", RelationalOps.topLinesPerSupplierNative, Some(
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin), headline = true),
 
     Q("q15_json_extract", RelationalOps.eventPropsJson, Some(
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
