@@ -50,9 +50,15 @@ object GraftExtensions {
 
   /** Register into an already-running session (extensions only apply at
     * session construction; getOrCreate on an existing session ignores
-    * withExtensions). */
-  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    * withExtensions). Also registers the `embed` UDF — the V1 embedding
+    * operator's expression form (SURVEY.md §4.3: `embed(text, dims)`), using
+    * the deterministic offline embedder; production swaps the provider. */
+  def install(spark: org.apache.spark.sql.SparkSession,
+      embedder: graft.streaming.Sinks.Embedder = graft.streaming.Sinks.HashEmbedder): Unit = {
     functions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    spark.udf.register("embed",
+      (text: String, dims: Int) => embedder.embed(text, dims))
+  }
 }

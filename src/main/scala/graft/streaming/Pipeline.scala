@@ -66,6 +66,15 @@ object Packing {
 
   final case class PackedRecord(shard: String, seq: String, bytes: Long, messageBin: Long)
 
+  /** Message id scheme of the reference (AbstractJSONConverter.java:152,
+    * :175): `firstSeq-lastSeq`, with a `-epochMillis` suffix on the final
+    * (possibly still-open) message of a batch. The clock is injected —
+    * SURVEY.md §7.4 risk 4: wall-clock-derived ids are untestable otherwise.
+    */
+  def messageId(firstSeq: String, lastSeq: String, isFinal: Boolean,
+      clock: () => Long = () => System.currentTimeMillis()): String =
+    if (isFinal) s"$firstSeq-$lastSeq-${clock()}" else s"$firstSeq-$lastSeq"
+
   def greedyPack(df: DataFrame, shardCol: String, seqCol: String, sizeCol: String,
       maxBytes: Long, maxRecords: Int): Dataset[PackedRecord] = {
     val spark = df.sparkSession

@@ -25,6 +25,19 @@ object Stateful {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("op"), col("n"))
 
+  /** Streaming deduplication: drop records whose sequence number was already
+    * seen, with state bounded by the event-time watermark (SURVEY.md §7.4
+    * risk 7: never keep unbounded dedup state at 100 TB — the watermark
+    * horizon caps it). Exactly the at-least-once → effectively-once bridge
+    * for replayed CDC batches. */
+  def dedupBySequence(env: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    env
+      .withColumn("__seq", col("metadata.stream_sequence_number"))
+      .withColumn("ats", timestamp_millis(col("metadata.stream_arrival_timestamp")))
+      .withWatermark("ats", watermarkDelay)
+      .dropDuplicatesWithinWatermark("__seq")
+      .drop("ats", "__seq")
+
   /** Per-key latest-image state (the MV sink's semantics as a streaming
     * state machine): emits one change row per key per micro-batch when the
     * key's latest image changed; DELETE/TTL clears state. State holds one
