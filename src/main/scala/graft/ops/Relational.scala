@@ -222,6 +222,45 @@ object RelationalOps {
       .orderBy(col("l_suppkey"), col("rn"))
   }
 
+  /** As-of join — an operator Spark lacks natively (SURVEY.md §2.5): for
+    * each purchase event, the most recent prior signup of the same user.
+    * Composed efficiently as a single-shuffle union + running last_value
+    * window (NOT a range self-join): both sides shuffle once on user_id,
+    * then one ordered pass per user carries the latest signup forward. At
+    * 100 TB this is one co-partitioned pass; a naive inequality join would
+    * be quadratic per key. */
+  def asofSignupForPurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), unix_millis(col("ts")).as("ems"))
+      .filter(col("event_type").isin("purchase", "signup"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ems"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("last_signup",
+        last(when(col("event_type") === "signup", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_signup_ems",
+        last(when(col("event_type") === "signup", col("ems")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ems"),
+        col("last_signup").as("asof_signup_id"),
+        col("last_signup_ems").as("asof_signup_ems"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Exact median by rank (deterministic across engines, unlike interpolated
+    * percentile implementations): the value at row floor((n+1)/2) per group
+    * under a total order. */
+  def medianValueByType(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    ev.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("value").as("median_value"), col("n").as("n_rows"))
+      .orderBy(col("event_type"))
+  }
+
   /** Semi-structured access: JSON property extraction from a string column. */
   def eventPropsJson(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
@@ -349,6 +388,30 @@ object Relational {
         |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) AS rn
         |  FROM lineitem) t
         |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin), headline = true),
+
+    Q("q17_asof_join", RelationalOps.asofSignupForPurchase, Some(
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ems FROM events
+        |  WHERE event_type IN ('purchase', 'signup')),
+        |j AS (
+        |  SELECT user_id, event_id, event_type, ems,
+        |    last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+        |      OVER w AS asof_signup_id,
+        |    last_value(CASE WHEN event_type = 'signup' THEN ems END IGNORE NULLS)
+        |      OVER w AS asof_signup_ems
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ems, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, ems, asof_signup_id, asof_signup_ems
+        |FROM j WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
+
+    Q("q19_median_rank", RelationalOps.medianValueByType, Some(
+      """WITH r AS (
+        |  SELECT event_type, value, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, value AS median_value, n AS n_rows
+        |FROM r WHERE rn = (n + 1) // 2 ORDER BY event_type""".stripMargin)),
 
     Q("q15_json_extract", RelationalOps.eventPropsJson, Some(
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
