@@ -72,7 +72,10 @@ object Cdc {
   def includeFields(image: Column, imageSchema: StructType, fields: Seq[String]): Column = {
     val keep = if (fields.isEmpty) imageSchema.fieldNames.toSeq
     else imageSchema.fieldNames.toSeq.filter(fields.contains)
-    struct(keep.map(f => image.getField(f).as(f)): _*)
+    // preserve image-level nullness: a NULL image (DELETE/TTL) must stay
+    // NULL, not become a struct of null fields (the reference emits no
+    // image node at all in that case — AbstractJSONConverter.java:218-231)
+    when(image.isNotNull, struct(keep.map(f => image.getField(f).as(f)): _*))
   }
 
   /** `old_`-prefixed flattening for full format (P3,

@@ -57,6 +57,15 @@ class CdcSpec extends SparkSpec {
     assert(all.schema.fields.head.dataType.asInstanceOf[StructType].fieldNames.toSeq == Seq("a", "b"))
   }
 
+  test("includeFields keeps a NULL image NULL (reference: absent image node)") {
+    val schema = StructType(Seq(StructField("a", IntegerType)))
+    val df = Seq(Tuple1(Option(1)), Tuple1(None: Option[Int])).toDF("a")
+      .select(when($"a".isNotNull, struct($"a")).as("image"))
+    val out = df.select(Cdc.includeFields($"image", schema, Seq("a")).as("image"))
+    assert(out.filter($"image".isNull).count() == 1)
+    assert(out.filter($"image".isNotNull).count() == 1)
+  }
+
   test("time partition columns honor granularity fall-through") {
     val df = Seq("2024-03-05 07:08:09").toDF("s").select(to_timestamp($"s").as("ts"))
     val cols = Cdc.timePartitionColumns($"ts", "minutes")
