@@ -152,6 +152,27 @@ object VectorOpsImpl {
       expr(s"CAST(${lshSignature(i => s"CAST(element_at(embedding, $i) AS DOUBLE)")} AS BIGINT)")
         .as("sig"))
       .orderBy(col("vec_id"))
+
+  /** Embedding-cosine near-dup pairs: candidates bucketed by the low 8 bits
+    * of the sign-LSH signature (an O(n) shuffle on bucket keys — NOT an
+    * all-pairs cross join), exact cosine on candidates only, global top-50
+    * most-similar pairs. At 100 TB the bucket join is the only data
+    * movement; the cosine verify touches candidate pairs alone. */
+  def cosineNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = Tables(s, dir, "embeddings").select(
+      col("vec_id"), col("embedding"),
+      expr(s"CAST(pmod(${lshSignature(i => s"CAST(element_at(embedding, $i) AS DOUBLE)")}, 256) AS BIGINT)")
+        .as("bucket"))
+    val joined = sig.as("a").join(sig.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.embedding").as("ae"), col("b.embedding").as("be"))
+      .withColumn("cosine",
+        expr(s"(${sparkDot("ae", "be")}) / (sqrt(${sparkDot("ae", "ae")}) * sqrt(${sparkDot("be", "be")}))"))
+    joined.select(col("a_id"), col("b_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("a_id"), col("b_id"))
+      .limit(50)
+  }
 }
 
 object VectorOps {
@@ -236,6 +257,20 @@ object VectorOps {
     Q("q54_embed_lsh_sig", lshBuckets, Some(
       s"""SELECT vec_id,
          |  CAST(${lshSignature(i => s"CAST(embedding[$i] AS DOUBLE)")} AS BIGINT) AS sig
-         |FROM embeddings ORDER BY vec_id""".stripMargin))
+         |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    Q("q56_embed_near_dup", cosineNearDupPairs, Some(
+      s"""WITH s AS (
+         |  SELECT vec_id, embedding,
+         |    CAST((${lshSignature(i => s"CAST(embedding[$i] AS DOUBLE)")}) % 256 AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    (${duckDot("a.embedding", "b.embedding")})
+         |      / (sqrt(${duckDot("a.embedding", "a.embedding")})
+         |         * sqrt(${duckDot("b.embedding", "b.embedding")})) AS cosine
+         |  FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT a_id, b_id, cosine FROM p
+         |ORDER BY cosine DESC, a_id, b_id LIMIT 50""".stripMargin))
   )
 }
