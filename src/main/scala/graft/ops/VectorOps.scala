@@ -146,11 +146,12 @@ object VectorOpsImpl {
       s"CASE WHEN ($proj) > 0.0 THEN ${1L << j} ELSE 0 END"
     }.mkString(" + ")
 
+  /** Spark side uses the native SignLshExpr (codegen-safe single pass,
+    * bitwise-equal to the unrolled SQL the DuckDB oracle runs). */
   def lshBuckets(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings").select(
       col("vec_id"),
-      expr(s"CAST(${lshSignature(i => s"CAST(element_at(embedding, $i) AS DOUBLE)")} AS BIGINT)")
-        .as("sig"))
+      graft.expr.SignLshFunctions.signLsh(col("embedding"), hyperplanes).as("sig"))
       .orderBy(col("vec_id"))
 
   /** Embedding-cosine near-dup pairs: candidates bucketed by the low 8 bits
@@ -161,7 +162,7 @@ object VectorOpsImpl {
   def cosineNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = Tables(s, dir, "embeddings").select(
       col("vec_id"), col("embedding"),
-      expr(s"CAST(pmod(${lshSignature(i => s"CAST(element_at(embedding, $i) AS DOUBLE)")}, 256) AS BIGINT)")
+      pmod(graft.expr.SignLshFunctions.signLsh(col("embedding"), hyperplanes), lit(256L))
         .as("bucket"))
     val joined = sig.as("a").join(sig.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))

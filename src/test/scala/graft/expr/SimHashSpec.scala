@@ -62,6 +62,27 @@ class SimHashSpec extends SparkSpec {
     assert(native == sqlForm)
   }
 
+  test("native sign-LSH agrees between codegen and interpreted eval") {
+    val planes = graft.ops.VectorOpsImpl.hyperplanes
+    val vecs = Seq(
+      (1L, Array.tabulate(64)(i => (i - 32) / 10.0f)),
+      (2L, Array.fill(64)(0.5f)),
+      (3L, Array.fill(64)(-0.5f)))
+      .toDF("id", "v")
+    val df = vecs.select($"id", SignLshFunctions.signLsh($"v", planes).as("sig"))
+    val gen = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interp =
+      try df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      finally {
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      }
+    assert(gen == interp)
+    assert(gen.map(_._2).distinct.size == 3) // signatures differentiate inputs
+  }
+
   test("SQL registration via GraftExtensions.install") {
     graft.GraftExtensions.install(spark)
     val r = spark.sql(
