@@ -52,13 +52,43 @@ object StreamMain {
 
     val registry = new Sinks.SinkRegistry()
       .register("file", Sinks.fileSink(s"$outDir/data", "json", settings.timestampPartition))
+      .register("avro", (batch, id) => {
+        import org.apache.spark.sql.functions._
+        val fields =
+          if (settings.fieldsToInclude.isEmpty) CdcSynth.imageSchema.fieldNames.toSeq
+          else CdcSynth.imageSchema.fieldNames.toSeq.filter(settings.fieldsToInclude.contains)
+        val oldCols = // only in `full` record format (P3 old_ prefixing)
+          if (batch.columns.contains("oldImage"))
+            fields.map(f => col(s"oldImage.$f").as(s"old_$f"))
+          else Nil
+        val flat = batch.select(
+          (col("metadata.stream_sequence_number").as("__seq") +:
+            pmod(col("image.user_id"), lit(8L)).cast("string").as("__shard") +:
+            graft.cdc.Cdc.timePartitionPath(
+              timestamp_millis(col("metadata.stream_arrival_timestamp")),
+              settings.timestampPartition).as("__path") +:
+            fields.map(f => col(s"image.$f").as(f))) ++ oldCols: _*)
+        streaming.AvroSink.sink(s"$outDir/data")(flat, id)
+      })
       .register("console", (batch, id) => batch.show(5, truncate = false))
 
     val query = Pipeline.run(env, settings, CdcSynth.imageSchema,
       registry(sinkName), s"$outDir/checkpoint", Trigger.AvailableNow()).start()
     query.awaitTermination()
-    val n = spark.read.json(s"$outDir/data").count()
-    println(s"[stream] wrote $n records to $outDir/data")
+    val report = sinkName match {
+      case "file" => s"${spark.read.json(s"$outDir/data").count()} records"
+      case "avro" =>
+        val files = {
+          val b = Seq.newBuilder[java.io.File]
+          def walk(f: java.io.File): Unit =
+            if (f.isDirectory) f.listFiles().foreach(walk)
+            else if (f.getName.endsWith(".avro")) b += f
+          walk(new java.io.File(s"$outDir/data")); b.result()
+        }
+        s"${files.size} avro files, ${files.map(f => streaming.AvroSink.readFile(f).size).sum} records"
+      case _ => "console output"
+    }
+    println(s"[stream] wrote $report to $outDir/data")
     spark.stop()
   }
 }

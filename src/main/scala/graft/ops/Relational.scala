@@ -261,6 +261,20 @@ object RelationalOps {
       .orderBy(col("event_type"))
   }
 
+  /** Correlated scalar subquery through the engine's SQL surface — Catalyst
+    * decorrelates it into an aggregate + join (no per-row re-execution).
+    * Customers with balance above their nation's average. */
+  def aboveNationAvgBalance(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer_v c
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+        |  FROM customer_v c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+      .withColumn("c_nationkey", col("c_nationkey").cast(LongType))
+  }
+
   /** Semi-structured access: JSON property extraction from a string column. */
   def eventPropsJson(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
@@ -403,6 +417,14 @@ object Relational {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT user_id, event_id, ems, asof_signup_id, asof_signup_ems
         |FROM j WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
+
+    Q("q18_correlated_subquery", RelationalOps.aboveNationAvgBalance, Some(
+      """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal
+        |FROM customer c
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+        |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)),
 
     Q("q19_median_rank", RelationalOps.medianValueByType, Some(
       """WITH r AS (
