@@ -73,6 +73,21 @@ object TextOpsImpl {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus term statistics: top-5 most frequent tokens per language —
+    * explode + two-level aggregation + per-group top-k, the shape of any
+    * corpus-frequency report (vocab building, stopword discovery). */
+  def topTermsPerLang(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("tf").desc, col("tok"))
+    tf.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("rn"), col("tok"), col("tf"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   /** Document fingerprint: minimum md5 over character 5-gram shingles
     * (winnowing-style content signature, stable under reordering of
     * surrounding content). */
@@ -121,6 +136,15 @@ object TextOps {
          |       ELSE 'de' END AS pred_lang
          |FROM t ORDER BY doc_id""".stripMargin
     }),
+
+    Q("q34_text_top_terms", topTermsPerLang, Some(
+      """WITH tf AS (
+        |  SELECT lang, tok, COUNT(*) AS tf FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY lang, tok),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY tf DESC, tok) AS BIGINT) AS rn FROM tf)
+        |SELECT lang, rn, tok, tf FROM r WHERE rn <= 5 ORDER BY lang, rn""".stripMargin)),
 
     Q("q33_text_fingerprint", fingerprint, Some(
       """SELECT doc_id,

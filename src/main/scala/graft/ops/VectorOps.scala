@@ -126,6 +126,29 @@ object VectorOpsImpl {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** int8 scalar quantization — the storage-compression step of a 100 TB
+    * vector pipeline (4 bytes/dim → 1): code = floor((x − min_d) /
+    * (max_d − min_d) × 255) with per-dimension global min/max, clamped.
+    * floor (not round) keeps the codes bitwise-reproducible across engines.
+    * Output: first 4 dim codes + reconstruction error of dim 1. */
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val stats = (1 to Dims).flatMap(i => Seq(
+      min(expr(s"CAST(element_at(embedding, $i) AS DOUBLE)")).as(s"mn$i"),
+      max(expr(s"CAST(element_at(embedding, $i) AS DOUBLE)")).as(s"mx$i")))
+    val st = e.agg(stats.head, stats.tail: _*)
+    def code(i: Int) =
+      expr(s"CAST(least(greatest(floor((CAST(element_at(embedding, $i) AS DOUBLE) - mn$i) " +
+        s"/ (mx$i - mn$i) * 255.0), 0.0), 255.0) AS BIGINT)")
+    val q = e.crossJoin(broadcast(st))
+    q.select(col("vec_id"),
+        code(1).as("q1"), code(2).as("q2"), code(3).as("q3"), code(4).as("q4"),
+        (abs(expr("CAST(element_at(embedding, 1) AS DOUBLE)")
+          - (code(1).cast("double") / 255.0 * (col("mx1") - col("mn1")) + col("mn1"))))
+          .as("recon_err1"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Deterministic ±1 hyperplanes: sign = parity of the first hex nibble of
     * md5("j:i"). Computed once here and baked into both engines' SQL. */
   lazy val hyperplanes: IndexedSeq[IndexedSeq[Int]] = {
@@ -254,6 +277,21 @@ object VectorOps {
          |SELECT query_id, rn, neighbor_id, cosine FROM rr WHERE rn <= 3
          |ORDER BY query_id, rn""".stripMargin
     }, headline = true),
+
+    Q("q57_embed_quantize", quantizeInt8, Some {
+      def code(i: Int) =
+        s"CAST(least(greatest(floor((CAST(embedding[$i] AS DOUBLE) - mn$i) / (mx$i - mn$i) * 255.0), 0.0), 255.0) AS BIGINT)"
+      s"""WITH st AS (
+         |  SELECT MIN(CAST(embedding[1] AS DOUBLE)) AS mn1, MAX(CAST(embedding[1] AS DOUBLE)) AS mx1,
+         |    MIN(CAST(embedding[2] AS DOUBLE)) AS mn2, MAX(CAST(embedding[2] AS DOUBLE)) AS mx2,
+         |    MIN(CAST(embedding[3] AS DOUBLE)) AS mn3, MAX(CAST(embedding[3] AS DOUBLE)) AS mx3,
+         |    MIN(CAST(embedding[4] AS DOUBLE)) AS mn4, MAX(CAST(embedding[4] AS DOUBLE)) AS mx4
+         |  FROM embeddings)
+         |SELECT vec_id, ${code(1)} AS q1, ${code(2)} AS q2, ${code(3)} AS q3, ${code(4)} AS q4,
+         |  abs(CAST(embedding[1] AS DOUBLE)
+         |    - (CAST(${code(1)} AS DOUBLE) / 255.0 * (mx1 - mn1) + mn1)) AS recon_err1
+         |FROM embeddings, st ORDER BY vec_id""".stripMargin
+    }),
 
     Q("q54_embed_lsh_sig", lshBuckets, Some(
       s"""SELECT vec_id,
