@@ -75,16 +75,22 @@ object TextOpsImpl {
 
   /** Corpus term statistics: top-5 most frequent tokens per language —
     * explode + two-level aggregation + per-group top-k, the shape of any
-    * corpus-frequency report (vocab building, stopword discovery). */
+    * corpus-frequency report (vocab building, stopword discovery).
+    *
+    * The top-k runs through the custom TopKPerKey physical operator
+    * (graft.plans.TopK), not `row_number().over(Window.partitionBy(lang))`:
+    * `lang` has ~3 distinct values, so the window form ships the ENTIRE
+    * (lang, tok) frequency table to ≤3 reducers and fully sorts it — a
+    * guaranteed straggler at 100 TB. TopKPerKey keeps bounded per-key heaps
+    * with a map-side partial, so ≤ 5 rows per lang per partition cross the
+    * shuffle regardless of vocabulary size. */
   def topTermsPerLang(s: SparkSession, dir: String): DataFrame = {
     val tf = Tables(s, dir, "documents")
       .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("tf"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("tf").desc, col("tok"))
-    tf.withColumn("rn", row_number().over(w).cast(LongType))
-      .filter(col("rn") <= 5)
-      .select(col("lang"), col("rn"), col("tok"), col("tf"))
+    graft.plans.TopK.topKPerKey(tf, 5, Seq("lang"),
+        Seq(graft.plans.TopK.desc("tf"), graft.plans.TopK.asc("tok")))
+      .select(col("lang"), col("rank").as("rn"), col("tok"), col("tf"))
       .orderBy(col("lang"), col("rn"))
   }
 

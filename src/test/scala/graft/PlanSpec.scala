@@ -50,4 +50,31 @@ class PlanSpec extends SparkSpec {
     val s = plan(ops.DedupOpsImpl.exact(spark, dir))
     assert("HashAggregate".r.findAllIn(s).size >= 2, "expect partial+final hash agg")
   }
+
+  test("q53 IVF assignment is a narrow per-row argmin: no Window, no corpus shuffle") {
+    // drop the final presentation orderBy — the assignment itself must plan
+    // as scan → project with no exchange at all (round 1 shuffled and
+    // sorted n×k rows through a Window)
+    val df = ops.VectorOpsImpl.ivfAssign(spark, dir).queryExecution.analyzed match {
+      case org.apache.spark.sql.catalyst.plans.logical.Sort(_, _, child, _) =>
+        org.apache.spark.sql.graftshim.Bridge.ofRows(spark, child)
+      case _ => fail("expected a top-level Sort to strip")
+    }
+    val s = plan(df)
+    assert(!s.contains("Window"), s"assignment must not use a window:\n$s")
+    assert(!s.contains("Exchange"), s"assignment must not shuffle the corpus:\n$s")
+  }
+
+  test("q34 per-language top terms run through TopKPerKey, not a window") {
+    val s = plan(ops.TextOpsImpl.topTermsPerLang(spark, dir))
+    assert(s.contains("TopKPerKey"), s"expected the custom operator:\n$s")
+    assert(!s.contains("Window"), s"low-cardinality key must not use a window:\n$s")
+  }
+
+  test("q56 near-dup candidates are capped multi-band buckets, not a fixed modulus") {
+    val df = ops.VectorOpsImpl.cosineNearDupPairs(spark, dir)
+    val s = plan(df)
+    assert(!s.contains("pmod"), "fixed-modulus global bucketing must be gone")
+    assert(s.contains("shiftright"), s"banded signature expected in plan:\n$s")
+  }
 }
