@@ -73,14 +73,24 @@ object DedupOpsImpl {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  private val seeds = 0 until 8
-
-  /** Per-doc MinHash signature: h_i = min(md5(seed_i || shingle)). */
-  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
-    shingles(s, dir)
-      .groupBy(col("doc_id"))
-      .agg(min(md5(concat(lit("0:"), col("sh")))).as("h0"),
-        seeds.tail.map(i => min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i")): _*)
+  /** Per-doc MinHash signature — 2 md5 calls per shingle instead of 8
+    * (hashing dominated round-1 bench: q42+q45 were 40% of total): the 8
+    * lanes are disjoint 8-hex-char (32-bit) windows of md5(sh) and
+    * md5('1:' || sh). A 32-bit lane keeps E[min] ≈ 2³²/shingles well away
+    * from saturation for billion-shingle documents (16-bit windows would
+    * pin every large doc's min to 0). Window derivation is oracle-portable
+    * (DuckDB takes the same substrings of the same digests) and
+    * lexicographic MIN over fixed-width lowercase hex equals numeric min,
+    * so each lane is still an independent uniform min-hash. */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val withDigests = shingles(s, dir)
+      .withColumn("d1", md5(col("sh")))
+      .withColumn("d2", md5(concat(lit("1:"), col("sh"))))
+    val lanes = (0 until 8).map { i =>
+      min(substring(col(if (i < 4) "d1" else "d2"), 1 + 8 * (i % 4), 8)).as(s"h$i")
+    }
+    withDigests.groupBy(col("doc_id")).agg(lanes.head, lanes.tail: _*)
+  }
 
   /** LSH candidate pairs: 4 bands × 2 rows; same band hash → candidate.
     * Buckets larger than BucketCap are dropped (standard LSH cap — they are
@@ -154,6 +164,12 @@ object DedupOpsImpl {
 object DedupOps {
   import DedupOpsImpl._
 
+  /** DuckDB mirror of [[DedupOpsImpl.minhashSignatures]]'s lane windows. */
+  private val laneSql: String = (0 until 8).map { i =>
+    val src = if (i < 4) "md5(sh)" else "md5('1:' || sh)"
+    s"MIN(substr($src, ${1 + 8 * (i % 4)}, 8)) AS h$i"
+  }.mkString(", ")
+
   /** Shared DuckDB shingle CTE (mirror of [[DedupOpsImpl.shingles]]). */
   private val shingleSql =
     """sh AS (
@@ -186,11 +202,10 @@ object DedupOps {
          |ORDER BY a_id, b_id""".stripMargin), headline = true),
 
     Q("q42_dedup_minhash_lsh", minhashLsh, Some {
-      val hs = (0 until 8).map(i => s"MIN(md5('$i:' || sh)) AS h$i").mkString(", ")
       val bands = (0 until 4).map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bh FROM sig")
         .mkString(" UNION ALL ")
       s"""WITH $shingleSql,
-         |sig AS (SELECT doc_id, $hs FROM sh GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $laneSql FROM sh GROUP BY doc_id),
          |bands AS ($bands),
          |ok AS (SELECT band, bh FROM bands GROUP BY band, bh HAVING COUNT(*) <= $BucketCap),
          |bk AS (SELECT b.doc_id, b.band, b.bh FROM bands b JOIN ok USING (band, bh))
@@ -215,7 +230,6 @@ object DedupOps {
     }),
 
     Q("q45_dedup_pipeline", dedupPipeline, Some {
-      val hs = (0 until 8).map(i => s"MIN(md5('$i:' || sh)) AS h$i").mkString(", ")
       val bands = (0 until 4).map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bh FROM sig")
         .mkString(" UNION ALL ")
       s"""WITH $shingleSql,
@@ -231,7 +245,7 @@ object DedupOps {
          |    GROUP BY 1, 2) p
          |  JOIN sizes na ON na.doc_id = a_id JOIN sizes nb ON nb.doc_id = b_id
          |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5),
-         |sig AS (SELECT doc_id, $hs FROM sh GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $laneSql FROM sh GROUP BY doc_id),
          |bands AS ($bands),
          |ok AS (SELECT band, bh FROM bands GROUP BY band, bh HAVING COUNT(*) <= $BucketCap),
          |bk AS (SELECT b.doc_id, b.band, b.bh FROM bands b JOIN ok USING (band, bh)),
