@@ -61,11 +61,12 @@ object StreamMain {
           if (batch.columns.contains("oldImage"))
             fields.map(f => col(s"oldImage.$f").as(s"old_$f"))
           else Nil
+        val meta = Sinks.metaCol(batch)
         val flat = batch.select(
-          (col("metadata.stream_sequence_number").as("__seq") +:
+          (meta.getField("stream_sequence_number").as("__seq") +:
             pmod(col("image.user_id"), lit(8L)).cast("string").as("__shard") +:
             graft.cdc.Cdc.timePartitionPath(
-              timestamp_millis(col("metadata.stream_arrival_timestamp")),
+              timestamp_millis(meta.getField("stream_arrival_timestamp")),
               settings.timestampPartition).as("__path") +:
             fields.map(f => col(s"image.$f").as(f))) ++ oldCols: _*)
         streaming.AvroSink.sink(s"$outDir/data")(flat, id)

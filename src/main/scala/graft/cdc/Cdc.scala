@@ -29,6 +29,8 @@ object Cdc {
   /** Operation-type derivation — the 8-outcome truth table of
     * `StreamHelpers.getOperationType` (StreamHelpers.java:26-63): TTL origin
     * wins, null origin → UNKNOWN, else (oldImage?, newImage?) × origin.
+    * Both-present AND both-absent land in the reference's else-branch, i.e.
+    * UPDATE / REPLICATED_UPDATE.
     */
   def operationType(origin: Column, oldImage: Column, newImage: Column): Column =
     when(origin.isNull, "UNKNOWN")
@@ -37,9 +39,7 @@ object Cdc {
         when(origin === "REPLICATION", "REPLICATED_DELETE").otherwise("DELETE"))
       .when(oldImage.isNull && newImage.isNotNull,
         when(origin === "REPLICATION", "REPLICATED_INSERT").otherwise("INSERT"))
-      .when(oldImage.isNotNull && newImage.isNotNull,
-        when(origin === "REPLICATION", "REPLICATED_UPDATE").otherwise("UPDATE"))
-      .otherwise("UNKNOWN")
+      .otherwise(when(origin === "REPLICATION", "REPLICATED_UPDATE").otherwise("UPDATE"))
 
   /** Metadata enrichment (P4) — the 5 stream_* fields of
     * AbstractJSONConverter.java:207-215, from source-provided columns.

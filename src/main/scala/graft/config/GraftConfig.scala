@@ -51,17 +51,18 @@ object Hocon {
 
 /** HOCON + env-var configuration, drop-in compatible with the reference's
   * key space (`keyspaces-cdc-streams.stream.connector.*`) and its env-var
-  * override convention: every path is overridable by the upper-snake name of
-  * its last two segments — `...connector.bucket-id` ⇐ `CONNECTOR_BUCKET_ID`
-  * (KeyspacesConfig.java:261-357, name mangling at :366-375).
+  * override convention (KeyspacesConfig.java:261-357, name mangling at
+  * :366-375): strip the `keyspaces-cdc-streams.` prefix, upper-snake the
+  * full remainder.
   */
 final class GraftConfig(conf: Map[String, String], env: Map[String, String] = sys.env) {
 
-  /** `connector.bucket-id` → `CONNECTOR_BUCKET_ID`. */
-  def envVarName(path: String): String = {
-    val segs = path.split('.')
-    segs.takeRight(2).mkString("_").replace('-', '_').toUpperCase
-  }
+  /** `keyspaces-cdc-streams.stream.connector.bucket-id` →
+    * `STREAM_CONNECTOR_BUCKET_ID` (KeyspacesConfig.java:366-375: only the
+    * product prefix is stripped; every remaining segment is mangled). */
+  def envVarName(path: String): String =
+    path.stripPrefix("keyspaces-cdc-streams.")
+      .replace('.', '_').replace('-', '_').toUpperCase
 
   def get(path: String): Option[String] =
     env.get(envVarName(path)).orElse(conf.get(path))

@@ -1,10 +1,11 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Native sign-random-projection LSH signature over a float vector.
   *
@@ -43,6 +44,14 @@ case class SignLshExpr(child: Expression, planes: Array[Array[Int]])
 
   override def dataType: DataType = LongType
   override def prettyName: String = "sign_lsh"
+
+  // the eval reads raw floats via ArrayData.getFloat — an array<double>
+  // input would silently yield garbage signatures; fail at analysis instead
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> input, got ${other.simpleString}")
+  }
 
   override protected def nullSafeEval(input: Any): Any =
     SignLshOp.compute(input.asInstanceOf[ArrayData], planes)

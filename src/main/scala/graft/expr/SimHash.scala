@@ -3,10 +3,11 @@ package graft.expr
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Native Catalyst SimHash over a token array — the hot-path form of the
   * dedup signature (vs the 16×SUM(CASE) relational formulation in
@@ -61,6 +62,14 @@ case class SimHashExpr(child: Expression, bits: Int)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash"
+
+  // fail at analysis, not with garbage signatures at runtime (ADVICE r1):
+  // the eval reads UTF8Strings, so anything but array<string> is misuse
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${other.simpleString}")
+  }
 
   override protected def nullSafeEval(input: Any): Any =
     SimHash64.compute(input.asInstanceOf[ArrayData], bits)

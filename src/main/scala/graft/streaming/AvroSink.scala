@@ -93,9 +93,16 @@ object AvroSink {
           buf = Vector.empty
         }
         var currentShard: Any = None
+        var currentPath: Any = None
         rows.foreach { r =>
           val shard = r.get(shardIdx)
-          if (currentShard != shard) { flush(); currentShard = shard }
+          val path = r.get(pathIdx)
+          // flush on shard AND time-partition boundaries: records crossing a
+          // partition boundary within one shard must not land under the
+          // first record's prefix (ADVICE r1)
+          if (currentShard != shard || currentPath != path) {
+            flush(); currentShard = shard; currentPath = path
+          }
           val rec = new GenericData.Record(schema)
           dataSchema.fields.foreach { f =>
             rec.put(f.name, toAvroValue(f.dataType, r.getAs[Any](f.name)))

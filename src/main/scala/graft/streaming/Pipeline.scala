@@ -37,7 +37,14 @@ object Pipeline {
           .withColumn("oldImage", Cdc.includeFields(col("oldImage"), imageSchema, settings.fieldsToInclude))
       else shaped.withColumn("image",
         Cdc.includeFields(col("image"), imageSchema, settings.fieldsToInclude))
-    if (settings.includeMetadata) pruned else pruned.drop("metadata")
+    // include-metadata=false only omits metadata from the SERIALIZED payload
+    // (the reference skips the metadata node in the converter output but
+    // keeps sequence numbers available for routing and message ids) — so
+    // rename to an internal column rather than dropping; sinks read routing
+    // fields via Sinks.metaCol and exclude internal columns at
+    // serialization time via Sinks.payloadColumns.
+    if (settings.includeMetadata) pruned
+    else pruned.withColumnRenamed("metadata", Sinks.RoutingMeta)
   }
 
   /** Wire a streaming envelope source into a sink with checkpointing. */

@@ -3,7 +3,7 @@ package graft.streaming
 import scala.collection.mutable
 import scala.util.Random
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,6 +17,21 @@ import org.apache.spark.sql.functions._
 object Sinks {
 
   type BatchSink = (DataFrame, Long) => Unit
+
+  /** `include-metadata = false` renames `metadata` to this internal column
+    * (Pipeline.transform): the reference omits metadata only from serialized
+    * payloads — sequence numbers / arrival timestamps stay available for
+    * routing, partitioning and message ids. Sinks read routing fields via
+    * [[metaCol]] and build payloads via [[payloadColumns]]. */
+  val RoutingMeta = "__routing_metadata"
+
+  def metaCol(df: DataFrame): Column =
+    if (df.columns.contains("metadata")) col("metadata") else col(RoutingMeta)
+
+  /** Columns that belong in a serialized payload (internal routing columns
+    * excluded). */
+  def payloadColumns(df: DataFrame): Seq[Column] =
+    df.columns.filterNot(_ == RoutingMeta).map(col).toSeq
 
   /** Registry keyed by sink name — the Spark analogue of the reference's
     * reflective `getTargetMapper` instantiation (KeyspacesConfig.java:407-420). */
@@ -36,10 +51,10 @@ object Sinks {
     * unlike the reference's hand-rolled puts. */
   def fileSink(path: String, format: String = "json",
       granularity: String = "hours"): BatchSink = (batch, _) => {
-    val ts = timestamp_millis(col("metadata.stream_arrival_timestamp"))
+    val ts = timestamp_millis(metaCol(batch).getField("stream_arrival_timestamp"))
     val parts = graft.cdc.Cdc.timePartitionColumns(ts, granularity)
     val names = Seq("year", "month", "day", "hour", "minute", "second").take(parts.size)
-    batch.select((col("*") +: parts): _*)
+    batch.select((payloadColumns(batch) ++ parts): _*)
       .write.mode("append").format(format)
       .partitionBy(names: _*)
       .save(path)
@@ -90,8 +105,8 @@ object Sinks {
   def sqsSink(client: SqsClient, delaySeconds: Int = 0,
       maxBatch: Int = 10): BatchSink = (batch, _) => {
     val json = batch.select(
-      col("metadata.stream_sequence_number").as("id"),
-      to_json(struct(col("*"))).as("body"))
+      metaCol(batch).getField("stream_sequence_number").as("id"),
+      to_json(struct(payloadColumns(batch): _*)).as("body"))
     json.foreachPartition { (rows: Iterator[Row]) =>
       rows.map(r => SqsEntry(r.getString(0), r.getString(1), delaySeconds))
         .grouped(maxBatch)
@@ -138,15 +153,16 @@ object Sinks {
       valueFields: Seq[String]): BatchSink = (batch, _) => {
     val keyCols = keyFields.map(f =>
       coalesce(col(s"image.$f"), col(s"oldImage.$f")).as(s"k_$f"))
+    val meta = metaCol(batch)
     val w = Window.partitionBy(keyFields.map(f => col(s"k_$f")): _*)
-      .orderBy(col("metadata.stream_sequence_number").desc)
+      .orderBy(meta.getField("stream_sequence_number").desc)
     val latest = batch
       .select((col("*") +: keyCols): _*)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(
         (keyFields.map(f => col(s"k_$f")) :+
-          col("metadata.stream_operation_type").as("__op")) ++
+          meta.getField("stream_operation_type").as("__op")) ++
           valueFields.map(f => col(s"image.$f").as(s"v_$f")): _*)
     latest.foreachPartition { (rows: Iterator[Row]) =>
       rows.foreach { r =>

@@ -24,7 +24,10 @@ class CdcSpec extends SparkSpec {
       (Some("USER"), true, true, "UPDATE"),
       (Some("REPLICATION"), true, true, "REPLICATED_UPDATE"),
       (None, true, true, "UNKNOWN"),
-      (Some("USER"), false, false, "UNKNOWN")) // no image at all
+      // no image at all: the reference's else-branch classifies this as an
+      // update (StreamHelpers.java getOperationType has no both-null arm)
+      (Some("USER"), false, false, "UPDATE"),
+      (Some("REPLICATION"), false, false, "REPLICATED_UPDATE"))
     val rows = cases.zipWithIndex.map { case ((o, hasOld, hasNew, exp), i) =>
       Row(i, o.orNull, if (hasOld) Row(1) else null, if (hasNew) Row(2) else null, exp)
     }

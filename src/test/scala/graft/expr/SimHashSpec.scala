@@ -83,6 +83,19 @@ class SimHashSpec extends SparkSpec {
     assert(gen.map(_._2).distinct.size == 3) // signatures differentiate inputs
   }
 
+  test("wrong input element types fail at analysis, not with garbage at runtime") {
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      docs.select(SimHashFunctions.simhash($"text", 16)).collect() // string, not array
+    }
+    assert(e1.getMessage.contains("array<string>"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1L, Array.fill(64)(0.5))).toDF("id", "v") // array<double>, not array<float>
+        .select(SignLshFunctions.signLsh($"v", graft.ops.VectorOpsImpl.hyperplanes))
+        .collect()
+    }
+    assert(e2.getMessage.contains("array<float>"))
+  }
+
   test("SQL registration via GraftExtensions.install") {
     graft.GraftExtensions.install(spark)
     val r = spark.sql(

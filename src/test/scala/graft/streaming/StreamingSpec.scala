@@ -62,6 +62,34 @@ class StreamingSpec extends SparkSpec {
 
   private def envelopeDf(recs: TestCdc*): DataFrame = spark.createDataset(recs).toDF()
 
+  test("include-metadata=false: payloads omit metadata but routing still works") {
+    val tmp = Files.createTempDirectory("graft-nometa").toString
+    val input = MemoryStream[TestCdc](spark)
+    val settings = GraftConfig.ConnectorSettings(
+      filterExpression = None, fieldsToInclude = Nil, recordFormat = "new-image",
+      includeMetadata = false, maxMessageSize = 256 * 1024,
+      maxRecordsPerMessage = -1, timestampPartition = "hours", maxRetries = 3)
+    val query = Pipeline.run(input.toDF(), settings, imageSchema,
+      Sinks.fileSink(s"$tmp/out", "json"), s"$tmp/ckpt", Trigger.AvailableNow())
+    input.addData(rec(1, "INSERT", TestImage("a", 1.0, 1)))
+    query.start().awaitTermination(60000)
+    val out = spark.read.json(s"$tmp/out")
+    // metadata is gone from the serialized payload, but the arrival-ts
+    // time partitions were still derived from it (the reference omits
+    // metadata from converter output only — routing fields stay available)
+    assert(!out.columns.contains("metadata") && !out.columns.contains(Sinks.RoutingMeta))
+    assert(out.select("year").head().get(0).toString == "2023")
+
+    // SQS path: message ids still come from the sequence number
+    val client = new InMemorySqsClient()
+    val batch = Pipeline.transform(
+      envelopeDf(rec(7, "INSERT", TestImage("b", 2.0, 2))), settings, imageSchema)
+    Sinks.sqsSink(client)(batch.coalesce(1), 0L)
+    val entry = client.sent.flatten.head
+    assert(entry.id == f"${7}%020d")
+    assert(!entry.body.contains("stream_sequence_number"))
+  }
+
   test("sqs sink: chunks of <=10, partial and total failure classification") {
     val ok = new InMemorySqsClient()
     val batch = envelopeDf((1 to 23).map(i =>
@@ -138,9 +166,12 @@ class StreamingSpec extends SparkSpec {
         |    fields-to-include = "a, b"
         |  }
         |}""".stripMargin
-    val c = GraftConfig.fromString(hocon, env = Map("CONNECTOR_RECORD_FORMAT" -> "new-image"))
+    val c = GraftConfig.fromString(hocon,
+      env = Map("STREAM_CONNECTOR_RECORD_FORMAT" -> "new-image"))
     val s = GraftConfig.connector(c)
     assert(s.recordFormat == "new-image") // env wins over HOCON
+    assert(c.envVarName("keyspaces-cdc-streams.stream.connector.bucket-id")
+      == "STREAM_CONNECTOR_BUCKET_ID") // full-remainder mangling (KeyspacesConfig.java:366-375)
     assert(s.fieldsToInclude == Seq("a", "b"))
     assert(s.filterExpression.contains("newImage != null"))
     assert(s.maxMessageSize == 256 * 1024 && s.maxRecordsPerMessage == -1
