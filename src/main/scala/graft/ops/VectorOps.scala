@@ -85,6 +85,23 @@ object VectorOpsImpl {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Array[Double])]]()
 
+  /** Memoized CACHED assignment view per (session, dir) — one cached copy
+    * ever exists, so repeated ivfTopK calls neither re-cache (the r2 bench's
+    * "already cached" warnings) nor leak a new cached plan per call.
+    * Both memos assume corpus dirs are immutable within a JVM (true for the
+    * driver's testdata); [[clearCaches]] is the explicit invalidation hook
+    * for anything that regenerates data under a reused path. */
+  private val assignCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Drop all memoized centroid/assignment state and unpersist the cached
+    * assignment views. */
+  def clearCaches(): Unit = {
+    assignCache.values.forEach(df => df.unpersist())
+    assignCache.clear()
+    centroidCache.clear()
+  }
+
   private def centroidVectors(s: SparkSession, dir: String): Seq[(Long, Array[Double])] =
     // deterministic per corpus dir — memoized so q53 and q55 share one
     // aggregation job per session instead of re-running the 64-dim sum
@@ -143,7 +160,8 @@ object VectorOpsImpl {
     // re-deriving the k×64-literal argmin on both sides of the probe join —
     // that also keeps the optimizer from dragging the large argmin
     // expression through join analysis twice.
-    val asg = assignAll(s, dir).cache()
+    val asg = assignCache.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir", _ => assignAll(s, dir).cache())
     val q = asg.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("assigned").as("qcluster"))
