@@ -82,25 +82,34 @@ object Packing {
       clock: () => Long = () => System.currentTimeMillis()): String =
     if (isFinal) s"$firstSeq-$lastSeq-${clock()}" else s"$firstSeq-$lastSeq"
 
+  /** Streaming shape: one shuffle on the shard key, Spark's external sort
+    * within partitions (spillable), then a CONSTANT-memory iterator
+    * traversal — the packer state is three counters, never a materialized
+    * shard (the r1/r2 `it.toVector.sortBy` form OOMed a task on one giant
+    * shard at scale; same pattern as AvroSink.sink). A partition can hold
+    * several shards (hash collisions), so packer state resets on every
+    * shard boundary. */
   def greedyPack(df: DataFrame, shardCol: String, seqCol: String, sizeCol: String,
       maxBytes: Long, maxRecords: Int): Dataset[PackedRecord] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(shardCol).cast("string"), col(seqCol).cast("string"),
-        col(sizeCol).cast("long"))
+    df.select(col(shardCol).cast("string").as("_1"),
+        col(seqCol).cast("string").as("_2"), col(sizeCol).cast("long").as("_3"))
+      .repartition(col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2"))
       .as[(String, String, Long)]
-      .groupByKey(_._1)
-      .flatMapGroups { (shard, it) =>
-        val sorted = it.toVector.sortBy(_._2)
+      .mapPartitions { it =>
+        var shard: String = null
         var bin = 0L
         var bytes = 0L
         var count = 0
-        sorted.map { case (_, seq, size) =>
+        it.map { case (sh, seq, size) =>
+          if (sh != shard) { shard = sh; bin = 0L; bytes = 0L; count = 0 }
           val wouldOverflow = count > 0 &&
             (bytes + size > maxBytes || (maxRecords > 0 && count + 1 > maxRecords))
           if (wouldOverflow) { bin += 1; bytes = 0L; count = 0 }
           bytes += size; count += 1
-          PackedRecord(shard, seq, size, bin)
+          PackedRecord(sh, seq, size, bin)
         }
       }
   }

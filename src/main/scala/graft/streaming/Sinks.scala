@@ -98,26 +98,72 @@ object Sinks {
     }
   }
 
-  /** SQS sink (Q1): JSON-serialized messages in SendMessageBatch chunks of
-    * ≤10 (SQSTargetMapper.java:90-101); all-failed → AllItemsFailure,
-    * some-failed → PartialFailure (:119-150). Batches are sent from the
-    * executors (foreachPartition) — no collect-to-driver bottleneck. */
-  def sqsSink(client: SqsClient, delaySeconds: Int = 0,
-      maxBatch: Int = 10): BatchSink = (batch, _) => {
-    val json = batch.select(
-      metaCol(batch).getField("stream_sequence_number").as("id"),
-      to_json(struct(payloadColumns(batch): _*)).as("body"))
-    json.foreachPartition { (rows: Iterator[Row]) =>
-      rows.map(r => SqsEntry(r.getString(0), r.getString(1), delaySeconds))
-        .grouped(maxBatch)
-        .foreach { chunk =>
-          val res = client.sendBatch(chunk)
+  /** SQS sink (Q1): records are PACKED into multi-record JSON-array message
+    * bodies first (AbstractJSONConverter.java:93-183 — roll when the sum of
+    * individual record sizes would cross `maxMessageSize` or the record
+    * count would cross `maxRecordsPerMessage`; message id =
+    * `firstSeq-lastSeq`, final message of a shard `firstSeq-lastSeq-now`),
+    * then sent in SendMessageBatch chunks of ≤`maxBatch`=10
+    * (SQSTargetMapper.java:90-101); all-failed → AllItemsFailure,
+    * some-failed → PartialFailure (:119-150).
+    *
+    * Scale shape: one shuffle on the shard key, spillable
+    * sortWithinPartitions, then a constant-memory iterator pack-and-send
+    * from the executors — a message buffer never exceeds `maxMessageSize`
+    * and a send buffer never exceeds `maxBatch` entries, regardless of
+    * shard size. `shard` defaults to a single logical shard (the reference
+    * processes one shard per processRecords call); pass a shard column for
+    * multi-shard parallel packing. */
+  def sqsSink(client: SqsClient, delaySeconds: Int = 0, maxBatch: Int = 10,
+      maxMessageSize: Long = 256 * 1024, maxRecordsPerMessage: Int = -1,
+      shard: Option[Column] = None,
+      clock: () => Long = () => System.currentTimeMillis()): BatchSink = (batch, _) => {
+    val rows = batch.select(
+      shard.getOrElse(lit("0")).cast("string").as("__shard"),
+      metaCol(batch).getField("stream_sequence_number").cast("string").as("__seq"),
+      to_json(struct(payloadColumns(batch): _*)).as("__body"))
+    rows.repartition(col("__shard"))
+      .sortWithinPartitions("__shard", "__seq")
+      .foreachPartition { (it: Iterator[Row]) =>
+        val chunk = mutable.Buffer[SqsEntry]()
+        def sendChunk(): Unit = if (chunk.nonEmpty) {
+          val res = client.sendBatch(chunk.toVector)
           if (res.failed.nonEmpty) {
             if (res.successful.isEmpty) throw new AllItemsFailureException(chunk.size)
             else throw new PartialFailureException(res.failed.size, chunk.size)
           }
+          chunk.clear()
         }
-    }
+        var curShard: String = null
+        val bodies = mutable.Buffer[String]()
+        var first: String = null
+        var last: String = null
+        var size = 0L
+        var count = 0
+        def emit(isFinal: Boolean): Unit = if (count > 0) {
+          chunk += SqsEntry(Packing.messageId(first, last, isFinal, clock),
+            bodies.mkString("[", ",", "]"), delaySeconds)
+          bodies.clear(); first = null; last = null; size = 0L; count = 0
+          if (chunk.size >= maxBatch) sendChunk()
+        }
+        it.foreach { r =>
+          val sh = r.getString(0)
+          // shard boundary = end of that shard's record run: close its final
+          // message and flush the send buffer (the reference sends per shard)
+          if (sh != curShard) { emit(isFinal = true); sendChunk(); curShard = sh }
+          val body = r.getString(2)
+          val recSize = body.getBytes("UTF-8").length.toLong
+          val needNew = count > 0 &&
+            ((maxMessageSize != -1 && size + recSize > maxMessageSize) ||
+              (maxRecordsPerMessage != -1 && count >= maxRecordsPerMessage))
+          if (needNew) emit(isFinal = false)
+          if (first == null) first = r.getString(1)
+          last = r.getString(1)
+          bodies += body; size += recSize; count += 1
+        }
+        emit(isFinal = true)
+        sendChunk()
+      }
   }
 
   // ------------------------------------------------------------------ MV

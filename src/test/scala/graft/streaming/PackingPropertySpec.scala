@@ -50,6 +50,31 @@ class PackingPropertySpec extends SparkSpec {
     }
   }
 
+  test("greedy pack is a streaming traversal: shuffle + in-partition sort, no group materialization") {
+    val df = Seq(("a", "01", 1L), ("b", "02", 2L)).toDF("shard", "seq", "bytes")
+    val plan = Packing.greedyPack(df, "shard", "seq", "bytes", 10L, -1)
+      .queryExecution.executedPlan.toString
+    // the spillable external sort + constant-memory iterator shape; the old
+    // FlatMapGroups form materialized a whole shard as a Vector in task
+    // memory (OOM on one giant shard at scale)
+    assert(plan.contains("Sort"), plan)
+    assert(plan.contains("hashpartitioning(_1"), plan)
+    assert(!plan.contains("FlatMapGroups"), plan)
+  }
+
+  test("packer state resets at shard boundaries sharing one partition") {
+    // 40 shards over few shuffle partitions -> many shards per partition by
+    // pigeonhole; per-shard bins must still start at 0 and pack independently
+    val rows = for { s <- 1 to 40; i <- 1 to 5 } yield (f"sh$s%02d", f"$i%02d", 400L)
+    val df = rows.toDF("shard", "seq", "bytes")
+    val packed = Packing.greedyPack(df, "shard", "seq", "bytes", 1000L, -1).collect()
+    assert(packed.length == 200)
+    packed.groupBy(_.shard).foreach { case (sh, rs) =>
+      val bins = rs.sortBy(_.seq).map(_.messageBin).toSeq
+      assert(bins == Seq(0L, 0L, 1L, 1L, 2L), s"$sh packed as $bins")
+    }
+  }
+
   test("count cap is never exceeded and splits only when full") {
     val rng = new Random(7)
     cases(10).foreach { sizes =>

@@ -84,33 +84,86 @@ class StreamingSpec extends SparkSpec {
     val client = new InMemorySqsClient()
     val batch = Pipeline.transform(
       envelopeDf(rec(7, "INSERT", TestImage("b", 2.0, 2))), settings, imageSchema)
-    Sinks.sqsSink(client)(batch.coalesce(1), 0L)
+    Sinks.sqsSink(client, clock = () => 999L)(batch.coalesce(1), 0L)
     val entry = client.sent.flatten.head
-    assert(entry.id == f"${7}%020d")
+    assert(entry.id == f"${7}%020d-${7}%020d-999") // firstSeq-lastSeq-now (final message)
     assert(!entry.body.contains("stream_sequence_number"))
   }
 
   test("sqs sink: chunks of <=10, partial and total failure classification") {
+    // one-record messages (maxRecordsPerMessage=1) exercise the reference's
+    // 10-entry SendMessageBatch chunking over 23 entries
+    def sid(i: Int) = f"$i%020d-$i%020d" // firstSeq-lastSeq of a 1-record message
+    val ids = (1 to 22).map(sid).toSet + (sid(23) + "-999") // final gets -now
     val ok = new InMemorySqsClient()
     val batch = envelopeDf((1 to 23).map(i =>
       rec(i, "INSERT", TestImage(s"t$i", 5.0, i))): _*)
-    Sinks.sqsSink(ok)(batch.coalesce(1), 0L)
+    Sinks.sqsSink(ok, maxRecordsPerMessage = 1, clock = () => 999L)(batch.coalesce(1), 0L)
     assert(ok.sent.map(_.size).sorted == Seq(3, 10, 10))
-    assert(ok.sent.flatten.map(_.id).toSet.size == 23)
+    assert(ok.sent.flatten.map(_.id).toSet == ids)
 
-    val partial = new InMemorySqsClient(failIds = Set(f"${1}%020d"))
+    val partial = new InMemorySqsClient(failIds = Set(sid(1)))
     val thrown = intercept[org.apache.spark.SparkException] {
-      Sinks.sqsSink(partial)(batch.coalesce(1), 0L)
+      Sinks.sqsSink(partial, maxRecordsPerMessage = 1, clock = () => 999L)(batch.coalesce(1), 0L)
     }
     def rootCauses(t: Throwable): Seq[Throwable] =
       Option(t.getCause).map(c => c +: rootCauses(c)).getOrElse(Nil)
     assert((thrown +: rootCauses(thrown)).exists(_.isInstanceOf[PartialFailureException]))
 
-    val allFail = new InMemorySqsClient(failIds = (1 to 23).map(i => f"$i%020d").toSet)
+    val allFail = new InMemorySqsClient(failIds = ids)
     val thrown2 = intercept[org.apache.spark.SparkException] {
-      Sinks.sqsSink(allFail)(batch.coalesce(1), 0L)
+      Sinks.sqsSink(allFail, maxRecordsPerMessage = 1, clock = () => 999L)(batch.coalesce(1), 0L)
     }
     assert((thrown2 +: rootCauses(thrown2)).exists(_.isInstanceOf[AllItemsFailureException]))
+  }
+
+  test("sqs sink packs multi-record JSON-array bodies within the size bound") {
+    val maxSize = 1000L
+    val client = new InMemorySqsClient()
+    val batch = envelopeDf((1 to 40).map(i =>
+      rec(i, "INSERT", TestImage(s"title-$i", 5.0, i))): _*)
+    Sinks.sqsSink(client, maxMessageSize = maxSize, clock = () => 999L)(
+      batch.coalesce(1), 0L)
+    val entries = client.sent.flatten
+    val seqRe = """"stream_sequence_number":"(\d{20})"""".r
+    val bodySeqs = entries.map(e => seqRe.findAllMatchIn(e.body).map(_.group(1)).toVector)
+
+    // bodies are JSON arrays of records; packing actually happened
+    assert(entries.forall(e => e.body.startsWith("[{") && e.body.endsWith("}]")))
+    assert(bodySeqs.exists(_.size > 1), "no message carries more than one record")
+    // every record exactly once, in sequence order within each message
+    assert(bodySeqs.flatten.sorted == (1 to 40).map(i => f"$i%020d"))
+    assert(bodySeqs.forall(s => s == s.sorted))
+    // reference size rule: sum of individual record sizes <= max (array
+    // overhead = n-1 commas + 2 brackets) unless a single oversized record
+    bodySeqs.zip(entries).foreach { case (seqs, e) =>
+      val recordBytes = e.body.getBytes("UTF-8").length - (seqs.size - 1) - 2
+      assert(recordBytes <= maxSize || seqs.size == 1)
+    }
+    // id scheme: firstSeq-lastSeq of the packed records; final message -now
+    entries.init.zip(bodySeqs.init).foreach { case (e, seqs) =>
+      assert(e.id == s"${seqs.head}-${seqs.last}")
+    }
+    assert(entries.last.id == s"${bodySeqs.last.head}-${bodySeqs.last.last}-999")
+    // send chunks stay <=10 entries
+    assert(client.sent.forall(_.size <= 10))
+  }
+
+  test("sqs sink closes messages and send batches at shard boundaries") {
+    val client = new InMemorySqsClient()
+    val batch = envelopeDf((1 to 8).map(i =>
+      rec(i, "INSERT", TestImage(s"t$i", 5.0, i))): _*)
+    Sinks.sqsSink(client, shard = Some(pmod(col("image.vote_count"), lit(2))),
+      clock = () => 999L)(batch, 0L)
+    val entries = client.sent.flatten
+    val seqRe = """"stream_sequence_number":"(\d{20})"""".r
+    // two shards (even/odd vote_count) -> two final messages, one per shard,
+    // each holding only its own shard's records in sequence order
+    assert(entries.size == 2 && entries.forall(_.id.endsWith("-999")))
+    val grouped = entries.map(e =>
+      seqRe.findAllMatchIn(e.body).map(_.group(1).toLong).toVector).sortBy(_.head)
+    assert(grouped == Vector(Vector(2L, 4L, 6L, 8L), Vector(1L, 3L, 5L, 7L))
+      .sortBy(_.head))
   }
 
   test("mv sink: latest change per key wins; delete removes; upsert writes") {
