@@ -35,6 +35,7 @@ object StreamMain {
     val conf = GraftConfig.load(confPath)
     val settings = GraftConfig.connector(conf)
     val sinkName = conf.get(s"${GraftConfig.Root}.connector.sink", "file")
+    val sourceName = conf.get(s"${GraftConfig.Root}.source", "events")
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -45,10 +46,25 @@ object StreamMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val raw = spark.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(eventsDir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    val env = CdcSynth.envelope(raw)
+    // source=shardlog: the custom MicroBatchStream over a recorded shard log
+    // (graft.sources.ShardLog — per-shard order, TRIM_HORIZON start,
+    // checkpointed per-shard offsets). Default: file-streaming the events
+    // parquet through the synthetic envelope. Both feed the identical
+    // downstream pipeline — the S1 swap-in point.
+    val env = sourceName match {
+      case "shardlog" =>
+        graft.sources.ShardLog.envelope(
+          spark.readStream.format("shardlog").option("path", eventsDir)
+            .option("maxRecordsPerBatch",
+              conf.get(s"${GraftConfig.Root}.source-max-records-per-batch", "100000"))
+            .load(),
+          "media", "events", CdcSynth.imageSchema)
+      case _ =>
+        val raw = spark.readStream.schema(eventsSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(eventsDir)
+          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        CdcSynth.envelope(raw)
+    }
 
     val registry = new Sinks.SinkRegistry()
       .register("file", Sinks.fileSink(s"$outDir/data", "json", settings.timestampPartition))
