@@ -72,24 +72,73 @@ object AvroSink {
     f
   }
 
+  /** Dynamic per-file schema inference — flag-gated parity with the
+    * reference's per-batch inference (AbstractAvroConverter.java:339-394):
+    * sample = the first record carrying new-image data (fallback: the first
+    * carrying old_ data, matching the newImage-then-oldImage preference at
+    * :362-378); schema fields = the sample's PRESENT (non-null) image
+    * columns (+ their `old_` mirrors when the batch is full-format, :380-385
+    * builds old_ fields from the same row); `stream_*` metadata fields are
+    * always kept (:352-357). Columns absent from the sample are silently
+    * DROPPED for every record of the file — the reference's documented
+    * data-loss behavior (SURVEY §7.4 risk 2), reproduced only behind this
+    * flag; the default static schema keeps all columns. Our inference unit
+    * is the packed file (the per-shard micro-batch analog of the
+    * reference's processRecords list). */
+  private def inferFileSchema(dataSchema: StructType, sample: Seq[Row]): StructType = {
+    def nonNull(r: Row, name: String): Boolean = r.getAs[Any](name) != null
+    val baseNames = dataSchema.fieldNames
+      .filterNot(n => n.startsWith("stream_") || n.startsWith("old_")).toSeq
+    val oldNames = dataSchema.fieldNames.filter(_.startsWith("old_")).toSeq
+    val keepBase: Seq[String] =
+      sample.find(r => baseNames.exists(nonNull(r, _))) match {
+        case Some(r) => baseNames.filter(nonNull(r, _))
+        case None =>
+          val r = sample.find(r => oldNames.exists(nonNull(r, _))).getOrElse(
+            throw new IllegalArgumentException(
+              "no sample record with newImage or oldImage fields")) // :377
+          oldNames.filter(nonNull(r, _)).map(_.stripPrefix("old_"))
+      }
+    val keep = (dataSchema.fieldNames.filter(_.startsWith("stream_")) ++
+      keepBase.filter(baseNames.contains) ++
+      keepBase.map("old_" + _).filter(oldNames.contains)).toSet
+    StructType(dataSchema.fields.filter(f => keep.contains(f.name)))
+  }
+
   /** BatchSink: expects a FLAT DataFrame (metadata + image fields — e.g. the
     * output of Pipeline.transform + Cdc.flattenFull) plus `__shard`,
-    * `__seq` and `__path` (time-partition prefix) columns. */
-  def sink(baseDir: String, maxRecords: Int = 1000): Sinks.BatchSink = (batch, _) => {
+    * `__seq` and `__path` (time-partition prefix) columns.
+    * `dynamicSchema = true` switches to the reference's per-batch schema
+    * inference (see [[inferFileSchema]]). */
+  def sink(baseDir: String, maxRecords: Int = 1000,
+      dynamicSchema: Boolean = false): Sinks.BatchSink = (batch, _) => {
     val dataSchema = StructType(batch.schema.fields
       .filterNot(f => Set("__shard", "__seq", "__path").contains(f.name)))
-    val schemaJson = avroSchema(dataSchema, "CdcRecord").toString
+    val staticSchemaJson = avroSchema(dataSchema, "CdcRecord").toString
     val shardIdx = batch.schema.fieldIndex("__shard")
     val seqIdx = batch.schema.fieldIndex("__seq")
     val pathIdx = batch.schema.fieldIndex("__path")
     batch.repartition(org.apache.spark.sql.functions.col("__shard"))
       .sortWithinPartitions("__shard", "__seq")
       .foreachPartition { (rows: Iterator[Row]) =>
-        val schema = new Schema.Parser().parse(schemaJson)
-        var buf = Vector.empty[(String, String, GenericRecord)] // (seq, path, rec)
+        val staticSchema = new Schema.Parser().parse(staticSchemaJson)
+        var buf = Vector.empty[(String, String, Row)] // (seq, path, row)
         def flush(): Unit = if (buf.nonEmpty) {
+          val (struct, schema) =
+            if (!dynamicSchema) (dataSchema, staticSchema)
+            else {
+              val st = inferFileSchema(dataSchema, buf.map(_._3))
+              (st, avroSchema(st, "CdcRecord"))
+            }
+          val recs = buf.map { case (_, _, r) =>
+            val rec = new GenericData.Record(schema)
+            struct.fields.foreach { f =>
+              rec.put(f.name, toAvroValue(f.dataType, r.getAs[Any](f.name)))
+            }
+            rec
+          }
           writeFile(new File(baseDir, buf.head._2), buf.head._1, buf.last._1,
-            schema, schemaJson, buf.map(_._3))
+            schema, schema.toString, recs)
           buf = Vector.empty
         }
         var currentShard: Any = None
@@ -103,11 +152,7 @@ object AvroSink {
           if (currentShard != shard || currentPath != path) {
             flush(); currentShard = shard; currentPath = path
           }
-          val rec = new GenericData.Record(schema)
-          dataSchema.fields.foreach { f =>
-            rec.put(f.name, toAvroValue(f.dataType, r.getAs[Any](f.name)))
-          }
-          buf :+= ((r.getString(seqIdx), r.getString(pathIdx), rec))
+          buf :+= ((r.getString(seqIdx), r.getString(pathIdx), r))
           if (buf.size >= maxRecords) flush()
         }
         flush()

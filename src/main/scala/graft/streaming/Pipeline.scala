@@ -89,6 +89,38 @@ object Packing {
     * shard at scale; same pattern as AvroSink.sink). A partition can hold
     * several shards (hash collisions), so packer state resets on every
     * shard boundary. */
+  /** Constant-memory greedy message assembler shared by the packing sinks
+    * (SQS bodies, JSON object files): feed `add` with (seq, serialized
+    * record) in sequence order; `emit` receives each closed message as
+    * (messageId, record bodies, isFinal). Reference roll semantics
+    * (AbstractJSONConverter.java:126-170): roll BEFORE adding when the sum
+    * of record sizes would cross `maxBytes` or the count would cross
+    * `maxRecords`; a single oversized record still forms a message. */
+  final class GreedyPacker(maxBytes: Long, maxRecords: Int, clock: () => Long,
+      emit: (String, Seq[String], Boolean) => Unit) {
+    private val bodies = scala.collection.mutable.Buffer[String]()
+    private var first: String = null
+    private var last: String = null
+    private var size = 0L
+    private var count = 0
+    def add(seq: String, body: String): Unit = {
+      val recSize = body.getBytes("UTF-8").length.toLong
+      val needNew = count > 0 &&
+        ((maxBytes != -1 && size + recSize > maxBytes) ||
+          (maxRecords != -1 && count >= maxRecords))
+      if (needNew) close(isFinal = false)
+      if (first == null) first = seq
+      last = seq
+      bodies += body; size += recSize; count += 1
+    }
+    /** Close the open message (if any); `isFinal` marks the last message of
+      * a shard's run and appends the reference's `-now` id suffix. */
+    def close(isFinal: Boolean): Unit = if (count > 0) {
+      emit(messageId(first, last, isFinal, clock), bodies.toVector, isFinal)
+      bodies.clear(); first = null; last = null; size = 0L; count = 0
+    }
+  }
+
   def greedyPack(df: DataFrame, shardCol: String, seqCol: String, sizeCol: String,
       maxBytes: Long, maxRecords: Int): Dataset[PackedRecord] = {
     val spark = df.sparkSession

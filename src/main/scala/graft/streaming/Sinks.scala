@@ -134,35 +134,75 @@ object Sinks {
           }
           chunk.clear()
         }
+        val packer = new Packing.GreedyPacker(maxMessageSize, maxRecordsPerMessage,
+          clock, (id, bodies, _) => {
+            chunk += SqsEntry(id, bodies.mkString("[", ",", "]"), delaySeconds)
+            if (chunk.size >= maxBatch) sendChunk()
+          })
         var curShard: String = null
-        val bodies = mutable.Buffer[String]()
-        var first: String = null
-        var last: String = null
-        var size = 0L
-        var count = 0
-        def emit(isFinal: Boolean): Unit = if (count > 0) {
-          chunk += SqsEntry(Packing.messageId(first, last, isFinal, clock),
-            bodies.mkString("[", ",", "]"), delaySeconds)
-          bodies.clear(); first = null; last = null; size = 0L; count = 0
-          if (chunk.size >= maxBatch) sendChunk()
-        }
         it.foreach { r =>
           val sh = r.getString(0)
           // shard boundary = end of that shard's record run: close its final
           // message and flush the send buffer (the reference sends per shard)
-          if (sh != curShard) { emit(isFinal = true); sendChunk(); curShard = sh }
-          val body = r.getString(2)
-          val recSize = body.getBytes("UTF-8").length.toLong
-          val needNew = count > 0 &&
-            ((maxMessageSize != -1 && size + recSize > maxMessageSize) ||
-              (maxRecordsPerMessage != -1 && count >= maxRecordsPerMessage))
-          if (needNew) emit(isFinal = false)
-          if (first == null) first = r.getString(1)
-          last = r.getString(1)
-          bodies += body; size += recSize; count += 1
+          if (sh != curShard) { packer.close(isFinal = true); sendChunk(); curShard = sh }
+          packer.add(r.getString(1), r.getString(2))
         }
-        emit(isFinal = true)
+        packer.close(isFinal = true)
         sendChunk()
+      }
+  }
+
+  /** JSON object-file sink with the reference's S3 key scheme
+    * (S3TargetMapper.java:119-176): each packed message becomes ONE object
+    * `baseDir/<time-partition>/<firstSeq-lastSeq[-now]>-<epochMillis>.json`
+    * whose body is the JSON array of records — byte-level output parity with
+    * the hand-rolled putObject path, as an opt-in alternative to [[fileSink]]
+    * (whose Spark commit protocol gives exactly-once at the cost of Spark
+    * file naming). Same executor-side constant-memory packing as [[sqsSink]];
+    * time partitions default to event time (Cdc.timePartitionColumns doc). */
+  def jsonObjectSink(baseDir: String, granularity: String = "hours",
+      maxMessageSize: Long = 256 * 1024, maxRecordsPerMessage: Int = -1,
+      shard: Option[Column] = None,
+      clock: () => Long = () => System.currentTimeMillis()): BatchSink = (batch, _) => {
+    val meta = metaCol(batch)
+    val rows = batch.select(
+      shard.getOrElse(lit("0")).cast("string").as("__shard"),
+      meta.getField("stream_sequence_number").cast("string").as("__seq"),
+      graft.cdc.Cdc.timePartitionPath(
+        timestamp_millis(meta.getField("stream_arrival_timestamp")), granularity)
+        .as("__path"),
+      to_json(struct(payloadColumns(batch): _*)).as("__body"))
+    rows.repartition(col("__shard"))
+      .sortWithinPartitions("__shard", "__path", "__seq")
+      .foreachPartition { (it: Iterator[Row]) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        var curPath: String = null
+        var packer: Packing.GreedyPacker = null
+        def boundary(path: String): Unit = {
+          if (packer != null) packer.close(isFinal = true)
+          curPath = path
+          packer = new Packing.GreedyPacker(maxMessageSize, maxRecordsPerMessage,
+            clock, (id, bodies, _) => {
+              val dir = new org.apache.hadoop.fs.Path(baseDir, curPath)
+              val fs = dir.getFileSystem(conf)
+              fs.setWriteChecksum(false) // one object per message, no .crc litter
+              fs.mkdirs(dir)
+              val f = new org.apache.hadoop.fs.Path(dir, s"$id-${clock()}.json")
+              val out = fs.create(f, true)
+              try out.write(bodies.mkString("[", ",", "]")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              finally out.close()
+            })
+        }
+        var curShard: String = null
+        it.foreach { r =>
+          val (sh, path) = (r.getString(0), r.getString(2))
+          // new shard OR new time partition closes the open message — a
+          // message never spans shards or partition prefixes
+          if (sh != curShard || path != curPath) { boundary(path); curShard = sh }
+          packer.add(r.getString(1), r.getString(3))
+        }
+        if (packer != null) packer.close(isFinal = true)
       }
   }
 

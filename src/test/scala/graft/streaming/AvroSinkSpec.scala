@@ -44,4 +44,45 @@ class AvroSinkSpec extends SparkSpec {
     assert(recs.head("user_id") == 1L && recs.head("title") == "title1" && recs.head("opt") == "x")
     assert(recs(1)("opt") == null) // nullable union round-trips nulls
   }
+
+  test("dynamic schema inference: sample's absent columns are dropped, metadata kept") {
+    val path = "2024/02/01/00"
+    def df(rows: (String, String, String, String, String, String)*) = rows.toSeq
+      .map { case (sh, seq, t, o, oldT, oldO) => (sh, seq, path, s"op-$seq", t, o, oldT, oldO) }
+      .toDF("__shard", "__seq", "__path", "stream_operation_type",
+        "title", "opt", "old_title", "old_opt")
+
+    // sample (first record) has opt = null -> 'opt'/'old_opt' dropped from
+    // the whole file even though record 2 carries a value (the reference's
+    // silent column loss, AbstractAvroConverter.java:359-385)
+    val tmp1 = Files.createTempDirectory("graft-avro-dyn").toString
+    AvroSink.sink(tmp1, dynamicSchema = true)(df(
+      ("s0", "00001", "t1", null, "p1", "x"),
+      ("s0", "00002", "t2", "y", "p2", "z")), 0L)
+    val dynRecs = AvroSink.readFile(new File(s"$tmp1/$path/00001-00002.avro"))
+    assert(dynRecs.head.keySet == Set("stream_operation_type", "title", "old_title"))
+    assert(dynRecs.map(_("title")) == Seq("t1", "t2"))
+
+    // static default keeps every column regardless of the sample
+    val tmp2 = Files.createTempDirectory("graft-avro-static").toString
+    AvroSink.sink(tmp2)(df(
+      ("s0", "00001", "t1", null, "p1", "x"),
+      ("s0", "00002", "t2", "y", "p2", "z")), 0L)
+    val statRecs = AvroSink.readFile(new File(s"$tmp2/$path/00001-00002.avro"))
+    assert(statRecs.head.keySet ==
+      Set("stream_operation_type", "title", "opt", "old_title", "old_opt"))
+    assert(statRecs(1)("opt") == "y")
+
+    // delete-only file: no new-image data anywhere -> schema inferred from
+    // the first record's old_ cells (reference fallback :369-378): field
+    // names unprefixed + old_ mirrors, new-side values null
+    val tmp3 = Files.createTempDirectory("graft-avro-del").toString
+    AvroSink.sink(tmp3, dynamicSchema = true)(df(
+      ("s0", "00001", null, null, "gone", null),
+      ("s0", "00002", null, null, "also", null)), 0L)
+    val delRecs = AvroSink.readFile(new File(s"$tmp3/$path/00001-00002.avro"))
+    assert(delRecs.head.keySet == Set("stream_operation_type", "title", "old_title"))
+    assert(delRecs.map(_("old_title")) == Seq("gone", "also"))
+    assert(delRecs.forall(_("title") == null))
+  }
 }

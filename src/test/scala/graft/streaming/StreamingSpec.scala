@@ -166,6 +166,25 @@ class StreamingSpec extends SparkSpec {
       .sortBy(_.head))
   }
 
+  test("json object sink: firstSeq-lastSeq-ts object naming under time partitions") {
+    val tmp = Files.createTempDirectory("graft-jsonobj").toString
+    val batch = envelopeDf((1 to 5).map(i =>
+      rec(i, "INSERT", TestImage(s"t$i", 1.0, i))): _*)
+    Sinks.jsonObjectSink(tmp, maxRecordsPerMessage = 2, clock = () => 999L)(batch, 0L)
+    // arrival 1700000000000 = 2023-11-14T22:13:20Z; hours granularity
+    val dir = new java.io.File(s"$tmp/2023/11/14/22")
+    def s(i: Int) = f"$i%020d"
+    val names = dir.listFiles().map(_.getName).sorted.toSeq
+    // reference naming (S3TargetMapper.java:126-135): messageId-epochMs.json,
+    // where the shard's final message id itself carries the -now suffix
+    assert(names == Seq(
+      s"${s(1)}-${s(2)}-999.json", s"${s(3)}-${s(4)}-999.json",
+      s"${s(5)}-${s(5)}-999-999.json").sorted)
+    val body = scala.io.Source.fromFile(new java.io.File(dir, names.head)).mkString
+    assert(body.startsWith("[{") && body.endsWith("}]"))
+    assert(body.contains("\"title\":\"t1\"") && body.contains("\"title\":\"t2\""))
+  }
+
   test("mv sink: latest change per key wins; delete removes; upsert writes") {
     val table = new InMemoryKeyedTable()
     val batch = envelopeDf(
