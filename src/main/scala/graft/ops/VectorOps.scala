@@ -233,6 +233,44 @@ object VectorOpsImpl {
   val NearDupBandBits = 4
   val NearDupBucketCap = 50
 
+  /** Candidate-generation health check for [[cosineNearDupPairs]] (ADVICE
+    * r2): with fixed band geometry, a growing corpus pushes ever more
+    * buckets over the cap and the candidate set silently shrinks toward
+    * empty while still LOOKING correct. One aggregation over the banded
+    * signatures returns, per band: total buckets, dropped (over-cap)
+    * buckets, and the fraction of rows surviving the cap. Run it when
+    * tuning geometry for a corpus: if `kept_frac` drops much below ~0.5,
+    * widen `bandBits` (more buckets/band) rather than raising the cap —
+    * the shuffle stays O(n × bands) either way, but cap² verify cost per
+    * bucket stays bounded. */
+  def nearDupDiagnostics(s: SparkSession, dir: String,
+      bands: Int = NearDupBands, bandBits: Int = NearDupBandBits,
+      cap: Int = NearDupBucketCap): DataFrame = {
+    val banded = bandedSignatures(s, dir, bands, bandBits)
+    banded.groupBy(col("band"), col("bv")).agg(count(lit(1)).as("n"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("buckets"),
+        sum(when(col("n") > cap, 1L).otherwise(0L)).as("dropped_buckets"),
+        (sum(when(col("n") <= cap, col("n")).otherwise(lit(0L))) / sum(col("n")))
+          .as("kept_frac"))
+      .orderBy(col("band"))
+  }
+
+  private def bandedSignatures(s: SparkSession, dir: String,
+      bands: Int, bandBits: Int): DataFrame = {
+    val sig = Tables(s, dir, "embeddings").select(
+      col("vec_id"),
+      graft.expr.SignLshFunctions.signLsh(col("embedding"), hyperplanes).as("sig"))
+    val mask = (1L << bandBits) - 1
+    sig.select(col("vec_id"), explode(array(
+        (0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("bv"))
+        }: _*)).as("s"))
+      .select(col("vec_id"), col("s.band").as("band"), col("s.bv").as("bv"))
+  }
+
   /** Embedding-cosine near-dup pairs: multi-band sign-LSH candidates with a
     * bucket-size cap, exact cosine verify on candidates only, global top-50
     * most-similar pairs.
@@ -246,19 +284,12 @@ object VectorOpsImpl {
     * pmod-256 form had no cap and went quadratic per bucket). At 100 TB you
     * widen the bands (more hyperplanes per band → more buckets) and keep the
     * cap; the shuffle stays O(n × bands) and the verify stays candidates-only. */
-  def cosineNearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = Tables(s, dir, "embeddings").select(
-      col("vec_id"),
-      graft.expr.SignLshFunctions.signLsh(col("embedding"), hyperplanes).as("sig"))
-    val mask = (1L << NearDupBandBits) - 1
-    val banded = sig.select(col("vec_id"), explode(array(
-        (0 until NearDupBands).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sig"), b * NearDupBandBits).bitwiseAND(lit(mask)).as("bv"))
-        }: _*)).as("s"))
-      .select(col("vec_id"), col("s.band").as("band"), col("s.bv").as("bv"))
+  def cosineNearDupPairs(s: SparkSession, dir: String,
+      bands: Int = NearDupBands, bandBits: Int = NearDupBandBits,
+      cap: Int = NearDupBucketCap): DataFrame = {
+    val banded = bandedSignatures(s, dir, bands, bandBits)
     val ok = banded.groupBy(col("band"), col("bv")).agg(count(lit(1)).as("n"))
-      .filter(col("n") <= NearDupBucketCap).select("band", "bv")
+      .filter(col("n") <= cap).select("band", "bv")
     val bk = banded.join(ok, Seq("band", "bv"))
     val cand = bk.as("a").join(bk.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
@@ -376,7 +407,7 @@ object VectorOps {
          |  CAST(${lshSignature(i => s"CAST(embedding[$i] AS DOUBLE)")} AS BIGINT) AS sig
          |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
-    Q("q56_embed_near_dup", cosineNearDupPairs, Some {
+    Q("q56_embed_near_dup", (s, d) => cosineNearDupPairs(s, d), Some {
       val mask = (1L << NearDupBandBits) - 1
       val bands = (0 until NearDupBands).map(b =>
         s"SELECT vec_id, $b AS band, (sig >> ${b * NearDupBandBits}) & $mask AS bv FROM s")
