@@ -149,6 +149,64 @@ object DedupOpsImpl {
       .orderBy(col("doc_id"))
   }
 
+  /** Connected components over the verified near-dup pairs — turning
+    * pairwise duplicates into duplicate CLUSTERS (the form a real dedup
+    * actually keeps: one canonical doc per component, not per pair).
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * minimum label among itself and its neighbors; converged when no label
+    * changes. The driver loop runs on the PAIR graph only (near-dup docs,
+    * a vanishing fraction of the corpus — the 100 TB corpus itself never
+    * enters the loop), each round is one equi-join + aggregation, and
+    * `localCheckpoint` truncates lineage so plan size stays constant across
+    * rounds (at cluster scale: checkpoint to storage). Rounds needed =
+    * component diameter, which for near-dup clusters is tiny; 20 is a hard
+    * safety bound. Deterministic: min() propagation has a unique fixpoint. */
+  def dedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(s, dir).select(col("a_id"), col("b_id"))
+    val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("ncomp")).as("nmin"))
+      val updated = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("comp").as("old"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = updated.filter(col("comp") =!= col("old")).count()
+      labels = updated.select(col("id"), col("comp"))
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Train/benchmark contamination check: which training documents share
+    * content (3-token shingles) with a held-out set (doc_id % 50 == 0 here;
+    * in production, the eval benchmarks). The held-out distinct-shingle set
+    * is an equi-join key — at 100 TB the holdout side is benchmark-sized
+    * and broadcastable, so the corpus is scanned once with a map-side hash
+    * probe and never shuffles. Output: per contaminated doc, its shingle
+    * count, contaminated-shingle count and rate. */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val holdout = sh.filter(pmod(col("doc_id"), lit(50L)) === 0L)
+      .select(col("sh")).distinct()
+    sh.filter(pmod(col("doc_id"), lit(50L)) =!= 0L)
+      .join(broadcast(holdout.withColumn("hit", lit(1L))), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"), sum(coalesce(col("hit"), lit(0L))).as("n_cont"))
+      .filter(col("n_cont") > 0)
+      .withColumn("rate", col("n_cont").cast(DoubleType) / col("n_sh"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Same signature via the native codegen'd Catalyst expression
     * (graft.expr.SimHashExpr) — one pass per row, no explode/shuffle at all;
     * this is the hot-path form for 100 TB corpora. 48 bits so the DuckDB
@@ -259,6 +317,38 @@ object DedupOps {
          |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
          |ORDER BY doc_id""".stripMargin
     }, headline = true),
+
+    Q("q46_dedup_components", dedupComponents, Some(
+      s"""WITH RECURSIVE $shingleSql,
+         |rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= $DfCap),
+         |docsh AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM docsh GROUP BY doc_id),
+         |jp AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |    FROM docsh a JOIN docsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) p
+         |  JOIN sizes na ON na.doc_id = a_id JOIN sizes nb ON nb.doc_id = b_id
+         |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5),
+         |nodes AS (SELECT a_id AS id FROM jp UNION SELECT b_id FROM jp),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM jp
+         |          UNION ALL SELECT b_id, a_id FROM jp),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+         |SELECT id AS doc_id, MIN(r) AS component FROM reach
+         |GROUP BY id ORDER BY doc_id""".stripMargin)),
+
+    Q("q47_dedup_contamination", contamination, Some(
+      s"""WITH $shingleSql,
+         |hold AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+         |train AS (SELECT doc_id, sh.sh, CASE WHEN hold.sh IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |          FROM sh LEFT JOIN hold USING (sh) WHERE doc_id % 50 <> 0)
+         |SELECT doc_id, COUNT(*) AS n_sh, CAST(SUM(hit) AS BIGINT) AS n_cont,
+         |  CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS rate
+         |FROM train GROUP BY doc_id HAVING SUM(hit) > 0
+         |ORDER BY doc_id""".stripMargin)),
 
     Q("q44_dedup_simhash_native", simhashNative, Some {
       val sums = (0 until 48).map { j =>

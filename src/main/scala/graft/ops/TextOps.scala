@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -103,6 +103,72 @@ object TextOpsImpl {
       expr("array_min(transform(sequence(1, length(text) - 4), i -> md5(substr(text, i, 5))))")
         .as("fp"))
       .orderBy(col("doc_id"))
+
+  /** TF-IDF top-3 terms per document — the vocabulary-weighting step of
+    * corpus analysis / keyword extraction. Two hash aggregations (term
+    * frequency, document frequency) + one equi-join on the term + a
+    * broadcast of the single-row corpus size; the per-doc top-k window
+    * partitions on doc_id (high cardinality → no straggler reducer, unlike
+    * the per-lang case that needs TopKPerKey). IDF is the plain ratio
+    * n_docs/df rather than a logarithm: +,*,/ are IEEE-correctly-rounded in
+    * every engine, while ln() is libm-dependent — so results stay bitwise
+    * cross-engine comparable (same reasoning as Det.dsum). */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "tok").crossJoin(broadcast(total))
+      .withColumn("tfidf", col("tf").cast(DoubleType)
+        * (col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
+    scored.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("tok"), col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  /** Deterministic stratified sampling for training-data mixture control:
+    * a stable per-doc hash byte (two md5 hex nibbles — portable across
+    * engines via the strpos alphabet trick) compared against a per-language
+    * rate threshold. Zero shuffle, zero RNG state: any worker, any retry,
+    * any engine draws the SAME sample — the property that matters when a
+    * 100 TB mixture must be reproducible across reruns and backfills
+    * (Spark's df.sample is seed-stable only within one partitioning). */
+  val SampleThresholds: Seq[(String, Int)] = Seq("en" -> 128, "es" -> 64, "de" -> 32)
+
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val byteExpr =
+      "(instr('0123456789abcdef', substr(md5(concat('smp:', CAST(doc_id AS STRING))), 1, 1)) - 1) * 16" +
+        " + (instr('0123456789abcdef', substr(md5(concat('smp:', CAST(doc_id AS STRING))), 2, 1)) - 1)"
+    val threshold = SampleThresholds.foldRight(lit(256): Column) { case ((l, t), acc) =>
+      when(col("lang") === l, t).otherwise(acc)
+    }
+    Tables(s, dir, "documents")
+      .withColumn("bucket", expr(s"CAST($byteExpr AS BIGINT)"))
+      .withColumn("threshold", threshold.cast(LongType))
+      .filter(col("bucket") < col("threshold"))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Training-sequence packing: assign documents to fixed-token-budget bins
+    * (512 here) in deterministic corpus order, per language shard — the
+    * batch-construction step before tokenized examples are concatenated
+    * into fixed-length training sequences. Reuses the closed-form
+    * size-bounded packer (Cdc.packBySize): one shuffle on the shard key, a
+    * running-sum window per shard, no driver loop — the same operator that
+    * packs CDC messages packs token budgets. */
+  def sequencePacking(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"))
+    graft.cdc.Cdc.packBySize(docs, col("lang"), col("doc_id"), col("n_tok"), 512L)
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("message_bin").as("bin"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
 }
 
 object TextOps {
@@ -156,6 +222,51 @@ object TextOps {
       """SELECT doc_id,
         |  list_min(list_transform(generate_series(1, length(text) - 4),
         |    i -> md5(substr(text, i, 5)))) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("q35_text_tfidf", tfidfTopTerms, Some(
+      """WITH tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok),
+        |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT t.doc_id, t.tok, t.tf, d.df,
+        |    CAST(t.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) AS tfidf
+        |  FROM tf t JOIN dfreq d USING (tok) CROSS JOIN n),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, tok) AS BIGINT) AS rn FROM sc)
+        |SELECT doc_id, rn, tok, tf, df, tfidf FROM r WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin)),
+
+    Q("q36_text_sample", stratifiedSample, Some {
+      val byteSql =
+        "(strpos('0123456789abcdef', substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16" +
+          " + (strpos('0123456789abcdef', substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+      val thresholdSql = "CASE " + stratifiedThresholdCases + " ELSE 256 END"
+      s"""SELECT doc_id, lang, bucket FROM (
+         |  SELECT doc_id, lang, CAST($byteSql AS BIGINT) AS bucket,
+         |    CAST($thresholdSql AS BIGINT) AS threshold
+         |  FROM documents)
+         |WHERE bucket < threshold ORDER BY doc_id""".stripMargin
+    }),
+
+    Q("q37_text_seq_packing", sequencePacking, Some(
+      """SELECT doc_id, lang, n_tok,
+        |  CAST(FLOOR((cum - n_tok) / 512) AS BIGINT) AS bin
+        |FROM (
+        |  SELECT doc_id, lang, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |    FROM documents))
+        |ORDER BY lang, doc_id""".stripMargin))
   )
+
+  private def stratifiedThresholdCases: String =
+    stratifiedThresholds.map { case (l, t) => s"WHEN lang = '$l' THEN $t" }.mkString(" ")
+
+  private def stratifiedThresholds = TextOpsImpl.SampleThresholds
 }

@@ -77,4 +77,22 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("pmod"), "fixed-modulus global bucketing must be gone")
     assert(s.contains("shiftright"), s"banded signature expected in plan:\n$s")
   }
+
+  test("q47 contamination probes a broadcast holdout set — the corpus never shuffles for the join") {
+    val s = plan(ops.DedupOpsImpl.contamination(spark, dir))
+    assert(s.contains("BroadcastHashJoin"), s"holdout side must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"corpus must not sort-merge against the holdout:\n$s")
+  }
+
+  test("q36 stratified sample is a pure narrow scan: no shuffle, no RNG") {
+    // strip the presentation orderBy like q53
+    val df = ops.TextOpsImpl.stratifiedSample(spark, dir).queryExecution.analyzed match {
+      case org.apache.spark.sql.catalyst.plans.logical.Sort(_, _, child, _) =>
+        org.apache.spark.sql.graftshim.Bridge.ofRows(spark, child)
+      case _ => fail("expected a top-level Sort to strip")
+    }
+    val s = plan(df)
+    assert(!s.contains("Exchange"), s"sampling must not shuffle:\n$s")
+    assert(!s.toLowerCase.contains("rand"), s"sampling must be hash-deterministic:\n$s")
+  }
 }
