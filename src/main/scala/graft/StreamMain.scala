@@ -68,6 +68,11 @@ object StreamMain {
 
     val registry = new Sinks.SinkRegistry()
       .register("file", Sinks.fileSink(s"$outDir/data", "json", settings.timestampPartition))
+      // reference-naming JSON object sink (S3TargetMapper key scheme):
+      // firstSeq-lastSeq[-now]-epochMs.json under the time partition
+      .register("jsonobj", Sinks.jsonObjectSink(s"$outDir/data",
+        settings.timestampPartition, settings.maxMessageSize,
+        settings.maxRecordsPerMessage))
       .register("avro", (batch, id) => {
         import org.apache.spark.sql.functions._
         val fields =
@@ -85,7 +90,9 @@ object StreamMain {
               timestamp_millis(meta.getField("stream_arrival_timestamp")),
               settings.timestampPartition).as("__path") +:
             fields.map(f => col(s"image.$f").as(f))) ++ oldCols: _*)
-        streaming.AvroSink.sink(s"$outDir/data")(flat, id)
+        streaming.AvroSink.sink(s"$outDir/data",
+          dynamicSchema = conf.getBoolean(s"${GraftConfig.Root}.connector.dynamic-schema", false))(
+          flat, id)
       })
       .register("console", (batch, id) => batch.show(5, truncate = false))
 
@@ -94,6 +101,16 @@ object StreamMain {
     query.awaitTermination()
     val report = sinkName match {
       case "file" => s"${spark.read.json(s"$outDir/data").count()} records"
+      case "jsonobj" =>
+        val files = {
+          val b = Seq.newBuilder[java.io.File]
+          def walk(f: java.io.File): Unit =
+            if (f.isDirectory) f.listFiles().foreach(walk)
+            else if (f.getName.endsWith(".json")) b += f
+          walk(new java.io.File(s"$outDir/data")); b.result()
+        }
+        val recs = files.map(f => spark.read.json(f.getPath).count()).sum
+        s"${files.size} json objects, $recs records"
       case "avro" =>
         val files = {
           val b = Seq.newBuilder[java.io.File]

@@ -9,8 +9,7 @@ object Hocon {
   def parse(src: String): Map[String, String] = {
     val out = scala.collection.mutable.Map[String, String]()
     val stack = scala.collection.mutable.Stack[String]()
-    src.linesIterator.foreach { raw =>
-      val line = stripComment(raw).trim
+    src.linesIterator.flatMap(raw => splitBraces(stripComment(raw))).foreach { line =>
       if (line.nonEmpty) {
         if (line == "}") { if (stack.nonEmpty) stack.pop() }
         else if (line.endsWith("{")) {
@@ -29,6 +28,29 @@ object Hocon {
       }
     }
     out.toMap
+  }
+
+  /** HOCON allows content on the same line as braces
+    * (`connector { sink = x }`); split such a line into the sub-lines the
+    * line-based logic expects (`connector {` / `sink = x` / `}`), leaving
+    * braces inside quoted values untouched. */
+  private def splitBraces(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    s.foreach { c =>
+      if (c == '"') { inQ = !inQ; cur += c }
+      else if (!inQ && c == '{') { cur += c; out += cur.toString.trim; cur.clear() }
+      else if (!inQ && c == '}') {
+        val t = cur.toString.trim
+        if (t.nonEmpty) out += t
+        out += "}"
+        cur.clear()
+      } else cur += c
+    }
+    val tail = cur.toString.trim
+    if (tail.nonEmpty) out += tail
+    out.result().filter(_.nonEmpty)
   }
 
   private def stripComment(line: String): String = {

@@ -248,6 +248,17 @@ class StreamingSpec extends SparkSpec {
     assert(s.filterExpression.contains("newImage != null"))
     assert(s.maxMessageSize == 256 * 1024 && s.maxRecordsPerMessage == -1
       && s.timestampPartition == "hours" && s.maxRetries == 3)
+
+    // HOCON allows content on the same line as braces; braces inside quoted
+    // values must survive untouched
+    val inline = GraftConfig.fromString(
+      """keyspaces-cdc-streams.stream { connector { sink = jsonobj
+        |    record-format = full }
+        |  filter-expression = "newImage.t == '{x}'" }""".stripMargin,
+      env = Map.empty)
+    assert(inline.get("keyspaces-cdc-streams.stream.connector.sink").contains("jsonobj"))
+    assert(GraftConfig.connector(inline).recordFormat == "full")
+    assert(GraftConfig.connector(inline).filterExpression.contains("newImage.t == '{x}'"))
   }
 
   test("retry: exponential backoff with cap, gives up after maxRetries") {
