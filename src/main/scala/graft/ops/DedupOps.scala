@@ -162,9 +162,19 @@ object DedupOpsImpl {
     * rounds (at cluster scale: checkpoint to storage). Rounds needed =
     * component diameter, which for near-dup clusters is tiny; 20 is a hard
     * safety bound. Deterministic: min() propagation has a unique fixpoint. */
-  def dedupComponents(s: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(s, dir).select(col("a_id"), col("b_id"))
-    val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
+  def dedupComponents(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(ngramJaccard(s, dir).select(col("a_id"), col("b_id")))
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy(col("doc_id"))
+
+  /** Generic min-label propagation over an (a, b) pair DataFrame (first two
+    * columns are the edge endpoints). Returns (id, comp) for every node.
+    * Shared by the shingle-based (q46) and embedding-based (q58) duplicate
+    * clustering — the pair graph is tiny relative to the corpus, so the
+    * driver loop is over metadata-scale data only. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val p = pairs.toDF("a", "b")
+    val edges = p.union(p.select(col("b"), col("a")))
       .toDF("src", "dst").localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
@@ -183,8 +193,7 @@ object DedupOpsImpl {
       labels = updated.select(col("id"), col("comp"))
       rounds += 1
     }
-    labels.select(col("id").as("doc_id"), col("comp").as("component"))
-      .orderBy(col("doc_id"))
+    labels
   }
 
   /** Train/benchmark contamination check: which training documents share

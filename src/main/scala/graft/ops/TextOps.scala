@@ -169,6 +169,46 @@ object TextOpsImpl {
       .select(col("doc_id"), col("lang"), col("n_tok"), col("message_bin").as("bin"))
       .orderBy(col("lang"), col("doc_id"))
   }
+
+  /** EXACT token-length quantiles per language (p50/p90/p99, linear
+    * interpolation at rank (n−1)·p) — corpus length profiling for curation
+    * thresholds. The scale trick: quantiles are computed from the VALUE
+    * HISTOGRAM, not the rows — one shuffle on (lang, value) distinct pairs,
+    * then a window over distinct values per language (thousands of rows,
+    * not the corpus), each value covering rank range (cum−c, cum]. Exact
+    * results without ever sorting the corpus per key; the usual alternative
+    * at 100 TB is approx_percentile, which trades exactness — this one
+    * doesn't have to. Interpolation uses only +,−,×,/ on doubles
+    * (IEEE-correctly-rounded in every engine). */
+  def lengthQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val t = Tables(s, dir, "documents").select(col("lang"),
+      expr("CAST(size(split(text, ' ')) AS BIGINT)").as("v"))
+    val vc = t.groupBy(col("lang"), col("v")).agg(count(lit(1)).as("c"))
+    val cum = vc
+      .withColumn("cum", sum(col("c")).over(w.partitionBy(col("lang")).orderBy(col("v"))))
+      .withColumn("n", sum(col("c")).over(w.partitionBy(col("lang"))))
+    def loHi(tag: String, p: Double): Seq[Column] = {
+      val loIdx = floor((col("n") - 1) * lit(p)) + 1
+      val hiIdx = ceil((col("n") - 1) * lit(p)) + 1
+      Seq(
+        max(when(col("cum") - col("c") + 1 <= loIdx && loIdx <= col("cum"), col("v")))
+          .as(s"${tag}_lo"),
+        max(when(col("cum") - col("c") + 1 <= hiIdx && hiIdx <= col("cum"), col("v")))
+          .as(s"${tag}_hi"))
+    }
+    val qs = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+    val aggCols = max(col("n")).as("n") +: qs.flatMap { case (tag, p) => loHi(tag, p) }
+    def interp(tag: String, p: Double): Column = {
+      val fr = (col("n") - 1) * lit(p) - floor((col("n") - 1) * lit(p))
+      (col(s"${tag}_lo").cast(DoubleType)
+        + (col(s"${tag}_hi").cast(DoubleType) - col(s"${tag}_lo").cast(DoubleType)) * fr)
+        .as(tag)
+    }
+    cum.groupBy(col("lang")).agg(aggCols.head, aggCols.tail: _*)
+      .select(col("lang") +: col("n") +: qs.map { case (tag, p) => interp(tag, p) }: _*)
+      .orderBy(col("lang"))
+  }
 }
 
 object TextOps {
@@ -250,6 +290,35 @@ object TextOps {
          |    CAST($thresholdSql AS BIGINT) AS threshold
          |  FROM documents)
          |WHERE bucket < threshold ORDER BY doc_id""".stripMargin
+    }),
+
+    Q("q38_text_len_quantiles", lengthQuantiles, Some {
+      // CAST(p AS DOUBLE): DuckDB parses bare 0.9 as DECIMAL (exact
+      // arithmetic) while Spark's lit(0.9) is a double — the rank fraction
+      // must be computed in double on BOTH engines to match bitwise
+      def pd(p: Double) = s"CAST($p AS DOUBLE)"
+      val loHi = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99).flatMap { case (tag, p) =>
+        Seq(
+          s"MAX(CASE WHEN cum - c + 1 <= FLOOR((n-1)*${pd(p)})+1 AND FLOOR((n-1)*${pd(p)})+1 <= cum THEN v END) AS ${tag}_lo",
+          s"MAX(CASE WHEN cum - c + 1 <= CEIL((n-1)*${pd(p)})+1 AND CEIL((n-1)*${pd(p)})+1 <= cum THEN v END) AS ${tag}_hi")
+      }.mkString(",\n    ")
+      val interps = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99).map { case (tag, p) =>
+        s"CAST(${tag}_lo AS DOUBLE) + (CAST(${tag}_hi AS DOUBLE) - CAST(${tag}_lo AS DOUBLE)) * ((n-1)*${pd(p)} - FLOOR((n-1)*${pd(p)})) AS $tag"
+      }.mkString(",\n  ")
+      s"""WITH t AS (
+         |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM documents),
+         |vc AS (SELECT lang, v, COUNT(*) AS c FROM t GROUP BY lang, v),
+         |cum AS (
+         |  SELECT lang, v, c,
+         |    SUM(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+         |    SUM(c) OVER (PARTITION BY lang) AS n
+         |  FROM vc),
+         |a AS (SELECT lang, CAST(MAX(n) AS BIGINT) AS n,
+         |    $loHi
+         |  FROM cum GROUP BY lang)
+         |SELECT lang, n,
+         |  $interps
+         |FROM a ORDER BY lang""".stripMargin
     }),
 
     Q("q37_text_seq_packing", sequencePacking, Some(

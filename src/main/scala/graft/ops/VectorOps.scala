@@ -306,6 +306,17 @@ object VectorOpsImpl {
       .orderBy(col("cosine").desc, col("a_id"), col("b_id"))
       .limit(50)
   }
+
+  /** Duplicate CLUSTERS from the embedding near-dup pairs — the same
+    * min-label propagation as the shingle-based q46
+    * (DedupOpsImpl.connectedComponents): pairwise near-dups become
+    * components so a pipeline keeps one canonical vector per cluster.
+    * The loop runs over the top-pair graph only (metadata-scale). */
+  def embedNearDupComponents(s: SparkSession, dir: String): DataFrame =
+    DedupOpsImpl.connectedComponents(
+        cosineNearDupPairs(s, dir).select(col("a_id"), col("b_id")))
+      .select(col("id").as("vec_id"), col("comp").as("component"))
+      .orderBy(col("vec_id"))
 }
 
 object VectorOps {
@@ -407,31 +418,47 @@ object VectorOps {
          |  CAST(${lshSignature(i => s"CAST(embedding[$i] AS DOUBLE)")} AS BIGINT) AS sig
          |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
-    Q("q56_embed_near_dup", (s, d) => cosineNearDupPairs(s, d), Some {
-      val mask = (1L << NearDupBandBits) - 1
-      val bands = (0 until NearDupBands).map(b =>
-        s"SELECT vec_id, $b AS band, (sig >> ${b * NearDupBandBits}) & $mask AS bv FROM s")
-        .mkString(" UNION ALL ")
-      s"""WITH s AS (
-         |  SELECT vec_id,
-         |    CAST((${lshSignature(i => s"CAST(embedding[$i] AS DOUBLE)")}) AS BIGINT) AS sig
-         |  FROM embeddings),
-         |bands AS ($bands),
-         |ok AS (SELECT band, bv FROM bands GROUP BY band, bv HAVING COUNT(*) <= $NearDupBucketCap),
-         |bk AS (SELECT b.vec_id, b.band, b.bv FROM bands b JOIN ok USING (band, bv)),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id),
-         |p AS (
-         |  SELECT a_id, b_id,
-         |    (${duckDot("a.embedding", "b.embedding")})
-         |      / (sqrt(${duckDot("a.embedding", "a.embedding")})
-         |         * sqrt(${duckDot("b.embedding", "b.embedding")})) AS cosine
-         |  FROM cand
-         |  JOIN embeddings a ON a.vec_id = a_id
-         |  JOIN embeddings b ON b.vec_id = b_id)
-         |SELECT a_id, b_id, cosine FROM p
-         |ORDER BY cosine DESC, a_id, b_id LIMIT 50""".stripMargin
-    })
+    Q("q56_embed_near_dup", (s, d) => cosineNearDupPairs(s, d), Some(nearDupPairsSql)),
+
+    Q("q58_embed_components", embedNearDupComponents, Some(
+      s"""WITH RECURSIVE jp AS (SELECT a_id, b_id FROM ($nearDupPairsSql) q56),
+         |nodes AS (SELECT a_id AS id FROM jp UNION SELECT b_id FROM jp),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM jp
+         |          UNION ALL SELECT b_id, a_id FROM jp),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+         |SELECT id AS vec_id, MIN(r) AS component FROM reach
+         |GROUP BY id ORDER BY vec_id""".stripMargin))
   )
+
+  /** DuckDB mirror of [[VectorOpsImpl.cosineNearDupPairs]] (shared by q56
+    * and the q58 component wrap). */
+  private lazy val nearDupPairsSql: String = {
+    val mask = (1L << NearDupBandBits) - 1
+    val bands = (0 until NearDupBands).map(b =>
+      s"SELECT vec_id, $b AS band, (sig >> ${b * NearDupBandBits}) & $mask AS bv FROM s")
+      .mkString(" UNION ALL ")
+    s"""WITH s AS (
+       |  SELECT vec_id,
+       |    CAST((${lshSignature(i => s"CAST(embedding[$i] AS DOUBLE)")}) AS BIGINT) AS sig
+       |  FROM embeddings),
+       |bands AS ($bands),
+       |ok AS (SELECT band, bv FROM bands GROUP BY band, bv HAVING COUNT(*) <= $NearDupBucketCap),
+       |bk AS (SELECT b.vec_id, b.band, b.bv FROM bands b JOIN ok USING (band, bv)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id),
+       |p AS (
+       |  SELECT a_id, b_id,
+       |    (${duckDot("a.embedding", "b.embedding")})
+       |      / (sqrt(${duckDot("a.embedding", "a.embedding")})
+       |         * sqrt(${duckDot("b.embedding", "b.embedding")})) AS cosine
+       |  FROM cand
+       |  JOIN embeddings a ON a.vec_id = a_id
+       |  JOIN embeddings b ON b.vec_id = b_id)
+       |SELECT a_id, b_id, cosine FROM p
+       |ORDER BY cosine DESC, a_id, b_id LIMIT 50""".stripMargin
+  }
 }
