@@ -96,6 +96,31 @@ object StreamMain {
       })
       .register("console", (batch, id) => batch.show(5, truncate = false))
 
+    // Remaining reference connectors, config-driven with the reference's own
+    // key names (SQSTargetMapper.java:60, KeyspacesViewTargetMapper.java:54-56,
+    // S3VectorTargetMapper.java:66-74). The in-memory clients are the
+    // zero-egress stand-ins behind the same traits a production SDK client
+    // implements (SURVEY §7.4 risk 6).
+    def listConf(key: String): Seq[String] =
+      conf.get(s"${GraftConfig.Root}.connector.$key", "")
+        .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val sqsClient = new Sinks.InMemorySqsClient()
+    val mvTable = new Sinks.InMemoryKeyedTable()
+    val vecIndex = new Sinks.InMemoryVectorIndex()
+    registry
+      .register("sqs", Sinks.sqsSink(sqsClient,
+        delaySeconds = conf.getInt(s"${GraftConfig.Root}.connector.delay-seconds", 0),
+        maxMessageSize = settings.maxMessageSize,
+        maxRecordsPerMessage = settings.maxRecordsPerMessage))
+      .register("mv", Sinks.mvSink(mvTable,
+        keyFields = listConf("partition-keys") ++ listConf("clustering-keys"),
+        valueFields = settings.fieldsToInclude))
+      .register("vector", Sinks.vectorSink(vecIndex, Sinks.HashEmbedder,
+        keyField = conf.get(s"${GraftConfig.Root}.connector.key-field", "user_id"),
+        embeddingField = conf.get(s"${GraftConfig.Root}.connector.embedding-field", "event_type"),
+        dims = conf.getInt(s"${GraftConfig.Root}.connector.dimensions", 256),
+        metadataFields = listConf("metadata-fields")))
+
     val query = Pipeline.run(env, settings, CdcSynth.imageSchema,
       registry(sinkName), s"$outDir/checkpoint", Trigger.AvailableNow()).start()
     query.awaitTermination()
@@ -120,6 +145,11 @@ object StreamMain {
           walk(new java.io.File(s"$outDir/data")); b.result()
         }
         s"${files.size} avro files, ${files.map(f => streaming.AvroSink.readFile(f).size).sum} records"
+      case "sqs" =>
+        val msgs = sqsClient.sent.flatten
+        s"${sqsClient.sent.size} SendMessageBatch calls, ${msgs.size} messages"
+      case "mv" => s"${mvTable.data.size} materialized rows"
+      case "vector" => s"${vecIndex.vectors.size} vectors"
       case _ => "console output"
     }
     println(s"[stream] wrote $report to $outDir/data")

@@ -61,11 +61,17 @@ object AvroSink {
     case (_, x) => x
   }
 
-  /** Write one packed message file; returns the file path. */
+  /** Write one packed message file; returns the file path. `fileTs`
+    * appends the reference's `-epochMillis` object-name component
+    * (S3TargetMapper.java:126-129 formats `%s-%d.avro`); None keeps the
+    * timestamp-free default, which makes reprocessing idempotent
+    * (same data → same names → overwrite instead of accumulate). */
   private def writeFile(dir: File, firstSeq: String, lastSeq: String,
-      schema: Schema, schemaJson: String, rows: Seq[GenericRecord]): File = {
+      schema: Schema, schemaJson: String, rows: Seq[GenericRecord],
+      fileTs: Option[Long]): File = {
     dir.mkdirs()
-    val f = new File(dir, s"$firstSeq-$lastSeq.avro")
+    val suffix = fileTs.fold("")(t => s"-$t")
+    val f = new File(dir, s"$firstSeq-$lastSeq$suffix.avro")
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
     w.create(schema, f)
     try rows.foreach(w.append) finally w.close()
@@ -109,9 +115,11 @@ object AvroSink {
     * output of Pipeline.transform + Cdc.flattenFull) plus `__shard`,
     * `__seq` and `__path` (time-partition prefix) columns.
     * `dynamicSchema = true` switches to the reference's per-batch schema
-    * inference (see [[inferFileSchema]]). */
+    * inference (see [[inferFileSchema]]); `clock` opts into the reference's
+    * `firstSeq-lastSeq-epochMillis.avro` object naming. */
   def sink(baseDir: String, maxRecords: Int = 1000,
-      dynamicSchema: Boolean = false): Sinks.BatchSink = (batch, _) => {
+      dynamicSchema: Boolean = false,
+      clock: Option[() => Long] = None): Sinks.BatchSink = (batch, _) => {
     val dataSchema = StructType(batch.schema.fields
       .filterNot(f => Set("__shard", "__seq", "__path").contains(f.name)))
     val staticSchemaJson = avroSchema(dataSchema, "CdcRecord").toString
@@ -138,7 +146,7 @@ object AvroSink {
             rec
           }
           writeFile(new File(baseDir, buf.head._2), buf.head._1, buf.last._1,
-            schema, schema.toString, recs)
+            schema, schema.toString, recs, clock.map(c => c()))
           buf = Vector.empty
         }
         var currentShard: Any = None

@@ -45,6 +45,14 @@ class AvroSinkSpec extends SparkSpec {
     assert(recs(1)("opt") == null) // nullable union round-trips nulls
   }
 
+  test("opt-in reference object naming: firstSeq-lastSeq-epochMillis.avro") {
+    val tmp = Files.createTempDirectory("graft-avro-ts").toString
+    val df = Seq(("s0", "00001", "p", 1L), ("s0", "00002", "p", 2L))
+      .toDF("__shard", "__seq", "__path", "user_id")
+    AvroSink.sink(tmp, clock = Some(() => 777L))(df, 0L)
+    assert(new File(s"$tmp/p").listFiles().map(_.getName).toSeq == Seq("00001-00002-777.avro"))
+  }
+
   test("dynamic schema inference: sample's absent columns are dropped, metadata kept") {
     val path = "2024/02/01/00"
     def df(rows: (String, String, String, String, String, String)*) = rows.toSeq
