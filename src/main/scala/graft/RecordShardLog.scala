@@ -29,8 +29,8 @@ object RecordShardLog {
     // whichever image carries the row, like the reference's partition key
     ShardLog.record(env, logDir,
       pmod(coalesce(col("image.user_id"), col("oldImage.user_id")), lit(numShards.toLong)))
-    println(s"[record] ${ShardLog.shardCounts(logDir).values.sum} records in " +
-      s"${ShardLog.shardCounts(logDir).size} shards at $logDir")
+    val counts = ShardLog.shardCounts(logDir)
+    println(s"[record] ${counts.values.sum} records in ${counts.size} shards at $logDir")
     spark.stop()
   }
 }

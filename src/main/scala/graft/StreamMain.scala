@@ -124,26 +124,21 @@ object StreamMain {
     val query = Pipeline.run(env, settings, CdcSynth.imageSchema,
       registry(sinkName), s"$outDir/checkpoint", Trigger.AvailableNow()).start()
     query.awaitTermination()
+    def filesUnder(dir: String, ext: String): Seq[java.io.File] = {
+      val b = Seq.newBuilder[java.io.File]
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(walk))
+        else if (f.getName.endsWith(ext)) b += f
+      walk(new java.io.File(dir)); b.result()
+    }
     val report = sinkName match {
       case "file" => s"${spark.read.json(s"$outDir/data").count()} records"
       case "jsonobj" =>
-        val files = {
-          val b = Seq.newBuilder[java.io.File]
-          def walk(f: java.io.File): Unit =
-            if (f.isDirectory) f.listFiles().foreach(walk)
-            else if (f.getName.endsWith(".json")) b += f
-          walk(new java.io.File(s"$outDir/data")); b.result()
-        }
+        val files = filesUnder(s"$outDir/data", ".json")
         val recs = files.map(f => spark.read.json(f.getPath).count()).sum
         s"${files.size} json objects, $recs records"
       case "avro" =>
-        val files = {
-          val b = Seq.newBuilder[java.io.File]
-          def walk(f: java.io.File): Unit =
-            if (f.isDirectory) f.listFiles().foreach(walk)
-            else if (f.getName.endsWith(".avro")) b += f
-          walk(new java.io.File(s"$outDir/data")); b.result()
-        }
+        val files = filesUnder(s"$outDir/data", ".avro")
         s"${files.size} avro files, ${files.map(f => streaming.AvroSink.readFile(f).size).sum} records"
       case "sqs" =>
         val msgs = sqsClient.sent.flatten

@@ -33,7 +33,9 @@ object Hocon {
   /** HOCON allows content on the same line as braces
     * (`connector { sink = x }`); split such a line into the sub-lines the
     * line-based logic expects (`connector {` / `sink = x` / `}`), leaving
-    * braces inside quoted values untouched. */
+    * braces inside quoted values untouched. Braces in UNQUOTED values are
+    * not representable — the HOCON spec itself forbids `{`/`}` in unquoted
+    * strings, so `path = /tmp/a-{b}` must be written quoted. */
   private def splitBraces(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder

@@ -179,8 +179,11 @@ object DedupOpsImpl {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
     var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    while (changed > 0) {
+      // runs to convergence, no round cap: every round strictly decreases at
+      // least one label (bounded below by the component minimum), so
+      // termination is guaranteed in <= diameter rounds — a silent cap would
+      // instead return WRONG components for long chains
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("ncomp")).as("nmin"))
@@ -191,7 +194,6 @@ object DedupOpsImpl {
         .localCheckpoint()
       changed = updated.filter(col("comp") =!= col("old")).count()
       labels = updated.select(col("id"), col("comp"))
-      rounds += 1
     }
     labels
   }

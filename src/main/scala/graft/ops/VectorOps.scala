@@ -92,7 +92,7 @@ object VectorOpsImpl {
     * driver's testdata); [[clearCaches]] is the explicit invalidation hook
     * for anything that regenerates data under a reused path. */
   private val assignCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Drop all memoized centroid/assignment state and unpersist the cached
     * assignment views. */
@@ -160,8 +160,7 @@ object VectorOpsImpl {
     // re-deriving the k×64-literal argmin on both sides of the probe join —
     // that also keeps the optimizer from dragging the large argmin
     // expression through join analysis twice.
-    val asg = assignCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}:$dir", _ => assignAll(s, dir).cache())
+    val asg = assignCache.computeIfAbsent((s, dir), _ => assignAll(s, dir).cache())
     val q = asg.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("assigned").as("qcluster"))

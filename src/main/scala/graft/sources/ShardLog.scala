@@ -124,14 +124,20 @@ object ShardLog {
     rows.groupBy(_.getString(0)).foreach { case (sh, rs) =>
       val f = new Path(base, s"$sh.jsonl")
       // read-then-rewrite append: the local ChecksumFileSystem does not
-      // support FileSystem.append, and a recorder tool's files are small
+      // support FileSystem.append, and a recorder tool's files are small.
+      // The merged file is re-sorted by sequence number so recording order
+      // never breaks the per-shard total order the source contract promises
+      // (a backfill recorded after newer data would otherwise interleave).
       val existing = if (fs.exists(f)) {
         val in = new BufferedReader(new InputStreamReader(fs.open(f), StandardCharsets.UTF_8))
         try Iterator.continually(in.readLine()).takeWhile(_ != null).toVector
         finally in.close()
       } else Vector.empty
+      val mapper = new ObjectMapper()
+      def seqOf(line: String): String = mapper.readTree(line).get("sequenceNumber").asText()
+      val merged = (existing ++ rs.map(_.getString(2))).sortBy(seqOf)
       val out = fs.create(f, true)
-      try (existing ++ rs.sortBy(_.getString(1)).map(_.getString(2))).foreach { line =>
+      try merged.foreach { line =>
         out.write((line + "\n").getBytes(StandardCharsets.UTF_8))
       } finally out.close()
     }
@@ -234,9 +240,11 @@ class ShardLogMicroBatchStream(dir: String, maxRecordsPerBatch: Option[Long])
     // across shards like the KCL polling limits cap the whole worker
     val next = target.toSeq.sortBy(_._1).map { case (sh, end) =>
       val cur = from.getOrElse(sh, 0L)
-      val advance = math.min(end - cur, budget)
+      // clamp BEFORE spending budget: a shrunken file (end < cur) must not
+      // refund rows to other shards' admission budget
+      val advance = math.max(0L, math.min(end - cur, budget))
       budget -= advance
-      sh -> (cur + math.max(0L, advance))
+      sh -> (cur + advance)
     }.toMap
     // keep already-consumed shards (e.g. file deleted between runs) and add
     // only shards that actually advanced — a caught-up call must return an

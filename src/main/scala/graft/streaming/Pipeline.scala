@@ -82,13 +82,6 @@ object Packing {
       clock: () => Long = () => System.currentTimeMillis()): String =
     if (isFinal) s"$firstSeq-$lastSeq-${clock()}" else s"$firstSeq-$lastSeq"
 
-  /** Streaming shape: one shuffle on the shard key, Spark's external sort
-    * within partitions (spillable), then a CONSTANT-memory iterator
-    * traversal — the packer state is three counters, never a materialized
-    * shard (the r1/r2 `it.toVector.sortBy` form OOMed a task on one giant
-    * shard at scale; same pattern as AvroSink.sink). A partition can hold
-    * several shards (hash collisions), so packer state resets on every
-    * shard boundary. */
   /** Constant-memory greedy message assembler shared by the packing sinks
     * (SQS bodies, JSON object files): feed `add` with (seq, serialized
     * record) in sequence order; `emit` receives each closed message as
@@ -121,6 +114,13 @@ object Packing {
     }
   }
 
+  /** Streaming shape: one shuffle on the shard key, Spark's external sort
+    * within partitions (spillable), then a CONSTANT-memory iterator
+    * traversal — the packer state is three counters, never a materialized
+    * shard (the r1/r2 `it.toVector.sortBy` form OOMed a task on one giant
+    * shard at scale; same pattern as AvroSink.sink). A partition can hold
+    * several shards (hash collisions), so packer state resets on every
+    * shard boundary. */
   def greedyPack(df: DataFrame, shardCol: String, seqCol: String, sizeCol: String,
       maxBytes: Long, maxRecords: Int): Dataset[PackedRecord] = {
     val spark = df.sparkSession

@@ -183,9 +183,11 @@ object Sinks {
           curPath = path
           packer = new Packing.GreedyPacker(maxMessageSize, maxRecordsPerMessage,
             clock, (id, bodies, _) => {
+              // NOTE: no fs.setWriteChecksum here — FileSystem instances are
+              // JVM-cached per scheme, so flipping checksums would leak into
+              // every other writer in the process
               val dir = new org.apache.hadoop.fs.Path(baseDir, curPath)
               val fs = dir.getFileSystem(conf)
-              fs.setWriteChecksum(false) // one object per message, no .crc litter
               fs.mkdirs(dir)
               val f = new org.apache.hadoop.fs.Path(dir, s"$id-${clock()}.json")
               val out = fs.create(f, true)

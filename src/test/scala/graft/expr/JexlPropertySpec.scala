@@ -250,12 +250,9 @@ class JexlPropertySpec extends SparkSpec {
     case _ => err()
   }
 
-  /** Spark CAST-to-string rendering for the value types in play. */
-  private def stringOf(v: Any): String = v match {
-    case d: java.lang.Double => if (d == d.longValue().toDouble && math.abs(d) < 1e15)
-      d.toString else d.toString
-    case other => other.toString
-  }
+  /** Spark CAST-to-string rendering for the value types in play
+    * (Double.toString matches Spark's cast for the magnitudes generated). */
+  private def stringOf(v: Any): String = v.toString
 
   private def oracle(n: Node, ctx: Ctx): Boolean =
     try toBool(eval(n, ctx)) catch { case _: EvalError => false }

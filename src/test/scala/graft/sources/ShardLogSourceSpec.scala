@@ -135,6 +135,20 @@ class ShardLogSourceSpec extends SparkSpec {
     assert(all.select("sequenceNumber").distinct().count() == 60)
   }
 
+  test("admission budget is never refunded by a shrunken shard file") {
+    val dir = Files.createTempDirectory("shardlog-shrink").toString
+    writeLog(dir, 1 to 30, 2) // 15 records per shard
+    val stream = new ShardLogMicroBatchStream(dir, None)
+    // shard "0" checkpointed BEYOND its current file length (file shrank):
+    // its negative advance must not grant shard "1" extra budget
+    val start = ShardLogOffset(Map("0" -> 100L, "1" -> 0L))
+    val end = stream.latestOffset(start,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(10))
+      .asInstanceOf[ShardLogOffset]
+    assert(end.counts("0") == 100L) // offsets never move backward
+    assert(end.counts("1") <= 10L, s"budget overrun: ${end.counts}")
+  }
+
   test("late-appended records are picked up from the checkpointed offsets") {
     val dir = Files.createTempDirectory("shardlog-append").toString
     val out = Files.createTempDirectory("shardlog-append-out").toString

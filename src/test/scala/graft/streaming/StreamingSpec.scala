@@ -174,7 +174,8 @@ class StreamingSpec extends SparkSpec {
     // arrival 1700000000000 = 2023-11-14T22:13:20Z; hours granularity
     val dir = new java.io.File(s"$tmp/2023/11/14/22")
     def s(i: Int) = f"$i%020d"
-    val names = dir.listFiles().map(_.getName).sorted.toSeq
+    val names = dir.listFiles().map(_.getName)
+      .filter(n => !n.startsWith(".") && n.endsWith(".json")).sorted.toSeq
     // reference naming (S3TargetMapper.java:126-135): messageId-epochMs.json,
     // where the shard's final message id itself carries the -now suffix
     assert(names == Seq(
