@@ -316,6 +316,22 @@ object VectorOpsImpl {
         cosineNearDupPairs(s, dir).select(col("a_id"), col("b_id")))
       .select(col("id").as("vec_id"), col("comp").as("component"))
       .orderBy(col("vec_id"))
+
+  /** The V1 embedding operator under the correctness gate: `embed(text,
+    * dims)` over documents via the SQL-registered UDF (the deliberately
+    * pluggable provider shape — production swaps a model client behind the
+    * same Embedder trait, so a UDF IS the right altitude here, unlike
+    * hot-path scalar math). The deterministic HashEmbedder's components are
+    * (byte0(md5("i:text")) − 128)/128 — exactly representable in both float
+    * and double, so the DuckDB mirror matches bitwise. */
+  def embedUdf(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.install(s)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), expr("embed(text, 4)").as("e"))
+      .select(col("doc_id") +:
+        (0 until 4).map(i => expr(s"CAST(element_at(e, ${i + 1}) AS DOUBLE)").as(s"e$i")): _*)
+      .orderBy(col("doc_id"))
+  }
 }
 
 object VectorOps {
@@ -418,6 +434,18 @@ object VectorOps {
          |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
     Q("q56_embed_near_dup", (s, d) => cosineNearDupPairs(s, d), Some(nearDupPairsSql)),
+
+    Q("q59_embed_udf", embedUdf, Some {
+      val comps = (0 until 4).map { i =>
+        val h = s"md5('$i:' || text)"
+        val byte = s"(strpos('0123456789abcdef', substr($h, 1, 1)) - 1) * 16" +
+          s" + (strpos('0123456789abcdef', substr($h, 2, 1)) - 1)"
+        s"CAST($byte - 128 AS DOUBLE) / CAST(128 AS DOUBLE) AS e$i"
+      }.mkString(",\n  ")
+      s"""SELECT doc_id,
+         |  $comps
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }),
 
     Q("q58_embed_components", embedNearDupComponents, Some(
       s"""WITH RECURSIVE jp AS (SELECT a_id, b_id FROM ($nearDupPairsSql) q56),
