@@ -3,13 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Fast iteration helper (not part of the driver contract): run a subset of
-  * queries by name prefix. `runMain graft.Dev <sfDir> <outDir> [prefix]`.
+  * queries by name prefix. `runMain graft.Dev <sfDir> <outDir> [prefix...]`
+  * — any number of prefixes, a query runs if it matches any of them.
   */
 object Dev {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
-    val prefix = if (args.length > 2) args(2) else ""
+    val prefixes = if (args.length > 2) args.drop(2).toSeq else Seq("")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -18,7 +19,7 @@ object Dev {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
-    val selected = Registry.all.filter(_.name.startsWith(prefix))
+    val selected = Registry.all.filter(q => prefixes.exists(q.name.startsWith))
     selected.foreach { q =>
       val t0 = System.nanoTime()
       try {

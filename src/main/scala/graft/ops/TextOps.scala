@@ -209,6 +209,83 @@ object TextOpsImpl {
       .select(col("lang") +: col("n") +: qs.map { case (tag, p) => interp(tag, p) }: _*)
       .orderBy(col("lang"))
   }
+
+  /** Fixed-window document chunking with overlap — the unit-of-work splitter
+    * in front of embedding / tokenization stages (every RAG or long-context
+    * training pipeline runs one). Window = [[ChunkSize]] chars, stride =
+    * [[ChunkStride]] (so consecutive chunks overlap by size − stride).
+    *
+    * Scale shape: a NARROW generator — each row explodes into its own
+    * ≤ ⌈len/stride⌉ chunks inside one codegen'd stage; no shuffle, no state,
+    * output volume bounded by (size/stride)× input bytes. At 100 TB this is
+    * purely scan-bound and partitions independently. Chunk count uses only
+    * integer-exact double math (values ≪ 2^53) so both engines agree. */
+  val ChunkSize  = 200
+  val ChunkStride = 150
+
+  def chunkDocuments(s: SparkSession, dir: String): DataFrame = {
+    val nChunks =
+      s"1 + CAST(floor((greatest(length(text) - $ChunkSize, 0) + ${ChunkStride - 1}) / ${ChunkStride}.0) AS BIGINT)"
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        posexplode(expr(s"sequence(0, $nChunks - 1)")).as(Seq("pos", "chunk_id")))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        (col("chunk_id") * ChunkStride + 1).as("chunk_start"),
+        expr(s"substring(text, CAST(chunk_id * $ChunkStride + 1 AS INT), $ChunkSize)")
+          .as("chunk_text"))
+      .withColumn("chunk_chars", length(col("chunk_text")).cast(LongType))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** Gopher-style repetition signals per document: distinct-token ratio,
+    * most-frequent-token fraction, most-frequent-bigram fraction. The
+    * standard cheap filters for degenerate/boilerplate text ahead of
+    * expensive dedup or training.
+    *
+    * Scale shape: one shuffle on (doc_id, token) with map-side combine
+    * (token counts), one on (doc_id, bigram), and doc_id-partitioned
+    * windows — every key is high-cardinality (doc-scoped), so no reducer
+    * ever sees more than one document's vocabulary. Ties for the top
+    * token/bigram break lexicographically in both engines. */
+  def repetitionSignals(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val stats = tf.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("n_distinct"))
+    val topTok = tf
+      .withColumn("rn", row_number().over(
+        w.partitionBy(col("doc_id")).orderBy(col("c").desc, col("tok"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("tok").as("top_tok"), col("c").as("top_c"))
+    val bigrams = toks
+      .withColumn("nxt", lead(col("tok"), 1).over(
+        w.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat(col("tok"), lit(" "), col("nxt")).as("bigram"))
+    val bf = bigrams.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+    val topBigram = bf
+      .withColumn("rn", row_number().over(
+        w.partitionBy(col("doc_id")).orderBy(col("c").desc, col("bigram"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("bigram").as("top_bigram"), col("c").as("top_bc"))
+    stats.join(topTok, "doc_id").join(topBigram, "doc_id")
+      .select(
+        col("doc_id"),
+        col("n_tok"),
+        col("n_distinct"),
+        (col("n_distinct").cast(DoubleType) / col("n_tok")).as("distinct_ratio"),
+        col("top_tok"),
+        col("top_c").as("top_tok_n"),
+        (col("top_c").cast(DoubleType) / col("n_tok")).as("top_tok_frac"),
+        col("top_bigram"),
+        col("top_bc").as("top_bigram_n"),
+        (col("top_bc").cast(DoubleType) / (col("n_tok") - 1)).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
 }
 
 object TextOps {
@@ -320,6 +397,49 @@ object TextOps {
          |  $interps
          |FROM a ORDER BY lang""".stripMargin
     }),
+
+    Q("q39_text_chunks", chunkDocuments, Some {
+      val n = s"1 + CAST(floor((greatest(length(text) - $ChunkSize, 0) + ${ChunkStride - 1}) / ${ChunkStride}.0) AS BIGINT)"
+      s"""WITH c AS (
+         |  SELECT doc_id, text,
+         |    unnest(generate_series(0, ($n) - 1)) AS chunk_id
+         |  FROM documents)
+         |SELECT doc_id, chunk_id,
+         |  chunk_id * $ChunkStride + 1 AS chunk_start,
+         |  substr(text, CAST(chunk_id * $ChunkStride + 1 AS INT), $ChunkSize) AS chunk_text,
+         |  CAST(length(substr(text, CAST(chunk_id * $ChunkStride + 1 AS INT), $ChunkSize)) AS BIGINT) AS chunk_chars
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+    }),
+
+    Q("q48_text_repetition", repetitionSignals, Some(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok,
+        |    unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+        |stats AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+        |    COUNT(*) AS n_distinct FROM tf GROUP BY doc_id),
+        |tt AS (SELECT doc_id, tok AS top_tok, c AS top_c FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, tok) AS rn
+        |  FROM tf) WHERE rn = 1),
+        |bg AS (
+        |  SELECT doc_id,
+        |    tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+        |  FROM toks),
+        |bf AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg
+        |  WHERE bigram IS NOT NULL GROUP BY doc_id, bigram),
+        |tb AS (SELECT doc_id, bigram AS top_bigram, c AS top_bc FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, bigram) AS rn
+        |  FROM bf) WHERE rn = 1)
+        |SELECT s.doc_id, n_tok, n_distinct,
+        |  CAST(n_distinct AS DOUBLE) / n_tok AS distinct_ratio,
+        |  top_tok, top_c AS top_tok_n,
+        |  CAST(top_c AS DOUBLE) / n_tok AS top_tok_frac,
+        |  top_bigram, top_bc AS top_bigram_n,
+        |  CAST(top_bc AS DOUBLE) / (n_tok - 1) AS top_bigram_frac
+        |FROM stats s JOIN tt USING (doc_id) JOIN tb USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
 
     Q("q37_text_seq_packing", sequencePacking, Some(
       """SELECT doc_id, lang, n_tok,
