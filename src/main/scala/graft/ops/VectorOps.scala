@@ -65,13 +65,24 @@ object VectorOpsImpl {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  /** Exact per-label centroids (order-independent decimal accumulation),
+  /** Order-independent centroid accumulation that is BITWISE portable:
+    * each component is floor-quantized to 1e-12 (FLOOR of a double is
+    * rounding-mode-free, unlike double→DECIMAL casts — Spark rounds a
+    * half-way decimal tie HALF_UP where DuckDB rounds it down; label 1 /
+    * dim 38 of sf0.01 is a real such tie, a float equal to odd/2^13),
+    * summed as an exact BIGINT, then divided back in double. Every step is
+    * a fully-determined IEEE op, so any engine computes the same bits. */
+  def sparkCentComp(i: Int): String =
+    s"CAST(SUM(CAST(FLOOR(CAST(element_at(embedding, $i) AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12"
+  def duckCentComp(i: Int): String =
+    s"CAST(SUM(CAST(FLOOR(CAST(embedding[$i] AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12"
+
+  /** Exact per-label centroids (order-independent quantized accumulation),
     * first four components exposed. */
   def centroids(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     val dims = (1 to 4).map(i =>
-      (expr(s"CAST(SUM(CAST(CAST(element_at(embedding, $i) AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)")
-        / count(lit(1))).as(s"c$i"))
+      (expr(sparkCentComp(i)) / count(lit(1))).as(s"c$i"))
     e.groupBy(col("label").cast(LongType).as("label"))
       .agg(count(lit(1)).as("n"), dims: _*)
       .orderBy(col("label"))
@@ -108,7 +119,7 @@ object VectorOpsImpl {
     centroidCache.computeIfAbsent(dir, { d =>
       val e = Tables(s, d, "embeddings")
       val sums = count(lit(1)).as("n") +: (1 to Dims).map(i =>
-        expr(s"CAST(SUM(CAST(CAST(element_at(embedding, $i) AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)").as(s"s$i"))
+        expr(sparkCentComp(i)).as(s"s$i"))
       e.groupBy(col("label").cast(LongType).as("clabel"))
         .agg(sums.head, sums.tail: _*)
         .select(col("clabel") +: (1 to Dims).map(i => (col(s"s$i") / col("n")).as(s"c$i")): _*)
@@ -198,6 +209,76 @@ object VectorOpsImpl {
           - (code(1).cast("double") / 255.0 * (col("mx1") - col("mn1")) + col("mn1"))))
           .as("recon_err1"))
       .orderBy(col("vec_id"))
+  }
+
+  // ------------------------------------------------------------ Product quantization
+  val PqM = 8                    // subspaces
+  val PqSub: Int = Dims / PqM    // dims per subspace
+
+  /** Per-subspace squared L2 distance to a codebook vector, unrolled
+    * left-associative (subspace m covers 1-based dims m·8+1 … m·8+8). */
+  private def pqSubDist2(m: Int, cv: Array[Double], elem: Int => Column): Column =
+    (1 to PqSub).map { j =>
+      val i = m * PqSub + j
+      val d = elem(i) - lit(cv(i - 1))
+      d * d
+    }.reduce(_ + _)
+
+  private def embCol(name: String)(i: Int): Column =
+    expr(s"CAST(element_at($name, $i) AS DOUBLE)")
+
+  /** Product-quantization codes — THE memory-compression step of a 100 TB
+    * ANN index (64 float dims → 8 byte-sized codes, 32× smaller; ADC search
+    * then scans codes, not vectors). Codebook per subspace = the exact
+    * per-label centroids restricted to that subspace (k = #labels codes;
+    * production swaps in per-subspace k-means — the encode/search plumbing
+    * is identical, only the codebook constants change).
+    *
+    * Scale shape: the full codebook (M × k × 8 doubles) bakes into ONE
+    * narrow projection as literals — per-row argmin via `array_min` over
+    * (dist², code) structs, all inside a single codegen'd pass over the
+    * scan; no join, no shuffle. Same plan discipline as [[assignAll]]. */
+  private def pqCodes(s: SparkSession, dir: String): DataFrame = {
+    val cents = centroidVectors(s, dir)
+    val codeCols = (0 until PqM).map { m =>
+      val candidates = array(cents.map { case (cl, cv) =>
+        struct(pqSubDist2(m, cv, embCol("embedding")).as("d"), lit(cl).as("l"))
+      }: _*)
+      array_min(candidates).getField("l").as(s"code$m")
+    }
+    Tables(s, dir, "embeddings").select(col("vec_id") +: codeCols: _*)
+  }
+
+  def pqEncode(s: SparkSession, dir: String): DataFrame =
+    pqCodes(s, dir).orderBy(col("vec_id"))
+
+  /** Asymmetric-distance (ADC) top-3 per query over the PQ codes: the query
+    * stays exact, every corpus vector is reconstructed from its codes, and
+    * distance = Σ_m ‖q_sub − codebook_m[code_m]‖². The decisive 100 TB
+    * property: the scan side touches ONLY (vec_id, 8 codes) — the
+    * compressed index — never the raw vectors; the per-subspace distance
+    * lookup is a k-way CASE on the code, folded into the same broadcast-
+    * join stage as the top-k (queries are broadcast, corpus streams once,
+    * per-query heap via window). */
+  def pqAdcTopK(s: SparkSession, dir: String): DataFrame = {
+    val cents = centroidVectors(s, dir)
+    val q = Tables(s, dir, "embeddings").filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val n = pqCodes(s, dir).withColumnRenamed("vec_id", "neighbor_id")
+    def subAdc(m: Int): Column =
+      cents.tail.foldLeft(
+          when(col(s"code$m") === lit(cents.head._1),
+            pqSubDist2(m, cents.head._2, embCol("qe")))) { case (acc, (cl, cv)) =>
+        acc.when(col(s"code$m") === lit(cl), pqSubDist2(m, cv, embCol("qe")))
+      }
+    val adc = (0 until PqM).map(subAdc).reduce(_ + _)
+    val joined = broadcast(q).join(n, col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", adc)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
+    joined.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("adc"))
+      .orderBy(col("query_id"), col("rn"))
   }
 
   /** Deterministic ±1 hyperplanes: sign = parity of the first hex nibble of
@@ -359,7 +440,7 @@ object VectorOps {
 
     Q("q52_embed_centroids", centroids, Some {
       val dims = (1 to 4).map(i =>
-        s"CAST(SUM(CAST(CAST(embedding[$i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c$i")
+        s"${duckCentComp(i)} / COUNT(*) AS c$i")
         .mkString(", ")
       s"""SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n, $dims
          |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
@@ -367,7 +448,7 @@ object VectorOps {
 
     Q("q53_embed_ivf_assign", ivfAssign, Some {
       val sums = (1 to Dims).map(i =>
-        s"CAST(SUM(CAST(CAST(embedding[$i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c$i")
+        s"${duckCentComp(i)} / COUNT(*) AS c$i")
         .mkString(", ")
       val dist = (1 to Dims).map(i =>
         s"(CAST(e.embedding[$i] AS DOUBLE) - c.c$i) * (CAST(e.embedding[$i] AS DOUBLE) - c.c$i)")
@@ -385,7 +466,7 @@ object VectorOps {
 
     Q("q55_embed_ivf_topk", ivfTopK, Some {
       val sums = (1 to Dims).map(i =>
-        s"CAST(SUM(CAST(CAST(embedding[$i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c$i")
+        s"${duckCentComp(i)} / COUNT(*) AS c$i")
         .mkString(", ")
       val dist = (1 to Dims).map(i =>
         s"(CAST(e.embedding[$i] AS DOUBLE) - c.c$i) * (CAST(e.embedding[$i] AS DOUBLE) - c.c$i)")
@@ -434,6 +515,73 @@ object VectorOps {
          |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
     Q("q56_embed_near_dup", (s, d) => cosineNearDupPairs(s, d), Some(nearDupPairsSql)),
+
+    Q("q62_embed_pq", pqEncode, Some {
+      val sums = (1 to Dims).map(i =>
+        s"${duckCentComp(i)} / COUNT(*) AS c$i")
+        .mkString(", ")
+      def sub(m: Int) = ((m * PqSub + 1) to (m * PqSub + PqSub)).map(i =>
+        s"(CAST(e.embedding[$i] AS DOUBLE) - c.c$i) * (CAST(e.embedding[$i] AS DOUBLE) - c.c$i)")
+        .mkString(" + ")
+      val dcols = (0 until PqM).map(m => s"(${sub(m)}) AS d$m").mkString(",\n    ")
+      val rns = (0 until PqM).map(m =>
+        s"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d$m, clabel) AS r$m").mkString(",\n    ")
+      val codes = (0 until PqM).map(m =>
+        s"MAX(CASE WHEN r$m = 1 THEN clabel END) AS code$m").mkString(",\n  ")
+      s"""WITH c AS (SELECT CAST(label AS BIGINT) AS clabel, $sums
+         |  FROM embeddings GROUP BY label),
+         |d AS (SELECT e.vec_id, c.clabel,
+         |    $dcols
+         |  FROM embeddings e, c),
+         |r AS (SELECT *,
+         |    $rns
+         |  FROM d)
+         |SELECT vec_id,
+         |  $codes
+         |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    }),
+
+    Q("q63_embed_pq_adc", pqAdcTopK, Some {
+      val sums = (1 to Dims).map(i =>
+        s"${duckCentComp(i)} / COUNT(*) AS c$i")
+        .mkString(", ")
+      def sub(m: Int) = ((m * PqSub + 1) to (m * PqSub + PqSub)).map(i =>
+        s"(CAST(e.embedding[$i] AS DOUBLE) - c.c$i) * (CAST(e.embedding[$i] AS DOUBLE) - c.c$i)")
+        .mkString(" + ")
+      val dcols = (0 until PqM).map(m => s"(${sub(m)}) AS d$m").mkString(",\n    ")
+      val rns = (0 until PqM).map(m =>
+        s"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d$m, clabel) AS r$m").mkString(",\n    ")
+      val codes = (0 until PqM).map(m =>
+        s"MAX(CASE WHEN r$m = 1 THEN clabel END) AS code$m").mkString(",\n  ")
+      def subQ(m: Int) = ((m * PqSub + 1) to (m * PqSub + PqSub)).map(i =>
+        s"(CAST(a.embedding[$i] AS DOUBLE) - c$m.c$i) * (CAST(a.embedding[$i] AS DOUBLE) - c$m.c$i)")
+        .mkString(" + ")
+      val adc = (0 until PqM).map(m => s"(${subQ(m)})").mkString("\n      + ")
+      val codeJoins = (0 until PqM).map(m =>
+        s"JOIN c c$m ON c$m.clabel = n.code$m").mkString("\n  ")
+      s"""WITH c AS (SELECT CAST(label AS BIGINT) AS clabel, $sums
+         |  FROM embeddings GROUP BY label),
+         |d AS (SELECT e.vec_id, c.clabel,
+         |    $dcols
+         |  FROM embeddings e, c),
+         |r AS (SELECT *,
+         |    $rns
+         |  FROM d),
+         |codes AS (SELECT vec_id,
+         |    $codes
+         |  FROM r GROUP BY vec_id),
+         |adc AS (
+         |  SELECT a.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    $adc AS adc
+         |  FROM embeddings a
+         |  CROSS JOIN codes n
+         |  $codeJoins
+         |  WHERE a.vec_id < 8 AND n.vec_id <> a.vec_id),
+         |rr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY adc, neighbor_id) AS BIGINT) AS rn FROM adc)
+         |SELECT query_id, rn, neighbor_id, adc FROM rr WHERE rn <= 3
+         |ORDER BY query_id, rn""".stripMargin
+    }),
 
     Q("q59_embed_udf", embedUdf, Some {
       val comps = (0 until 4).map { i =>
