@@ -84,6 +84,34 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("SortMergeJoin"), s"corpus must not sort-merge against the holdout:\n$s")
   }
 
+  test("q62 PQ encode is a narrow per-row code projection: no join, no shuffle") {
+    val df = ops.VectorOpsImpl.pqEncode(spark, dir).queryExecution.analyzed match {
+      case org.apache.spark.sql.catalyst.plans.logical.Sort(_, _, child, _) =>
+        org.apache.spark.sql.graftshim.Bridge.ofRows(spark, child)
+      case _ => fail("expected a top-level Sort to strip")
+    }
+    val s = plan(df)
+    assert(!s.contains("Exchange"), s"PQ encode must not shuffle the corpus:\n$s")
+    assert(!s.contains("Join"), s"codebook must be baked literals, not a join:\n$s")
+  }
+
+  test("q63 ADC search scans only the code columns of the corpus side and broadcasts queries") {
+    val s = plan(ops.VectorOpsImpl.pqAdcTopK(spark, dir))
+    assert(s.contains("BroadcastNestedLoopJoin"), s"query side must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$s")
+  }
+
+  test("q39 chunking is a narrow generator: no shuffle before the presentation sort") {
+    val df = ops.TextOpsImpl.chunkDocuments(spark, dir).queryExecution.analyzed match {
+      case org.apache.spark.sql.catalyst.plans.logical.Sort(_, _, child, _) =>
+        org.apache.spark.sql.graftshim.Bridge.ofRows(spark, child)
+      case _ => fail("expected a top-level Sort to strip")
+    }
+    val s = plan(df)
+    assert(s.contains("Generate"), s"expected an explode generator:\n$s")
+    assert(!s.contains("Exchange"), s"chunking must not shuffle:\n$s")
+  }
+
   test("q36 stratified sample is a pure narrow scan: no shuffle, no RNG") {
     // strip the presentation orderBy like q53
     val df = ops.TextOpsImpl.stratifiedSample(spark, dir).queryExecution.analyzed match {
