@@ -286,6 +286,45 @@ object TextOpsImpl {
         (col("top_bc").cast(DoubleType) / (col("n_tok") - 1)).as("top_bigram_frac"))
       .orderBy(col("doc_id"))
   }
+
+  /** The composed END-TO-END curation pipeline — the flagship shape a
+    * training-data engine actually runs: quality filter → exact dedup
+    * (canonical = min doc_id per identical text) → deterministic
+    * hash-stratified sample → per-language sequence packing. Every stage is
+    * the already-gated operator (q31, q40, q36, q37) chained on one
+    * DataFrame, which is the point: stages compose as plans, so Catalyst
+    * sees ONE pipeline (the quality filter and hash-sample predicates both
+    * evaluate in the same scan stage; only the dedup agg and the packing
+    * window shuffle). */
+  val CurationQualityMin = 0.9
+
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")).cast(LongType))
+      .withColumn("n_stop",
+        expr(s"CAST(size(filter(toks, x -> x IN ${inList(stopwords)})) AS BIGINT)"))
+      .withColumn("quality",
+        least(col("n_tok").cast(DoubleType) / 50.0, lit(1.0)) * 0.5
+          + (lit(1.0) - col("n_stop").cast(DoubleType) / col("n_tok")) * 0.5)
+      .filter(col("quality") >= CurationQualityMin)
+    val canon = base.groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+    val deduped = base.join(canon.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val byteExpr =
+      "(instr('0123456789abcdef', substr(md5(concat('smp:', CAST(doc_id AS STRING))), 1, 1)) - 1) * 16" +
+        " + (instr('0123456789abcdef', substr(md5(concat('smp:', CAST(doc_id AS STRING))), 2, 1)) - 1)"
+    val threshold = SampleThresholds.foldRight(lit(256): Column) { case ((l, t), acc) =>
+      when(col("lang") === l, lit(t)).otherwise(acc)
+    }
+    val sampled = deduped
+      .withColumn("bucket", expr(s"CAST($byteExpr AS BIGINT)"))
+      .filter(col("bucket") < threshold)
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("quality"))
+    graft.cdc.Cdc.packBySize(sampled, col("lang"), col("doc_id"), col("n_tok"), 512L)
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("quality"),
+        col("message_bin").as("bin"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
 }
 
 object TextOps {
@@ -409,6 +448,37 @@ object TextOps {
          |  substr(text, CAST(chunk_id * $ChunkStride + 1 AS INT), $ChunkSize) AS chunk_text,
          |  CAST(length(substr(text, CAST(chunk_id * $ChunkStride + 1 AS INT), $ChunkSize)) AS BIGINT) AS chunk_chars
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+    }),
+
+    Q("q49_curation_pipeline", curationPipeline, Some {
+      val byteSql =
+        "(strpos('0123456789abcdef', substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16" +
+          " + (strpos('0123456789abcdef', substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+      val thresholdSql = "CASE " + stratifiedThresholdCases + " ELSE 256 END"
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x IN $stopSql)) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |q AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, lang, text, n_tok,
+         |      least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.5
+         |        + (1.0 - CAST(n_stop AS DOUBLE) / n_tok) * 0.5 AS quality
+         |    FROM t)
+         |  WHERE quality >= $CurationQualityMin),
+         |ded AS (SELECT doc_id FROM (
+         |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM q) WHERE rn = 1),
+         |samp AS (
+         |  SELECT q.doc_id, q.lang, q.n_tok, q.quality
+         |  FROM q JOIN ded USING (doc_id)
+         |  WHERE CAST($byteSql AS BIGINT) < ($thresholdSql)),
+         |packed AS (
+         |  SELECT *, SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) AS cum FROM samp)
+         |SELECT doc_id, lang, n_tok, quality,
+         |  CAST(FLOOR((cum - n_tok) / 512) AS BIGINT) AS bin
+         |FROM packed ORDER BY lang, doc_id""".stripMargin
     }),
 
     Q("q48_text_repetition", repetitionSignals, Some(

@@ -188,6 +188,44 @@ object VectorOpsImpl {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Multi-probe IVF top-3 (nprobe = 2): the standard IVF recall lever —
+    * the query searches its TWO nearest coarse clusters instead of one,
+    * recovering neighbors that fell just across a Voronoi boundary at 2/k
+    * of the corpus per query (vs 1/k single-probe, still never a full
+    * scan). The corpus keeps its single-cluster assignment (that IS the
+    * partition layout at scale); only the broadcast query side fans out to
+    * nprobe rows, so the probe join stays a broadcast hash probe of the
+    * same materialized index q55 uses. Probe ranking = `array_sort` over
+    * (dist², label) structs — same tie discipline as the argmin. */
+  def ivfMultiProbeTopK(s: SparkSession, dir: String): DataFrame = {
+    val cents = centroidVectors(s, dir)
+    def dist2(cv: Array[Double], elem: Int => Column): Column =
+      (1 to Dims).map { i =>
+        val d = elem(i) - lit(cv(i - 1))
+        d * d
+      }.reduce(_ + _)
+    val asg = assignCache.computeIfAbsent((s, dir), _ => assignAll(s, dir).cache())
+    val probeRank = array_sort(array(cents.map { case (cl, cv) =>
+      struct(dist2(cv, embCol("qe")).as("d"), lit(cl).as("l"))
+    }: _*))
+    val q = asg.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("qc1", element_at(probeRank, 1).getField("l"))
+      .withColumn("qc2", element_at(probeRank, 2).getField("l"))
+    val c = asg.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      col("assigned").as("ncluster"))
+    val joined = broadcast(q).join(c,
+        (col("ncluster") === col("qc1") || col("ncluster") === col("qc2"))
+          && col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        expr(s"(${sparkDot("qe", "ce")}) / (sqrt(${sparkDot("qe", "qe")}) * sqrt(${sparkDot("ce", "ce")}))"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    joined.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** int8 scalar quantization — the storage-compression step of a 100 TB
     * vector pipeline (4 bytes/dim → 1): code = floor((x − min_d) /
     * (max_d − min_d) × 255) with per-dimension global min/max, clamped.
@@ -515,6 +553,37 @@ object VectorOps {
          |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
     Q("q56_embed_near_dup", (s, d) => cosineNearDupPairs(s, d), Some(nearDupPairsSql)),
+
+    Q("q64_embed_ivf_multiprobe", ivfMultiProbeTopK, Some {
+      val sums = (1 to Dims).map(i =>
+        s"${duckCentComp(i)} / COUNT(*) AS c$i")
+        .mkString(", ")
+      val dist = (1 to Dims).map(i =>
+        s"(CAST(e.embedding[$i] AS DOUBLE) - c.c$i) * (CAST(e.embedding[$i] AS DOUBLE) - c.c$i)")
+        .mkString(" + ")
+      s"""WITH c AS (SELECT CAST(label AS BIGINT) AS clabel, $sums
+         |  FROM embeddings GROUP BY label),
+         |d AS (
+         |  SELECT e.vec_id, c.clabel, ($dist) AS dist2 FROM embeddings e, c),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, clabel) AS rn
+         |  FROM d),
+         |asg AS (SELECT vec_id, clabel AS assigned FROM r WHERE rn = 1),
+         |qasg AS (SELECT vec_id, clabel AS probed FROM r WHERE rn <= 2),
+         |p AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    (${duckDot("a.embedding", "b.embedding")})
+         |      / (sqrt(${duckDot("a.embedding", "a.embedding")})
+         |         * sqrt(${duckDot("b.embedding", "b.embedding")})) AS cosine
+         |  FROM embeddings a
+         |  JOIN qasg qa ON qa.vec_id = a.vec_id
+         |  JOIN asg nb ON nb.assigned = qa.probed AND nb.vec_id <> a.vec_id
+         |  JOIN embeddings b ON b.vec_id = nb.vec_id
+         |  WHERE a.vec_id < 8),
+         |rr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM p)
+         |SELECT query_id, rn, neighbor_id, cosine FROM rr WHERE rn <= 3
+         |ORDER BY query_id, rn""".stripMargin
+    }),
 
     Q("q62_embed_pq", pqEncode, Some {
       val sums = (1 to Dims).map(i =>
