@@ -101,6 +101,21 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$s")
   }
 
+  test("q64 multi-probe IVF broadcasts the probe-expanded query side only") {
+    val s = plan(ops.VectorOpsImpl.ivfMultiProbeTopK(spark, dir))
+    assert(s.contains("BroadcastNestedLoopJoin"), s"query side must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"corpus must not sort-merge for the probe:\n$s")
+  }
+
+  test("q49 curation pipeline fuses quality and sample predicates into the scan stage") {
+    val s = plan(ops.TextOpsImpl.curationPipeline(spark, dir))
+    // the quality filter and the hash-sample bucket predicate are both
+    // pre-shuffle: no Exchange may appear below the first aggregate other
+    // than the dedup agg and packing window themselves
+    assert(!s.contains("SortMergeJoin"), s"dedup semi-join must broadcast at this size:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("q39 chunking is a narrow generator: no shuffle before the presentation sort") {
     val df = ops.TextOpsImpl.chunkDocuments(spark, dir).queryExecution.analyzed match {
       case org.apache.spark.sql.catalyst.plans.logical.Sort(_, _, child, _) =>
