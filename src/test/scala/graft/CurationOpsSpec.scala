@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavioral properties of the round-3 curation/ANN operators that the
+  * value-equality oracle can't express: chunking must RECONSTRUCT the
+  * original document, multi-probe recall must dominate single-probe, and
+  * the repetition signals must equal an independent in-test recomputation.
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q39 chunks reconstruct every document exactly (coverage + overlap)") {
+    import ops.TextOpsImpl.{ChunkSize, ChunkStride}
+    val texts = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = ops.TextOpsImpl.chunkDocuments(spark, dir)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_start"), col("chunk_text"))
+      .collect()
+      .groupBy(_.getLong(0))
+    assert(chunks.keySet == texts.keySet, "every document must chunk")
+    chunks.foreach { case (docId, rows) =>
+      val text = texts(docId)
+      val sorted = rows.sortBy(_.getLong(1))
+      // starts advance by exactly the stride and begin at 1
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(2) == i.toLong * ChunkStride + 1, s"doc $docId chunk $i start")
+        assert(r.getString(3) ==
+          text.substring((i * ChunkStride).min(text.length),
+            (i * ChunkStride + ChunkSize).min(text.length)),
+          s"doc $docId chunk $i content")
+      }
+      // full coverage: the last chunk reaches the end of the document
+      val last = sorted.last
+      assert(last.getLong(2) + last.getString(3).length - 1 >= text.length,
+        s"doc $docId not covered to its end")
+      // reconstruction: stitch chunks dropping the overlap
+      val rebuilt = sorted.zipWithIndex.map { case (r, i) =>
+        val t = r.getString(3)
+        if (i == 0) t else t.substring((ChunkSize - ChunkStride).min(t.length))
+      }.mkString
+      assert(rebuilt == text, s"doc $docId reconstruction mismatch")
+    }
+  }
+
+  test("q64 multi-probe search dominates single-probe at every rank") {
+    val single = ops.VectorOpsImpl.ivfTopK(spark, dir)
+      .select(col("query_id"), col("rn"), col("cosine")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val multi = ops.VectorOpsImpl.ivfMultiProbeTopK(spark, dir)
+      .select(col("query_id"), col("rn"), col("cosine")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(multi.nonEmpty)
+    // nprobe=2 candidates are a superset of nprobe=1, so the k-th best
+    // cosine can only improve (or stay equal)
+    single.foreach { case (key, c1) =>
+      multi.get(key).foreach(c2 => assert(c2 >= c1, s"rank regressed at $key"))
+    }
+  }
+
+  test("q48 repetition signals match an independent recomputation") {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = ops.TextOpsImpl.repetitionSignals(spark, dir).collect()
+    assert(got.length == docs.size)
+    got.take(50).foreach { r =>
+      val text = docs(r.getLong(0))
+      val toks = text.split(" ", -1).toSeq
+      val tf = toks.groupBy(identity).view.mapValues(_.size)
+      val (topTok, topN) = tf.toSeq.minBy { case (t, n) => (-n, t) }
+      val bigrams = toks.zip(toks.tail).map { case (a, b) => s"$a $b" }
+      val bf = bigrams.groupBy(identity).view.mapValues(_.size)
+      val (topBi, topBiN) = bf.toSeq.minBy { case (t, n) => (-n, t) }
+      assert(r.getAs[Long]("n_tok") == toks.size.toLong)
+      assert(r.getAs[Long]("n_distinct") == tf.size.toLong)
+      assert(r.getAs[String]("top_tok") == topTok)
+      assert(r.getAs[Long]("top_tok_n") == topN.toLong)
+      assert(r.getAs[String]("top_bigram") == topBi)
+      assert(r.getAs[Long]("top_bigram_n") == topBiN.toLong)
+    }
+  }
+}
