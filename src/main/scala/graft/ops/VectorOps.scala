@@ -226,6 +226,34 @@ object VectorOpsImpl {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Metadata-FILTERED ANN (top-3 cosine among corpus vectors whose joined
+    * document is lang = 'en') — the classically hard vector-search shape:
+    * dedicated vector stores bolt filters on after the fact (post-filter →
+    * recall collapses under selective predicates) or maintain per-filter
+    * indexes. In a relational engine the filter is just a join/predicate
+    * that PRECEDES the distance work: the metadata join prunes the corpus
+    * before any dot product is computed, and at scale the lang column lives
+    * in the same parquet row-group as the vector, so pruning happens in the
+    * scan itself (predicate + column pushdown) — no second index, full
+    * recall on the filtered set. */
+  def filteredTopK(s: SparkSession, dir: String): DataFrame = {
+    val enDocs = Tables(s, dir, "documents")
+      .filter(col("lang") === "en").select(col("doc_id").as("neighbor_id"))
+    val e = Tables(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .join(enDocs, "neighbor_id")
+    val joined = broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        expr(s"(${sparkDot("qe", "ce")}) / (sqrt(${sparkDot("qe", "qe")}) * sqrt(${sparkDot("ce", "ce")}))"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    joined.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** int8 scalar quantization — the storage-compression step of a 100 TB
     * vector pipeline (4 bytes/dim → 1): code = floor((x − min_d) /
     * (max_d − min_d) × 255) with per-dimension global min/max, clamped.
@@ -553,6 +581,23 @@ object VectorOps {
          |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
     Q("q56_embed_near_dup", (s, d) => cosineNearDupPairs(s, d), Some(nearDupPairsSql)),
+
+    Q("q65_embed_filtered_topk", filteredTopK, Some(
+      s"""WITH c AS (
+         |  SELECT e.vec_id AS neighbor_id, e.embedding
+         |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+         |  WHERE d.lang = 'en'),
+         |p AS (
+         |  SELECT a.vec_id AS query_id, b.neighbor_id,
+         |    (${duckDot("a.embedding", "b.embedding")})
+         |      / (sqrt(${duckDot("a.embedding", "a.embedding")})
+         |         * sqrt(${duckDot("b.embedding", "b.embedding")})) AS cosine
+         |  FROM embeddings a, c b
+         |  WHERE a.vec_id < 8 AND b.neighbor_id <> a.vec_id),
+         |rr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM p)
+         |SELECT query_id, rn, neighbor_id, cosine FROM rr WHERE rn <= 3
+         |ORDER BY query_id, rn""".stripMargin)),
 
     Q("q64_embed_ivf_multiprobe", ivfMultiProbeTopK, Some {
       val sums = (1 to Dims).map(i =>

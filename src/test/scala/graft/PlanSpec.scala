@@ -116,6 +116,12 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("q65 filtered ANN pushes the metadata predicate into the documents scan") {
+    val s = plan(ops.VectorOpsImpl.filteredTopK(spark, dir))
+    assert(s.contains("EqualTo(lang,en)"), s"lang filter must reach PushedFilters:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"metadata join must hash/broadcast at this size:\n$s")
+  }
+
   test("q39 chunking is a narrow generator: no shuffle before the presentation sort") {
     val df = ops.TextOpsImpl.chunkDocuments(spark, dir).queryExecution.analyzed match {
       case org.apache.spark.sql.catalyst.plans.logical.Sort(_, _, child, _) =>
