@@ -167,6 +167,30 @@ object DedupOpsImpl {
       .select(col("id").as("doc_id"), col("comp").as("component"))
       .orderBy(col("doc_id"))
 
+  /** The step that FINISHES a dedup pipeline: inside every near-dup
+    * cluster, keep the highest-QUALITY member (not the arbitrary min-id) —
+    * quality-aware canonicalization is what production curation does, since
+    * near-dup clusters usually mix a clean original with truncated or
+    * boilerplated copies. Tie on quality → smaller doc_id.
+    *
+    * Scale shape: the component map is pair-graph-sized (broadcast); the
+    * quality score is the same narrow scan as q31; the per-component
+    * window partitions on component id (bounded by cluster size, itself
+    * capped by the LSH bucket caps upstream). The 100 TB corpus is scanned
+    * once and never shuffled — only component members reach the window. */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val comps = connectedComponents(ngramJaccard(s, dir).select(col("a_id"), col("b_id")))
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+    val quality = TextOpsImpl.qualityScore(s, dir).select(col("doc_id"), col("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component")).orderBy(col("quality").desc, col("doc_id"))
+    broadcast(comps).join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("component"), col("quality"),
+        (col("rn") === 1).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Generic min-label propagation over an (a, b) pair DataFrame (first two
     * columns are the edge endpoints). Returns (id, comp) for every node.
     * Shared by the shingle-based (q46) and embedding-based (q58) duplicate
@@ -350,6 +374,43 @@ object DedupOps {
          |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
          |SELECT id AS doc_id, MIN(r) AS component FROM reach
          |GROUP BY id ORDER BY doc_id""".stripMargin)),
+
+    Q("q67_dedup_keep_best", dedupKeepBest, Some {
+      val stopSql = TextOpsImpl.stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+      s"""WITH RECURSIVE $shingleSql,
+         |rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= $DfCap),
+         |docsh AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM docsh GROUP BY doc_id),
+         |jp AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |    FROM docsh a JOIN docsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) p
+         |  JOIN sizes na ON na.doc_id = a_id JOIN sizes nb ON nb.doc_id = b_id
+         |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5),
+         |nodes AS (SELECT a_id AS id FROM jp UNION SELECT b_id FROM jp),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM jp
+         |          UNION ALL SELECT b_id, a_id FROM jp),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |comps AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+         |qual AS (
+         |  SELECT doc_id,
+         |    least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.5
+         |      + (1.0 - CAST(n_stop AS DOUBLE) / n_tok) * 0.5 AS quality
+         |  FROM (
+         |    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |      CAST(len(list_filter(string_split(text, ' '), x -> x IN $stopSql)) AS BIGINT) AS n_stop
+         |    FROM documents)),
+         |j AS (SELECT c.doc_id, c.component, q.quality
+         |  FROM comps c JOIN qual q USING (doc_id)),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+         |    ORDER BY quality DESC, doc_id) AS rn FROM j)
+         |SELECT doc_id, component, quality, rn = 1 AS keep FROM r
+         |ORDER BY doc_id""".stripMargin
+    }),
 
     Q("q47_dedup_contamination", contamination, Some(
       s"""WITH $shingleSql,
