@@ -90,9 +90,10 @@ object VectorOpsImpl {
 
   /** Exact per-label centroid vectors, collected to the driver — k ≈ 10
     * labels × 64 doubles, i.e. metadata-sized, the legitimate use of a
-    * driver-side action. The decimal accumulation makes each centroid
-    * component bit-identical to what the DuckDB oracle computes, so baking
-    * them into the plan as literals preserves cross-engine hash equality. */
+    * driver-side action. The floor-quantized integer accumulation
+    * ([[sparkCentComp]]) makes each centroid component bit-identical to
+    * what the DuckDB oracle computes, so baking them into the plan as
+    * literals preserves cross-engine hash equality. */
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Array[Double])]]()
 
