@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** INCREMENTAL near-duplicate detection: the batch MinHash-LSH banding
+  * (`DedupOpsImpl.minhashSignatures`/`minhashLsh` — same 3-token shingles,
+  * same two-md5 8-lane signatures, same 4 × 2-lane banding, same bucket
+  * cap) applied to a STREAM. Each arriving document hashes to its 4 band
+  * buckets; keyed state holds the documents already seen in each bucket,
+  * and the new arrival is emitted as a candidate pair against each of
+  * them. A curation pipeline runs exact verification (or routes to
+  * quarantine) on the candidates only — the streaming half of the same
+  * candidates-then-verify design the batch operators use.
+  *
+  * Scale/state design: state per bucket is ≤ `cap` doc ids (the batch
+  * BucketCap discipline — an over-full LSH bucket is boilerplate
+  * collision, not near-duplication, so it stops admitting and emitting
+  * rather than going quadratic). The shuffle key is (band, bucket-hash) —
+  * high cardinality, uniformly md5-distributed, so state and work spread
+  * evenly across executors. In production you add an event-time timeout so
+  * buckets age out with the dedup window; the hard cap alone already
+  * bounds memory at (live buckets) × cap × 8 bytes.
+  */
+object StreamDedup {
+
+  final case class DocBand(band: Int, bh: String, docId: Long)
+  final case class CandidatePair(aId: Long, bId: Long, band: Int)
+  final case class BucketState(ids: Seq[Long])
+
+  val Bands = 4
+  val DefaultCap = 50
+
+  private def md5hex(md: MessageDigest, s: String): String =
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The pure-Scala mirror of the batch signature SQL: distinct 3-token
+    * shingles, d1 = md5(sh), d2 = md5("1:" + sh), lane i = min 8-hex-char
+    * window, band key = md5(h(2b) ++ h(2b+1)). A doc with < 3 tokens has no
+    * shingles and therefore no bands (the batch groupBy drops it too). */
+  def bandKeys(docId: Long, text: String): Seq[DocBand] = {
+    val toks = text.split(" ", -1)
+    if (toks.length < 3) return Seq.empty
+    val md = MessageDigest.getInstance("MD5")
+    val shingles = toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+    // "g" sorts after every hex window ([0-9a-f]*), so it is the identity
+    // for the lexicographic min
+    val lanes = Array.fill(8)("g")
+    shingles.foreach { sh =>
+      val d1 = md5hex(md, sh)
+      val d2 = md5hex(md, "1:" + sh)
+      (0 until 8).foreach { i =>
+        val w = (if (i < 4) d1 else d2).substring(8 * (i % 4), 8 * (i % 4) + 8)
+        if (w < lanes(i)) lanes(i) = w
+      }
+    }
+    (0 until Bands).map(b => DocBand(b, md5hex(md, lanes(2 * b) + lanes(2 * b + 1)), docId))
+  }
+
+  /** Streaming candidate pairs over a (docId, text) stream. Emits each
+    * (smaller, larger) id pair once PER BAND it collides in — downstream
+    * dedups with `dropDuplicates` or verifies idempotently, exactly like
+    * the batch path's `.distinct()`. */
+  def candidatePairs(docs: Dataset[(Long, String)],
+      cap: Int = DefaultCap): Dataset[CandidatePair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap { case (id, text) => bandKeys(id, text) }
+      .groupByKey(db => (db.band, db.bh))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, String), rows: Iterator[DocBand], state: GroupState[BucketState]) =>
+          var ids = state.getOption.map(_.ids).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[CandidatePair]
+          rows.foreach { db =>
+            if (!ids.contains(db.docId) && ids.size < cap) {
+              ids.foreach { e =>
+                out += CandidatePair(math.min(e, db.docId), math.max(e, db.docId), key._1)
+              }
+              ids = ids :+ db.docId
+            }
+          }
+          state.update(BucketState(ids))
+          out.result().iterator
+      }
+  }
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.{SparkSpec, Tables}
+
+object StreamDedupSpec {
+  // JVM-static so foreachBatch task closures can reach it after restart
+  val pairs: scala.collection.mutable.ListBuffer[(Long, Long)] =
+    scala.collection.mutable.ListBuffer()
+}
+
+class StreamDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runStream(batches: Seq[Seq[(Long, String)]], cap: Int = StreamDedup.DefaultCap,
+      name: String = s"sd_${System.nanoTime()}"): Set[(Long, Long)] = {
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamDedup.candidatePairs(input.toDS(), cap)
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName(name).start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      spark.table(name).select(col("aId"), col("bId")).distinct()
+        .as[(Long, Long)].collect().toSet
+    } finally q.stop()
+  }
+
+  test("identical docs collide across micro-batches; unrelated docs don't") {
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different content with no shared shingles at all here"
+    val pairs = runStream(Seq(
+      Seq(1L -> dup, 2L -> other),
+      Seq(3L -> dup), // arrives a batch later — state must remember doc 1
+      Seq(4L -> "unrelated text that matches nothing else in this stream ok")))
+    assert(pairs.contains((1L, 3L)), s"cross-batch near-dup must be found: $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), s"doc 2 is unique: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"doc 4 is unique: $pairs")
+  }
+
+  test("bucket cap stops admission instead of going quadratic") {
+    val dup = "same same text here repeated across every single streamed document yes"
+    val docs = (1L to 6L).map(_ -> dup)
+    val pairs = runStream(Seq(docs), cap = 3)
+    // only the first 3 docs per bucket admit: pairs among {1,2,3} only
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $pairs")
+  }
+
+  test("streaming band keys equal the batch SQL lanes on real documents") {
+    // the batch signature pipeline (DedupOpsImpl.minhashSignatures) on
+    // sf0.001 vs the pure-Scala mirror used by the stream
+    val batch = graft.ops.DedupOpsImpl.minhashSignatures(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(i => r.getString(i)).toSeq).toMap
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    docs.foreach { case (id, text) =>
+      val bands = StreamDedup.bandKeys(id, text)
+      batch.get(id) match {
+        case None => assert(bands.isEmpty, s"doc $id has no batch signature but stream bands")
+        case Some(lanes) =>
+          assert(bands.size == StreamDedup.Bands)
+          bands.foreach { db =>
+            assert(db.bh == md5hex(lanes(2 * db.band) + lanes(2 * db.band + 1)),
+              s"band key mismatch for doc $id band ${db.band}")
+          }
+      }
+    }
+  }
+
+  test("restart from checkpoint keeps bucket state (no duplicate-free re-pairing)") {
+    val ckpt = java.nio.file.Files.createTempDirectory("sdckpt").toString
+    val dup = "persistent state must survive a full stop and restart of the query"
+    val input = MemoryStream[(Long, String)](spark)
+    // the memory sink can't recover from a checkpoint — collect via
+    // foreachBatch into a JVM-static buffer instead (LocalStore pattern)
+    StreamDedupSpec.pairs.clear()
+    def start() = StreamDedup.candidatePairs(input.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamDedup.CandidatePair], _: Long) =>
+        val rows = batch.collect()
+        StreamDedupSpec.pairs.synchronized {
+          StreamDedupSpec.pairs ++= rows.map(p => (p.aId, p.bId))
+        }
+        ()
+      }.start()
+    val q1 = start()
+    input.addData(10L -> dup)
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    try {
+      input.addData(11L -> dup)
+      q2.processAllAvailable()
+      val got = StreamDedupSpec.pairs.synchronized(StreamDedupSpec.pairs.toSet)
+      assert(got.contains((10L, 11L)),
+        s"doc 10 was seen before the restart and must still pair: $got")
+    } finally q2.stop()
+  }
+}
