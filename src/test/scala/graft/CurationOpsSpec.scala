@@ -60,6 +60,18 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q67 keeps exactly one member per component, and it has the max quality") {
+    val rows = ops.DedupOpsImpl.dedupKeepBest(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("component")).foreach { case (comp, members) =>
+      val kept = members.filter(_.getAs[Boolean]("keep"))
+      assert(kept.length == 1, s"component $comp must keep exactly one member")
+      val maxQ = members.map(_.getAs[Double]("quality")).max
+      assert(kept.head.getAs[Double]("quality") == maxQ,
+        s"component $comp kept a non-best member")
+    }
+  }
+
   test("q48 repetition signals match an independent recomputation") {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text")).collect()

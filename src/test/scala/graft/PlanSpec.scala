@@ -122,6 +122,12 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("SortMergeJoin"), s"metadata join must hash/broadcast at this size:\n$s")
   }
 
+  test("q67 keep-best broadcasts the pair-graph component map against the corpus scan") {
+    val s = plan(ops.DedupOpsImpl.dedupKeepBest(spark, dir))
+    assert(s.contains("BroadcastHashJoin"), s"component map must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"corpus must not sort-merge for the component join:\n$s")
+  }
+
   test("q39 chunking is a narrow generator: no shuffle before the presentation sort") {
     val df = ops.TextOpsImpl.chunkDocuments(spark, dir).queryExecution.analyzed match {
       case org.apache.spark.sql.catalyst.plans.logical.Sort(_, _, child, _) =>
