@@ -2,7 +2,8 @@ package graft.streaming
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** INCREMENTAL near-duplicate detection: the batch MinHash-LSH banding
@@ -84,5 +85,42 @@ object StreamDedup {
           state.update(BucketState(ids))
           out.result().iterator
       }
+  }
+
+  /** The EXACT-verify stage that completes candidates-then-verify: compute
+    * true 3-token-shingle Jaccard for each candidate pair against the
+    * document store and keep pairs ≥ `threshold`. Runs per micro-batch
+    * inside `foreachBatch` (or as a plain batch job): the join touches
+    * only candidate ids × their two documents, never pairs the corpus.
+    * Same shingle semantics as `DedupOpsImpl.shingles`/`ngramJaccard`, so
+    * a pair verified here is exactly a pair q41 would report.
+    *
+    * @param pairs distinct candidate pairs with columns (aId, bId)
+    * @param docs  document store with columns (doc_id, text)
+    */
+  def verifyExact(pairs: DataFrame, docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sh = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(expr(
+          """array_distinct(filter(transform(sequence(1, size(toks)),
+            |  i -> concat(try_element_at(toks, i), ' ', try_element_at(toks, i + 1),
+            |              ' ', try_element_at(toks, i + 2))),
+            |  x -> x IS NOT NULL))""".stripMargin)).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val p = pairs.select(col("aId"), col("bId")).distinct()
+    // equi-join on (bId, sh): the shared-shingle count is computed by hash
+    // join on the shingle key, never by crossing the two shingle sets
+    val inter = p
+      .join(sh.select(col("doc_id").as("aId"), col("sh")), "aId")
+      .join(sh.select(col("doc_id").as("bId"), col("sh")), Seq("bId", "sh"))
+      .groupBy(col("aId"), col("bId")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("aId"), col("n").as("na")), "aId")
+      .join(sizes.select(col("doc_id").as("bId"), col("n").as("nb")), "bId")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("aId"), col("bId"), col("jaccard"))
   }
 }

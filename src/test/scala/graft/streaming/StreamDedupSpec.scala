@@ -70,6 +70,28 @@ class StreamDedupSpec extends SparkSpec {
     }
   }
 
+  test("verifyExact on streamed candidates agrees with the batch Jaccard operator") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val streamed = runStream(Seq(
+      docs.as[(Long, String)].collect().toSeq.sortBy(_._1)))
+    val cand = streamed.toSeq.toDF("aId", "bId")
+    val verified = StreamDedup.verifyExact(cand, docs)
+      .select(col("aId"), col("bId")).as[(Long, Long)].collect().toSet
+    // differential check: recompute full-shingle Jaccard in plain Scala
+    val texts = docs.as[(Long, String)].collect().toMap
+    def shingleSet(t: String): Set[String] =
+      t.split(" ", -1).toSeq.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    val expected = streamed.filter { case (a, b) =>
+      val (sa, sb) = (shingleSet(texts(a)), shingleSet(texts(b)))
+      val inter = (sa & sb).size
+      inter.toDouble / (sa.size + sb.size - inter) >= 0.5
+    }
+    assert(verified.nonEmpty, "expected some verified near-dups at sf0.001")
+    assert(verified == expected,
+      s"SQL verify must equal the Scala recomputation: extra=${verified -- expected} missing=${expected -- verified}")
+  }
+
   test("restart from checkpoint keeps bucket state (no duplicate-free re-pairing)") {
     val ckpt = java.nio.file.Files.createTempDirectory("sdckpt").toString
     val dup = "persistent state must survive a full stop and restart of the query"
