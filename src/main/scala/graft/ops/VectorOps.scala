@@ -276,6 +276,33 @@ object VectorOpsImpl {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** IVF-PQ: the canonical billion-scale ANN index layout (coarse quantizer
+    * prunes, product quantizer compresses) — probe the query's coarse
+    * cluster, rank the IN-CLUSTER candidates by ADC over the 8-byte codes.
+    * At 100 TB the corpus is partitioned by coarse cluster and stores only
+    * codes: a query touches 1/k of the partitions and 1/32 of the bytes —
+    * both prunings compose. Here both index views are the memoized cached
+    * ones (assignment + codes), so the probe is a broadcast hash join
+    * against cached columns; exact re-rank of the ADC top-k (q66's stage 2)
+    * completes the production pipeline. */
+  def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val asg = assignCache.computeIfAbsent((s, dir), _ => assignAll(s, dir).cache())
+    val codes = pqIndexCache.computeIfAbsent((s, dir), _ => pqCodes(s, dir).cache())
+    val q = asg.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("assigned").as("qcluster"))
+    val c = asg.select(col("vec_id").as("neighbor_id"), col("assigned").as("ncluster"))
+      .join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    val joined = broadcast(q).join(c,
+        col("qcluster") === col("ncluster") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", adcDistance(centroidVectors(s, dir)))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
+    joined.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("adc"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** Metadata-FILTERED ANN (top-3 cosine among corpus vectors whose joined
     * document is lang = 'en') — the classically hard vector-search shape:
     * dedicated vector stores bolt filters on after the fact (post-filter →
@@ -813,6 +840,56 @@ object VectorOps {
          |rr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM ex)
          |SELECT query_id, rn, neighbor_id, cosine FROM rr WHERE rn <= 3
+         |ORDER BY query_id, rn""".stripMargin
+    }),
+
+    Q("q68_embed_ivfpq", ivfPqTopK, Some {
+      val sums = (1 to Dims).map(i =>
+        s"${duckCentComp(i)} / COUNT(*) AS c$i")
+        .mkString(", ")
+      val dist = (1 to Dims).map(i =>
+        s"(CAST(e.embedding[$i] AS DOUBLE) - c.c$i) * (CAST(e.embedding[$i] AS DOUBLE) - c.c$i)")
+        .mkString(" + ")
+      def sub(m: Int) = ((m * PqSub + 1) to (m * PqSub + PqSub)).map(i =>
+        s"(CAST(e.embedding[$i] AS DOUBLE) - c.c$i) * (CAST(e.embedding[$i] AS DOUBLE) - c.c$i)")
+        .mkString(" + ")
+      val dcols = (0 until PqM).map(m => s"(${sub(m)}) AS d$m").mkString(",\n    ")
+      val rns = (0 until PqM).map(m =>
+        s"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d$m, clabel) AS r$m").mkString(",\n    ")
+      val codeCols = (0 until PqM).map(m =>
+        s"MAX(CASE WHEN r$m = 1 THEN clabel END) AS code$m").mkString(",\n  ")
+      def subQ(m: Int) = ((m * PqSub + 1) to (m * PqSub + PqSub)).map(i =>
+        s"(CAST(a.embedding[$i] AS DOUBLE) - c$m.c$i) * (CAST(a.embedding[$i] AS DOUBLE) - c$m.c$i)")
+        .mkString(" + ")
+      val adc = (0 until PqM).map(m => s"(${subQ(m)})").mkString("\n      + ")
+      val codeJoins = (0 until PqM).map(m =>
+        s"JOIN c c$m ON c$m.clabel = n.code$m").mkString("\n  ")
+      s"""WITH c AS (SELECT CAST(label AS BIGINT) AS clabel, $sums
+         |  FROM embeddings GROUP BY label),
+         |dd AS (
+         |  SELECT e.vec_id, c.clabel, ($dist) AS dist2,
+         |    $dcols
+         |  FROM embeddings e, c),
+         |rr0 AS (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, clabel) AS crn,
+         |    $rns
+         |  FROM dd),
+         |asg AS (SELECT vec_id, clabel AS assigned FROM rr0 WHERE crn = 1),
+         |codes AS (SELECT vec_id,
+         |    $codeCols
+         |  FROM rr0 GROUP BY vec_id),
+         |adc AS (
+         |  SELECT a.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    $adc AS adc
+         |  FROM embeddings a
+         |  JOIN asg qa ON qa.vec_id = a.vec_id
+         |  JOIN asg nb ON nb.vec_id <> a.vec_id AND nb.assigned = qa.assigned
+         |  JOIN codes n ON n.vec_id = nb.vec_id
+         |  $codeJoins
+         |  WHERE a.vec_id < 8),
+         |rr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY adc, neighbor_id) AS BIGINT) AS rn FROM adc)
+         |SELECT query_id, rn, neighbor_id, adc FROM rr WHERE rn <= 3
          |ORDER BY query_id, rn""".stripMargin
     }),
 

@@ -122,6 +122,14 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("SortMergeJoin"), s"metadata join must hash/broadcast at this size:\n$s")
   }
 
+  test("q68 IVF-PQ probes and ranks over the cached index views only") {
+    val s = plan(ops.VectorOpsImpl.ivfPqTopK(spark, dir))
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"probe must not sort-merge:\n$s")
+    assert(s.contains("InMemoryTableScan"), s"must read the cached index views:\n$s")
+  }
+
   test("q67 keep-best broadcasts the pair-graph component map against the corpus scan") {
     val s = plan(ops.DedupOpsImpl.dedupKeepBest(spark, dir))
     assert(s.contains("BroadcastHashJoin"), s"component map must broadcast:\n$s")
