@@ -460,6 +460,26 @@ object VectorOpsImpl {
       s"CASE WHEN ($proj) > 0.0 THEN ${1L << j} ELSE 0 END"
     }.mkString(" + ")
 
+  /** Johnson-Lindenstrauss random projection 64 → 16 dims over the SAME
+    * deterministic ±1 hyperplanes the sign-LSH uses (sign-LSH IS the 1-bit
+    * quantization of this projection): p_j = Σ_i h_j(i)·x_i · 1/√16. The
+    * cheap distance path of a 100 TB pipeline — a 4× smaller dense sketch
+    * whose pairwise distances approximate the original within JL bounds,
+    * used to pre-filter before exact math. One narrow codegen'd pass; the
+    * 1/√16 = 0.25 scale is exactly representable, so both engines emit
+    * identical bits. First four projected dims exposed for the gate. */
+  def jlProject(s: SparkSession, dir: String): DataFrame = {
+    def proj(j: Int) = {
+      val sum = (1 to Dims)
+        .map(i => s"${hyperplanes(j)(i - 1)} * CAST(element_at(embedding, $i) AS DOUBLE)")
+        .mkString(" + ")
+      expr(s"($sum) * 0.25").as(s"p$j")
+    }
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id") +: (0 until 4).map(proj): _*)
+      .orderBy(col("vec_id"))
+  }
+
   /** Spark side uses the native SignLshExpr (codegen-safe single pass,
     * bitwise-equal to the unrolled SQL the DuckDB oracle runs). */
   def lshBuckets(s: SparkSession, dir: String): DataFrame =
@@ -674,6 +694,18 @@ object VectorOps {
          |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
     Q("q56_embed_near_dup", (s, d) => cosineNearDupPairs(s, d), Some(nearDupPairsSql)),
+
+    Q("q69_embed_jl_project", jlProject, Some {
+      val projs = (0 until 4).map { j =>
+        val sum = (1 to Dims)
+          .map(i => s"${hyperplanes(j)(i - 1)} * CAST(embedding[$i] AS DOUBLE)")
+          .mkString(" + ")
+        s"($sum) * 0.25 AS p$j"
+      }.mkString(",\n  ")
+      s"""SELECT vec_id,
+         |  $projs
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+    }),
 
     Q("q65_embed_filtered_topk", filteredTopK, Some(
       s"""WITH c AS (
