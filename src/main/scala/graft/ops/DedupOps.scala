@@ -162,8 +162,25 @@ object DedupOpsImpl {
     * rounds (at cluster scale: checkpoint to storage). Rounds needed =
     * component diameter, which for near-dup clusters is tiny; 20 is a hard
     * safety bound. Deterministic: min() propagation has a unique fixpoint. */
+  /** Memoized CACHED shingle-pair component map per (session, dir): q46 and
+    * q67 share one label-propagation run instead of re-iterating the same
+    * pair graph. Same immutable-dir assumption and invalidation hook
+    * ([[clearCaches]]) as the vector-side index memos. */
+  private val componentsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Unpersist and drop the memoized component maps. */
+  def clearCaches(): Unit = {
+    componentsCache.values.forEach(df => df.unpersist())
+    componentsCache.clear()
+  }
+
+  private def shingleComponents(s: SparkSession, dir: String): DataFrame =
+    componentsCache.computeIfAbsent((s, dir), _ =>
+      connectedComponents(ngramJaccard(s, dir).select(col("a_id"), col("b_id"))).cache())
+
   def dedupComponents(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(ngramJaccard(s, dir).select(col("a_id"), col("b_id")))
+    shingleComponents(s, dir)
       .select(col("id").as("doc_id"), col("comp").as("component"))
       .orderBy(col("doc_id"))
 
@@ -179,7 +196,7 @@ object DedupOpsImpl {
     * capped by the LSH bucket caps upstream). The 100 TB corpus is scanned
     * once and never shuffled — only component members reach the window. */
   def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
-    val comps = connectedComponents(ngramJaccard(s, dir).select(col("a_id"), col("b_id")))
+    val comps = shingleComponents(s, dir)
       .select(col("id").as("doc_id"), col("comp").as("component"))
     val quality = TextOpsImpl.qualityScore(s, dir).select(col("doc_id"), col("quality"))
     val w = org.apache.spark.sql.expressions.Window
