@@ -480,6 +480,55 @@ object VectorOpsImpl {
       .orderBy(col("vec_id"))
   }
 
+  /** All 16 JL projections as columns (p0…p15) — the dense sketch table.
+    * At scale this is materialized next to the corpus like the PQ codes. */
+  private def jlSketch(s: SparkSession, dir: String): DataFrame = {
+    def proj(j: Int) = {
+      val sum = (1 to Dims)
+        .map(i => s"${hyperplanes(j)(i - 1)} * CAST(element_at(embedding, $i) AS DOUBLE)")
+        .mkString(" + ")
+      expr(s"($sum) * 0.25").as(s"p$j")
+    }
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id") +: (0 until 16).map(proj): _*)
+  }
+
+  /** Two-stage retrieval on the JL sketch: shortlist top-10 by 16-dim
+    * sketch L2 (4× fewer multiply-adds per candidate than the raw 64-dim
+    * distance, and at deployment the sketch table is ¼ the bytes), then
+    * exact cosine re-rank of the shortlist — the dense-sketch sibling of
+    * the PQ path (q66): same candidates-then-verify economics, different
+    * compression point on the accuracy/size curve. */
+  def jlRerank(s: SparkSession, dir: String, shortlist: Int = 10): DataFrame = {
+    val sk = jlSketch(s, dir)
+    val q = sk.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id") +:
+        (0 until 16).map(j => col(s"p$j").as(s"qp$j")): _*)
+    val n = sk.select(col("vec_id").as("neighbor_id") +:
+      (0 until 16).map(j => col(s"p$j")): _*)
+    val d16 = (0 until 16).map { j =>
+      val d = col(s"qp$j") - col(s"p$j")
+      d * d
+    }.reduce(_ + _)
+    val wa = Window.partitionBy(col("query_id")).orderBy(col("d16"), col("neighbor_id"))
+    val short = broadcast(q).join(n, col("neighbor_id") =!= col("query_id"))
+      .withColumn("d16", d16)
+      .withColumn("arn", row_number().over(wa))
+      .filter(col("arn") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val e = Tables(s, dir, "embeddings")
+    val exact = broadcast(short)
+      .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")), "neighbor_id")
+      .withColumn("cosine",
+        expr(s"(${sparkDot("qe", "ce")}) / (sqrt(${sparkDot("qe", "qe")}) * sqrt(${sparkDot("ce", "ce")}))"))
+    val wr = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    exact.withColumn("rn", row_number().over(wr).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** Spark side uses the native SignLshExpr (codegen-safe single pass,
     * bitwise-equal to the unrolled SQL the DuckDB oracle runs). */
   def lshBuckets(s: SparkSession, dir: String): DataFrame =
@@ -694,6 +743,39 @@ object VectorOps {
          |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
     Q("q56_embed_near_dup", (s, d) => cosineNearDupPairs(s, d), Some(nearDupPairsSql)),
+
+    Q("q70_embed_jl_rerank", (s, d) => jlRerank(s, d), Some {
+      val projs = (0 until 16).map { j =>
+        val sum = (1 to Dims)
+          .map(i => s"${hyperplanes(j)(i - 1)} * CAST(embedding[$i] AS DOUBLE)")
+          .mkString(" + ")
+        s"($sum) * 0.25 AS p$j"
+      }.mkString(",\n    ")
+      val d16 = (0 until 16).map(j => s"(q.p$j - n.p$j) * (q.p$j - n.p$j)").mkString(" + ")
+      s"""WITH sk AS (
+         |  SELECT vec_id,
+         |    $projs
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, ($d16) AS d16
+         |  FROM sk q, sk n
+         |  WHERE q.vec_id < 8 AND n.vec_id <> q.vec_id),
+         |sl AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY d16, neighbor_id) AS arn FROM pairs),
+         |ex AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |    (${duckDot("a.embedding", "b.embedding")})
+         |      / (sqrt(${duckDot("a.embedding", "a.embedding")})
+         |         * sqrt(${duckDot("b.embedding", "b.embedding")})) AS cosine
+         |  FROM sl s
+         |  JOIN embeddings a ON a.vec_id = s.query_id
+         |  JOIN embeddings b ON b.vec_id = s.neighbor_id
+         |  WHERE s.arn <= 10),
+         |rr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM ex)
+         |SELECT query_id, rn, neighbor_id, cosine FROM rr WHERE rn <= 3
+         |ORDER BY query_id, rn""".stripMargin
+    }),
 
     Q("q69_embed_jl_project", jlProject, Some {
       val projs = (0 until 4).map { j =>
