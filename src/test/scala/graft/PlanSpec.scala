@@ -130,6 +130,22 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("InMemoryTableScan"), s"must read the cached index views:\n$s")
   }
 
+  test("q69 JL projection is a narrow codegen'd scan: no shuffle before the sort") {
+    val df = ops.VectorOpsImpl.jlProject(spark, dir).queryExecution.analyzed match {
+      case org.apache.spark.sql.catalyst.plans.logical.Sort(_, _, child, _) =>
+        org.apache.spark.sql.graftshim.Bridge.ofRows(spark, child)
+      case _ => fail("expected a top-level Sort to strip")
+    }
+    val s = plan(df)
+    assert(!s.contains("Exchange"), s"projection must not shuffle:\n$s")
+  }
+
+  test("q70 JL rerank never sort-merges; both stages broadcast the small side") {
+    val s = plan(ops.VectorOpsImpl.jlRerank(spark, dir))
+    assert(!s.contains("SortMergeJoin"), s"shortlist/rerank joins must broadcast:\n$s")
+    assert(s.contains("LessThan(vec_id,8)"), s"query filter must push into the scan:\n$s")
+  }
+
   test("q67 keep-best broadcasts the pair-graph component map against the corpus scan") {
     val s = plan(ops.DedupOpsImpl.dedupKeepBest(spark, dir))
     assert(s.contains("BroadcastHashJoin"), s"component map must broadcast:\n$s")
