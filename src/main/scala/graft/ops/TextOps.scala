@@ -239,6 +239,49 @@ object TextOpsImpl {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** CONTENT-DEFINED chunking: boundaries where the hash of the local
+    * 5-char window drops below a threshold (md5 first byte < 8 → expected
+    * chunk ≈ 32 chars), instead of at fixed offsets. The property fixed
+    * windows (q39) lack: inserting one character shifts every later fixed
+    * chunk but leaves all content-defined chunks after the next boundary
+    * IDENTICAL — so chunk-hash dedup keeps matching across edited
+    * near-copies. Same technique storage dedup uses, applied to corpus
+    * text.
+    *
+    * Scale shape: a generator (one row per window position) feeding a
+    * doc-scoped window function — the shuffle key is doc_id
+    * (high-cardinality), work per doc is O(len), and the boundary decision
+    * is pure hashing: deterministic across engines, retries, partitionings. */
+  val CdcWindow = 5
+  val CdcBoundaryMax = 8 // md5 first byte < 8 → boundary (density 8/256)
+
+  def contentDefinedChunks(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    def byteOf(h: String) =
+      s"(instr('0123456789abcdef', substr($h, 1, 1)) - 1) * 16" +
+        s" + (instr('0123456789abcdef', substr($h, 2, 1)) - 1)"
+    val positions = Tables(s, dir, "documents")
+      .withColumn("len", length(col("text")))
+      .select(col("doc_id"), col("text"), col("len"),
+        posexplode(expr(s"sequence(1, greatest(len - ${CdcWindow - 1}, 1))"))
+          .as(Seq("pp", "i")))
+    val boundaries = positions
+      .filter(col("i") === 1 ||
+        expr(s"${byteOf(s"md5(substr(text, i, $CdcWindow))")} < $CdcBoundaryMax"))
+      .select(col("doc_id"), col("text"), col("len"), col("i"))
+    val chunked = boundaries
+      .withColumn("nxt", lead(col("i"), 1).over(w.partitionBy(col("doc_id")).orderBy(col("i"))))
+      .withColumn("chunk_idx",
+        (row_number().over(w.partitionBy(col("doc_id")).orderBy(col("i"))) - 1).cast(LongType))
+      .withColumn("chunk_start", col("i").cast(LongType))
+      .withColumn("chunk_len",
+        (coalesce(col("nxt") - 1, col("len")) - col("i") + 1).cast(LongType))
+    chunked.select(
+        col("doc_id"), col("chunk_idx"), col("chunk_start"), col("chunk_len"),
+        expr("md5(substr(text, i, CAST(chunk_len AS INT)))").as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Gopher-style repetition signals per document: distinct-token ratio,
     * most-frequent-token fraction, most-frequent-bigram fraction. The
     * standard cheap filters for degenerate/boilerplate text ahead of
@@ -479,6 +522,28 @@ object TextOps {
          |SELECT doc_id, lang, n_tok, quality,
          |  CAST(FLOOR((cum - n_tok) / 512) AS BIGINT) AS bin
          |FROM packed ORDER BY lang, doc_id""".stripMargin
+    }),
+
+    Q("q71_text_cdc_chunks", contentDefinedChunks, Some {
+      def byteOf(h: String) =
+        s"(strpos('0123456789abcdef', substr($h, 1, 1)) - 1) * 16" +
+          s" + (strpos('0123456789abcdef', substr($h, 2, 1)) - 1)"
+      s"""WITH pos AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    unnest(generate_series(1, greatest(length(text) - ${CdcWindow - 1}, 1))) AS i
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, text, len, i FROM pos
+         |  WHERE i = 1 OR ${byteOf(s"md5(substr(text, CAST(i AS INT), $CdcWindow))")} < $CdcBoundaryMax),
+         |c AS (
+         |  SELECT doc_id, text, len, i,
+         |    LEAD(i) OVER (PARTITION BY doc_id ORDER BY i) AS nxt,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS BIGINT) AS chunk_idx
+         |  FROM b)
+         |SELECT doc_id, chunk_idx, CAST(i AS BIGINT) AS chunk_start,
+         |  CAST(coalesce(nxt - 1, len) - i + 1 AS BIGINT) AS chunk_len,
+         |  md5(substr(text, CAST(i AS INT), CAST(coalesce(nxt - 1, len) - i + 1 AS INT))) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
     }),
 
     Q("q48_text_repetition", repetitionSignals, Some(

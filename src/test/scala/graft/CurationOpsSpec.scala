@@ -72,6 +72,26 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q71 content-defined chunks survive a prefix edit; fixed windows don't") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ") // ~270 chars
+    val edited = "X" + base                             // one char inserted at front
+    val tmp = java.nio.file.Files.createTempDirectory("cdcdocs").toString
+    Seq((1L, base, "en", "t", base.length.toLong),
+        (2L, edited, "en", "t", edited.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val chunks = ops.TextOpsImpl.contentDefinedChunks(spark, tmp)
+      .select(col("doc_id"), col("chunk_md5")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    val shared = chunks(1L) & chunks(2L)
+    // everything from the first post-edit boundary onward re-aligns: only
+    // the leading chunk (whose content absorbed the edit) may differ
+    assert(shared.size >= chunks(1L).size - 1,
+      s"content-defined chunks must re-align after the edit: ${chunks(1L).size} vs shared ${shared.size}")
+    assert(chunks(1L).size > 2, "expected several chunks for a ~270-char doc")
+  }
+
   test("q48 repetition signals match an independent recomputation") {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text")).collect()
