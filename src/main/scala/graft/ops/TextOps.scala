@@ -330,6 +330,58 @@ object TextOpsImpl {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-budget truncation: cap every document at [[TruncateTokens]]
+    * whitespace tokens (the standard context-length guard before packing /
+    * tokenization). Pure narrow transform — `slice` on the token array
+    * inside codegen, no shuffle; emits old/new token counts so the
+    * pipeline can account for dropped volume instead of losing it
+    * silently. */
+  val TruncateTokens = 40
+
+  def truncateTokens(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_tok"),
+        least(size(col("toks")).cast(LongType), lit(TruncateTokens.toLong)).as("kept_tok"),
+        expr(s"concat_ws(' ', slice(toks, 1, $TruncateTokens))").as("truncated"))
+      .withColumn("truncated_chars", length(col("truncated")).cast(LongType))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic global shuffle with explicit positions: a reproducible
+    * total order by `md5('shuf:' || doc_id)` — what "shuffle the training
+    * corpus" must mean at 100 TB, where `rand()` is neither stable across
+    * retries nor across partitionings. The global POSITION is computed
+    * scalably: rank within each of 256 hash-prefix buckets (a
+    * 256-way-parallel window — the first hash byte IS the bucket, so
+    * (bucket, key) order equals key order), plus per-bucket offsets from
+    * the 256-row size table (metadata-sized window). No single reducer
+    * ever sees the corpus — the naive `row_number() OVER (ORDER BY key)`
+    * would. */
+  def deterministicShuffle(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val keyed = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat(lit("shuf:"), col("doc_id").cast(StringType))).as("shuffle_key"))
+      .withColumn("bucket", expr(
+        "CAST((instr('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1) * 16" +
+          " + (instr('0123456789abcdef', substr(shuffle_key, 2, 1)) - 1) AS BIGINT)"))
+    val ranked = keyed.withColumn("rn",
+      row_number().over(w.partitionBy(col("bucket"))
+        .orderBy(col("shuffle_key"), col("doc_id"))).cast(LongType))
+    val offsets = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(w.orderBy(col("bucket"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("bucket"), col("off"))
+    ranked.join(broadcast(offsets), "bucket")
+      .select(col("doc_id"), col("shuffle_key"),
+        (col("off") + col("rn")).as("shuffle_pos"))
+      .orderBy(col("shuffle_pos"))
+  }
+
   /** The composed END-TO-END curation pipeline — the flagship shape a
     * training-data engine actually runs: quality filter → exact dedup
     * (canonical = min doc_id per identical text) → deterministic
@@ -522,6 +574,31 @@ object TextOps {
          |SELECT doc_id, lang, n_tok, quality,
          |  CAST(FLOOR((cum - n_tok) / 512) AS BIGINT) AS bin
          |FROM packed ORDER BY lang, doc_id""".stripMargin
+    }),
+
+    Q("q72_text_truncate", truncateTokens, Some(
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |  least(CAST(len(string_split(text, ' ')) AS BIGINT), ${TruncateTokens}) AS kept_tok,
+         |  array_to_string(list_slice(string_split(text, ' '), 1, $TruncateTokens), ' ') AS truncated,
+         |  CAST(length(array_to_string(list_slice(string_split(text, ' '), 1, $TruncateTokens), ' ')) AS BIGINT) AS truncated_chars
+         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("q73_text_shuffle", deterministicShuffle, Some {
+      val byte = "(strpos('0123456789abcdef', substr(skey, 1, 1)) - 1) * 16" +
+        " + (strpos('0123456789abcdef', substr(skey, 2, 1)) - 1)"
+      s"""WITH k AS (
+         |  SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS skey
+         |  FROM documents),
+         |b AS (SELECT doc_id, skey, CAST($byte AS BIGINT) AS bucket FROM k),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY bucket
+         |    ORDER BY skey, doc_id) AS BIGINT) AS rn FROM b),
+         |sz AS (SELECT bucket, COUNT(*) AS c FROM b GROUP BY bucket),
+         |off AS (SELECT bucket, COALESCE(SUM(c) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM sz)
+         |SELECT doc_id, skey AS shuffle_key, CAST(off + rn AS BIGINT) AS shuffle_pos
+         |FROM r JOIN off USING (bucket)
+         |ORDER BY shuffle_pos""".stripMargin
     }),
 
     Q("q71_text_cdc_chunks", contentDefinedChunks, Some {
