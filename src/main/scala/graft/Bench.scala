@@ -34,18 +34,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The driver parses stdout for the JSON line; sbt's default LoggedOutput
-    // strategy wraps forked-run output in "[info] ..." (BENCH_r01/r02 both
-    // recorded parsed:null). build.sbt now sets `run / outputStrategy :=
-    // StdoutOutput` so this line passes through unprefixed; stderr + a file
-    // are belt-and-braces fallbacks.
-    println(line)
     System.err.println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    // The driver parses stdout for the JSON line; sbt's default LoggedOutput
+    // strategy wraps forked-run output in "[info] ..." (BENCH_r01/r02 both
+    // recorded parsed:null; r3 still did despite `run / outputStrategy :=
+    // StdoutOutput`). Make the line the LAST stdout act of the process —
+    // after spark.stop()'s shutdown chatter — so a tail-anchored parse
+    // cannot miss it; stderr + the file above are the fallbacks.
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

@@ -248,37 +248,39 @@ object TextOpsImpl {
     * near-copies. Same technique storage dedup uses, applied to corpus
     * text.
     *
-    * Scale shape: a generator (one row per window position) feeding a
-    * doc-scoped window function — the shuffle key is doc_id
-    * (high-cardinality), work per doc is O(len), and the boundary decision
-    * is pure hashing: deterministic across engines, retries, partitionings. */
+    * Scale shape: ONE narrow codegen'd pass — the boundary-position array
+    * is a per-row `filter(sequence(...))` expression and chunks come from a
+    * `transform` + posexplode over it, so the doc never leaves its input
+    * partition and nothing shuffles (the earlier formulation exploded one
+    * row per window position and carried the full text through a doc_id
+    * window shuffle — O(len²/32) shuffle bytes per doc). Work per doc is
+    * O(len) hashing; output O(len/32) rows; the boundary decision is pure
+    * hashing: deterministic across engines, retries, partitionings. */
   val CdcWindow = 5
   val CdcBoundaryMax = 8 // md5 first byte < 8 → boundary (density 8/256)
 
   def contentDefinedChunks(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
     def byteOf(h: String) =
       s"(instr('0123456789abcdef', substr($h, 1, 1)) - 1) * 16" +
         s" + (instr('0123456789abcdef', substr($h, 2, 1)) - 1)"
-    val positions = Tables(s, dir, "documents")
+    val boundaries =
+      s"""filter(sequence(1, greatest(len - ${CdcWindow - 1}, 1)),
+         |  i -> i = 1 OR ${byteOf(s"md5(substr(text, i, $CdcWindow))")} < $CdcBoundaryMax)""".stripMargin
+    Tables(s, dir, "documents")
       .withColumn("len", length(col("text")))
-      .select(col("doc_id"), col("text"), col("len"),
-        posexplode(expr(s"sequence(1, greatest(len - ${CdcWindow - 1}, 1))"))
-          .as(Seq("pp", "i")))
-    val boundaries = positions
-      .filter(col("i") === 1 ||
-        expr(s"${byteOf(s"md5(substr(text, i, $CdcWindow))")} < $CdcBoundaryMax"))
-      .select(col("doc_id"), col("text"), col("len"), col("i"))
-    val chunked = boundaries
-      .withColumn("nxt", lead(col("i"), 1).over(w.partitionBy(col("doc_id")).orderBy(col("i"))))
-      .withColumn("chunk_idx",
-        (row_number().over(w.partitionBy(col("doc_id")).orderBy(col("i"))) - 1).cast(LongType))
-      .withColumn("chunk_start", col("i").cast(LongType))
-      .withColumn("chunk_len",
-        (coalesce(col("nxt") - 1, col("len")) - col("i") + 1).cast(LongType))
-    chunked.select(
-        col("doc_id"), col("chunk_idx"), col("chunk_start"), col("chunk_len"),
-        expr("md5(substr(text, i, CAST(chunk_len AS INT)))").as("chunk_md5"))
+      .withColumn("bnds", expr(boundaries))
+      .select(col("doc_id"), col("text"),
+        posexplode(expr(
+          """transform(bnds, (b, idx) -> struct(
+            |  CAST(b AS BIGINT) AS start,
+            |  CAST(coalesce(try_element_at(bnds, idx + 2) - 1, len) - b + 1 AS BIGINT) AS clen))"""
+            .stripMargin)).as(Seq("pos", "c")))
+      .select(
+        col("doc_id"),
+        col("pos").cast(LongType).as("chunk_idx"),
+        col("c.start").as("chunk_start"),
+        col("c.clen").as("chunk_len"),
+        expr("md5(substr(text, CAST(c.start AS INT), CAST(c.clen AS INT)))").as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 

@@ -70,12 +70,17 @@ object VectorOpsImpl {
     * rounding-mode-free, unlike double→DECIMAL casts — Spark rounds a
     * half-way decimal tie HALF_UP where DuckDB rounds it down; label 1 /
     * dim 38 of sf0.01 is a real such tie, a float equal to odd/2^13),
-    * summed as an exact BIGINT, then divided back in double. Every step is
-    * a fully-determined IEEE op, so any engine computes the same bits. */
+    * summed EXACTLY as DECIMAL(38,0) — a BIGINT sum of 1e12-scaled
+    * components would wrap silently past ~9.2M rows per group in
+    * non-ANSI Spark while DuckDB promotes to HUGEINT, silently breaking
+    * cross-engine parity at larger scale factors; a 38-digit decimal keeps
+    * both engines exact to ~1e26 rows — then divided back in double.
+    * Decimal→double is correctly rounded in both engines, so any engine
+    * computes the same bits. */
   def sparkCentComp(i: Int): String =
-    s"CAST(SUM(CAST(FLOOR(CAST(element_at(embedding, $i) AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12"
+    s"CAST(SUM(CAST(FLOOR(CAST(element_at(embedding, $i) AS DOUBLE) * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12"
   def duckCentComp(i: Int): String =
-    s"CAST(SUM(CAST(FLOOR(CAST(embedding[$i] AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12"
+    s"CAST(SUM(CAST(FLOOR(CAST(embedding[$i] AS DOUBLE) * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12"
 
   /** Exact per-label centroids (order-independent quantized accumulation),
     * first four components exposed. */
@@ -119,10 +124,8 @@ object VectorOpsImpl {
   /** Drop all memoized centroid/assignment state and unpersist the cached
     * assignment views. */
   def clearCaches(): Unit = {
-    assignCache.values.forEach(df => df.unpersist())
-    assignCache.clear()
-    pqIndexCache.values.forEach(df => df.unpersist())
-    pqIndexCache.clear()
+    graft.ops.Memo.clear(assignCache)
+    graft.ops.Memo.clear(pqIndexCache)
     centroidCache.clear()
   }
 
@@ -184,7 +187,7 @@ object VectorOpsImpl {
     // re-deriving the k×64-literal argmin on both sides of the probe join —
     // that also keeps the optimizer from dragging the large argmin
     // expression through join analysis twice.
-    val asg = assignCache.computeIfAbsent((s, dir), _ => assignAll(s, dir).cache())
+    val asg = graft.ops.Memo.getOrCache(assignCache, s, dir, _ => assignAll(s, dir).cache())
     val q = asg.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("assigned").as("qcluster"))
@@ -217,7 +220,7 @@ object VectorOpsImpl {
         val d = elem(i) - lit(cv(i - 1))
         d * d
       }.reduce(_ + _)
-    val asg = assignCache.computeIfAbsent((s, dir), _ => assignAll(s, dir).cache())
+    val asg = graft.ops.Memo.getOrCache(assignCache, s, dir, _ => assignAll(s, dir).cache())
     val probeRank = array_sort(array(cents.map { case (cl, cv) =>
       struct(dist2(cv, embCol("qe")).as("d"), lit(cl).as("l"))
     }: _*))
@@ -251,7 +254,7 @@ object VectorOpsImpl {
   def pqAdcRerank(s: SparkSession, dir: String, shortlist: Int = 10): DataFrame = {
     val q = Tables(s, dir, "embeddings").filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val n = pqIndexCache.computeIfAbsent((s, dir), _ => pqCodes(s, dir).cache())
+    val n = graft.ops.Memo.getOrCache(pqIndexCache, s, dir, _ => pqCodes(s, dir).cache())
       .withColumnRenamed("vec_id", "neighbor_id")
     val wa = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
     val short = broadcast(q).join(n, col("neighbor_id") =!= col("query_id"))
@@ -286,8 +289,8 @@ object VectorOpsImpl {
     * against cached columns; exact re-rank of the ADC top-k (q66's stage 2)
     * completes the production pipeline. */
   def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
-    val asg = assignCache.computeIfAbsent((s, dir), _ => assignAll(s, dir).cache())
-    val codes = pqIndexCache.computeIfAbsent((s, dir), _ => pqCodes(s, dir).cache())
+    val asg = graft.ops.Memo.getOrCache(assignCache, s, dir, _ => assignAll(s, dir).cache())
+    val codes = graft.ops.Memo.getOrCache(pqIndexCache, s, dir, _ => pqCodes(s, dir).cache())
     val q = asg.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("assigned").as("qcluster"))
@@ -429,7 +432,7 @@ object VectorOpsImpl {
   def pqAdcTopK(s: SparkSession, dir: String): DataFrame = {
     val q = Tables(s, dir, "embeddings").filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val n = pqIndexCache.computeIfAbsent((s, dir), _ => pqCodes(s, dir).cache())
+    val n = graft.ops.Memo.getOrCache(pqIndexCache, s, dir, _ => pqCodes(s, dir).cache())
       .withColumnRenamed("vec_id", "neighbor_id")
     val joined = broadcast(q).join(n, col("neighbor_id") =!= col("query_id"))
       .withColumn("adc", adcDistance(centroidVectors(s, dir)))

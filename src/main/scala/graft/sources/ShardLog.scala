@@ -135,7 +135,11 @@ object ShardLog {
       } else Vector.empty
       val mapper = new ObjectMapper()
       def seqOf(line: String): String = mapper.readTree(line).get("sequenceNumber").asText()
-      val merged = (existing ++ rs.map(_.getString(2))).sortBy(seqOf)
+      // dedupe by sequence number (first occurrence wins) so re-running the
+      // recorder over the same events is idempotent instead of silently
+      // doubling every record in the log
+      val merged = (existing ++ rs.map(_.getString(2)))
+        .groupBy(seqOf).toSeq.sortBy(_._1).map(_._2.head)
       val out = fs.create(f, true)
       try merged.foreach { line =>
         out.write((line + "\n").getBytes(StandardCharsets.UTF_8))

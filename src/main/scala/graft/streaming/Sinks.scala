@@ -238,6 +238,16 @@ object Sinks {
     * parallel tasks would otherwise violate. One shuffle on the key, then
     * partition-local writes. */
   def mvSink(table: KeyedTable, keyFields: Seq[String],
+      valueFields: Seq[String]): BatchSink = {
+    // fail at registration, not first batch: with no key fields every upsert
+    // would collapse onto the single key Seq() and the view would silently
+    // retain one row
+    require(keyFields.nonEmpty,
+      "mv sink requires partition-keys and/or clustering-keys in config")
+    mvApply(table, keyFields, valueFields)
+  }
+
+  private def mvApply(table: KeyedTable, keyFields: Seq[String],
       valueFields: Seq[String]): BatchSink = (batch, _) => {
     val keyCols = keyFields.map(f =>
       coalesce(col(s"image.$f"), col(s"oldImage.$f")).as(s"k_$f"))
