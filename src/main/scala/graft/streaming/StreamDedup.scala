@@ -21,15 +21,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * collision, not near-duplication, so it stops admitting and emitting
   * rather than going quadratic). The shuffle key is (band, bucket-hash) —
   * high cardinality, uniformly md5-distributed, so state and work spread
-  * evenly across executors. In production you add an event-time timeout so
-  * buckets age out with the dedup window; the hard cap alone already
-  * bounds memory at (live buckets) × cap × 8 bytes.
+  * evenly across executors. [[candidatePairsWindowed]] adds the event-time
+  * timeout an infinite stream needs: buckets age out with the dedup
+  * window, so live-bucket count is bounded by the window's arrival volume
+  * instead of growing forever (the hard cap alone bounds memory per bucket
+  * but not the bucket count).
+  *
+  * Two key families share the machinery: MinHash bands over text
+  * ([[bandKeys]] — the batch q42 semantics) and sign-LSH bands over
+  * embeddings ([[embedBandKeys]] — the batch q56 semantics), so both text
+  * near-dup and vector near-dup run incrementally.
   */
 object StreamDedup {
 
   final case class DocBand(band: Int, bh: String, docId: Long)
+  final case class TimedDocBand(band: Int, bh: String, docId: Long, ts: java.sql.Timestamp)
   final case class CandidatePair(aId: Long, bId: Long, band: Int)
   final case class BucketState(ids: Seq[Long])
+  final case class WindowedBucketState(ids: Seq[Long], maxTsMs: Long)
 
   val Bands = 4
   val DefaultCap = 50
@@ -60,6 +69,26 @@ object StreamDedup {
     (0 until Bands).map(b => DocBand(b, md5hex(md, lanes(2 * b) + lanes(2 * b + 1)), docId))
   }
 
+  /** Sign-LSH band keys for an embedding — the pure-Scala mirror of the
+    * batch `VectorOpsImpl.bandedSignatures` (q56): 16-bit signature from
+    * the shared deterministic hyperplanes (projections accumulated in the
+    * same left-associative IEEE order as the unrolled SQL, so signatures
+    * are bitwise identical), split into 4 disjoint 4-bit bands. */
+  def embedBandKeys(vecId: Long, emb: Array[Float],
+      bands: Int = graft.ops.VectorOpsImpl.NearDupBands,
+      bandBits: Int = graft.ops.VectorOpsImpl.NearDupBandBits): Seq[DocBand] = {
+    val hp = graft.ops.VectorOpsImpl.hyperplanes
+    var sig = 0L
+    (0 until 16).foreach { j =>
+      var p = 0.0
+      var i = 0
+      while (i < emb.length) { p += hp(j)(i) * emb(i).toDouble; i += 1 }
+      if (p > 0.0) sig |= (1L << j)
+    }
+    val mask = (1L << bandBits) - 1
+    (0 until bands).map(b => DocBand(b, ((sig >> (b * bandBits)) & mask).toString, vecId))
+  }
+
   /** Streaming candidate pairs over a (docId, text) stream. Emits each
     * (smaller, larger) id pair once PER BAND it collides in — downstream
     * dedups with `dropDuplicates` or verifies idempotently, exactly like
@@ -68,7 +97,23 @@ object StreamDedup {
       cap: Int = DefaultCap): Dataset[CandidatePair] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.flatMap { case (id, text) => bandKeys(id, text) }
+    pairsFromBands(docs.flatMap { case (id, text) => bandKeys(id, text) }, cap)
+  }
+
+  /** Streaming EMBEDDING near-dup candidates over a (vecId, embedding)
+    * stream — the vector sibling of [[candidatePairs]], banded sign-LSH
+    * instead of MinHash bands, same bucket state and cap discipline. */
+  def candidatePairsEmbedding(vecs: Dataset[(Long, Array[Float])],
+      cap: Int = DefaultCap): Dataset[CandidatePair] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    pairsFromBands(vecs.flatMap { case (id, emb) => embedBandKeys(id, emb) }, cap)
+  }
+
+  private def pairsFromBands(banded: Dataset[DocBand], cap: Int): Dataset[CandidatePair] = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded
       .groupByKey(db => (db.band, db.bh))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: (Int, String), rows: Iterator[DocBand], state: GroupState[BucketState]) =>
@@ -84,6 +129,60 @@ object StreamDedup {
           }
           state.update(BucketState(ids))
           out.result().iterator
+      }
+  }
+
+  /** [[candidatePairs]] with an EVENT-TIME TTL — the production form for an
+    * infinite stream: each bucket's state expires once the watermark passes
+    * `max event time seen in the bucket + dedupWindowMs`, so documents only
+    * pair with documents from the same dedup window and live-bucket count
+    * is bounded by the window's arrival volume. Expired buckets emit
+    * nothing and are removed; a later arrival re-opens the bucket fresh
+    * (no pairs across the window boundary — that IS the window semantics).
+    *
+    * @param docs             (docId, text, eventTime) stream
+    * @param dedupWindowMs    how long a document stays pair-able
+    * @param watermarkDelayMs max accepted event-time lateness
+    */
+  def candidatePairsWindowed(docs: Dataset[(Long, String, java.sql.Timestamp)],
+      dedupWindowMs: Long, watermarkDelayMs: Long = 0,
+      cap: Int = DefaultCap): Dataset[CandidatePair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .flatMap { case (id, text, ts) =>
+        bandKeys(id, text).map(db => TimedDocBand(db.band, db.bh, db.docId, ts))
+      }
+      .withWatermark("ts", s"$watermarkDelayMs milliseconds")
+      .groupByKey(db => (db.band, db.bh))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, String), rows: Iterator[TimedDocBand],
+            state: GroupState[WindowedBucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val st = state.getOption.getOrElse(WindowedBucketState(Seq.empty, 0L))
+            var ids = st.ids
+            var maxTs = st.maxTsMs
+            val out = Seq.newBuilder[CandidatePair]
+            rows.foreach { db =>
+              maxTs = math.max(maxTs, db.ts.getTime)
+              if (!ids.contains(db.docId) && ids.size < cap) {
+                ids.foreach { e =>
+                  out += CandidatePair(math.min(e, db.docId), math.max(e, db.docId), key._1)
+                }
+                ids = ids :+ db.docId
+              }
+            }
+            state.update(WindowedBucketState(ids, maxTs))
+            // expire when the watermark passes the window after the LAST
+            // arrival; clamp above the current watermark (a timeout in the
+            // past is rejected by the state store)
+            state.setTimeoutTimestamp(
+              math.max(maxTs + dedupWindowMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
       }
   }
 

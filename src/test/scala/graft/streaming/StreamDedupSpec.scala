@@ -70,6 +70,80 @@ class StreamDedupSpec extends SparkSpec {
     }
   }
 
+  test("event-time TTL: in-window dups pair, buckets expire, no pairs across the window") {
+    import java.sql.Timestamp
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val filler1 = "completely unrelated filler content that advances the watermark forward"
+    val filler2 = "another block of unrelated text to trigger the pending bucket timeout"
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val name = s"sdw_${System.nanoTime()}"
+    val q = StreamDedup.candidatePairsWindowed(input.toDS(), dedupWindowMs = 5000)
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName(name).start()
+    try {
+      def pairs(): Set[(Long, Long)] =
+        spark.table(name).select(col("aId"), col("bId")).distinct()
+          .as[(Long, Long)].collect().toSet
+      // batch 1: doc 1 and an in-window dup doc 2 (1s apart, window 5s)
+      input.addData((1L, dup, new Timestamp(1000L)), (2L, dup, new Timestamp(2000L)))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 2L)), s"in-window dup must pair: ${pairs()}")
+      // batch 2 advances the watermark far past 2s + 5s; batch 3 gives the
+      // engine a trigger with NO data for the dup bucket, so its timeout
+      // fires and the bucket is removed
+      input.addData((3L, filler1, new Timestamp(100000L)))
+      q.processAllAvailable()
+      input.addData((4L, filler2, new Timestamp(101000L)))
+      q.processAllAvailable()
+      // batch 4: a dup arriving after the window must NOT pair with 1 or 2
+      input.addData((5L, dup, new Timestamp(102000L)))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 2L)),
+        s"bucket must have expired — no pairs across the window boundary: ${pairs()}")
+      // but the re-opened bucket pairs within the NEW window
+      input.addData((6L, dup, new Timestamp(103000L)))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 2L), (5L, 6L)),
+        s"re-opened bucket must pair within the new window: ${pairs()}")
+    } finally q.stop()
+  }
+
+  test("embedding sign-LSH stream: cross-batch near-dups pair, opposite vectors don't") {
+    val base = Array.tabulate(64)(i => (math.sin(i + 1) * 0.5).toFloat)
+    val near = base.clone(); near(0) = base(0) + 1e-6f // same signature
+    val opposite = base.map(v => -v) // every signature bit flips => no band collides
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    val name = s"sde_${System.nanoTime()}"
+    val q = StreamDedup.candidatePairsEmbedding(input.toDS())
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName(name).start()
+    try {
+      input.addData(1L -> base, 2L -> opposite)
+      q.processAllAvailable()
+      input.addData(3L -> near) // a batch later: state must remember vec 1
+      q.processAllAvailable()
+      val pairs = spark.table(name).select(col("aId"), col("bId")).distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 3L)), s"cross-batch embedding near-dup must be found: $pairs")
+      assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), s"opposite vector is unique: $pairs")
+    } finally q.stop()
+  }
+
+  test("streaming embed band keys equal the batch sign-LSH banding on real vectors") {
+    val dir = "/root/testdata/sf0.001"
+    val batchSig = graft.ops.VectorOpsImpl.lshBuckets(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    vecs.foreach { case (id, emb) =>
+      val bands = StreamDedup.embedBandKeys(id, emb)
+      val sig = batchSig(id)
+      bands.foreach { db =>
+        val expected = (sig >> (db.band * graft.ops.VectorOpsImpl.NearDupBandBits)) &
+          ((1L << graft.ops.VectorOpsImpl.NearDupBandBits) - 1)
+        assert(db.bh == expected.toString, s"band mismatch vec $id band ${db.band}")
+      }
+    }
+  }
+
   test("verifyExact on streamed candidates agrees with the batch Jaccard operator") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
