@@ -10,15 +10,21 @@ import graft.streaming.{Pipeline, Sinks}
 
 /** Streaming app assembly — the Spark analogue of the reference's
   * `KCLMainRunner` (KCLMainRunner.java:25-102): resolve config, build the
-  * source, wire filter → projection → sink, run with checkpointing.
+  * source, wire filter → projection → sink(s), run with checkpointing.
   *
   * Usage: `runMain graft.StreamMain <conf.hocon> <eventsDir> <outDir>`
   *
-  * The source here is Spark's file streaming source over the events parquet
-  * (offline stand-in for the Kinesis/Keyspaces-CDC stream — SURVEY.md §2.1
-  * S1: same envelope, same TRIM_HORIZON-like "earliest" semantics; a real
-  * deployment swaps `readStream.format("kinesis")` behind the same
-  * envelope transform).
+  * `connector.sink` may be a single sink name or a comma-separated list —
+  * a list fans each micro-batch out to every named sink from ONE source
+  * read (the reference runs one KCL process per target; the fan-out form
+  * amortizes the stream consumption across targets and keeps all sinks on
+  * the same checkpointed offsets).
+  *
+  * The default source is Spark's file streaming source over the events
+  * parquet (offline stand-in for the Kinesis/Keyspaces-CDC stream —
+  * SURVEY.md §2.1 S1: same envelope, same TRIM_HORIZON-like "earliest"
+  * semantics); `source = shardlog` swaps in the custom DataSource V2
+  * `MicroBatchStream` over a recorded shard log.
   */
 object StreamMain {
 
@@ -30,21 +36,23 @@ object StreamMain {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  def main(args: Array[String]): Unit = {
-    val Array(confPath, eventsDir, outDir) = args.take(3)
+  /** Everything a caller (CLI or spec) needs to inspect a finished run:
+    * per-sink human report plus the in-memory sink clients. */
+  final case class RunResult(reports: Map[String, String],
+      sqs: Sinks.InMemorySqsClient,
+      mv: Sinks.InMemoryKeyedTable,
+      vec: Sinks.InMemoryVectorIndex)
+
+  /** Assemble and run the configured topology to completion
+    * (Trigger.AvailableNow) against an existing session. */
+  def run(spark: SparkSession, confPath: String, eventsDir: String,
+      outDir: String): RunResult = {
     val conf = GraftConfig.load(confPath)
     val settings = GraftConfig.connector(conf)
-    val sinkName = conf.get(s"${GraftConfig.Root}.connector.sink", "file")
+    val sinkNames = conf.get(s"${GraftConfig.Root}.connector.sink", "file")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val sourceName = conf.get(s"${GraftConfig.Root}.source", "events")
-
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
 
     // source=shardlog: the custom MicroBatchStream over a recorded shard log
     // (graft.sources.ShardLog — per-shard order, TRIM_HORIZON start,
@@ -62,7 +70,7 @@ object StreamMain {
       case _ =>
         val raw = spark.readStream.schema(eventsSchema)
           .option("pathGlobFilter", "events.parquet").parquet(eventsDir)
-          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         CdcSynth.envelope(raw)
     }
 
@@ -74,7 +82,6 @@ object StreamMain {
         settings.timestampPartition, settings.maxMessageSize,
         settings.maxRecordsPerMessage))
       .register("avro", (batch, id) => {
-        import org.apache.spark.sql.functions._
         val fields =
           if (settings.fieldsToInclude.isEmpty) CdcSynth.imageSchema.fieldNames.toSeq
           else CdcSynth.imageSchema.fieldNames.toSeq.filter(settings.fieldsToInclude.contains)
@@ -82,10 +89,16 @@ object StreamMain {
           if (batch.columns.contains("oldImage"))
             fields.map(f => col(s"oldImage.$f").as(s"old_$f"))
           else Nil
+        // shard identity must survive DELETEs (image is null there) — key
+        // on whichever image carries the row, like RecordShardLog
+        val shardKey =
+          if (batch.columns.contains("oldImage"))
+            coalesce(col("image.user_id"), col("oldImage.user_id"))
+          else col("image.user_id")
         val meta = Sinks.metaCol(batch)
         val flat = batch.select(
           (meta.getField("stream_sequence_number").as("__seq") +:
-            pmod(col("image.user_id"), lit(8L)).cast("string").as("__shard") +:
+            pmod(shardKey, lit(8L)).cast("string").as("__shard") +:
             graft.cdc.Cdc.timePartitionPath(
               timestamp_millis(meta.getField("stream_arrival_timestamp")),
               settings.timestampPartition).as("__path") +:
@@ -121,9 +134,13 @@ object StreamMain {
         dims = conf.getInt(s"${GraftConfig.Root}.connector.dimensions", 256),
         metadataFields = listConf("metadata-fields")))
 
+    val sink =
+      if (sinkNames.size == 1) registry(sinkNames.head)
+      else Sinks.fanout(sinkNames.map(registry(_)))
     val query = Pipeline.run(env, settings, CdcSynth.imageSchema,
-      registry(sinkName), s"$outDir/checkpoint", Trigger.AvailableNow()).start()
+      sink, s"$outDir/checkpoint", Trigger.AvailableNow()).start()
     query.awaitTermination()
+
     def filesUnder(dir: String, ext: String): Seq[java.io.File] = {
       val b = Seq.newBuilder[java.io.File]
       def walk(f: java.io.File): Unit =
@@ -131,23 +148,41 @@ object StreamMain {
         else if (f.getName.endsWith(ext)) b += f
       walk(new java.io.File(dir)); b.result()
     }
-    val report = sinkName match {
-      case "file" => s"${spark.read.json(s"$outDir/data").count()} records"
-      case "jsonobj" =>
-        val files = filesUnder(s"$outDir/data", ".json")
-        val recs = files.map(f => spark.read.json(f.getPath).count()).sum
-        s"${files.size} json objects, $recs records"
-      case "avro" =>
-        val files = filesUnder(s"$outDir/data", ".avro")
-        s"${files.size} avro files, ${files.map(f => streaming.AvroSink.readFile(f).size).sum} records"
-      case "sqs" =>
-        val msgs = sqsClient.sent.flatten
-        s"${sqsClient.sent.size} SendMessageBatch calls, ${msgs.size} messages"
-      case "mv" => s"${mvTable.data.size} materialized rows"
-      case "vector" => s"${vecIndex.vectors.size} vectors"
-      case _ => "console output"
+    val reports = sinkNames.map { n =>
+      n -> (n match {
+        case "file" => s"${spark.read.json(s"$outDir/data").count()} records"
+        case "jsonobj" =>
+          val files = filesUnder(s"$outDir/data", ".json")
+          val recs = files.map(f => spark.read.json(f.getPath).count()).sum
+          s"${files.size} json objects, $recs records"
+        case "avro" =>
+          val files = filesUnder(s"$outDir/data", ".avro")
+          s"${files.size} avro files, ${files.map(f => streaming.AvroSink.readFile(f).size).sum} records"
+        case "sqs" =>
+          val msgs = sqsClient.sent.flatten
+          s"${sqsClient.sent.size} SendMessageBatch calls, ${msgs.size} messages"
+        case "mv" => s"${mvTable.data.size} materialized rows"
+        case "vector" => s"${vecIndex.vectors.size} vectors"
+        case _ => "console output"
+      })
+    }.toMap
+    RunResult(reports, sqsClient, mvTable, vecIndex)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(confPath, eventsDir, outDir) = args.take(3)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val result = run(spark, confPath, eventsDir, outDir)
+    result.reports.foreach { case (sink, rep) =>
+      println(s"[stream] $sink: wrote $rep to $outDir/data")
     }
-    println(s"[stream] wrote $report to $outDir/data")
     spark.stop()
   }
 }

@@ -237,6 +237,16 @@ object Sinks {
     * — the reference relies on per-shard sequential apply, which Spark's
     * parallel tasks would otherwise violate. One shuffle on the key, then
     * partition-local writes. */
+  /** Fan one micro-batch out to several sinks from a single source read.
+    * The batch is persisted so each sink reads the materialized rows
+    * instead of re-running the source/filter/projection plan N times —
+    * the multi-target deployment shape (`connector.sink = "a,b,c"`). */
+  def fanout(sinks: Seq[BatchSink]): BatchSink = (batch, id) => {
+    batch.persist()
+    try sinks.foreach(s => s(batch, id))
+    finally batch.unpersist()
+  }
+
   def mvSink(table: KeyedTable, keyFields: Seq[String],
       valueFields: Seq[String]): BatchSink = {
     // fail at registration, not first batch: with no key fields every upsert
