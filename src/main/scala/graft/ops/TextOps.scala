@@ -248,41 +248,31 @@ object TextOpsImpl {
     * near-copies. Same technique storage dedup uses, applied to corpus
     * text.
     *
-    * Scale shape: ONE narrow codegen'd pass — the boundary-position array
-    * is a per-row `filter(sequence(...))` expression and chunks come from a
-    * `transform` + posexplode over it, so the doc never leaves its input
-    * partition and nothing shuffles (the earlier formulation exploded one
-    * row per window position and carried the full text through a doc_id
-    * window shuffle — O(len²/32) shuffle bytes per doc). Work per doc is
+    * Scale shape: ONE compiled pass — the native [[graft.expr.CdcChunksExpr]]
+    * computes boundaries and chunk hashes per row via a static call from
+    * generated code, so the doc never leaves its input partition and the
+    * whole scan stays in WholeStageCodegen. (Both relational formulations
+    * lose one of those: exploding window positions through a doc_id Window
+    * carries the full text across a shuffle — O(len²/32) shuffle bytes per
+    * doc — and a higher-order `filter(sequence(...))` is narrow but Spark
+    * evaluates lambdas interpreted, 2× slower at sf0.1.) Work per doc is
     * O(len) hashing; output O(len/32) rows; the boundary decision is pure
     * hashing: deterministic across engines, retries, partitionings. */
   val CdcWindow = 5
   val CdcBoundaryMax = 8 // md5 first byte < 8 → boundary (density 8/256)
 
-  def contentDefinedChunks(s: SparkSession, dir: String): DataFrame = {
-    def byteOf(h: String) =
-      s"(instr('0123456789abcdef', substr($h, 1, 1)) - 1) * 16" +
-        s" + (instr('0123456789abcdef', substr($h, 2, 1)) - 1)"
-    val boundaries =
-      s"""filter(sequence(1, greatest(len - ${CdcWindow - 1}, 1)),
-         |  i -> i = 1 OR ${byteOf(s"md5(substr(text, i, $CdcWindow))")} < $CdcBoundaryMax)""".stripMargin
+  def contentDefinedChunks(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
-      .withColumn("len", length(col("text")))
-      .withColumn("bnds", expr(boundaries))
-      .select(col("doc_id"), col("text"),
-        posexplode(expr(
-          """transform(bnds, (b, idx) -> struct(
-            |  CAST(b AS BIGINT) AS start,
-            |  CAST(coalesce(try_element_at(bnds, idx + 2) - 1, len) - b + 1 AS BIGINT) AS clen))"""
-            .stripMargin)).as(Seq("pos", "c")))
+      .select(col("doc_id"),
+        posexplode(graft.expr.CdcChunksFunctions.cdcChunks(
+          col("text"), CdcWindow, CdcBoundaryMax)).as(Seq("pos", "c")))
       .select(
         col("doc_id"),
         col("pos").cast(LongType).as("chunk_idx"),
         col("c.start").as("chunk_start"),
-        col("c.clen").as("chunk_len"),
-        expr("md5(substr(text, CAST(c.start AS INT), CAST(c.clen AS INT)))").as("chunk_md5"))
+        col("c.len").as("chunk_len"),
+        col("c.md5").as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))
-  }
 
   /** Gopher-style repetition signals per document: distinct-token ratio,
     * most-frequent-token fraction, most-frequent-bigram fraction. The

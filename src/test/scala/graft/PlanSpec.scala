@@ -65,6 +65,34 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("Exchange"), s"assignment must not shuffle the corpus:\n$s")
   }
 
+  test("q75 learned-codebook assignment is as narrow as the per-label one") {
+    val df = ops.VectorOpsImpl.kmeansAssign(spark, dir).queryExecution.analyzed match {
+      case org.apache.spark.sql.catalyst.plans.logical.Sort(_, _, child, _) =>
+        org.apache.spark.sql.graftshim.Bridge.ofRows(spark, child)
+      case _ => fail("expected a top-level Sort to strip")
+    }
+    val s = plan(df)
+    assert(!s.contains("Window"), s"assignment must not use a window:\n$s")
+    assert(!s.contains("Exchange"), s"assignment must not shuffle the corpus:\n$s")
+  }
+
+  test("q76 learned-codebook IVF probe broadcasts the query side, never sort-merges") {
+    val s = plan(ops.VectorOpsImpl.kmeansIvfTopK(spark, dir))
+    assert(s.contains("BroadcastHashJoin"), s"probe must be a broadcast hash join:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"corpus-side sort-merge would not scale:\n$s")
+  }
+
+  test("q71 content-defined chunking is a narrow generator: no shuffle before the sort") {
+    val df = ops.TextOpsImpl.contentDefinedChunks(spark, dir).queryExecution.analyzed match {
+      case org.apache.spark.sql.catalyst.plans.logical.Sort(_, _, child, _) =>
+        org.apache.spark.sql.graftshim.Bridge.ofRows(spark, child)
+      case _ => fail("expected a top-level Sort to strip")
+    }
+    val s = plan(df)
+    assert(!s.contains("Exchange"), s"CDC chunking must not shuffle:\n$s")
+    assert(!s.contains("Window"), s"boundary pairing must not use a window:\n$s")
+  }
+
   test("q34 per-language top terms run through TopKPerKey, not a window") {
     val s = plan(ops.TextOpsImpl.topTermsPerLang(spark, dir))
     assert(s.contains("TopKPerKey"), s"expected the custom operator:\n$s")

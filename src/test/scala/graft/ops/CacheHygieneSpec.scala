@@ -1,0 +1,37 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** The invalidation contract of every memoized index view (shingles,
+  * components, IVF assignment, PQ codes, k-means assignment): after
+  * clearCaches, the session's cache manager holds ZERO cached plans — no
+  * view outlives the explicit invalidation hook (the r3 finding: the
+  * shingle cache was built per call and never covered by any hook). */
+class CacheHygieneSpec extends SparkSpec {
+
+  test("clearCaches leaves zero cached plans in the cache manager") {
+    val dir = "/root/testdata/sf0.001"
+    // start from a clean slate (earlier suites in this JVM may have
+    // populated memos or left transient caches)
+    DedupOpsImpl.clearCaches()
+    VectorOpsImpl.clearCaches()
+    spark.sharedState.cacheManager.clearCache()
+
+    // populate every memoized cached view
+    DedupOpsImpl.dedupComponents(spark, dir).count() // shingles + components
+    VectorOpsImpl.ivfTopK(spark, dir).count()        // assignment view
+    VectorOpsImpl.pqAdcTopK(spark, dir).count()      // PQ codes view
+    VectorOpsImpl.kmeansIvfTopK(spark, dir).count()  // learned-codebook view
+    assert(!spark.sharedState.cacheManager.isEmpty, "views must actually cache")
+
+    DedupOpsImpl.clearCaches()
+    VectorOpsImpl.clearCaches()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "clearCaches must unpersist every memoized view")
+
+    // memos rebuild correctly after invalidation
+    assert(VectorOpsImpl.ivfTopK(spark, dir).count() > 0)
+    DedupOpsImpl.clearCaches()
+    VectorOpsImpl.clearCaches()
+  }
+}
