@@ -129,6 +129,7 @@ object VectorOpsImpl {
     graft.ops.Memo.clear(kmeansAssignCache)
     centroidCache.clear()
     kmeansCache.clear()
+    pqKmeansCache.clear()
   }
 
   private def centroidVectors(s: SparkSession, dir: String): Seq[(Long, Array[Double])] =
@@ -295,6 +296,87 @@ object VectorOpsImpl {
         org.apache.spark.sql.Row(cid, n, cv(0), cv(1), cv(2), cv(3))
       }, 1), schema)
       .orderBy(col("center_id"))
+  }
+
+  /** Per-subspace learned PQ codebooks — the PQ half of the unsupervised
+    * upgrade (coarse IVF k-means is [[kmeansHistory]]): for each of the
+    * [[PqM]] subspaces, k=[[KmeansK]] centers trained by the same
+    * deterministic Lloyd discipline over that subspace's 8 dims,
+    * initialized from the SAME hash-derived seed vectors as the coarse
+    * quantizer (the standard shared-training-sample shape).
+    *
+    * Scale shape: all 8 subspaces train in the SAME passes — one narrow
+    * projection computes all 8 per-subspace argmins (512 multiply terms
+    * total, the size of one 64-dim argmin — compiles), is materialized
+    * (the [[lloydStep]] codegen split), and 8 k-row aggregations read it.
+    * Per iteration: one corpus pass + 8 metadata-sized aggs. */
+  private val pqKmeansCache = new java.util.concurrent.ConcurrentHashMap[
+    String, IndexedSeq[Seq[(Long, Array[Double])]]]()
+
+  private def pqKmeansCodebooks(s: SparkSession,
+      dir: String): IndexedSeq[Seq[(Long, Array[Double])]] =
+    pqKmeansCache.computeIfAbsent(dir, { d =>
+      def subDist2(m: Int, cv: Array[Double]): Column =
+        (1 to PqSub).map { j =>
+          val i = m * PqSub + j
+          val dd = expr(s"CAST(element_at(embedding, $i) AS DOUBLE)") - lit(cv(j - 1))
+          dd * dd
+        }.reduce(_ + _)
+      var books: IndexedSeq[Seq[(Long, Array[Double])]] =
+        (0 until PqM).map { m =>
+          kmeansSeeds(s, d).map { case (cid, cv) =>
+            (cid, cv.slice(m * PqSub, m * PqSub + PqSub))
+          }
+        }
+      val e = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      (1 to KmeansIters).foreach { _ =>
+        val assigned = e.select(col("embedding") +:
+          (0 until PqM).map { m =>
+            val candidates = array(books(m).map { case (cl, cv) =>
+              struct(subDist2(m, cv).as("d"), lit(cl).as("l"))
+            }: _*)
+            array_min(candidates).getField("l").as(s"a$m")
+          }: _*).cache()
+        try {
+          books = (0 until PqM).map { m =>
+            val sums = count(lit(1)).as("n") +:
+              (1 to PqSub).map(j => expr(sparkCentComp(m * PqSub + j)).as(s"s$j"))
+            val byId = assigned.groupBy(col(s"a$m")).agg(sums.head, sums.tail: _*)
+              .collect().map(r => r.getLong(0) -> r).toMap
+            books(m).map { case (cid, old) =>
+              byId.get(cid) match {
+                case Some(r) =>
+                  val n = r.getLong(1)
+                  (cid, (1 to PqSub).map(j => r.getDouble(1 + j) / n).toArray)
+                case None => (cid, old)
+              }
+            }
+          }
+        } finally assigned.unpersist()
+      }
+      books
+    })
+
+  /** PQ encode over the LEARNED per-subspace codebooks (q78) — q62's
+    * narrow argmin projection with unsupervised codebook literals: the
+    * production encode for an unlabeled corpus. Same plan shape: the whole
+    * codebook bakes into one codegen'd projection, no join, no shuffle. */
+  def pqKmeansEncode(s: SparkSession, dir: String): DataFrame = {
+    val books = pqKmeansCodebooks(s, dir)
+    def subDist2(m: Int, cv: Array[Double]): Column =
+      (1 to PqSub).map { j =>
+        val i = m * PqSub + j
+        val dd = expr(s"CAST(element_at(embedding, $i) AS DOUBLE)") - lit(cv(j - 1))
+        dd * dd
+      }.reduce(_ + _)
+    val codeCols = (0 until PqM).map { m =>
+      val candidates = array(books(m).map { case (cl, cv) =>
+        struct(subDist2(m, cv).as("d"), lit(cl).as("l"))
+      }: _*)
+      array_min(candidates).getField("l").as(s"code$m")
+    }
+    Tables(s, dir, "embeddings").select(col("vec_id") +: codeCols: _*)
+      .orderBy(col("vec_id"))
   }
 
   /** Learned-codebook IVF assignment (q75): every vector assigned to its
@@ -1034,8 +1116,55 @@ object VectorOps {
          |FROM hits, tot ORDER BY path""".stripMargin
     }),
 
-    Q("q76_embed_kmeans_ivf", kmeansIvfTopK, Some(q76Sql))
+    Q("q76_embed_kmeans_ivf", kmeansIvfTopK, Some(q76Sql)),
+
+    Q("q78_embed_pq_kmeans", pqKmeansEncode, Some(pqKmeansSql))
   )
+
+  /** DuckDB mirror of the per-subspace learned-PQ encode: one fixed-
+    * iteration Lloyd chain per subspace (relative 8-dim columns c1..c8,
+    * shared seed rows), then the final per-subspace assignment joined into
+    * one codes row per vector. */
+  private lazy val pqKmeansSql: String = {
+    def dist(m: Int) = (1 to PqSub).map { j =>
+      val i = m * PqSub + j
+      s"(CAST(e.embedding[$i] AS DOUBLE) - c.c$j) * (CAST(e.embedding[$i] AS DOUBLE) - c.c$j)"
+    }.mkString(" + ")
+    val chains = (0 until PqM).map { m =>
+      val seedCols = (1 to PqSub).map(j =>
+        s"CAST(embedding[${m * PqSub + j}] AS DOUBLE) AS c$j").mkString(", ")
+      val means = (1 to PqSub).map(j =>
+        s"${duckCentComp(m * PqSub + j)} / COUNT(*) AS m$j").mkString(", ")
+      val coal = (1 to PqSub).map(j => s"COALESCE(g.m$j, p.c$j) AS c$j").mkString(", ")
+      val iters = (1 to KmeansIters).map { t =>
+        s"""p${m}a$t AS (SELECT vec_id, cid AS assigned FROM (
+           |    SELECT e.vec_id, c.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY (${dist(m)}), c.cid) AS rn
+           |    FROM embeddings e, p${m}c${t - 1} c) WHERE rn = 1),
+           |p${m}g$t AS (SELECT a.assigned AS cid, COUNT(*) AS n, $means
+           |  FROM embeddings e JOIN p${m}a$t a ON a.vec_id = e.vec_id GROUP BY a.assigned),
+           |p${m}c$t AS (SELECT p.cid, $coal
+           |  FROM p${m}c${t - 1} p LEFT JOIN p${m}g$t g USING (cid))""".stripMargin
+      }.mkString(",\n")
+      s"""p${m}c0 AS (SELECT cid, $seedCols FROM seeds WHERE cid < $KmeansK),
+         |$iters,
+         |p${m}f AS (SELECT vec_id, cid AS code FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY (${dist(m)}), c.cid) AS rn
+         |    FROM embeddings e, p${m}c$KmeansIters c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val joins = (0 until PqM).map(m => s"JOIN p${m}f ON p${m}f.vec_id = e.vec_id").mkString("\n  ")
+    val codes = (0 until PqM).map(m => s"p${m}f.code AS code$m").mkString(", ")
+    s"""WITH seeds AS (
+       |  SELECT vec_id, embedding,
+       |    ROW_NUMBER() OVER (ORDER BY md5('seed:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+       |  FROM embeddings),
+       |$chains
+       |SELECT e.vec_id, $codes
+       |FROM embeddings e
+       |  $joins
+       |ORDER BY e.vec_id""".stripMargin
+  }
 
   private lazy val q76Sql: String =
     s"""WITH $kmeansChainSql,
