@@ -127,6 +127,7 @@ object VectorOpsImpl {
     graft.ops.Memo.clear(assignCache)
     graft.ops.Memo.clear(pqIndexCache)
     graft.ops.Memo.clear(kmeansAssignCache)
+    graft.ops.Memo.clear(pqKmeansIndexCache)
     centroidCache.clear()
     kmeansCache.clear()
     pqKmeansCache.clear()
@@ -361,7 +362,7 @@ object VectorOpsImpl {
     * narrow argmin projection with unsupervised codebook literals: the
     * production encode for an unlabeled corpus. Same plan shape: the whole
     * codebook bakes into one codegen'd projection, no join, no shuffle. */
-  def pqKmeansEncode(s: SparkSession, dir: String): DataFrame = {
+  private def pqKmeansCodes(s: SparkSession, dir: String): DataFrame = {
     val books = pqKmeansCodebooks(s, dir)
     def subDist2(m: Int, cv: Array[Double]): Column =
       (1 to PqSub).map { j =>
@@ -376,7 +377,59 @@ object VectorOpsImpl {
       array_min(candidates).getField("l").as(s"code$m")
     }
     Tables(s, dir, "embeddings").select(col("vec_id") +: codeCols: _*)
-      .orderBy(col("vec_id"))
+  }
+
+  def pqKmeansEncode(s: SparkSession, dir: String): DataFrame =
+    pqKmeansCodes(s, dir).orderBy(col("vec_id"))
+
+  /** Memoized cached LEARNED-codes view — the unsupervised sibling of
+    * [[pqIndexCache]]. */
+  private val pqKmeansIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** ADC over the learned per-subspace codebooks: Σ_m ‖q_sub −
+    * books(m)[code_m]‖², same codegen-safe `array_position`/`element_at`
+    * lookup as [[adcDistance]]. */
+  private def adcDistanceLearned(books: IndexedSeq[Seq[(Long, Array[Double])]]): Column =
+    (0 until PqM).map { m =>
+      val labels = array(books(m).map(c => lit(c._1)): _*)
+      val pos = array_position(labels, col(s"code$m")).cast(IntegerType)
+      (1 to PqSub).map { j =>
+        val i = m * PqSub + j
+        val cb = array(books(m).map(c => lit(c._2(j - 1))): _*)
+        val d = embCol("qe")(i) - element_at(cb, pos)
+        d * d
+      }.reduce(_ + _)
+    }.reduce(_ + _)
+
+  /** FULLY-LEARNED IVF-PQ search (q79): the q68 pipeline with every
+    * constant unsupervised — learned coarse assignment prunes to the
+    * query's cluster, learned per-subspace codes rank by ADC. This is the
+    * complete billion-scale layout a real (unlabeled) corpus deploys:
+    * partition by learned coarse cluster, store learned codes, never touch
+    * a label or a raw corpus vector during search. Same plan shape as q68:
+    * broadcast query side, both cached index views, per-query window. */
+  def kmeansIvfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val books = pqKmeansCodebooks(s, dir)
+    val asg = graft.ops.Memo.getOrCache(kmeansAssignCache, s, dir, _ =>
+      assignCenters(
+        Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        kmeansHistory(s, dir)(KmeansIters).map { case (cid, cv, _) => (cid, cv) }).cache())
+    val codes = graft.ops.Memo.getOrCache(pqKmeansIndexCache, s, dir, _ =>
+      pqKmeansCodes(s, dir).cache())
+    val q = asg.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("assigned").as("qcluster"))
+    val c = asg.select(col("vec_id").as("neighbor_id"), col("assigned").as("ncluster"))
+      .join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    val joined = broadcast(q).join(c,
+        col("qcluster") === col("ncluster") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", adcDistanceLearned(books))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
+    joined.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("adc"))
+      .orderBy(col("query_id"), col("rn"))
   }
 
   /** Learned-codebook IVF assignment (q75): every vector assigned to its
@@ -1118,19 +1171,53 @@ object VectorOps {
 
     Q("q76_embed_kmeans_ivf", kmeansIvfTopK, Some(q76Sql)),
 
-    Q("q78_embed_pq_kmeans", pqKmeansEncode, Some(pqKmeansSql))
+    Q("q78_embed_pq_kmeans", pqKmeansEncode, Some(pqKmeansSql)),
+
+    Q("q79_embed_kmeans_ivfpq", kmeansIvfPqTopK, Some {
+      val codeJoins = (0 until PqM).map(m =>
+        s"JOIN p${m}f ON p${m}f.vec_id = nb.vec_id").mkString("\n  ")
+      val cbJoins = (0 until PqM).map(m =>
+        s"JOIN p${m}c$KmeansIters cb$m ON cb$m.cid = p${m}f.code").mkString("\n  ")
+      val adc = (0 until PqM).map { m =>
+        (1 to PqSub).map { j =>
+          val i = m * PqSub + j
+          s"(CAST(a.embedding[$i] AS DOUBLE) - cb$m.c$j) * (CAST(a.embedding[$i] AS DOUBLE) - cb$m.c$j)"
+        }.mkString(" + ")
+      }.map(s => s"($s)").mkString("\n      + ")
+      s"""WITH $kmeansChainSql,
+         |$kmeansFinalAssignSql,
+         |$pqChainsSql,
+         |adc AS (
+         |  SELECT a.vec_id AS query_id, nb.vec_id AS neighbor_id,
+         |    $adc AS adc
+         |  FROM embeddings a
+         |  JOIN af qa ON qa.vec_id = a.vec_id
+         |  JOIN af nb ON nb.assigned = qa.assigned AND nb.vec_id <> a.vec_id
+         |  $codeJoins
+         |  $cbJoins
+         |  WHERE a.vec_id < 8),
+         |rr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY adc, neighbor_id) AS BIGINT) AS rn FROM adc)
+         |SELECT query_id, rn, neighbor_id, adc FROM rr WHERE rn <= 3
+         |ORDER BY query_id, rn""".stripMargin
+    })
   )
 
-  /** DuckDB mirror of the per-subspace learned-PQ encode: one fixed-
-    * iteration Lloyd chain per subspace (relative 8-dim columns c1..c8,
-    * shared seed rows), then the final per-subspace assignment joined into
-    * one codes row per vector. */
-  private lazy val pqKmeansSql: String = {
+  /** Shared seeds CTE for every learned-codebook oracle. */
+  private val kmeansSeedsSql: String =
+    """seeds AS (
+      |  SELECT vec_id, embedding,
+      |    ROW_NUMBER() OVER (ORDER BY md5('seed:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+      |  FROM embeddings)""".stripMargin
+
+  /** Per-subspace Lloyd chains + final per-subspace assignments
+    * (`p{m}c0..cN`, `p{m}f`), assuming `seeds` is already defined. */
+  private lazy val pqChainsSql: String = {
     def dist(m: Int) = (1 to PqSub).map { j =>
       val i = m * PqSub + j
       s"(CAST(e.embedding[$i] AS DOUBLE) - c.c$j) * (CAST(e.embedding[$i] AS DOUBLE) - c.c$j)"
     }.mkString(" + ")
-    val chains = (0 until PqM).map { m =>
+    (0 until PqM).map { m =>
       val seedCols = (1 to PqSub).map(j =>
         s"CAST(embedding[${m * PqSub + j}] AS DOUBLE) AS c$j").mkString(", ")
       val means = (1 to PqSub).map(j =>
@@ -1153,13 +1240,17 @@ object VectorOps {
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY (${dist(m)}), c.cid) AS rn
          |    FROM embeddings e, p${m}c$KmeansIters c) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
+  }
+
+  /** DuckDB mirror of the per-subspace learned-PQ encode: one fixed-
+    * iteration Lloyd chain per subspace (relative 8-dim columns c1..c8,
+    * shared seed rows), then the final per-subspace assignment joined into
+    * one codes row per vector. */
+  private lazy val pqKmeansSql: String = {
     val joins = (0 until PqM).map(m => s"JOIN p${m}f ON p${m}f.vec_id = e.vec_id").mkString("\n  ")
     val codes = (0 until PqM).map(m => s"p${m}f.code AS code$m").mkString(", ")
-    s"""WITH seeds AS (
-       |  SELECT vec_id, embedding,
-       |    ROW_NUMBER() OVER (ORDER BY md5('seed:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
-       |  FROM embeddings),
-       |$chains
+    s"""WITH $kmeansSeedsSql,
+       |$pqChainsSql
        |SELECT e.vec_id, $codes
        |FROM embeddings e
        |  $joins
@@ -1461,10 +1552,7 @@ object VectorOps {
          |    $coal
          |  FROM c${t - 1} p LEFT JOIN g$t g USING (cid))""".stripMargin
     }.mkString(",\n")
-    s"""seeds AS (
-       |  SELECT vec_id, embedding,
-       |    ROW_NUMBER() OVER (ORDER BY md5('seed:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
-       |  FROM embeddings),
+    s"""$kmeansSeedsSql,
        |c0 AS (SELECT cid, CAST(0 AS BIGINT) AS n,
        |    $seedCols
        |  FROM seeds WHERE cid < $KmeansK),
