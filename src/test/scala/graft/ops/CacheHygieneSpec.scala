@@ -18,10 +18,11 @@ class CacheHygieneSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
 
     // populate every memoized cached view
-    DedupOpsImpl.dedupComponents(spark, dir).count() // shingles + components
-    VectorOpsImpl.ivfTopK(spark, dir).count()        // assignment view
-    VectorOpsImpl.pqAdcTopK(spark, dir).count()      // PQ codes view
-    VectorOpsImpl.kmeansIvfTopK(spark, dir).count()  // learned-codebook view
+    DedupOpsImpl.dedupComponents(spark, dir).count()  // shingles + components
+    VectorOpsImpl.ivfTopK(spark, dir).count()         // assignment view
+    VectorOpsImpl.pqAdcTopK(spark, dir).count()       // PQ codes view
+    VectorOpsImpl.kmeansIvfTopK(spark, dir).count()   // learned-assignment view
+    VectorOpsImpl.kmeansIvfPqTopK(spark, dir).count() // learned-codes view
     assert(!spark.sharedState.cacheManager.isEmpty, "views must actually cache")
 
     DedupOpsImpl.clearCaches()
