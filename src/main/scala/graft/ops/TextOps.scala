@@ -374,6 +374,49 @@ object TextOpsImpl {
       .orderBy(col("shuffle_pos"))
   }
 
+  /** Deterministic DATA MIXING — the mixture-weights step of training-data
+    * assembly: given a target weight per source, compute each source's
+    * target share, the largest total the available counts can serve at
+    * those shares (the binding source caps it), the per-source keep rate,
+    * and the hash-selected kept count. Selection is the same deterministic
+    * md5-threshold discipline as [[stratifiedSample]] (`rand()` is neither
+    * retry- nor partitioning-stable), so the mixed corpus is reproducible
+    * bit-for-bit.
+    *
+    * Scale shape: per-source stats are a |sources|-row aggregate
+    * (map-side combine); rates broadcast back into one corpus scan whose
+    * filter is a narrow hash compare — the corpus never shuffles. Weights
+    * here are a deterministic demo rule (even-numbered sources weighted
+    * 2×); production passes its mixture config the same way. */
+  def mixtureSample(s: SparkSession, dir: String): DataFrame = {
+    // 2.0D / 1.0D: Spark parses a bare decimal literal as DECIMAL (DuckDB as
+    // DOUBLE); the share division must be IEEE double in both engines
+    val w = expr("CASE WHEN CAST(substr(source, 4, 10) AS INT) % 2 = 0 THEN 2.0D ELSE 1.0D END")
+    val per = Tables(s, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_avail"))
+      .withColumn("w", w)
+    val tot = per.agg(sum(col("w")).as("sumw"))
+    val shares = per.crossJoin(broadcast(tot))
+      .withColumn("target_share", col("w") / col("sumw"))
+      .withColumn("feasible", col("n_avail") / col("target_share"))
+    val tmin = shares.agg(min(col("feasible")).as("t_total"))
+    val rates = shares.crossJoin(broadcast(tmin))
+      .withColumn("keep_rate",
+        least(lit(1.0), col("target_share") * col("t_total") / col("n_avail")))
+      .select(col("source"), col("n_avail"), col("target_share"), col("keep_rate"))
+    // 16-bit hash fraction: 4 md5 hex nibbles, exact power-of-two divide
+    val hash16 = (1 to 4).map { p =>
+      s"(instr('0123456789abcdef', substr(md5(concat('mix:', CAST(doc_id AS STRING))), $p, 1)) - 1) * ${1 << (4 * (4 - p))}"
+    }.mkString(" + ")
+    val kept = Tables(s, dir, "documents")
+      .join(broadcast(rates.select(col("source"), col("keep_rate"))), "source")
+      .filter(expr(s"CAST($hash16 AS DOUBLE) / 65536.0") < col("keep_rate"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .orderBy(col("source"))
+  }
+
   /** The composed END-TO-END curation pipeline — the flagship shape a
     * training-data engine actually runs: quality filter → exact dedup
     * (canonical = min doc_id per identical text) → deterministic
@@ -575,6 +618,31 @@ object TextOps {
          |  array_to_string(list_slice(string_split(text, ' '), 1, $TruncateTokens), ' ') AS truncated,
          |  CAST(length(array_to_string(list_slice(string_split(text, ' '), 1, $TruncateTokens), ' ')) AS BIGINT) AS truncated_chars
          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("q80_text_mixture", mixtureSample, Some {
+      val hash16 = (1 to 4).map { p =>
+        s"(strpos('0123456789abcdef', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), $p, 1)) - 1) * ${1 << (4 * (4 - p))}"
+      }.mkString(" + ")
+      s"""WITH per AS (
+         |  SELECT source, COUNT(*) AS n_avail,
+         |    CASE WHEN CAST(substr(source, 4, 10) AS INT) % 2 = 0 THEN 2.0 ELSE 1.0 END AS w
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT SUM(w) AS sumw FROM per),
+         |sh AS (SELECT source, n_avail, w / sumw AS target_share,
+         |    n_avail / (w / sumw) AS feasible FROM per, tot),
+         |tm AS (SELECT MIN(feasible) AS t_total FROM sh),
+         |rates AS (SELECT source, n_avail, target_share,
+         |    least(1.0, target_share * t_total / n_avail) AS keep_rate FROM sh, tm),
+         |kept AS (
+         |  SELECT d.source, COUNT(*) AS n_kept
+         |  FROM documents d JOIN rates r USING (source)
+         |  WHERE CAST($hash16 AS DOUBLE) / 65536.0 < r.keep_rate
+         |  GROUP BY d.source)
+         |SELECT r.source, r.n_avail, r.target_share, r.keep_rate,
+         |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+         |FROM rates r LEFT JOIN kept k ON k.source = r.source
+         |ORDER BY r.source""".stripMargin
+    }),
 
     Q("q73_text_shuffle", deterministicShuffle, Some {
       val byte = "(strpos('0123456789abcdef', substr(skey, 1, 1)) - 1) * 16" +
