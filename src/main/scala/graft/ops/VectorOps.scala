@@ -671,9 +671,9 @@ object VectorOpsImpl {
   /** Product-quantization codes — THE memory-compression step of a 100 TB
     * ANN index (64 float dims → 8 byte-sized codes, 32× smaller; ADC search
     * then scans codes, not vectors). Codebook per subspace = the exact
-    * per-label centroids restricted to that subspace (k = #labels codes;
-    * production swaps in per-subspace k-means — the encode/search plumbing
-    * is identical, only the codebook constants change).
+    * per-label centroids restricted to that subspace (k = #labels codes) —
+    * the label-free production variant is [[pqKmeansCodebooks]]/q78, same
+    * encode/search plumbing with unsupervised constants.
     *
     * Scale shape: the full codebook (M × k × 8 doubles) bakes into ONE
     * narrow projection as literals — per-row argmin via `array_min` over

@@ -82,6 +82,13 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("SortMergeJoin"), s"corpus-side sort-merge would not scale:\n$s")
   }
 
+  test("q79 fully-learned IVF-PQ probes and ranks over cached index views only") {
+    val s = plan(ops.VectorOpsImpl.kmeansIvfPqTopK(spark, dir))
+    assert(s.contains("BroadcastHashJoin"), s"probe must broadcast the query side:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"corpus-side sort-merge would not scale:\n$s")
+    assert(s.contains("InMemoryTableScan"), s"search must read the cached index views:\n$s")
+  }
+
   test("q71 content-defined chunking is a narrow generator: no shuffle before the sort") {
     val df = ops.TextOpsImpl.contentDefinedChunks(spark, dir).queryExecution.analyzed match {
       case org.apache.spark.sql.catalyst.plans.logical.Sort(_, _, child, _) =>
