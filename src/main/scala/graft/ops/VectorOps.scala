@@ -962,6 +962,38 @@ object VectorOpsImpl {
       .orderBy(col("path"))
   }
 
+  /** SEMANTIC decontamination — the embedding-level complement of the
+    * shingle-based q47: flag training vectors whose max cosine against any
+    * holdout vector exceeds the threshold (paraphrased benchmark leakage
+    * that exact n-gram overlap misses). Emits each contaminated vector
+    * with its nearest holdout and similarity.
+    *
+    * Scale shape: the holdout (benchmark-sized in production) broadcasts;
+    * the corpus streams ONCE through a narrow cosine fan-out whose
+    * per-vec_id max is reduced by partial aggregation — the shuffle is n
+    * rows, never n × |holdout|. The max carries (cosine, −holdout_id) as a
+    * struct so ties break to the smaller holdout id deterministically in
+    * both engines (lexicographic struct order). */
+  val ContaminationCos = 0.3
+
+  def embedContamination(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val hold = e.filter(pmod(col("vec_id"), lit(50L)) === 0L)
+      .select(col("vec_id").as("h_id"), col("embedding").as("he"))
+    val sims = e.filter(pmod(col("vec_id"), lit(50L)) =!= 0L)
+      .select(col("vec_id"), col("embedding").as("te"))
+      .crossJoin(broadcast(hold))
+      .withColumn("cosine",
+        expr(s"(${sparkDot("te", "he")}) / (sqrt(${sparkDot("te", "te")}) * sqrt(${sparkDot("he", "he")}))"))
+    sims.groupBy(col("vec_id"))
+      .agg(max(struct(col("cosine").as("c"), (-col("h_id")).as("nh"))).as("m"))
+      .select(col("vec_id"),
+        (-col("m.nh")).as("nearest_holdout"),
+        col("m.c").as("max_cosine"))
+      .filter(col("max_cosine") > ContaminationCos)
+      .orderBy(col("vec_id"))
+  }
+
   /** The V1 embedding operator under the correctness gate: `embed(text,
     * dims)` over documents via the SQL-registered UDF (the deliberately
     * pluggable provider shape — production swaps a model client behind the
@@ -1173,29 +1205,48 @@ object VectorOps {
 
     Q("q78_embed_pq_kmeans", pqKmeansEncode, Some(pqKmeansSql)),
 
+    Q("q81_embed_contamination", embedContamination, Some(
+      s"""WITH t AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0),
+         |h AS (SELECT vec_id AS h_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+         |sims AS (
+         |  SELECT t.vec_id, h.h_id,
+         |    (${duckDot("t.embedding", "h.embedding")})
+         |      / (sqrt(${duckDot("t.embedding", "t.embedding")})
+         |         * sqrt(${duckDot("h.embedding", "h.embedding")})) AS cosine
+         |  FROM t, h),
+         |m AS (SELECT vec_id, MAX({'c': cosine, 'nh': -h_id}) AS m
+         |  FROM sims GROUP BY vec_id)
+         |SELECT vec_id, -(m.nh) AS nearest_holdout, m.c AS max_cosine
+         |FROM m WHERE m.c > $ContaminationCos
+         |ORDER BY vec_id""".stripMargin)),
+
     Q("q79_embed_kmeans_ivfpq", kmeansIvfPqTopK, Some {
-      val codeJoins = (0 until PqM).map(m =>
-        s"JOIN p${m}f ON p${m}f.vec_id = nb.vec_id").mkString("\n  ")
-      val cbJoins = (0 until PqM).map(m =>
-        s"JOIN p${m}c$KmeansIters cb$m ON cb$m.cid = p${m}f.code").mkString("\n  ")
-      val adc = (0 until PqM).map { m =>
-        (1 to PqSub).map { j =>
-          val i = m * PqSub + j
-          s"(CAST(a.embedding[$i] AS DOUBLE) - cb$m.c$j) * (CAST(a.embedding[$i] AS DOUBLE) - cb$m.c$j)"
-        }.mkString(" + ")
-      }.map(s => s"($s)").mkString("\n      + ")
+      // one parts CTE over the unified (m-columned) codebooks, pivoted into
+      // an explicitly ordered 8-term addition (a GROUP BY SUM over m would
+      // sum in nondeterministic scan order and break bitwise parity)
+      val sub = (1 to PqSub).map(j =>
+        s"(CAST(p.qe[f.m * $PqSub + $j] AS DOUBLE) - cb.c$j) * (CAST(p.qe[f.m * $PqSub + $j] AS DOUBLE) - cb.c$j)")
+        .mkString(" + ")
+      val adcSum = (0 until PqM).map(m =>
+        s"MAX(CASE WHEN m = $m THEN d END)").mkString("\n      + ")
       s"""WITH $kmeansChainSql,
          |$kmeansFinalAssignSql,
          |$pqChainsSql,
-         |adc AS (
-         |  SELECT a.vec_id AS query_id, nb.vec_id AS neighbor_id,
-         |    $adc AS adc
+         |pairs AS (
+         |  SELECT a.vec_id AS query_id, nb.vec_id AS neighbor_id, a.embedding AS qe
          |  FROM embeddings a
          |  JOIN af qa ON qa.vec_id = a.vec_id
          |  JOIN af nb ON nb.assigned = qa.assigned AND nb.vec_id <> a.vec_id
-         |  $codeJoins
-         |  $cbJoins
          |  WHERE a.vec_id < 8),
+         |parts AS (
+         |  SELECT p.query_id, p.neighbor_id, f.m, ($sub) AS d
+         |  FROM pairs p
+         |  JOIN pf f ON f.vec_id = p.neighbor_id
+         |  JOIN pcb$KmeansIters cb ON cb.m = f.m AND cb.cid = f.code),
+         |adc AS (
+         |  SELECT query_id, neighbor_id,
+         |    $adcSum AS adc
+         |  FROM parts GROUP BY query_id, neighbor_id),
          |rr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY adc, neighbor_id) AS BIGINT) AS rn FROM adc)
          |SELECT query_id, rn, neighbor_id, adc FROM rr WHERE rn <= 3
@@ -1210,51 +1261,60 @@ object VectorOps {
       |    ROW_NUMBER() OVER (ORDER BY md5('seed:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
       |  FROM embeddings)""".stripMargin
 
-  /** Per-subspace Lloyd chains + final per-subspace assignments
-    * (`p{m}c0..cN`, `p{m}f`), assuming `seeds` is already defined. */
+  /** ALL per-subspace Lloyd chains as ONE chain over an extra subspace
+    * column `m` (`pcb0..pcbN` codebook tables of (m, cid, c1..c8) rows,
+    * `pf` = final (vec_id, m, code)), assuming `seeds` is defined. The
+    * subspace dimension is an expression index (`embedding[m*8+j]`), so
+    * the 8 chains collapse to one — the first formulation (8 separate
+    * chains, ~90 CTEs total with the coarse chain) made DuckDB's
+    * per-operator × per-thread memory reservations exceed the sandbox's
+    * commit limit and the q79 oracle OOM'd. */
   private lazy val pqChainsSql: String = {
-    def dist(m: Int) = (1 to PqSub).map { j =>
-      val i = m * PqSub + j
-      s"(CAST(e.embedding[$i] AS DOUBLE) - c.c$j) * (CAST(e.embedding[$i] AS DOUBLE) - c.c$j)"
-    }.mkString(" + ")
-    (0 until PqM).map { m =>
-      val seedCols = (1 to PqSub).map(j =>
-        s"CAST(embedding[${m * PqSub + j}] AS DOUBLE) AS c$j").mkString(", ")
-      val means = (1 to PqSub).map(j =>
-        s"${duckCentComp(m * PqSub + j)} / COUNT(*) AS m$j").mkString(", ")
-      val coal = (1 to PqSub).map(j => s"COALESCE(g.m$j, p.c$j) AS c$j").mkString(", ")
-      val iters = (1 to KmeansIters).map { t =>
-        s"""p${m}a$t AS (SELECT vec_id, cid AS assigned FROM (
-           |    SELECT e.vec_id, c.cid,
-           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY (${dist(m)}), c.cid) AS rn
-           |    FROM embeddings e, p${m}c${t - 1} c) WHERE rn = 1),
-           |p${m}g$t AS (SELECT a.assigned AS cid, COUNT(*) AS n, $means
-           |  FROM embeddings e JOIN p${m}a$t a ON a.vec_id = e.vec_id GROUP BY a.assigned),
-           |p${m}c$t AS (SELECT p.cid, $coal
-           |  FROM p${m}c${t - 1} p LEFT JOIN p${m}g$t g USING (cid))""".stripMargin
-      }.mkString(",\n")
-      s"""p${m}c0 AS (SELECT cid, $seedCols FROM seeds WHERE cid < $KmeansK),
-         |$iters,
-         |p${m}f AS (SELECT vec_id, cid AS code FROM (
-         |    SELECT e.vec_id, c.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY (${dist(m)}), c.cid) AS rn
-         |    FROM embeddings e, p${m}c$KmeansIters c) WHERE rn = 1)""".stripMargin
+    val dist = (1 to PqSub).map(j =>
+      s"(CAST(e.embedding[c.m * $PqSub + $j] AS DOUBLE) - c.c$j) * (CAST(e.embedding[c.m * $PqSub + $j] AS DOUBLE) - c.c$j)")
+      .mkString(" + ")
+    val seedCols = (1 to PqSub).map(j =>
+      s"CAST(s.embedding[t.m * $PqSub + $j] AS DOUBLE) AS c$j").mkString(", ")
+    val means = (1 to PqSub).map(j =>
+      s"CAST(SUM(CAST(FLOOR(CAST(e.embedding[a.m * $PqSub + $j] AS DOUBLE) * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 / COUNT(*) AS m$j")
+      .mkString(",\n    ")
+    val coal = (1 to PqSub).map(j => s"COALESCE(g.m$j, p.c$j) AS c$j").mkString(", ")
+    // argmin via MIN over a (dist, cid) struct — lexicographic struct order
+    // IS the (smallest dist, tie → smaller cid) discipline, and a hash
+    // aggregate replaces a window operator (DuckDB's window reserves
+    // per-thread memory proportional to plan size; with two chains in one
+    // query the reservations exceeded the sandbox's commit limit)
+    val iters = (1 to KmeansIters).map { t =>
+      s"""pa$t AS (
+         |  SELECT e.vec_id, c.m,
+         |    (MIN({'d': ($dist), 'cid': c.cid})).cid AS assigned
+         |  FROM embeddings e, pcb${t - 1} c GROUP BY e.vec_id, c.m),
+         |pg$t AS (SELECT a.m, a.assigned AS cid, COUNT(*) AS n,
+         |    $means
+         |  FROM embeddings e JOIN pa$t a ON a.vec_id = e.vec_id GROUP BY a.m, a.assigned),
+         |pcb$t AS (SELECT p.m, p.cid, $coal
+         |  FROM pcb${t - 1} p LEFT JOIN pg$t g USING (m, cid))""".stripMargin
     }.mkString(",\n")
+    s"""pcb0 AS (SELECT t.m, s.cid, $seedCols
+       |  FROM seeds s, (SELECT range AS m FROM range($PqM)) t WHERE s.cid < $KmeansK),
+       |$iters,
+       |pf AS (
+       |  SELECT e.vec_id, c.m,
+       |    (MIN({'d': ($dist), 'cid': c.cid})).cid AS code
+       |  FROM embeddings e, pcb$KmeansIters c GROUP BY e.vec_id, c.m)""".stripMargin
   }
 
-  /** DuckDB mirror of the per-subspace learned-PQ encode: one fixed-
-    * iteration Lloyd chain per subspace (relative 8-dim columns c1..c8,
-    * shared seed rows), then the final per-subspace assignment joined into
-    * one codes row per vector. */
+  /** DuckDB mirror of the per-subspace learned-PQ encode: the unified
+    * Lloyd chain, then the final per-subspace assignments pivoted into one
+    * codes row per vector. */
   private lazy val pqKmeansSql: String = {
-    val joins = (0 until PqM).map(m => s"JOIN p${m}f ON p${m}f.vec_id = e.vec_id").mkString("\n  ")
-    val codes = (0 until PqM).map(m => s"p${m}f.code AS code$m").mkString(", ")
+    val codes = (0 until PqM).map(m =>
+      s"MAX(CASE WHEN m = $m THEN code END) AS code$m").mkString(", ")
     s"""WITH $kmeansSeedsSql,
        |$pqChainsSql
-       |SELECT e.vec_id, $codes
-       |FROM embeddings e
-       |  $joins
-       |ORDER BY e.vec_id""".stripMargin
+       |SELECT vec_id, $codes
+       |FROM pf GROUP BY vec_id
+       |ORDER BY vec_id""".stripMargin
   }
 
   private lazy val q76Sql: String =
@@ -1539,12 +1599,13 @@ object VectorOps {
       s"${duckCentComp(i)} / COUNT(*) AS m$i").mkString(",\n    ")
     val coal = (1 to Dims).map(i =>
       s"COALESCE(g.m$i, p.c$i) AS c$i").mkString(",\n    ")
+    // MIN-struct argmin instead of a ROW_NUMBER window — same (dist, cid)
+    // tie discipline, far cheaper operator (see pqChainsSql note)
     val iters = (1 to KmeansIters).map { t =>
-      s"""a$t AS (SELECT vec_id, cid AS assigned FROM (
-         |    SELECT e.vec_id, c.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ($kmeansDistSql), c.cid) AS rn
-         |    FROM embeddings e, c${t - 1} c) WHERE rn = 1),
+      s"""a$t AS (
+         |  SELECT e.vec_id,
+         |    (MIN({'d': ($kmeansDistSql), 'cid': c.cid})).cid AS assigned
+         |  FROM embeddings e, c${t - 1} c GROUP BY e.vec_id),
          |g$t AS (SELECT a.assigned AS cid, COUNT(*) AS n,
          |    $means
          |  FROM embeddings e JOIN a$t a ON a.vec_id = e.vec_id GROUP BY a.assigned),
@@ -1565,11 +1626,10 @@ object VectorOps {
 
   /** Assignment of every vector against the final learned centers. */
   private lazy val kmeansFinalAssignSql: String =
-    s"""af AS (SELECT vec_id, cid AS assigned FROM (
-       |    SELECT e.vec_id, c.cid,
-       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ($kmeansDistSql), c.cid) AS rn
-       |    FROM embeddings e, c$KmeansIters c) WHERE rn = 1)""".stripMargin
+    s"""af AS (
+       |  SELECT e.vec_id,
+       |    (MIN({'d': ($kmeansDistSql), 'cid': c.cid})).cid AS assigned
+       |  FROM embeddings e, c$KmeansIters c GROUP BY e.vec_id)""".stripMargin
 
   /** DuckDB mirror of [[VectorOpsImpl.cosineNearDupPairs]] (shared by q56
     * and the q58 component wrap). */
