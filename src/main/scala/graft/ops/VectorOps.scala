@@ -946,6 +946,7 @@ object VectorOpsImpl {
       "ivfpq" -> ivfPqTopK(s, dir),
       "jl_rerank" -> jlRerank(s, dir),
       "kmeans_ivf" -> kmeansIvfTopK(s, dir),
+      "kmeans_ivfpq" -> kmeansIvfPqTopK(s, dir),
       "pq_adc" -> pqAdcTopK(s, dir))
     val approx = paths.map { case (p, df) =>
       df.select(lit(p).as("path"), col("query_id"), col("neighbor_id"))
@@ -1179,6 +1180,7 @@ object VectorOps {
         "ivfpq" -> q68Sql,
         "jl_rerank" -> q70Sql,
         "kmeans_ivf" -> q76Sql,
+        "kmeans_ivfpq" -> q79Sql,
         "pq_adc" -> q63Sql)
       val approx = branches.map { case (p, sql) =>
         s"SELECT '$p' AS path, query_id, neighbor_id FROM (\n$sql\n)"
@@ -1220,7 +1222,11 @@ object VectorOps {
          |FROM m WHERE m.c > $ContaminationCos
          |ORDER BY vec_id""".stripMargin)),
 
-    Q("q79_embed_kmeans_ivfpq", kmeansIvfPqTopK, Some {
+    Q("q79_embed_kmeans_ivfpq", kmeansIvfPqTopK, Some(q79Sql))
+  )
+
+
+  private lazy val q79Sql: String = {
       // one parts CTE over the unified (m-columned) codebooks, pivoted into
       // an explicitly ordered 8-term addition (a GROUP BY SUM over m would
       // sum in nondeterministic scan order and break bitwise parity)
@@ -1251,8 +1257,7 @@ object VectorOps {
          |    ORDER BY adc, neighbor_id) AS BIGINT) AS rn FROM adc)
          |SELECT query_id, rn, neighbor_id, adc FROM rr WHERE rn <= 3
          |ORDER BY query_id, rn""".stripMargin
-    })
-  )
+    }
 
   /** Shared seeds CTE for every learned-codebook oracle. */
   private val kmeansSeedsSql: String =
