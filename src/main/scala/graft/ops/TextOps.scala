@@ -417,6 +417,142 @@ object TextOpsImpl {
       .orderBy(col("source"))
   }
 
+  /** Deterministic LINEAR QUALITY CLASSIFIER — the model-scored upgrade of
+    * the rule threshold in [[qualityScore]]: a fixed weight vector over
+    * cheap per-doc features (length saturation, stopword ratio, distinct
+    * ratio, mean token length) producing a logit and a keep decision. This
+    * is the fastText-/logistic-regression-shaped filter every production
+    * curation stack runs after rules and before expensive stages; weights
+    * here are fixed constants, production swaps in trained ones the same
+    * way (they bake into the projection as literals either way).
+    *
+    * Scale shape: a pure NARROW scan — every feature and the dot product
+    * evaluate per-row inside one codegen'd projection; no shuffle, no UDF.
+    * Determinism: features and the logit use only +,−,×,/ and `least` on
+    * doubles (IEEE correctly-rounded in both engines), summed in fixed
+    * left-associative order, so the keep decision is bitwise portable. */
+  val ClfBias = -3.3
+
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")).cast(LongType))
+      .withColumn("len_sat", least(col("n_tok").cast(DoubleType) / 50.0, lit(1.0)))
+      .withColumn("stop_ratio",
+        expr(s"CAST(size(filter(toks, x -> x IN ${inList(stopwords)})) AS BIGINT)")
+          .cast(DoubleType) / col("n_tok"))
+      .withColumn("distinct_ratio",
+        size(array_distinct(col("toks"))).cast(DoubleType) / col("n_tok"))
+      .withColumn("avg_tok_len",
+        (length(col("text")).cast(DoubleType) - (col("n_tok") - lit(1L))) / col("n_tok"))
+      .withColumn("logit",
+        lit(ClfBias) + col("len_sat") * 2.0 - col("stop_ratio") * 1.5
+          + col("distinct_ratio") * 1.0 + col("avg_tok_len") * 0.25)
+      .select(col("doc_id"), col("n_tok"), col("len_sat"), col("stop_ratio"),
+        col("distinct_ratio"), col("avg_tok_len"), col("logit"),
+        (col("logit") >= 0.0).as("keep"))
+      .orderBy(col("doc_id"))
+
+  /** Cross-document REPEATED-PASSAGE detection — the candidate stage of
+    * exact substring deduplication (Lee et al.'s "Deduplicating Training
+    * Data" shape at n-gram granularity): find token [[RepN]]-grams that
+    * occur in ≥ [[RepMinDocs]] distinct documents, and report per document
+    * how many of its n-gram positions are repeated and how many of its
+    * tokens those repeated spans cover. Downstream removal = filter or cut
+    * on `cov_frac` (boilerplate headers, license blocks, templated spam all
+    * surface here before any fuzzy method sees them).
+    *
+    * Scale shape: the gram stream is generated NARROW (explode positions,
+    * hash `md5` of the 8-token slice — only (doc_id, position, 32-byte
+    * gram hash) rows ever shuffle, never document text); the doc-frequency
+    * aggregate is a hash agg with map-side partials; the repeated-gram set
+    * joins back by gram hash (uniform md5 keys — no skew); covered-token
+    * counting is doc-scoped distinct. Nothing is all-pairs: work is
+    * O(total tokens), the same order as tokenizing the corpus. */
+  val RepN = 8
+  val RepMinDocs = 2
+
+  def repeatedNgrams(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")).cast(LongType))
+    val grams = docs.filter(col("n_tok") >= RepN)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(1, size(toks) - ${RepN - 1})")).as("i"))
+      .select(col("doc_id"), col("i"),
+        md5(concat_ws(" ", expr(s"slice(toks, i, $RepN)"))).as("gram"))
+    val rep = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= RepMinDocs)
+      .select(col("gram"))
+    val hits = grams.join(rep, "gram")
+    val spans = hits.groupBy(col("doc_id")).agg(count(lit(1)).as("n_rep_spans"))
+    val covered = hits
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${RepN - 1})")).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cov_tok"))
+    docs.select(col("doc_id"), col("n_tok"))
+      .join(spans, Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tok"),
+        greatest(col("n_tok") - (RepN - 1), lit(0L)).as("n_grams"),
+        coalesce(col("n_rep_spans"), lit(0L)).as("n_rep_spans"),
+        coalesce(col("n_cov_tok"), lit(0L)).as("n_cov_tok"),
+        (coalesce(col("n_cov_tok"), lit(0L)).cast(DoubleType) / col("n_tok")).as("cov_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source CORPUS REPORT CARD — the one-pass health dashboard a data
+    * pipeline publishes per ingest source: volume (docs, tokens), exact
+    * duplication rate, mean quality, and language concentration. Gini
+    * impurity (1 − Σ p²) stands in for entropy deliberately: it needs only
+    * +,×,/ (ln() is libm-dependent and would break bitwise cross-engine
+    * parity).
+    *
+    * Determinism at scale: token/char totals are exact integer sums; the
+    * quality mean uses the floor-quantized DECIMAL(38,0) accumulation
+    * (order-independent — a plain double SUM varies with partitioning);
+    * Gini's Σ c² is summed exactly in DECIMAL(38,0) (c² overflows BIGINT
+    * once a (source, lang) cell exceeds ~3e9 docs) and divided ONCE in
+    * double. Scale shape: two corpus aggregations (per source, per
+    * (source, lang)) with map-side partials + a |sources|-row join. */
+  def corpusReport(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")).cast(LongType))
+      .withColumn("n_stop",
+        expr(s"CAST(size(filter(toks, x -> x IN ${inList(stopwords)})) AS BIGINT)"))
+      .withColumn("quality",
+        least(col("n_tok").cast(DoubleType) / 50.0, lit(1.0)) * 0.5
+          + (lit(1.0) - col("n_stop").cast(DoubleType) / col("n_tok")) * 0.5)
+    val per = base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text"))).as("n_unique_texts"),
+      sum(col("n_tok")).as("n_tokens"),
+      sum(length(col("text")).cast(LongType)).as("n_chars"),
+      expr("CAST(SUM(CAST(FLOOR(quality * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12")
+        .as("qsum"))
+    val langSq = base.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(expr("CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS DOUBLE)")
+        .as("sumsq"))
+    per.join(langSq, "source")
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_unique_texts"),
+        (lit(1.0) - col("n_unique_texts").cast(DoubleType) / col("n_docs")).as("dup_rate"),
+        col("n_tokens"),
+        (col("n_tokens").cast(DoubleType) / col("n_docs")).as("avg_tokens"),
+        (col("n_chars").cast(DoubleType) / col("n_docs")).as("avg_chars"),
+        (col("qsum") / col("n_docs")).as("avg_quality"),
+        (lit(1.0) - col("sumsq") / (col("n_docs").cast(DoubleType) * col("n_docs")))
+          .as("lang_gini"))
+      .orderBy(col("source"))
+  }
+
   /** The composed END-TO-END curation pipeline — the flagship shape a
     * training-data engine actually runs: quality filter → exact dedup
     * (canonical = min doc_id per identical text) → deterministic
@@ -723,7 +859,87 @@ object TextOps {
         |    SELECT doc_id, lang,
         |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
         |    FROM documents))
-        |ORDER BY lang, doc_id""".stripMargin))
+        |ORDER BY lang, doc_id""".stripMargin)),
+
+    Q("q82_text_classifier", qualityClassifier, Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, length(text) AS n_chars,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x IN $stopSql)) AS BIGINT) AS n_stop,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_dis
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, n_tok,
+         |    least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) AS len_sat,
+         |    CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+         |    CAST(n_dis AS DOUBLE) / n_tok AS distinct_ratio,
+         |    (CAST(n_chars AS DOUBLE) - (n_tok - 1)) / n_tok AS avg_tok_len
+         |  FROM t),
+         |sc AS (
+         |  SELECT doc_id, n_tok, len_sat, stop_ratio, distinct_ratio, avg_tok_len,
+         |    $ClfBias + len_sat * 2.0 - stop_ratio * 1.5
+         |      + distinct_ratio * 1.0 + avg_tok_len * 0.25 AS logit
+         |  FROM f)
+         |SELECT doc_id, n_tok, len_sat, stop_ratio, distinct_ratio, avg_tok_len,
+         |  logit, logit >= 0.0 AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    Q("q84_text_rep_ngrams", repeatedNgrams, Some(
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, i,
+         |    md5(array_to_string(list_slice(t, i, i + ${RepN - 1}), ' ')) AS gram
+         |  FROM d, unnest(generate_series(1, n_tok - ${RepN - 1})) AS u(i)
+         |  WHERE n_tok >= $RepN),
+         |rep AS (SELECT gram FROM g GROUP BY gram
+         |  HAVING COUNT(DISTINCT doc_id) >= $RepMinDocs),
+         |hits AS (SELECT g.doc_id, g.i FROM g JOIN rep USING (gram)),
+         |spans AS (SELECT doc_id, COUNT(*) AS n_rep_spans FROM hits GROUP BY doc_id),
+         |cov AS (SELECT doc_id, COUNT(*) AS n_cov_tok FROM (
+         |  SELECT DISTINCT doc_id, p
+         |  FROM hits, unnest(generate_series(i, i + ${RepN - 1})) AS v(p))
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, d.n_tok,
+         |  greatest(d.n_tok - ${RepN - 1}, 0) AS n_grams,
+         |  CAST(COALESCE(s.n_rep_spans, 0) AS BIGINT) AS n_rep_spans,
+         |  CAST(COALESCE(c.n_cov_tok, 0) AS BIGINT) AS n_cov_tok,
+         |  CAST(COALESCE(c.n_cov_tok, 0) AS DOUBLE) / d.n_tok AS cov_frac
+         |FROM d LEFT JOIN spans s USING (doc_id) LEFT JOIN cov c USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin)),
+
+    Q("q86_corpus_report", corpusReport, Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, source, lang, text,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x IN $stopSql)) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |q AS (SELECT *,
+         |    least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.5
+         |      + (1.0 - CAST(n_stop AS DOUBLE) / n_tok) * 0.5 AS quality
+         |  FROM t),
+         |per AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    COUNT(DISTINCT md5(text)) AS n_unique_texts,
+         |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS n_chars,
+         |    CAST(SUM(CAST(FLOOR(quality * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS qsum
+         |  FROM q GROUP BY source),
+         |lc AS (SELECT source, lang, COUNT(*) AS c FROM q GROUP BY source, lang),
+         |ls AS (SELECT source,
+         |    CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS DOUBLE) AS sumsq
+         |  FROM lc GROUP BY source)
+         |SELECT p.source, p.n_docs, p.n_unique_texts,
+         |  1.0 - CAST(p.n_unique_texts AS DOUBLE) / p.n_docs AS dup_rate,
+         |  p.n_tokens,
+         |  CAST(p.n_tokens AS DOUBLE) / p.n_docs AS avg_tokens,
+         |  CAST(p.n_chars AS DOUBLE) / p.n_docs AS avg_chars,
+         |  p.qsum / p.n_docs AS avg_quality,
+         |  1.0 - l.sumsq / (CAST(p.n_docs AS DOUBLE) * p.n_docs) AS lang_gini
+         |FROM per p JOIN ls l USING (source)
+         |ORDER BY p.source""".stripMargin))
   )
 
   private def stratifiedThresholdCases: String =

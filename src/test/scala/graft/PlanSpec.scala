@@ -209,4 +209,32 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("Exchange"), s"sampling must not shuffle:\n$s")
     assert(!s.toLowerCase.contains("rand"), s"sampling must be hash-deterministic:\n$s")
   }
+
+  test("q82 classifier is a pure narrow scan: no shuffle, no UDF, pruned to (doc_id, text)") {
+    val df = ops.TextOpsImpl.qualityClassifier(spark, dir).queryExecution.analyzed match {
+      case org.apache.spark.sql.catalyst.plans.logical.Sort(_, _, child, _) =>
+        org.apache.spark.sql.graftshim.Bridge.ofRows(spark, child)
+      case _ => fail("expected a top-level Sort to strip")
+    }
+    val s = plan(df)
+    assert(!s.contains("Exchange"), s"classifier must not shuffle:\n$s")
+    assert(!s.contains("BatchEvalPython") && !s.contains("ScalaUDF"),
+      s"classifier must stay expression-only:\n$s")
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(s).get
+    assert(!read.contains("source") && !read.contains("lang"),
+      s"classifier must prune unused columns: $read")
+  }
+
+  test("q84 repeated n-grams never go all-pairs: hash joins on the gram key only") {
+    val s = plan(ops.TextOpsImpl.repeatedNgrams(spark, dir))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"gram matching must stay equi-join:\n$s")
+    // text must not cross the gram shuffle: grams project (doc_id, i, gram)
+    // before any Exchange, so no shuffle carries the toks array
+    val exchanges = s.split("Exchange").drop(1)
+    exchanges.foreach { after =>
+      val firstLine = after.linesIterator.take(1).mkString
+      assert(!firstLine.contains("toks"), s"no shuffle may carry document text:\n$s")
+    }
+  }
 }
