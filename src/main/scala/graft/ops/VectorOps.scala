@@ -963,6 +963,141 @@ object VectorOpsImpl {
       .orderBy(col("path"))
   }
 
+  /** Clustering QUALITY diagnostics over the learned codebook — per final
+    * k-means center: population, inertia (Σ dist² to the assigned center),
+    * and mean dist². The report a user tuning k / iteration count actually
+    * reads (inertia elbow, empty or skewed clusters) — the clustering-side
+    * sibling of the q77 recall panel: q74 proves the codebook reproduces,
+    * this measures whether it is any GOOD.
+    *
+    * Determinism: each dist² is the same left-associated 64-term IEEE sum
+    * as the assignment argmin; per-cluster inertia accumulates with the
+    * floor-quantized DECIMAL(38,0) discipline (order-independent — a plain
+    * double SUM varies with partitioning); the mean is one double division.
+    * Scale shape: one narrow codegen'd argmin pass (q75's compiled shape,
+    * also emitting the winning distance) reduced by a k-row hash aggregate
+    * with map-side combine — the corpus never shuffles. */
+  def kmeansQuality(s: SparkSession, dir: String): DataFrame = {
+    val cents = kmeansHistory(s, dir)(KmeansIters).map { case (cid, cv, _) => (cid, cv) }
+    def dist2(c: Array[Double]): Column =
+      (1 to Dims).map { i =>
+        val d = expr(s"CAST(element_at(embedding, $i) AS DOUBLE)") - lit(c(i - 1))
+        d * d
+      }.reduce(_ + _)
+    val candidates = array(cents.map { case (cl, cv) =>
+      struct(dist2(cv).as("d"), lit(cl).as("l"))
+    }: _*)
+    Tables(s, dir, "embeddings")
+      .select(array_min(candidates).as("m"))
+      .select(col("m.l").as("center_id"), col("m.d").as("d"))
+      .groupBy(col("center_id"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(FLOOR(d * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12")
+          .as("inertia"))
+      .select(col("center_id"), col("n"), col("inertia"),
+        (col("inertia") / col("n")).as("mean_dist2"))
+      .orderBy(col("center_id"))
+  }
+
+  /** MMR-DIVERSIFIED retrieval (maximal marginal relevance): from each
+    * query's exact top-[[MmrShortlist]] shortlist, greedily pick 3 results
+    * maximizing λ·rel(q,d) − (1−λ)·max sim(d, picked) — the standard
+    * redundancy-suppression re-rank (RAG context assembly, dedup-aware
+    * search). The greedy loop is unrolled to a fixed 3 picks, which is what
+    * makes it expressible as one declarative plan in BOTH engines (pick 1 =
+    * pure relevance, with max-sim over the empty set ≡ 0).
+    *
+    * Scale shape: stage 1 is the q51 shortlist (slim (query, neighbor,
+    * rel) rows through the top-k window — embeddings never cross that
+    * shuffle; at deployment scale the indexed paths produce the same
+    * shortlist cheaper). Stage 2 is O(queries × shortlist²) on
+    * metadata-sized frames: shortlist vectors re-join against the corpus
+    * scan by id, pairwise sims and the two greedy steps are
+    * broadcast-joined k-row frames. */
+  val MmrLambda = 0.7
+  val MmrComp = 0.3 // 1 − λ as its own literal: 1.0 − 0.7 ≠ 0.3 in binary
+  val MmrShortlist = 8
+
+  def mmrTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val rel = broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+      .withColumn("rel",
+        expr(s"(${sparkDot("qe", "ce")}) / (sqrt(${sparkDot("qe", "qe")}) * sqrt(${sparkDot("ce", "ce")}))"))
+      .select(col("query_id"), col("neighbor_id"), col("rel"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("neighbor_id"))
+    val short = rel.withColumn("srn", row_number().over(w))
+      .filter(col("srn") <= MmrShortlist)
+    // shortlist vectors: ≤ queries × shortlist ids re-join the corpus scan
+    val withE = broadcast(short.select(col("query_id"), col("neighbor_id"), col("srn")))
+      .join(c, "neighbor_id")
+    // every greedy-stage frame is queries × shortlist rows at most — Catalyst
+    // cannot estimate post-window sizes, so hint the broadcasts explicitly
+    // (unhinted, all five lookups planned as sort-merge joins)
+    val sims = withE.select(col("query_id"), col("neighbor_id").as("a_id"), col("ce").as("ae"))
+      .join(broadcast(withE.select(col("query_id"), col("neighbor_id").as("b_id"), col("ce").as("be"))),
+        "query_id")
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("sim",
+        expr(s"(${sparkDot("ae", "be")}) / (sqrt(${sparkDot("ae", "ae")}) * sqrt(${sparkDot("be", "be")}))"))
+      .select(col("query_id"), col("a_id"), col("b_id"), col("sim"))
+    val p1 = short.filter(col("srn") === 1)
+      .select(col("query_id"), col("neighbor_id").as("p1_id"),
+        (lit(MmrLambda) * col("rel")).as("p1_mmr"))
+    val s1 = sims.select(col("query_id"), col("a_id").as("neighbor_id"),
+      col("b_id").as("p1_id"), col("sim").as("sim1"))
+    val wm = Window.partitionBy(col("query_id")).orderBy(col("mmr").desc, col("neighbor_id"))
+    val c2 = short.join(broadcast(p1.select(col("query_id"), col("p1_id"))), "query_id")
+      .filter(col("neighbor_id") =!= col("p1_id"))
+      .join(broadcast(s1), Seq("query_id", "neighbor_id", "p1_id"))
+      .withColumn("mmr", lit(MmrLambda) * col("rel") - lit(MmrComp) * col("sim1"))
+    val p2 = c2.withColumn("rn", row_number().over(wm)).filter(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id").as("p2_id"), col("mmr").as("p2_mmr"))
+    val s2 = sims.select(col("query_id"), col("a_id").as("neighbor_id"),
+      col("b_id").as("p2_id"), col("sim").as("sim2"))
+    val c3 = short.join(broadcast(p1.select(col("query_id"), col("p1_id"))), "query_id")
+      .join(broadcast(p2.select(col("query_id"), col("p2_id"))), "query_id")
+      .filter(col("neighbor_id") =!= col("p1_id") && col("neighbor_id") =!= col("p2_id"))
+      .join(broadcast(s1), Seq("query_id", "neighbor_id", "p1_id"))
+      .join(broadcast(s2), Seq("query_id", "neighbor_id", "p2_id"))
+      .withColumn("mmr",
+        lit(MmrLambda) * col("rel") - lit(MmrComp) * greatest(col("sim1"), col("sim2")))
+    val p3 = c3.withColumn("rn", row_number().over(wm)).filter(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id").as("p3_id"), col("mmr").as("p3_mmr"))
+    p1.select(col("query_id"), lit(1L).as("pick"),
+        col("p1_id").as("neighbor_id"), col("p1_mmr").as("mmr"))
+      .union(p2.select(col("query_id"), lit(2L), col("p2_id"), col("p2_mmr")))
+      .union(p3.select(col("query_id"), lit(3L), col("p3_id"), col("p3_mmr")))
+      .orderBy(col("query_id"), col("pick"))
+  }
+
+  /** Cosine RADIUS search (range query): every corpus vector within
+    * cosine ≥ [[RadiusCos]] of each query — the "all matches above a
+    * similarity floor" API (duplicate sweeps, policy screens) that top-k
+    * cannot express when the true match count per query is unknown.
+    *
+    * Scale shape: identical to q51's stage 1 — queries broadcast, the
+    * corpus streams ONCE through a narrow codegen'd cosine + filter; no
+    * window at all (radius needs no rank), so output flows straight to the
+    * sink. The indexed variants (IVF probe, LSH buckets) bolt onto the
+    * same predicate when n × queries grows too large. */
+  val RadiusCos = 0.25
+
+  def radiusSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        expr(s"(${sparkDot("qe", "ce")}) / (sqrt(${sparkDot("qe", "qe")}) * sqrt(${sparkDot("ce", "ce")}))"))
+      .filter(col("cosine") >= RadiusCos)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
   /** SEMANTIC decontamination — the embedding-level complement of the
     * shingle-based q47: flag training vectors whose max cosine against any
     * holdout vector exceeds the threshold (paraphrased benchmark leakage
@@ -1222,7 +1357,80 @@ object VectorOps {
          |FROM m WHERE m.c > $ContaminationCos
          |ORDER BY vec_id""".stripMargin)),
 
-    Q("q79_embed_kmeans_ivfpq", kmeansIvfPqTopK, Some(q79Sql))
+    Q("q79_embed_kmeans_ivfpq", kmeansIvfPqTopK, Some(q79Sql)),
+
+    Q("q83_embed_kmeans_quality", kmeansQuality, Some(
+      s"""WITH $kmeansChainSql,
+         |afd AS (
+         |  SELECT e.vec_id,
+         |    (MIN({'d': ($kmeansDistSql), 'cid': c.cid})).cid AS center_id,
+         |    (MIN({'d': ($kmeansDistSql), 'cid': c.cid})).d AS d
+         |  FROM embeddings e, c$KmeansIters c GROUP BY e.vec_id)
+         |SELECT center_id, COUNT(*) AS n,
+         |  CAST(SUM(CAST(FLOOR(d * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS inertia,
+         |  CAST(SUM(CAST(FLOOR(d * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 / COUNT(*) AS mean_dist2
+         |FROM afd GROUP BY center_id ORDER BY center_id""".stripMargin)),
+
+    Q("q85_embed_mmr", mmrTopK, Some {
+      val cosAB = s"(${duckDot("a.embedding", "b.embedding")})" +
+        s" / (sqrt(${duckDot("a.embedding", "a.embedding")})" +
+        s" * sqrt(${duckDot("b.embedding", "b.embedding")}))"
+      s"""WITH rel AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ($cosAB) AS rel
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id < 8 AND b.vec_id <> a.vec_id),
+         |short AS (SELECT query_id, neighbor_id, rel, srn FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY rel DESC, neighbor_id) AS srn FROM rel) WHERE srn <= $MmrShortlist),
+         |sims AS (
+         |  SELECT x.query_id, x.neighbor_id AS a_id, y.neighbor_id AS b_id, ($cosAB) AS sim
+         |  FROM short x
+         |  JOIN short y ON y.query_id = x.query_id AND y.neighbor_id <> x.neighbor_id
+         |  JOIN embeddings a ON a.vec_id = x.neighbor_id
+         |  JOIN embeddings b ON b.vec_id = y.neighbor_id),
+         |p1 AS (SELECT query_id, neighbor_id AS p1_id, $MmrLambda * rel AS p1_mmr
+         |  FROM short WHERE srn = 1),
+         |c2 AS (
+         |  SELECT sl.query_id, sl.neighbor_id,
+         |    $MmrLambda * sl.rel - $MmrComp * s1.sim AS mmr
+         |  FROM short sl
+         |  JOIN p1 ON p1.query_id = sl.query_id
+         |  JOIN sims s1 ON s1.query_id = sl.query_id
+         |    AND s1.a_id = sl.neighbor_id AND s1.b_id = p1.p1_id
+         |  WHERE sl.neighbor_id <> p1.p1_id),
+         |p2 AS (SELECT query_id, neighbor_id AS p2_id, mmr AS p2_mmr FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY mmr DESC, neighbor_id) AS rn FROM c2) WHERE rn = 1),
+         |c3 AS (
+         |  SELECT sl.query_id, sl.neighbor_id,
+         |    $MmrLambda * sl.rel - $MmrComp * greatest(s1.sim, s2.sim) AS mmr
+         |  FROM short sl
+         |  JOIN p1 ON p1.query_id = sl.query_id
+         |  JOIN p2 ON p2.query_id = sl.query_id
+         |  JOIN sims s1 ON s1.query_id = sl.query_id
+         |    AND s1.a_id = sl.neighbor_id AND s1.b_id = p1.p1_id
+         |  JOIN sims s2 ON s2.query_id = sl.query_id
+         |    AND s2.a_id = sl.neighbor_id AND s2.b_id = p2.p2_id
+         |  WHERE sl.neighbor_id <> p1.p1_id AND sl.neighbor_id <> p2.p2_id),
+         |p3 AS (SELECT query_id, neighbor_id AS p3_id, mmr AS p3_mmr FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY mmr DESC, neighbor_id) AS rn FROM c3) WHERE rn = 1)
+         |SELECT query_id, CAST(1 AS BIGINT) AS pick, p1_id AS neighbor_id, p1_mmr AS mmr FROM p1
+         |UNION ALL SELECT query_id, CAST(2 AS BIGINT), p2_id, p2_mmr FROM p2
+         |UNION ALL SELECT query_id, CAST(3 AS BIGINT), p3_id, p3_mmr FROM p3
+         |ORDER BY query_id, pick""".stripMargin
+    }),
+
+    Q("q87_embed_radius", radiusSearch, Some(
+      s"""SELECT query_id, neighbor_id, cosine FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    (${duckDot("a.embedding", "b.embedding")})
+         |      / (sqrt(${duckDot("a.embedding", "a.embedding")})
+         |         * sqrt(${duckDot("b.embedding", "b.embedding")})) AS cosine
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id < 8 AND b.vec_id <> a.vec_id)
+         |WHERE cosine >= $RadiusCos
+         |ORDER BY query_id, neighbor_id""".stripMargin))
   )
 
 

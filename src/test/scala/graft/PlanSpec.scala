@@ -210,6 +210,38 @@ class PlanSpec extends SparkSpec {
     assert(!s.toLowerCase.contains("rand"), s"sampling must be hash-deterministic:\n$s")
   }
 
+  test("q83 k-means diagnostics: narrow argmin + k-row hash agg, corpus never shuffles rows") {
+    val df = ops.VectorOpsImpl.kmeansQuality(spark, dir).queryExecution.analyzed match {
+      case org.apache.spark.sql.catalyst.plans.logical.Sort(_, _, child, _) =>
+        org.apache.spark.sql.graftshim.Bridge.ofRows(spark, child)
+      case _ => fail("expected a top-level Sort to strip")
+    }
+    val s = plan(df)
+    assert(!s.contains("Window"), s"diagnostics must not use a window:\n$s")
+    assert("HashAggregate".r.findAllIn(s).size >= 2, s"expect partial+final hash agg:\n$s")
+    // the only Exchange may carry the k-row partial aggregate, nothing else
+    assert("Exchange".r.findAllIn(s).size <= 1, s"only the k-row agg exchange is allowed:\n$s")
+  }
+
+  test("q85 MMR stages never degrade to cartesian or sort-merge joins") {
+    val s = plan(ops.VectorOpsImpl.mmrTopK(spark, dir))
+    assert(!s.contains("CartesianProduct"), s"MMR must not go all-pairs:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"metadata-sized frames must broadcast:\n$s")
+    assert(s.contains("LessThan(vec_id,8)"), s"query filter must push into the scan:\n$s")
+  }
+
+  test("q87 radius search broadcasts queries and fuses the cosine floor into the join") {
+    val df = ops.VectorOpsImpl.radiusSearch(spark, dir).queryExecution.analyzed match {
+      case org.apache.spark.sql.catalyst.plans.logical.Sort(_, _, child, _) =>
+        org.apache.spark.sql.graftshim.Bridge.ofRows(spark, child)
+      case _ => fail("expected a top-level Sort to strip")
+    }
+    val s = plan(df)
+    assert(s.contains("BroadcastNestedLoopJoin"), s"query side must broadcast:\n$s")
+    assert(s.contains("LessThan(vec_id,8)"), s"query filter must push into the scan:\n$s")
+    assert(!s.contains("Window"), s"radius search needs no rank, so no window:\n$s")
+  }
+
   test("q82 classifier is a pure narrow scan: no shuffle, no UDF, pruned to (doc_id, text)") {
     val df = ops.TextOpsImpl.qualityClassifier(spark, dir).queryExecution.analyzed match {
       case org.apache.spark.sql.catalyst.plans.logical.Sort(_, _, child, _) =>
