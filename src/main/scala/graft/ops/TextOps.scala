@@ -504,6 +504,54 @@ object TextOpsImpl {
       .orderBy(col("doc_id"))
   }
 
+  /** Repeated-passage REMOVAL — the rewrite step completing [[repeatedNgrams]]'
+    * detection (together they are the exact-substring-dedup pipeline of Lee
+    * et al., at token-n-gram granularity): cut every token covered by a
+    * cross-document repeated [[RepN]]-gram and reassemble the survivors in
+    * original order. Emits per doc the kept-token count and the md5 of the
+    * cleaned text (the full text flows the same way; the gate hashes it to
+    * keep outputs small).
+    *
+    * Scale shape: detection is q84's bounded pipeline (gram hashes, never
+    * text, cross the shuffle). The rewrite explodes tokens once —
+    * (doc_id, position, token) rows, O(corpus tokens) — anti-joins the
+    * covered-position set on the high-cardinality (doc_id, position) key,
+    * and reassembles per doc with a bounded-by-doc-length sort inside the
+    * aggregation. Everything is doc-scoped after the gram stage; no
+    * reducer ever holds more than one document's tokens. */
+  def removeRepeatedPassages(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")).cast(LongType))
+    val grams = docs.filter(col("n_tok") >= RepN)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(1, size(toks) - ${RepN - 1})")).as("i"))
+      .select(col("doc_id"), col("i"),
+        md5(concat_ws(" ", expr(s"slice(toks, i, $RepN)"))).as("gram"))
+    val rep = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= RepMinDocs)
+      .select(col("gram"))
+    val covered = grams.join(rep, "gram")
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${RepN - 1})")).as("p"))
+      .distinct()
+    val toks = docs
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("p"), col("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+    val cleaned = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"))
+          .as("cleaned"))
+    docs.select(col("doc_id"), col("n_tok"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("cleaned"), lit(""))).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source CORPUS REPORT CARD — the one-pass health dashboard a data
     * pipeline publishes per ingest source: volume (docs, tokens), exact
     * duplication rate, mean quality, and language concentration. Gini
@@ -908,6 +956,33 @@ object TextOps {
          |  CAST(COALESCE(c.n_cov_tok, 0) AS BIGINT) AS n_cov_tok,
          |  CAST(COALESCE(c.n_cov_tok, 0) AS DOUBLE) / d.n_tok AS cov_frac
          |FROM d LEFT JOIN spans s USING (doc_id) LEFT JOIN cov c USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin)),
+
+    Q("q88_text_passage_removal", removeRepeatedPassages, Some(
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, i,
+         |    md5(array_to_string(list_slice(t, i, i + ${RepN - 1}), ' ')) AS gram
+         |  FROM d, unnest(generate_series(1, n_tok - ${RepN - 1})) AS u(i)
+         |  WHERE n_tok >= $RepN),
+         |rep AS (SELECT gram FROM g GROUP BY gram
+         |  HAVING COUNT(DISTINCT doc_id) >= $RepMinDocs),
+         |cov AS (SELECT DISTINCT doc_id, p
+         |  FROM g JOIN rep USING (gram), unnest(generate_series(i, i + ${RepN - 1})) AS v(p)),
+         |toks AS (SELECT doc_id, CAST(p AS BIGINT) AS p, t[p] AS tok
+         |  FROM d, unnest(generate_series(1, CAST(len(t) AS BIGINT))) AS u(p)),
+         |kept AS (SELECT toks.doc_id, toks.p, toks.tok FROM toks
+         |  ANTI JOIN cov ON cov.doc_id = toks.doc_id AND cov.p = toks.p),
+         |cl AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |    string_agg(tok, ' ' ORDER BY p) AS cleaned
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, d.n_tok,
+         |  CAST(COALESCE(cl.n_kept, 0) AS BIGINT) AS n_kept,
+         |  md5(COALESCE(cl.cleaned, '')) AS cleaned_md5
+         |FROM d LEFT JOIN cl USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin)),
 
     Q("q86_corpus_report", corpusReport, Some(
