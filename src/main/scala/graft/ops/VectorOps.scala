@@ -924,6 +924,99 @@ object VectorOpsImpl {
       .select(col("id").as("vec_id"), col("comp").as("component"))
       .orderBy(col("vec_id"))
 
+  /** SEMANTIC keep-best canonicalization — the cross-modal composition of
+    * q58 and q67: cluster by EMBEDDING near-duplicates (sign-LSH banded
+    * candidates → exact cosine → connected components), then keep the
+    * highest-QUALITY document of each cluster (vec_id ≡ doc_id links the
+    * two tables). This is semantic dedup as production runs it: paraphrased
+    * near-copies that shingle-MinHash misses collapse onto one canonical
+    * doc, chosen by a text-side signal the embedding can't see.
+    *
+    * Scale shape: every stage is the already-audited one — capped LSH
+    * buckets generate candidates (never all-pairs), components run on the
+    * metadata-scale pair graph only, the component map broadcasts against
+    * one quality scan, and the keep-best window partitions by component
+    * (bounded by cluster size). */
+  def semanticKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val comps = embedNearDupComponents(s, dir)
+      .select(col("vec_id").as("doc_id"), col("component"))
+    val quality = TextOpsImpl.qualityScore(s, dir).select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy(col("component")).orderBy(col("quality").desc, col("doc_id"))
+    broadcast(comps).join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("component"), col("quality"),
+        (col("rn") === 1).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** HYBRID retrieval with reciprocal-rank fusion — the lexical+dense
+    * two-tower shape every production search stack runs: a sparse TF-IDF
+    * inverted-index ranking and the dense cosine ranking each produce a
+    * top-[[HybridShortlist]] shortlist per query, fused by
+    * RRF = Σ 1/([[RrfK]] + rank) (rank fusion needs no score calibration
+    * between the two signals — the reason RRF is the default fusion).
+    * Queries are documents 0..7 (their text for the sparse side, their
+    * embedding for the dense side).
+    *
+    * Scale shape: the sparse side IS the inverted index as a join — query
+    * terms broadcast, corpus term-frequency rows equi-join on the token
+    * key, per-(query, doc) partial-aggregated dot product (floor-quantized
+    * DECIMAL accumulation: a double SUM over shared terms would vary with
+    * partitioning); the dense side is q51's broadcast scan; fusion is a
+    * full-outer join of two queries × shortlist frames — metadata-sized by
+    * construction (Spark plans full outer as sort-merge only; at this size
+    * that is free). */
+  val HybridShortlist = 10
+  val RrfK = 60
+
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val tfidf = tf.join(dfreq, "tok").crossJoin(broadcast(total))
+      .withColumn("w", col("tf").cast(DoubleType)
+        * (col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)))
+      .select(col("doc_id"), col("tok"), col("w"))
+    val qterms = tfidf.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"), col("tok"), col("w").as("qw"))
+    val lex = broadcast(qterms).join(tfidf, "tok")
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("p", col("qw") * col("w"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(expr("CAST(SUM(CAST(FLOOR(p * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12")
+        .as("lex"))
+    val wl = Window.partitionBy(col("query_id")).orderBy(col("lex").desc, col("doc_id"))
+    val lexTop = lex.withColumn("lrn", row_number().over(wl).cast(LongType))
+      .filter(col("lrn") <= HybridShortlist)
+      .select(col("query_id"), col("doc_id"), col("lrn"))
+    val e = Tables(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("doc_id"), col("embedding").as("ce"))
+    val dense = broadcast(q).join(c, col("doc_id") =!= col("query_id"))
+      .withColumn("cosine",
+        expr(s"(${sparkDot("qe", "ce")}) / (sqrt(${sparkDot("qe", "qe")}) * sqrt(${sparkDot("ce", "ce")}))"))
+      .select(col("query_id"), col("doc_id"), col("cosine"))
+    val wd = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("doc_id"))
+    val denseTop = dense.withColumn("drn", row_number().over(wd).cast(LongType))
+      .filter(col("drn") <= HybridShortlist)
+      .select(col("query_id"), col("doc_id"), col("drn"))
+    // full outer cannot broadcast in Spark (SMJ only) — fine: both sides
+    // are queries × shortlist rows, so the sort-merge is metadata-sized
+    val fused = lexTop.join(denseTop, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("lrn")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RrfK) + col("drn")), lit(0.0)))
+    val wf = Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rn", row_number().over(wf).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("rn"), col("doc_id"), col("rrf"),
+        col("lrn").as("lex_rank"), col("drn").as("dense_rank"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** Recall@3 of every approximate ANN path against the exact brute-force
     * ground truth (q51's top-3) — the measurement a user tuning
     * nprobe/shortlist/band geometry actually needs: each knob trades
@@ -1419,6 +1512,78 @@ object VectorOps {
          |UNION ALL SELECT query_id, CAST(2 AS BIGINT), p2_id, p2_mmr FROM p2
          |UNION ALL SELECT query_id, CAST(3 AS BIGINT), p3_id, p3_mmr FROM p3
          |ORDER BY query_id, pick""".stripMargin
+    }),
+
+    Q("q89_embed_keep_best", semanticKeepBest, Some {
+      val stopSql = TextOpsImpl.stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+      s"""WITH RECURSIVE jp AS (SELECT a_id, b_id FROM ($nearDupPairsSql) q56),
+         |nodes AS (SELECT a_id AS id FROM jp UNION SELECT b_id FROM jp),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM jp
+         |          UNION ALL SELECT b_id, a_id FROM jp),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+         |t AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x IN $stopSql)) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |q AS (SELECT doc_id,
+         |    least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.5
+         |      + (1.0 - CAST(n_stop AS DOUBLE) / n_tok) * 0.5 AS quality
+         |  FROM t),
+         |j AS (SELECT c.doc_id, c.component, q.quality FROM comp c JOIN q USING (doc_id)),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+         |    ORDER BY quality DESC, doc_id) AS rn FROM j)
+         |SELECT doc_id, component, quality, rn = 1 AS keep FROM r
+         |ORDER BY doc_id""".stripMargin
+    }),
+
+    Q("q90_hybrid_rrf", hybridRrf, Some {
+      val cosAB = s"(${duckDot("a.embedding", "b.embedding")})" +
+        s" / (sqrt(${duckDot("a.embedding", "a.embedding")})" +
+        s" * sqrt(${duckDot("b.embedding", "b.embedding")}))"
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |ti AS (
+         |  SELECT t.doc_id, t.tok,
+         |    CAST(t.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) AS w
+         |  FROM tf t JOIN dfreq d USING (tok) CROSS JOIN n),
+         |qt AS (SELECT doc_id AS query_id, tok, w AS qw FROM ti WHERE doc_id < 8),
+         |lex AS (
+         |  SELECT q.query_id, t.doc_id,
+         |    CAST(SUM(CAST(FLOOR(q.qw * t.w * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS lex
+         |  FROM qt q JOIN ti t USING (tok)
+         |  WHERE t.doc_id <> q.query_id
+         |  GROUP BY q.query_id, t.doc_id),
+         |lt AS (SELECT query_id, doc_id, CAST(lrn AS BIGINT) AS lrn FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY lex DESC, doc_id) AS lrn FROM lex) WHERE lrn <= $HybridShortlist),
+         |dn AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS doc_id, ($cosAB) AS cosine
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id < 8 AND b.vec_id <> a.vec_id),
+         |dt AS (SELECT query_id, doc_id, CAST(drn AS BIGINT) AS drn FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, doc_id) AS drn FROM dn) WHERE drn <= $HybridShortlist),
+         |f AS (
+         |  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         |    COALESCE(l.doc_id, d.doc_id) AS doc_id, l.lrn, d.drn,
+         |    COALESCE(CAST(1 AS DOUBLE) / ($RrfK + l.lrn), 0.0)
+         |      + COALESCE(CAST(1 AS DOUBLE) / ($RrfK + d.drn), 0.0) AS rrf
+         |  FROM lt l FULL OUTER JOIN dt d
+         |    ON d.query_id = l.query_id AND d.doc_id = l.doc_id)
+         |SELECT query_id, CAST(rn AS BIGINT) AS rn, doc_id, rrf,
+         |  lrn AS lex_rank, drn AS dense_rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, doc_id) AS rn FROM f) WHERE rn <= 3
+         |ORDER BY query_id, rn""".stripMargin
     }),
 
     Q("q87_embed_radius", radiusSearch, Some(

@@ -242,6 +242,13 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("Window"), s"radius search needs no rank, so no window:\n$s")
   }
 
+  test("q90 hybrid retrieval broadcasts query terms into the token equi-join and pushes top-k limits") {
+    val s = plan(ops.VectorOpsImpl.hybridRrf(spark, dir))
+    assert(!s.contains("CartesianProduct"), s"no all-pairs stage is allowed:\n$s")
+    assert(s.contains("BroadcastHashJoin"), s"query terms must broadcast into the tok join:\n$s")
+    assert(s.contains("WindowGroupLimit"), s"shortlist windows must push the top-k limit:\n$s")
+  }
+
   test("q82 classifier is a pure narrow scan: no shuffle, no UDF, pruned to (doc_id, text)") {
     val df = ops.TextOpsImpl.qualityClassifier(spark, dir).queryExecution.analyzed match {
       case org.apache.spark.sql.catalyst.plans.logical.Sort(_, _, child, _) =>
