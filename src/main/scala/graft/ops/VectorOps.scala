@@ -128,6 +128,7 @@ object VectorOpsImpl {
     graft.ops.Memo.clear(pqIndexCache)
     graft.ops.Memo.clear(kmeansAssignCache)
     graft.ops.Memo.clear(pqKmeansIndexCache)
+    graft.ops.Memo.clear(embedComponentsCache)
     centroidCache.clear()
     kmeansCache.clear()
     pqKmeansCache.clear()
@@ -918,9 +919,19 @@ object VectorOpsImpl {
     * (DedupOpsImpl.connectedComponents): pairwise near-dups become
     * components so a pipeline keeps one canonical vector per cluster.
     * The loop runs over the top-pair graph only (metadata-scale). */
+  /** Memoized CACHED embedding-side component map per (session, dir) —
+    * q58 and the q89 keep-best wrap share ONE pair generation + label
+    * propagation, the same discipline as the shingle-side componentsCache. */
+  private val embedComponentsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def embedComponents(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Memo.getOrCache(embedComponentsCache, s, dir, _ =>
+      DedupOpsImpl.connectedComponents(
+        cosineNearDupPairs(s, dir).select(col("a_id"), col("b_id"))).cache())
+
   def embedNearDupComponents(s: SparkSession, dir: String): DataFrame =
-    DedupOpsImpl.connectedComponents(
-        cosineNearDupPairs(s, dir).select(col("a_id"), col("b_id")))
+    embedComponents(s, dir)
       .select(col("id").as("vec_id"), col("comp").as("component"))
       .orderBy(col("vec_id"))
 

@@ -23,6 +23,7 @@ class CacheHygieneSpec extends SparkSpec {
     VectorOpsImpl.pqAdcTopK(spark, dir).count()       // PQ codes view
     VectorOpsImpl.kmeansIvfTopK(spark, dir).count()   // learned-assignment view
     VectorOpsImpl.kmeansIvfPqTopK(spark, dir).count() // learned-codes view
+    VectorOpsImpl.embedNearDupComponents(spark, dir).count() // embed component map
     assert(!spark.sharedState.cacheManager.isEmpty, "views must actually cache")
 
     DedupOpsImpl.clearCaches()
