@@ -165,6 +165,52 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q84/q88 edge cases: sub-8-token docs, identical docs, partial overlap") {
+    import spark.implicits._
+    def md5Of(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val run = (1 to 8).map(i => s"r$i").mkString(" ") // the shared 8-token passage
+    val d1 = "a b c"                 // < 8 tokens: no grams at all
+    val d23 = s"x1 x2 $run"          // docs 2,3 identical: fully covered
+    val d4 = s"p1 p2 $run s1 s2"     // passage mid-doc: partial coverage
+    val d5 = s"q1 $run q2 q3"        // same passage, different surroundings
+    val tmp = java.nio.file.Files.createTempDirectory("repdocs").toString
+    Seq((1L, d1), (2L, d23), (3L, d23), (4L, d4), (5L, d5))
+      .map { case (id, t) => (id, t, "en", "t", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val det = ops.TextOpsImpl.repeatedNgrams(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(det(1L).getAs[Long]("n_grams") == 0L && det(1L).getAs[Long]("n_cov_tok") == 0L,
+      "a sub-8-token doc has no grams and no coverage")
+    Seq(2L, 3L).foreach { id =>
+      assert(det(id).getAs[Long]("n_rep_spans") == 3L, s"identical doc $id: all 3 spans repeat")
+      assert(det(id).getAs[Double]("cov_frac") == 1.0, s"identical doc $id fully covered")
+    }
+    assert(det(4L).getAs[Long]("n_rep_spans") == 1L && det(4L).getAs[Long]("n_cov_tok") == 8L,
+      "doc 4: exactly the shared passage repeats")
+    assert(det(5L).getAs[Long]("n_rep_spans") == 1L && det(5L).getAs[Long]("n_cov_tok") == 8L,
+      "doc 5: exactly the shared passage repeats")
+
+    val rem = ops.TextOpsImpl.removeRepeatedPassages(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rem(1L).getAs[Long]("n_kept") == 3L &&
+      rem(1L).getAs[String]("cleaned_md5") == md5Of("a b c"),
+      "short doc survives untouched")
+    Seq(2L, 3L).foreach { id =>
+      assert(rem(id).getAs[Long]("n_kept") == 0L &&
+        rem(id).getAs[String]("cleaned_md5") == md5Of(""),
+        s"fully-covered doc $id reduces to empty")
+    }
+    assert(rem(4L).getAs[Long]("n_kept") == 4L &&
+      rem(4L).getAs[String]("cleaned_md5") == md5Of("p1 p2 s1 s2"),
+      "doc 4 keeps its unique surroundings in order")
+    assert(rem(5L).getAs[Long]("n_kept") == 3L &&
+      rem(5L).getAs[String]("cleaned_md5") == md5Of("q1 q2 q3"),
+      "doc 5 keeps its unique surroundings in order")
+  }
+
   test("q85 MMR output equals an independent greedy recomputation and diversifies picks") {
     import ops.VectorOpsImpl.{MmrLambda, MmrComp, MmrShortlist}
     val embs = Tables(spark, dir, "embeddings")
