@@ -38,6 +38,37 @@ object Stateful {
       .dropDuplicatesWithinWatermark("__seq")
       .drop("ats", "__seq")
 
+  /** Incremental per-source corpus report — the STREAMING complement of the
+    * batch report card (q86): running docs / tokens / mean quality per
+    * ingest source, maintained exactly as documents arrive. The quality sum
+    * uses the same floor-quantized DECIMAL(38,0) accumulation as the batch
+    * operator, so a streaming report and a batch backfill over the same
+    * corpus agree bitwise — the invariant that lets the two audit each
+    * other.
+    *
+    * Scale shape: per-row features are narrow; the aggregation state is
+    * |sources| rows (bounded by source cardinality, never stream length),
+    * incrementally maintained with map-side partials per micro-batch. Use
+    * OutputMode.Update (emit changed sources per batch) or Complete (full
+    * report snapshot). */
+  def runningCorpusReport(docs: DataFrame): DataFrame = {
+    val stop = graft.ops.TextOpsImpl.stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_stop", expr(s"CAST(size(filter(toks, x -> x IN $stop)) AS BIGINT)"))
+      .withColumn("quality",
+        least(col("n_tok").cast("double") / 50.0, lit(1.0)) * 0.5
+          + (lit(1.0) - col("n_stop").cast("double") / col("n_tok")) * 0.5)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        expr("CAST(SUM(CAST(FLOOR(quality * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12")
+          .as("qsum"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("qsum") / col("n_docs")).as("avg_quality"))
+  }
+
   /** Per-key latest-image state (the MV sink's semantics as a streaming
     * state machine): emits one change row per key per micro-batch when the
     * key's latest image changed; DELETE/TTL clears state. State holds one

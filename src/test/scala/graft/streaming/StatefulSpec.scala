@@ -65,4 +65,41 @@ class StatefulSpec extends SparkSpec {
         ("20", "DELETE", 4), ("20", "UPSERT", 3)))
     } finally q.stop()
   }
+
+  test("running corpus report accumulates across batches and matches the batch recompute") {
+    val input = MemoryStream[(Long, String, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "text", "source")
+    val q = Stateful.runningCorpusReport(docs)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("corpusreport").start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog", "a"),
+        (2L, "a b", "a"),
+        (3L, "one two three four five", "b"))
+      q.processAllAvailable()
+      input.addData(
+        (4L, "more content for source a arriving in a later batch", "a"),
+        (5L, "six seven eight", "b"))
+      q.processAllAvailable()
+      val rows = spark.table("corpusreport").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(rows("a")._1 == 3L && rows("b")._1 == 2L, s"doc counts: $rows")
+      assert(rows("a")._2 == 21L, s"source a tokens 9+2+10: $rows")
+      assert(rows("b")._2 == 8L, s"source b tokens 5+3: $rows")
+      // the streaming accumulation must agree with a one-shot batch compute
+      // over the union of both batches (the audit invariant)
+      import spark.implicits._
+      val batch = Stateful.runningCorpusReport(Seq(
+        (1L, "the quick brown fox jumps over the lazy dog", "a"),
+        (2L, "a b", "a"),
+        (3L, "one two three four five", "b"),
+        (4L, "more content for source a arriving in a later batch", "a"),
+        (5L, "six seven eight", "b")).toDF("doc_id", "text", "source"))
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+      rows.foreach { case (src, (_, _, avgQ)) =>
+        assert(avgQ == batch(src), s"streaming vs batch avg_quality for $src")
+      }
+    } finally q.stop()
+  }
 }
