@@ -262,6 +262,11 @@ object TextOpsImpl {
   val CdcBoundaryMax = 8 // md5 first byte < 8 → boundary (density 8/256)
 
   def contentDefinedChunks(s: SparkSession, dir: String): DataFrame =
+    cdcChunkRows(s, dir).orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** The chunk stream without the presentation sort — shared by the q71
+    * gate and the chunk-level snapshot dedup (q92). */
+  private def cdcChunkRows(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .select(col("doc_id"),
         posexplode(graft.expr.CdcChunksFunctions.cdcChunks(
@@ -272,7 +277,6 @@ object TextOpsImpl {
         col("c.start").as("chunk_start"),
         col("c.len").as("chunk_len"),
         col("c.md5").as("chunk_md5"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
 
   /** Gopher-style repetition signals per document: distinct-token ratio,
     * most-frequent-token fraction, most-frequent-bigram fraction. The
@@ -549,6 +553,72 @@ object TextOpsImpl {
       .select(col("doc_id"), col("n_tok"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         md5(coalesce(col("cleaned"), lit(""))).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Unigram LANGUAGE-MODEL scoring — the LM-based quality signal between
+    * rule filters and a real perplexity model: score each document by the
+    * corpus-wide unigram probability of its tokens. Log-free on purpose:
+    * true perplexity needs ln/exp (libm-dependent — results would stop
+    * being bitwise portable across engines), so the score is the
+    * ARITHMETIC mean token probability plus the rarest-token probability —
+    * the same ordering signal for rare-token-dense/degenerate docs.
+    *
+    * Scale shape: one global term-frequency aggregation (map-side combine),
+    * a token-keyed equi-join back onto the exploded corpus (the
+    * inverted-index shape; token keys are as uniform as the vocabulary),
+    * and a per-doc aggregation whose probability sum uses the
+    * floor-quantized DECIMAL(38,0) discipline (order-independent; p is
+    * quantized at 1e-12 — the gate's determinism does not depend on the
+    * quantum, only on both engines sharing it). */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val probs = tf.crossJoin(broadcast(total))
+      .select(col("tok"),
+        (col("tf").cast(DoubleType) / col("n_total").cast(DoubleType)).as("p"))
+    toks.join(probs, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        expr("CAST(SUM(CAST(FLOOR(p * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12")
+          .as("sum_p"),
+        min(col("p")).as("min_p"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("sum_p") / col("n_tok")).as("mean_p"), col("min_p"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SNAPSHOT-DELTA dedup at CHUNK granularity — incremental-ingestion
+    * dedup against an existing corpus snapshot, the storage-dedup
+    * formulation: which content-defined chunks ([[contentDefinedChunks]])
+    * of the incoming batch does the snapshot's chunk store already hold?
+    * (Here even doc_ids are the snapshot, odd ones the incoming batch;
+    * production passes two tables the same way.) Chunk granularity is what
+    * makes delta dedup bite on real corpora: whole-text hashes only catch
+    * verbatim copies, while shared chunk hashes catch partially-overlapping
+    * revisions — and because the chunker is content-defined, the overlap
+    * survives edits. Emits per incoming doc its chunk count, how many
+    * chunks the snapshot already had, and the duplicate fraction.
+    *
+    * Scale shape: both sides reduce to 32-hex chunk hashes BEFORE the join
+    * (never text); the snapshot side pre-aggregates to distinct hashes;
+    * the probe is a uniform-hash equi-join followed by a doc-scoped
+    * aggregate. At 100 TB the snapshot chunk index lives as its own
+    * compacted table and the same plan applies (a Bloom filter pre-screen
+    * keeps the same join shape with a cheaper first pass). */
+  def snapshotDedup(s: SparkSession, dir: String): DataFrame = {
+    val chunks = cdcChunkRows(s, dir).select(col("doc_id"), col("chunk_md5"))
+    val snapshot = chunks.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+      .select(col("chunk_md5")).distinct().withColumn("seen", lit(1L))
+    val incoming = chunks.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+    incoming.join(snapshot, Seq("chunk_md5"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("seen").isNotNull, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        (col("n_dup_chunks").cast(DoubleType) / col("n_chunks")).as("dup_frac"))
       .orderBy(col("doc_id"))
   }
 
@@ -984,6 +1054,54 @@ object TextOps {
          |  md5(COALESCE(cl.cleaned, '')) AS cleaned_md5
          |FROM d LEFT JOIN cl USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin)),
+
+    Q("q91_text_lm_score", lmScore, Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS n_total FROM toks),
+        |probs AS (SELECT tok,
+        |    CAST(tf AS DOUBLE) / CAST(n.n_total AS DOUBLE) AS p
+        |  FROM tf CROSS JOIN n),
+        |d AS (
+        |  SELECT t.doc_id, COUNT(*) AS n_tok,
+        |    CAST(SUM(CAST(FLOOR(p.p * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sum_p,
+        |    MIN(p.p) AS min_p
+        |  FROM toks t JOIN probs p USING (tok)
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_tok, sum_p / n_tok AS mean_p, min_p
+        |FROM d ORDER BY doc_id""".stripMargin)),
+
+    Q("q92_dedup_snapshot", snapshotDedup, Some {
+      def byteOf(h: String) =
+        s"(strpos('0123456789abcdef', substr($h, 1, 1)) - 1) * 16" +
+          s" + (strpos('0123456789abcdef', substr($h, 2, 1)) - 1)"
+      s"""WITH pos AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    unnest(generate_series(1, greatest(length(text) - ${CdcWindow - 1}, 1))) AS i
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, text, len, i FROM pos
+         |  WHERE i = 1 OR ${byteOf(s"md5(substr(text, CAST(i AS INT), $CdcWindow))")} < $CdcBoundaryMax),
+         |c AS (
+         |  SELECT doc_id, text, len, i,
+         |    LEAD(i) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+         |  FROM b),
+         |ch AS (
+         |  SELECT doc_id,
+         |    md5(substr(text, CAST(i AS INT), CAST(coalesce(nxt - 1, len) - i + 1 AS INT))) AS chunk_md5
+         |  FROM c),
+         |snap AS (SELECT DISTINCT chunk_md5 FROM ch WHERE doc_id % 2 = 0),
+         |inc AS (SELECT doc_id, chunk_md5 FROM ch WHERE doc_id % 2 = 1),
+         |j AS (
+         |  SELECT i.doc_id,
+         |    CASE WHEN s.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END AS dup
+         |  FROM inc i LEFT JOIN snap s USING (chunk_md5))
+         |SELECT doc_id, COUNT(*) AS n_chunks,
+         |  CAST(SUM(dup) AS BIGINT) AS n_dup_chunks,
+         |  CAST(SUM(dup) AS DOUBLE) / COUNT(*) AS dup_frac
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }),
 
     Q("q86_corpus_report", corpusReport, Some(
       s"""WITH t AS (
