@@ -725,11 +725,19 @@ object VectorOpsImpl {
     * here the chosen-centroid projection stands in for the code lookup —
     * never the raw corpus vectors (queries are broadcast, corpus streams
     * once, per-query heap via WindowGroupLimit). */
-  def pqAdcTopK(s: SparkSession, dir: String): DataFrame = {
+  def pqAdcTopK(s: SparkSession, dir: String): DataFrame =
+    adcSearch(s, dir,
+      graft.ops.Memo.getOrCache(pqIndexCache, s, dir, _ => pqCodes(s, dir).cache()))
+
+  /** ADC top-3 over an arbitrary (vec_id, code0..code7) index view — the
+    * search half of the encode/search split. The gate path hands it the
+    * memoized cached view; a deployment hands it the PERSISTED codes table
+    * read back from storage (PersistedIndexSpec proves both give identical
+    * results — the build-once / search-many contract). */
+  def adcSearch(s: SparkSession, dir: String, codes: DataFrame): DataFrame = {
     val q = Tables(s, dir, "embeddings").filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val n = graft.ops.Memo.getOrCache(pqIndexCache, s, dir, _ => pqCodes(s, dir).cache())
-      .withColumnRenamed("vec_id", "neighbor_id")
+    val n = codes.withColumnRenamed("vec_id", "neighbor_id")
     val joined = broadcast(q).join(n, col("neighbor_id") =!= col("query_id"))
       .withColumn("adc", adcDistance(centroidVectors(s, dir)))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
