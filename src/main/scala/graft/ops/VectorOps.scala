@@ -943,6 +943,45 @@ object VectorOpsImpl {
       .select(col("id").as("vec_id"), col("comp").as("component"))
       .orderBy(col("vec_id"))
 
+  /** Approximate k-NN GRAPH construction — per vector, the top-[[KnnK]]
+    * cosine neighbors among its capped-LSH-bucket candidates. The graph
+    * build step under graph-based ANN indexes (HNSW-family), graph
+    * clustering, and label propagation at corpus scale: brute force is
+    * O(n²); this is O(Σ bucket²) with buckets capped, i.e. linear in n for
+    * fixed geometry. Nodes whose buckets yield no candidate are absent (a
+    * second banding pass with wider bands recovers isolated nodes — same
+    * knob q77 measures).
+    *
+    * Scale shape: identical bounds to [[cosineNearDupPairs]] — banded
+    * signatures from the native codegen'd expression, bucket-cap degeneracy
+    * guard, candidates distinct on (src, dst) id pairs only — but DIRECTED
+    * (a ≠ b, both orientations) and ranked per src with a high-cardinality
+    * window instead of a global top-50. */
+  val KnnK = 3
+
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val banded = bandedSignatures(s, dir, NearDupBands, NearDupBandBits)
+    val ok = banded.groupBy(col("band"), col("bv")).agg(count(lit(1)).as("n"))
+      .filter(col("n") <= NearDupBucketCap).select("band", "bv")
+    val bk = banded.join(ok, Seq("band", "bv"))
+    val cand = bk.as("a").join(bk.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      .distinct()
+    val e = Tables(s, dir, "embeddings")
+    val scored = cand
+      .join(e.select(col("vec_id").as("src"), col("embedding").as("ae")), "src")
+      .join(e.select(col("vec_id").as("dst"), col("embedding").as("be")), "dst")
+      .withColumn("cosine",
+        expr(s"(${sparkDot("ae", "be")}) / (sqrt(${sparkDot("ae", "ae")}) * sqrt(${sparkDot("be", "be")}))"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+    scored.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= KnnK)
+      .select(col("src"), col("rn"), col("dst"), col("cosine"))
+      .orderBy(col("src"), col("rn"))
+  }
+
   /** SEMANTIC keep-best canonicalization — the cross-modal composition of
     * q58 and q67: cluster by EMBEDDING near-duplicates (sign-LSH banded
     * candidates → exact cosine → connected components), then keep the
@@ -1199,12 +1238,22 @@ object VectorOpsImpl {
 
   def radiusSearch(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
+    // norms are PER-SIDE, so they precompute in each side's narrow
+    // projection rather than per-pair inside the join condition. That is
+    // both algorithmically right (n + q norms, not n × q) and what keeps
+    // the fused condition inside codegen: with the full 192-term cosine
+    // pushed into the BroadcastNestedLoopJoin condition, the generated
+    // bnlj_doConsume method exceeded Janino's 64 KB limit and the whole
+    // stage silently fell back to interpreted eval. sqrt is correctly
+    // rounded, so dot/(qn*cn) is bit-identical to the unfactored form the
+    // oracle computes.
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("qn", expr(s"sqrt(${sparkDot("qe", "qe")})"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .withColumn("cn", expr(s"sqrt(${sparkDot("ce", "ce")})"))
     broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine",
-        expr(s"(${sparkDot("qe", "ce")}) / (sqrt(${sparkDot("qe", "qe")}) * sqrt(${sparkDot("ce", "ce")}))"))
+      .withColumn("cosine", expr(s"(${sparkDot("qe", "ce")}) / (qn * cn)"))
       .filter(col("cosine") >= RadiusCos)
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
       .orderBy(col("query_id"), col("neighbor_id"))
@@ -1531,6 +1580,37 @@ object VectorOps {
          |UNION ALL SELECT query_id, CAST(2 AS BIGINT), p2_id, p2_mmr FROM p2
          |UNION ALL SELECT query_id, CAST(3 AS BIGINT), p3_id, p3_mmr FROM p3
          |ORDER BY query_id, pick""".stripMargin
+    }),
+
+    Q("q93_embed_knn_graph", knnGraph, Some {
+      val mask = (1L << NearDupBandBits) - 1
+      val bands = (0 until NearDupBands).map(b =>
+        s"SELECT vec_id, $b AS band, (sig >> ${b * NearDupBandBits}) & $mask AS bv FROM s")
+        .mkString(" UNION ALL ")
+      s"""WITH s AS (
+         |  SELECT vec_id,
+         |    CAST((${lshSignature(i => s"CAST(embedding[$i] AS DOUBLE)")}) AS BIGINT) AS sig
+         |  FROM embeddings),
+         |bands AS ($bands),
+         |ok AS (SELECT band, bv FROM bands GROUP BY band, bv
+         |  HAVING COUNT(*) <= $NearDupBucketCap),
+         |bk AS (SELECT b.vec_id, b.band, b.bv FROM bands b JOIN ok USING (band, bv)),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bv = b.bv
+         |    AND a.vec_id <> b.vec_id),
+         |p AS (
+         |  SELECT src, dst,
+         |    (${duckDot("a.embedding", "b.embedding")})
+         |      / (sqrt(${duckDot("a.embedding", "a.embedding")})
+         |         * sqrt(${duckDot("b.embedding", "b.embedding")})) AS cosine
+         |  FROM cand
+         |  JOIN embeddings a ON a.vec_id = src
+         |  JOIN embeddings b ON b.vec_id = dst),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY src
+         |    ORDER BY cosine DESC, dst) AS BIGINT) AS rn FROM p)
+         |SELECT src, rn, dst, cosine FROM r WHERE rn <= $KnnK
+         |ORDER BY src, rn""".stripMargin
     }),
 
     Q("q89_embed_keep_best", semanticKeepBest, Some {

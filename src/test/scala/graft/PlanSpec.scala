@@ -242,6 +242,13 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("Window"), s"radius search needs no rank, so no window:\n$s")
   }
 
+  test("q93 knn graph never goes all-pairs and pushes the per-src top-k limit") {
+    val s = plan(ops.VectorOpsImpl.knnGraph(spark, dir))
+    assert(!s.contains("CartesianProduct"), s"candidates must come from LSH buckets, not all-pairs:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin"), s"candidate join must be an equi-join on (band, bv):\n$s")
+    assert(s.contains("WindowGroupLimit"), s"rn <= k must push into the window as a group limit:\n$s")
+  }
+
   test("q90 hybrid retrieval broadcasts query terms into the token equi-join and pushes top-k limits") {
     val s = plan(ops.VectorOpsImpl.hybridRrf(spark, dir))
     assert(!s.contains("CartesianProduct"), s"no all-pairs stage is allowed:\n$s")
