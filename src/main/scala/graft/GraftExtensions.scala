@@ -46,6 +46,36 @@ object GraftExtensions {
         case Seq(tokens, Literal(bits: Int, IntegerType)) => SimHashExpr(tokens, bits)
         case _ => throw new IllegalArgumentException(
           "simhash(tokens array<string>[, bits int literal])")
+      }),
+
+    // Spark's own runtime-filter Bloom expressions (codegen'd, two-phase
+    // distributive aggregation), surfaced as session SQL functions — the
+    // optimizer keeps them internal-only, but a membership sketch the user
+    // BUILDS (holdout fingerprints, snapshot chunk hashes) is the same
+    // machinery applied deliberately. bloom_filter_agg's child must be an
+    // xxhash64 value; might_contain's filter side must be constant-ish
+    // (literal or scalar subquery), which is exactly the build-once/
+    // probe-everywhere shape.
+    (new FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, est) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, est)
+        case Seq(c, est, bits) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, est, bits)
+        case _ => throw new IllegalArgumentException(
+          "bloom_filter_agg(xxhash64(x)[, est_items[, num_bits]])")
+      }),
+
+    (new FunctionIdentifier("might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "might_contain"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bf, v) => BloomFilterMightContain(bf, v)
+        case _ => throw new IllegalArgumentException("might_contain(bloom, xxhash64(x))")
       }))
 
   /** Register into an already-running session (extensions only apply at

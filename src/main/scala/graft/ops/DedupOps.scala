@@ -264,6 +264,50 @@ object DedupOpsImpl {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom estimate/size for [[bloomDecontaminate]] — sized generously for
+    * the gate's holdout; production sizes from holdout stats (numBits ≈
+    * 1.44 · n · log2(1/fpp)). 1 MiB of bits regardless of holdout size. */
+  val BloomEstItems = 1000000L
+  val BloomNumBits = 8388608L
+
+  /** DECONTAMINATION at membership-sketch scale — the clean-corpus
+    * complement of [[contamination]], restructured for the regime where the
+    * holdout's distinct-shingle set is too big to broadcast raw (billions
+    * of shingles × ~30 bytes): aggregate the holdout into a Bloom filter
+    * (Spark's own `bloom_filter_agg` — two-phase distributive, ships one
+    * `numBits/8`-byte sketch ≈ 1 MiB here), probe every corpus shingle with
+    * the codegen'd `might_contain` scalar-subquery predicate (no join, no
+    * shuffle — the sketch rides the closure like a broadcast var), and only
+    * the bloom-surviving shingles enter the exact verification join that
+    * removes false positives. No false negatives means the output is
+    * EXACTLY the no-bloom result — the oracle computes it with a plain
+    * anti-join — while the expensive stage touches `fpp × corpus` shingles
+    * instead of all of them. Output: (doc_id, n_sh) of documents with zero
+    * holdout overlap, i.e. the corpus that is safe to train on. */
+  def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.install(s)
+    shingles(s, dir).createOrReplaceTempView("graft_q94_shingles")
+    s.sql(
+      s"""WITH hold AS (
+         |  SELECT DISTINCT sh FROM graft_q94_shingles WHERE doc_id % 50 = 0),
+         |bloom AS (
+         |  SELECT bloom_filter_agg(xxhash64(sh),
+         |    CAST($BloomEstItems AS BIGINT), CAST($BloomNumBits AS BIGINT)) AS bf
+         |  FROM hold),
+         |corpus AS (
+         |  SELECT doc_id, sh FROM graft_q94_shingles WHERE doc_id % 50 <> 0),
+         |screened AS (
+         |  SELECT doc_id, sh FROM corpus
+         |  WHERE might_contain((SELECT bf FROM bloom), xxhash64(sh))),
+         |contaminated AS (
+         |  SELECT /*+ BROADCAST(hold) */ DISTINCT s.doc_id
+         |  FROM screened s JOIN hold USING (sh))
+         |SELECT /*+ BROADCAST(contaminated) */ c.doc_id, COUNT(*) AS n_sh
+         |FROM corpus c LEFT ANTI JOIN contaminated t ON c.doc_id = t.doc_id
+         |GROUP BY c.doc_id
+         |ORDER BY c.doc_id""".stripMargin)
+  }
+
   /** Same signature via the native codegen'd Catalyst expression
     * (graft.expr.SimHashExpr) — one pass per row, no explode/shuffle at all;
     * this is the hot-path form for 100 TB corpora. 48 bits so the DuckDB
@@ -443,6 +487,15 @@ object DedupOps {
          |  CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS rate
          |FROM train GROUP BY doc_id HAVING SUM(hit) > 0
          |ORDER BY doc_id""".stripMargin)),
+
+    Q("q94_dedup_bloom_decon", bloomDecontaminate, Some(
+      s"""WITH $shingleSql,
+         |hold AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+         |corpus AS (SELECT doc_id, sh.sh FROM sh WHERE doc_id % 50 <> 0),
+         |cont AS (SELECT DISTINCT c.doc_id FROM corpus c JOIN hold USING (sh))
+         |SELECT doc_id, COUNT(*) AS n_sh FROM corpus
+         |WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     Q("q44_dedup_simhash_native", simhashNative, Some {
       val sums = (0 until 48).map { j =>

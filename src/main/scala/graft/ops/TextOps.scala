@@ -590,6 +590,60 @@ object TextOpsImpl {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR-style IMPORTANCE RESAMPLING for domain-targeted data selection
+    * (Xie et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every candidate document by how much more likely
+    * its tokens are under a TARGET domain's unigram distribution than under
+    * the raw corpus distribution, and keep the top [[DsirKeep]]. Here the
+    * target domain is `source = 'src0'` (production passes any curated
+    * exemplar set); candidates are every other source. Log-free on purpose
+    * (same reasoning as [[lmScore]]): the score is the ratio of
+    * floor-quantized mean token probabilities Σp_target / Σp_raw — the
+    * same ordering signal as a likelihood ratio for unigram features,
+    * without libm-dependent ln/exp breaking cross-engine parity.
+    *
+    * Scale shape: two global term-frequency aggregations (map-side
+    * combine), ONE vocabulary-keyed left join to attach both probabilities,
+    * one token-keyed equi-join back onto the exploded corpus, a per-doc
+    * aggregate, and top-N via orderBy+limit — which Spark plans as
+    * TakeOrderedAndProject (per-partition heaps + driver merge of N), never
+    * a global sort of the corpus. Ties broken by doc_id. */
+  val DsirKeep = 100
+
+  /** Every candidate document's (doc_id, n_tok, ratio) importance score —
+    * the full scored frame [[dsirSelect]] takes its top-N from. */
+  def dsirScores(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("tok"))
+    val tgt = toks.filter(col("source") === "src0")
+    val tfT = tgt.groupBy(col("tok")).agg(count(lit(1)).as("tft"))
+    val totT = tgt.agg(count(lit(1)).as("ntt"))
+    val tfA = toks.groupBy(col("tok")).agg(count(lit(1)).as("tfa"))
+    val totA = toks.agg(count(lit(1)).as("nta"))
+    val probs = tfA.join(tfT, Seq("tok"), "left")
+      .crossJoin(broadcast(totA)).crossJoin(broadcast(totT))
+      .select(col("tok"),
+        (coalesce(col("tft"), lit(0L)).cast(DoubleType) / col("ntt").cast(DoubleType))
+          .as("pt"),
+        (col("tfa").cast(DoubleType) / col("nta").cast(DoubleType)).as("pa"))
+    toks.filter(col("source") =!= "src0")
+      .join(probs, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        expr("CAST(SUM(CAST(FLOOR(pt * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12")
+          .as("sum_pt"),
+        expr("CAST(SUM(CAST(FLOOR(pa * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12")
+          .as("sum_pa"))
+      .withColumn("ratio", col("sum_pt") / col("sum_pa"))
+      .select(col("doc_id"), col("n_tok"), col("ratio"))
+  }
+
+  def dsirSelect(s: SparkSession, dir: String): DataFrame =
+    dsirScores(s, dir)
+      .orderBy(col("ratio").desc, col("doc_id")).limit(DsirKeep)
+      .select(col("doc_id"), col("n_tok"), col("ratio"))
+      .orderBy(col("doc_id"))
+
   /** SNAPSHOT-DELTA dedup at CHUNK granularity — incremental-ingestion
     * dedup against an existing corpus snapshot, the storage-dedup
     * formulation: which content-defined chunks ([[contentDefinedChunks]])
@@ -1071,6 +1125,29 @@ object TextOps {
         |  GROUP BY t.doc_id)
         |SELECT doc_id, n_tok, sum_p / n_tok AS mean_p, min_p
         |FROM d ORDER BY doc_id""".stripMargin)),
+
+    Q("q95_text_dsir_select", dsirSelect, Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |tft AS (SELECT tok, COUNT(*) AS tft FROM toks WHERE source = 'src0' GROUP BY tok),
+         |ntt AS (SELECT COUNT(*) AS ntt FROM toks WHERE source = 'src0'),
+         |tfa AS (SELECT tok, COUNT(*) AS tfa FROM toks GROUP BY tok),
+         |nta AS (SELECT COUNT(*) AS nta FROM toks),
+         |probs AS (SELECT tok,
+         |    COALESCE(CAST(tft AS DOUBLE), 0.0) / CAST(ntt.ntt AS DOUBLE) AS pt,
+         |    CAST(tfa AS DOUBLE) / CAST(nta.nta AS DOUBLE) AS pa
+         |  FROM tfa LEFT JOIN tft USING (tok) CROSS JOIN ntt CROSS JOIN nta),
+         |scored AS (
+         |  SELECT t.doc_id, COUNT(*) AS n_tok,
+         |    CAST(SUM(CAST(FLOOR(p.pt * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sum_pt,
+         |    CAST(SUM(CAST(FLOOR(p.pa * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sum_pa
+         |  FROM toks t JOIN probs p USING (tok)
+         |  WHERE t.source <> 'src0'
+         |  GROUP BY t.doc_id),
+         |top AS (
+         |  SELECT doc_id, n_tok, sum_pt / sum_pa AS ratio FROM scored
+         |  ORDER BY ratio DESC, doc_id LIMIT $DsirKeep)
+         |SELECT doc_id, n_tok, ratio FROM top ORDER BY doc_id""".stripMargin)),
 
     Q("q92_dedup_snapshot", snapshotDedup, Some {
       def byteOf(h: String) =

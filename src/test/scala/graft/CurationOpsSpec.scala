@@ -251,4 +251,39 @@ class CurationOpsSpec extends SparkSpec {
     val mmrPicks = got.map(t => t._1 -> t._3).toSet
     assert(mmrPicks != plainTop3, "MMR must reorder at least one query's picks")
   }
+
+  test("q94 bloom-screened decontamination equals the no-bloom exact complement") {
+    val sh = ops.DedupOpsImpl.shingles(spark, dir)
+    val hold = sh.filter(col("doc_id") % 50 === 0).select("sh").distinct()
+    val corpus = sh.filter(col("doc_id") % 50 =!= 0)
+    val exact = corpus.join(corpus.join(hold, "sh").select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = ops.DedupOpsImpl.bloomDecontaminate(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exact,
+      "bloom pre-screen must not change the result (no false negatives; FPs verified away)")
+    // and the screen is consistent: clean docs + contaminated docs = corpus
+    val all = corpus.select("doc_id").distinct().count()
+    val cont = ops.DedupOpsImpl.contamination(spark, dir).count()
+    assert(got.size + cont == all, "clean + contaminated must partition the corpus")
+  }
+
+  test("q95 dsir selection prefers target-like documents over the corpus base rate") {
+    val got = ops.TextOpsImpl.dsirSelect(spark, dir).collect()
+    val allScores = ops.TextOpsImpl.dsirScores(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.length == ops.TextOpsImpl.DsirKeep.min(allScores.length),
+      "keeps exactly DsirKeep candidates (or all, when fewer exist)")
+    // every selected doc's ratio must exceed 1 × corpus-mean only if the
+    // target really skews the vocabulary; the robust invariant is that the
+    // selection is the TOP of the ratio ordering: the minimum selected
+    // ratio must be >= the ratio of every unselected candidate
+    val selected = got.map(_.getLong(0)).toSet
+    val minSel = got.map(_.getDouble(2)).min
+    allScores.filterNot(t => selected(t._1)).foreach { case (id, ratio) =>
+      assert(ratio <= minSel, s"unselected doc $id outranks a selected one")
+    }
+  }
 }

@@ -249,6 +249,19 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("WindowGroupLimit"), s"rn <= k must push into the window as a group limit:\n$s")
   }
 
+  test("q94 bloom decontamination probes the sketch before the exact join, which broadcasts") {
+    val s = plan(ops.DedupOpsImpl.bloomDecontaminate(spark, dir))
+    assert(s.contains("bloom_filter_agg"), s"holdout must aggregate into a bloom sketch:\n$s")
+    assert(s.contains("might_contain"), s"corpus shingles must pre-screen against the sketch:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"exact verify + anti join see only screened/benchmark-sized sides, so they broadcast:\n$s")
+  }
+
+  test("q95 dsir top-N plans as TakeOrderedAndProject, never a global sort of the corpus") {
+    val s = plan(ops.TextOpsImpl.dsirSelect(spark, dir))
+    assert(s.contains("TakeOrderedAndProject"), s"top-N must be heap-based:\n$s")
+  }
+
   test("q90 hybrid retrieval broadcasts query terms into the token equi-join and pushes top-k limits") {
     val s = plan(ops.VectorOpsImpl.hybridRrf(spark, dir))
     assert(!s.contains("CartesianProduct"), s"no all-pairs stage is allowed:\n$s")
