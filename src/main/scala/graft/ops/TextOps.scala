@@ -676,6 +676,44 @@ object TextOpsImpl {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source VOCABULARY DRIFT — total-variation distance between each
+    * source's unigram distribution and the whole-corpus distribution:
+    * TV(s) = ½ Σ_tok |p_s(tok) − p_corpus(tok)|, summed over the corpus
+    * vocabulary (p_s = 0 where the source lacks the token). The
+    * distribution-shift monitor a pipeline runs per ingest source /
+    * per snapshot: a source whose TV jumps between crawls changed its
+    * content mix (spam influx, template change, language shift) before any
+    * downstream metric notices. TV instead of KL on purpose: it needs only
+    * |·|, +, / — no ln() — so the score is bitwise portable across engines
+    * (same reasoning as [[lmScore]]), and it is bounded in [0, 1] and
+    * defined even where p_s = 0 (KL is infinite there without smoothing).
+    *
+    * Scale shape: two term-frequency aggregations (map-side combine), a
+    * vocabulary × sources grid built by cross-joining the vocab against the
+    * BROADCAST handful of source rows (|vocab| × |sources| rows — the grid
+    * is as big as the vocab, not the corpus), one left join to attach
+    * per-source counts, and a |sources|-row final aggregate with the
+    * floor-quantized DECIMAL(38,0) discipline (order-independent). */
+  def vocabDrift(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val tfC = toks.groupBy(col("tok")).agg(count(lit(1)).as("tfc"))
+    val totC = toks.agg(count(lit(1)).as("ntc"))
+    val tfS = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tfs"))
+    val totS = toks.groupBy(col("source")).agg(count(lit(1)).as("nts"))
+    val grid = tfC.crossJoin(broadcast(totS))
+    grid.join(tfS, Seq("source", "tok"), "left")
+      .crossJoin(broadcast(totC))
+      .select(col("source"), col("nts"),
+        abs(coalesce(col("tfs"), lit(0L)).cast(DoubleType) / col("nts").cast(DoubleType)
+          - col("tfc").cast(DoubleType) / col("ntc").cast(DoubleType)).as("ad"))
+      .groupBy(col("source"))
+      .agg(max(col("nts")).as("n_tok"),
+        (expr("CAST(SUM(CAST(FLOOR(ad * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12")
+          / lit(2.0)).as("tv"))
+      .orderBy(col("source"))
+  }
+
   /** Per-source CORPUS REPORT CARD — the one-pass health dashboard a data
     * pipeline publishes per ingest source: volume (docs, tokens), exact
     * duplication rate, mean quality, and language concentration. Gini
@@ -1125,6 +1163,24 @@ object TextOps {
         |  GROUP BY t.doc_id)
         |SELECT doc_id, n_tok, sum_p / n_tok AS mean_p, min_p
         |FROM d ORDER BY doc_id""".stripMargin)),
+
+    Q("q96_text_vocab_drift", vocabDrift, Some(
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tfc AS (SELECT tok, COUNT(*) AS tfc FROM toks GROUP BY tok),
+        |ntc AS (SELECT COUNT(*) AS ntc FROM toks),
+        |tfs AS (SELECT source, tok, COUNT(*) AS tfs FROM toks GROUP BY source, tok),
+        |nts AS (SELECT source, COUNT(*) AS nts FROM toks GROUP BY source),
+        |grid AS (SELECT n.source, c.tok, n.nts, c.tfc FROM tfc c CROSS JOIN nts n),
+        |ad AS (
+        |  SELECT g.source, g.nts,
+        |    ABS(COALESCE(CAST(s.tfs AS DOUBLE), 0.0) / CAST(g.nts AS DOUBLE)
+        |      - CAST(g.tfc AS DOUBLE) / CAST(ntc.ntc AS DOUBLE)) AS ad
+        |  FROM grid g LEFT JOIN tfs s ON g.source = s.source AND g.tok = s.tok
+        |  CROSS JOIN ntc)
+        |SELECT source, MAX(nts) AS n_tok,
+        |  CAST(SUM(CAST(FLOOR(ad * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 / 2.0 AS tv
+        |FROM ad GROUP BY source ORDER BY source""".stripMargin)),
 
     Q("q95_text_dsir_select", dsirSelect, Some(
       s"""WITH toks AS (

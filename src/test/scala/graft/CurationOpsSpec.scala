@@ -270,6 +270,31 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.size + cont == all, "clean + contaminated must partition the corpus")
   }
 
+  test("q96 vocab drift equals an independent TV recomputation and stays in [0, 1]") {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val nC = toks.length.toDouble
+    val tfC = toks.groupBy(_._2).view.mapValues(_.length).toMap
+    val expected = toks.groupBy(_._1).map { case (src, rows) =>
+      val nS = rows.length.toDouble
+      val tfS = rows.groupBy(_._2).view.mapValues(_.length).toMap
+      val tv = tfC.keys.toSeq.sortBy(identity).map { tok =>
+        val ad = math.abs(tfS.getOrElse(tok, 0) / nS - tfC(tok) / nC)
+        math.floor(ad * 1e12)
+      }.sum / 1e12 / 2.0
+      src -> tv
+    }
+    val got = ops.TextOpsImpl.vocabDrift(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (src, tv) =>
+      assert(tv >= 0.0 && tv <= 1.0, s"TV out of range for $src: $tv")
+      assert(math.abs(tv - expected(src)) < 1e-9,
+        s"TV mismatch for $src: got $tv expected ${expected(src)}")
+    }
+  }
+
   test("q95 dsir selection prefers target-like documents over the corpus base rate") {
     val got = ops.TextOpsImpl.dsirSelect(spark, dir).collect()
     val allScores = ops.TextOpsImpl.dsirScores(spark, dir)

@@ -262,6 +262,12 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("TakeOrderedAndProject"), s"top-N must be heap-based:\n$s")
   }
 
+  test("q96 vocab drift builds the grid by broadcasting the sources frame, never a cartesian") {
+    val s = plan(ops.TextOpsImpl.vocabDrift(spark, dir))
+    assert(!s.contains("CartesianProduct"), s"grid must broadcast the |sources|-row side:\n$s")
+    assert(s.contains("BroadcastNestedLoopJoin"), s"totals frames must broadcast:\n$s")
+  }
+
   test("q90 hybrid retrieval broadcasts query terms into the token equi-join and pushes top-k limits") {
     val s = plan(ops.VectorOpsImpl.hybridRrf(spark, dir))
     assert(!s.contains("CartesianProduct"), s"no all-pairs stage is allowed:\n$s")
