@@ -167,9 +167,12 @@ object VectorOpsImpl {
       centroidVectors(s, dir))
 
   /** The generic nearest-center argmin over an arbitrary baked codebook —
-    * shared by the per-label index builds and the unsupervised k-means
-    * iterations. Appends `assigned` to whatever columns `e` carries. */
-  private def assignCenters(e: DataFrame,
+    * shared by the per-label index builds, the unsupervised k-means
+    * iterations, and the streaming incremental index build
+    * (graft.streaming.StreamIndex). Appends `assigned` to whatever columns
+    * `e` carries. Stateless and narrow, so it applies to batch and
+    * streaming frames alike. */
+  private[graft] def assignCenters(e: DataFrame,
       cents: Seq[(Long, Array[Double])]): DataFrame = {
     def dist2(c: Array[Double]): Column =
       (1 to Dims).map { i =>
@@ -180,6 +183,33 @@ object VectorOpsImpl {
       struct(dist2(cv).as("d"), lit(cl).as("l"))
     }: _*)
     e.select(col("*"), array_min(candidates).getField("l").as("assigned"))
+  }
+
+  /** [[assignCenters]] re-expressed with higher-order functions for plans
+    * that have NO scan boundary to split the stage — the streaming
+    * micro-batch path (graft.streaming.StreamIndex): there the fully
+    * unrolled k × Dims argmin shares one generated method with the source
+    * deserializer and overflows Janino's 64 KB limit, silently dropping
+    * the WHOLE stage to interpreted eval. This form bakes the codebook as
+    * an array literal and folds the distance with `aggregate`: the lambda
+    * itself evaluates interpreted (HOFs don't codegen), but the stage's
+    * generated code stays small and COMPILES, so everything around the
+    * argmin keeps whole-stage codegen. Same left-associative IEEE fold,
+    * same (d², label) struct-min tie-break — assignments are bitwise
+    * identical to [[assignCenters]] (StreamIndexSpec proves it row-for-row
+    * against the batch build). */
+  private[graft] def assignCentersCompact(e: DataFrame,
+      cents: Seq[(Long, Array[Double])]): DataFrame = {
+    val centsSql = cents.map { case (cl, cv) =>
+      s"named_struct('l', ${cl}L, 'v', array(${cv.map(v => s"${v}D").mkString(",")}))"
+    }.mkString("array(", ",", ")")
+    val assigned =
+      s"""array_min(transform($centsSql, c -> named_struct(
+         |  'd', aggregate(sequence(1, $Dims), 0D, (acc, i) ->
+         |    acc + (CAST(element_at(embedding, i) AS DOUBLE) - element_at(c.v, i))
+         |        * (CAST(element_at(embedding, i) AS DOUBLE) - element_at(c.v, i))),
+         |  'l', c.l))).l""".stripMargin
+    e.select(col("*"), expr(assigned).as("assigned"))
   }
 
   /** IVF coarse quantization (assignment view). */
@@ -280,6 +310,12 @@ object VectorOpsImpl {
       }
       h.result()
     })
+
+  /** The final learned codebook as plain (center_id, center) pairs — what
+    * the streaming incremental index build freezes at start-up (centroid
+    * re-training is an index REBUILD, as in every IVF deployment). */
+  private[graft] def learnedCenters(s: SparkSession, dir: String): Seq[(Long, Array[Double])] =
+    kmeansHistory(s, dir)(KmeansIters).map { case (cid, cv, _) => (cid, cv) }
 
   /** q74 gate: the learned centers after [[KmeansIters]] Lloyd iterations
     * — (center_id, n, c1..c4), hash-matched against the oracle's full
