@@ -129,6 +129,7 @@ object VectorOpsImpl {
     graft.ops.Memo.clear(kmeansAssignCache)
     graft.ops.Memo.clear(pqKmeansIndexCache)
     graft.ops.Memo.clear(embedComponentsCache)
+    graft.ops.Memo.clear(knnGraphCache)
     centroidCache.clear()
     kmeansCache.clear()
     pqKmeansCache.clear()
@@ -995,27 +996,58 @@ object VectorOpsImpl {
     * window instead of a global top-50. */
   val KnnK = 3
 
-  def knnGraph(s: SparkSession, dir: String): DataFrame = {
-    val banded = bandedSignatures(s, dir, NearDupBands, NearDupBandBits)
-    val ok = banded.groupBy(col("band"), col("bv")).agg(count(lit(1)).as("n"))
-      .filter(col("n") <= NearDupBucketCap).select("band", "bv")
-    val bk = banded.join(ok, Seq("band", "bv"))
-    val cand = bk.as("a").join(bk.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
-          && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
-      .distinct()
-    val e = Tables(s, dir, "embeddings")
-    val scored = cand
-      .join(e.select(col("vec_id").as("src"), col("embedding").as("ae")), "src")
-      .join(e.select(col("vec_id").as("dst"), col("embedding").as("be")), "dst")
-      .withColumn("cosine",
-        expr(s"(${sparkDot("ae", "be")}) / (sqrt(${sparkDot("ae", "ae")}) * sqrt(${sparkDot("be", "be")}))"))
-    val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
-    scored.withColumn("rn", row_number().over(w).cast(LongType))
-      .filter(col("rn") <= KnnK)
-      .select(col("src"), col("rn"), col("dst"), col("cosine"))
-      .orderBy(col("src"), col("rn"))
+  /** Memoized CACHED kNN graph per (session, dir) — q93's presentation and
+    * q97's clustering share ONE banding + scoring + ranking pass, the same
+    * build-once discipline as the index view caches. */
+  private val knnGraphCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def knnGraphRaw(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Memo.getOrCache(knnGraphCache, s, dir, { _ =>
+      val banded = bandedSignatures(s, dir, NearDupBands, NearDupBandBits)
+      val ok = banded.groupBy(col("band"), col("bv")).agg(count(lit(1)).as("n"))
+        .filter(col("n") <= NearDupBucketCap).select("band", "bv")
+      val bk = banded.join(ok, Seq("band", "bv"))
+      val cand = bk.as("a").join(bk.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+            && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+        .distinct()
+      val e = Tables(s, dir, "embeddings")
+      val scored = cand
+        .join(e.select(col("vec_id").as("src"), col("embedding").as("ae")), "src")
+        .join(e.select(col("vec_id").as("dst"), col("embedding").as("be")), "dst")
+        .withColumn("cosine",
+          expr(s"(${sparkDot("ae", "be")}) / (sqrt(${sparkDot("ae", "ae")}) * sqrt(${sparkDot("be", "be")}))"))
+      val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+      scored.withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= KnnK)
+        .select(col("src"), col("rn"), col("dst"), col("cosine"))
+        .cache()
+    })
+
+  def knnGraph(s: SparkSession, dir: String): DataFrame =
+    knnGraphRaw(s, dir).orderBy(col("src"), col("rn"))
+
+  /** Graph CLUSTERING over the kNN graph — communities from MUTUAL kNN
+    * edges (a lists b AND b lists a: the standard symmetrization that
+    * separates genuine neighborhoods from one-sided hub attraction), then
+    * the shared min-label propagation. The unsupervised corpus-structure
+    * view that k-means can't give (no k to pick, clusters of any shape),
+    * built entirely from the q93 graph.
+    *
+    * Scale shape: the mutual filter is a self-equi-join of the n×k edge
+    * list on (src, dst) — edge-keyed, never touches embeddings; label
+    * propagation runs on the mutual-edge graph only (metadata-scale, the
+    * q46/q58 discipline). */
+  def knnClusters(s: SparkSession, dir: String): DataFrame = {
+    val e = knnGraphRaw(s, dir).select(col("src"), col("dst"))
+    val mutual = e.join(e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"))
+      .filter(col("src") < col("dst"))
+    DedupOpsImpl.connectedComponents(mutual)
+      .select(col("id").as("vec_id"), col("comp").as("cluster"))
+      .orderBy(col("vec_id"))
   }
 
   /** SEMANTIC keep-best canonicalization — the cross-modal composition of
@@ -1618,36 +1650,27 @@ object VectorOps {
          |ORDER BY query_id, pick""".stripMargin
     }),
 
-    Q("q93_embed_knn_graph", knnGraph, Some {
-      val mask = (1L << NearDupBandBits) - 1
-      val bands = (0 until NearDupBands).map(b =>
-        s"SELECT vec_id, $b AS band, (sig >> ${b * NearDupBandBits}) & $mask AS bv FROM s")
-        .mkString(" UNION ALL ")
-      s"""WITH s AS (
-         |  SELECT vec_id,
-         |    CAST((${lshSignature(i => s"CAST(embedding[$i] AS DOUBLE)")}) AS BIGINT) AS sig
-         |  FROM embeddings),
-         |bands AS ($bands),
-         |ok AS (SELECT band, bv FROM bands GROUP BY band, bv
-         |  HAVING COUNT(*) <= $NearDupBucketCap),
-         |bk AS (SELECT b.vec_id, b.band, b.bv FROM bands b JOIN ok USING (band, bv)),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bv = b.bv
-         |    AND a.vec_id <> b.vec_id),
-         |p AS (
-         |  SELECT src, dst,
-         |    (${duckDot("a.embedding", "b.embedding")})
-         |      / (sqrt(${duckDot("a.embedding", "a.embedding")})
-         |         * sqrt(${duckDot("b.embedding", "b.embedding")})) AS cosine
-         |  FROM cand
-         |  JOIN embeddings a ON a.vec_id = src
-         |  JOIN embeddings b ON b.vec_id = dst),
-         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY src
-         |    ORDER BY cosine DESC, dst) AS BIGINT) AS rn FROM p)
+    Q("q93_embed_knn_graph", knnGraph, Some(
+      s"""$knnGraphSqlCtes
          |SELECT src, rn, dst, cosine FROM r WHERE rn <= $KnnK
-         |ORDER BY src, rn""".stripMargin
-    }),
+         |ORDER BY src, rn""".stripMargin)),
+
+    Q("q97_embed_knn_clusters", knnClusters, Some(
+      s"""WITH RECURSIVE ${knnGraphSqlCtes.stripPrefix("WITH ")},
+         |g AS (SELECT src, dst FROM r WHERE rn <= $KnnK),
+         |m AS (
+         |  SELECT a.src AS a_id, a.dst AS b_id FROM g a
+         |  JOIN g b ON a.src = b.dst AND a.dst = b.src
+         |  WHERE a.src < a.dst),
+         |nodes AS (SELECT a_id AS id FROM m UNION SELECT b_id FROM m),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM m
+         |          UNION ALL SELECT b_id, a_id FROM m),
+         |reach(id, rr) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.rr FROM edges e JOIN reach ON e.dst = reach.id)
+         |SELECT id AS vec_id, MIN(rr) AS cluster FROM reach
+         |GROUP BY id ORDER BY vec_id""".stripMargin)),
 
     Q("q89_embed_keep_best", semanticKeepBest, Some {
       val stopSql = TextOpsImpl.stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
@@ -2171,5 +2194,36 @@ object VectorOps {
        |  JOIN embeddings b ON b.vec_id = b_id)
        |SELECT a_id, b_id, cosine FROM p
        |ORDER BY cosine DESC, a_id, b_id LIMIT 50""".stripMargin
+  }
+
+  /** DuckDB mirror of the kNN-graph build (shared by q93 and the q97
+    * clustering wrap): CTEs ending in `r` = the ranked directed graph. */
+  private lazy val knnGraphSqlCtes: String = {
+    val mask = (1L << NearDupBandBits) - 1
+    val bands = (0 until NearDupBands).map(b =>
+      s"SELECT vec_id, $b AS band, (sig >> ${b * NearDupBandBits}) & $mask AS bv FROM s")
+      .mkString(" UNION ALL ")
+    s"""WITH s AS (
+       |  SELECT vec_id,
+       |    CAST((${lshSignature(i => s"CAST(embedding[$i] AS DOUBLE)")}) AS BIGINT) AS sig
+       |  FROM embeddings),
+       |bands AS ($bands),
+       |ok AS (SELECT band, bv FROM bands GROUP BY band, bv
+       |  HAVING COUNT(*) <= $NearDupBucketCap),
+       |bk AS (SELECT b.vec_id, b.band, b.bv FROM bands b JOIN ok USING (band, bv)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.bv = b.bv
+       |    AND a.vec_id <> b.vec_id),
+       |p AS (
+       |  SELECT src, dst,
+       |    (${duckDot("a.embedding", "b.embedding")})
+       |      / (sqrt(${duckDot("a.embedding", "a.embedding")})
+       |         * sqrt(${duckDot("b.embedding", "b.embedding")})) AS cosine
+       |  FROM cand
+       |  JOIN embeddings a ON a.vec_id = src
+       |  JOIN embeddings b ON b.vec_id = dst),
+       |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY src
+       |    ORDER BY cosine DESC, dst) AS BIGINT) AS rn FROM p)""".stripMargin
   }
 }

@@ -295,6 +295,34 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q97 clusters come from mutual kNN edges only, and members are mutually connected") {
+    val graph = ops.VectorOpsImpl.knnGraph(spark, dir)
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mutual = graph.filter { case (a, b) => a < b && graph((b, a)) }
+    val clusters = ops.VectorOpsImpl.knnClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node set = exactly the endpoints of mutual edges
+    val nodes = mutual.flatMap(e => Seq(e._1, e._2))
+    assert(clusters.keySet == nodes, "cluster nodes must be the mutual-edge endpoints")
+    // every mutual edge joins two nodes of the same cluster
+    mutual.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"mutual edge ($a,$b) spans clusters")
+    }
+    // each cluster's label is its smallest member (min-label propagation)
+    clusters.groupBy(_._2).foreach { case (label, members) =>
+      assert(label == members.keys.min, s"cluster $label label must be its min member")
+    }
+    // and clusters are maximal: a union-find recomputation agrees exactly
+    val parent = scala.collection.mutable.Map(nodes.toSeq.map(n => n -> n): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    mutual.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = nodes.map(n => n -> find(n)).toMap
+    assert(clusters == expected, "clusters must equal the union-find recomputation")
+  }
+
   test("q95 dsir selection prefers target-like documents over the corpus base rate") {
     val got = ops.TextOpsImpl.dsirSelect(spark, dir).collect()
     val allScores = ops.TextOpsImpl.dsirScores(spark, dir)
