@@ -714,6 +714,34 @@ object TextOpsImpl {
       .orderBy(col("source"))
   }
 
+  /** OUT-OF-VOCABULARY rate against a frozen snapshot vocabulary — the
+    * tokenizer/vocab-drift monitor for incremental ingestion: how much of
+    * each incoming document falls outside the vocabulary the snapshot
+    * corpus (and the tokenizer trained on it) already knows. Rising OOV on
+    * a source means its content outran the tokenizer — the early-warning
+    * signal before fertility degrades. (Even doc_ids are the snapshot,
+    * odd the incoming batch, the q92 convention; production passes two
+    * tables.)
+    *
+    * Scale shape: the frozen vocabulary reduces to distinct tokens BEFORE
+    * the join (map-side combine), then one uniform token-keyed equi-join
+    * against the exploded incoming batch and a doc-scoped aggregate —
+    * the inverted-index probe shape, never corpus × corpus. */
+  def oovRate(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+      .select(col("tok")).distinct().withColumn("known", lit(1L))
+    toks.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+      .join(vocab, Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tok"), col("n_oov"),
+        (col("n_oov").cast(DoubleType) / col("n_tok")).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source CORPUS REPORT CARD — the one-pass health dashboard a data
     * pipeline publishes per ingest source: volume (docs, tokens), exact
     * duplication rate, mean quality, and language concentration. Gini
@@ -1163,6 +1191,17 @@ object TextOps {
         |  GROUP BY t.doc_id)
         |SELECT doc_id, n_tok, sum_p / n_tok AS mean_p, min_p
         |FROM d ORDER BY doc_id""".stripMargin)),
+
+    Q("q98_text_oov", oovRate, Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vocab AS (SELECT DISTINCT tok FROM toks WHERE doc_id % 2 = 0),
+        |inc AS (
+        |  SELECT t.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM toks t LEFT JOIN vocab v USING (tok) WHERE t.doc_id % 2 = 1)
+        |SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(oov) AS BIGINT) AS n_oov,
+        |  CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
+        |FROM inc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     Q("q96_text_vocab_drift", vocabDrift, Some(
       """WITH toks AS (
