@@ -1050,6 +1050,47 @@ object VectorOpsImpl {
       .orderBy(col("vec_id"))
   }
 
+  /** GRAPH-expansion ANN search over the kNN graph — the query path that
+    * completes build (q93) / cluster (q97) / search: start from the
+    * query's own graph out-neighbors, expand [[GraphSearchHops]] hops along
+    * out-edges (neighbors-of-neighbors — the NN-descent insight that a
+    * neighbor's neighbor is likely a neighbor), exact-rank the expanded
+    * candidate set. The graph walk recovers neighbors the query's own LSH
+    * buckets missed, which is exactly how graph-based indexes beat
+    * bucket-only recall; the q77 panel measures it against ground truth.
+    *
+    * Scale shape: candidates per query ≤ k + k² (12 here) — the expansion
+    * is |queries|-scale joins against the MEMOIZED cached edge list, the
+    * exact re-rank touches only candidates (broadcast by construction),
+    * and the corpus is never scanned at query time at all. */
+  val GraphSearchHops = 2
+
+  def graphSearch(s: SparkSession, dir: String): DataFrame = {
+    val g = knnGraphRaw(s, dir).select(col("src"), col("dst"))
+    var frontier = g.filter(col("src") < 8)
+      .select(col("src").as("query_id"), col("dst").as("cand"))
+    var cands = frontier
+    (2 to GraphSearchHops).foreach { _ =>
+      frontier = frontier
+        .join(g.select(col("src").as("cand"), col("dst").as("nxt")), "cand")
+        .select(col("query_id"), col("nxt").as("cand"))
+      cands = cands.union(frontier)
+    }
+    val expanded = broadcast(
+      cands.filter(col("cand") =!= col("query_id")).distinct())
+    val e = Tables(s, dir, "embeddings")
+    val scored = expanded
+      .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "query_id")
+      .join(e.select(col("vec_id").as("cand"), col("embedding").as("ce")), "cand")
+      .withColumn("cosine",
+        expr(s"(${sparkDot("qe", "ce")}) / (sqrt(${sparkDot("qe", "qe")}) * sqrt(${sparkDot("ce", "ce")}))"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("cand"))
+    scored.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("rn"), col("cand").as("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** SEMANTIC keep-best canonicalization — the cross-modal composition of
     * q58 and q67: cluster by EMBEDDING near-duplicates (sign-LSH banded
     * candidates → exact cosine → connected components), then keep the
@@ -1160,6 +1201,7 @@ object VectorOpsImpl {
       .select(col("query_id"), col("neighbor_id"))
     val paths: Seq[(String, DataFrame)] = Seq(
       "adc_rerank" -> pqAdcRerank(s, dir),
+      "graph_search" -> graphSearch(s, dir),
       "ivf" -> ivfTopK(s, dir),
       "ivf_multiprobe" -> ivfMultiProbeTopK(s, dir),
       "ivfpq" -> ivfPqTopK(s, dir),
@@ -1539,6 +1581,7 @@ object VectorOps {
     Q("q77_embed_ann_recall", annRecall, Some {
       val branches = Seq(
         "adc_rerank" -> q66Sql,
+        "graph_search" -> q99Sql,
         "ivf" -> q55Sql,
         "ivf_multiprobe" -> q64Sql,
         "ivfpq" -> q68Sql,
@@ -1654,6 +1697,8 @@ object VectorOps {
       s"""$knnGraphSqlCtes
          |SELECT src, rn, dst, cosine FROM r WHERE rn <= $KnnK
          |ORDER BY src, rn""".stripMargin)),
+
+    Q("q99_embed_graph_search", graphSearch, Some(q99Sql)),
 
     Q("q97_embed_knn_clusters", knnClusters, Some(
       s"""WITH RECURSIVE ${knnGraphSqlCtes.stripPrefix("WITH ")},
@@ -2194,6 +2239,33 @@ object VectorOps {
        |  JOIN embeddings b ON b.vec_id = b_id)
        |SELECT a_id, b_id, cosine FROM p
        |ORDER BY cosine DESC, a_id, b_id LIMIT 50""".stripMargin
+  }
+
+  /** DuckDB mirror of [[VectorOpsImpl.graphSearch]] (q99; also a q77 panel
+    * branch). The two-hop expansion is unrolled — matches
+    * GraphSearchHops = 2 by construction. */
+  private lazy val q99Sql: String = {
+    import VectorOpsImpl.KnnK
+    s"""$knnGraphSqlCtes,
+       |g AS (SELECT src, dst FROM r WHERE rn <= $KnnK),
+       |h1 AS (SELECT src AS query_id, dst AS cand FROM g WHERE src < 8),
+       |h2 AS (SELECT h1.query_id, g.dst AS cand FROM h1 JOIN g ON g.src = h1.cand),
+       |cands AS (
+       |  SELECT DISTINCT query_id, cand
+       |  FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+       |  WHERE cand <> query_id),
+       |gp AS (
+       |  SELECT query_id, cand,
+       |    (${duckDot("a.embedding", "b.embedding")})
+       |      / (sqrt(${duckDot("a.embedding", "a.embedding")})
+       |         * sqrt(${duckDot("b.embedding", "b.embedding")})) AS cosine
+       |  FROM cands
+       |  JOIN embeddings a ON a.vec_id = query_id
+       |  JOIN embeddings b ON b.vec_id = cand),
+       |grk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, cand) AS BIGINT) AS rn FROM gp)
+       |SELECT query_id, rn, cand AS neighbor_id, cosine FROM grk WHERE rn <= 3
+       |ORDER BY query_id, rn""".stripMargin
   }
 
   /** DuckDB mirror of the kNN-graph build (shared by q93 and the q97
