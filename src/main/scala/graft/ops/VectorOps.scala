@@ -1071,7 +1071,9 @@ object VectorOpsImpl {
       .select(col("src").as("query_id"), col("dst").as("cand"))
     var cands = frontier
     (2 to GraphSearchHops).foreach { _ =>
-      frontier = frontier
+      // the frontier is |queries| × k^hop rows — always the broadcast side;
+      // the edge list is corpus-sized (n × k) and must never sort-merge
+      frontier = broadcast(frontier)
         .join(g.select(col("src").as("cand"), col("dst").as("nxt")), "cand")
         .select(col("query_id"), col("nxt").as("cand"))
       cands = cands.union(frontier)

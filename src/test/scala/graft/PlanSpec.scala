@@ -268,6 +268,14 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("BroadcastNestedLoopJoin"), s"totals frames must broadcast:\n$s")
   }
 
+  test("q99 graph search broadcasts the expanded candidate set; no corpus-wide join") {
+    val s = plan(ops.VectorOpsImpl.graphSearch(spark, dir))
+    assert(!s.contains("CartesianProduct"), s"expansion must stay edge-keyed:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"candidate set is ≤ k+k² per query — every join must broadcast:\n$s")
+    assert(s.contains("WindowGroupLimit"), s"rn <= 3 must push as a group limit:\n$s")
+  }
+
   test("q90 hybrid retrieval broadcasts query terms into the token equi-join and pushes top-k limits") {
     val s = plan(ops.VectorOpsImpl.hybridRrf(spark, dir))
     assert(!s.contains("CartesianProduct"), s"no all-pairs stage is allowed:\n$s")
