@@ -161,4 +161,29 @@ object Cdc {
       .withColumn("message_bin", ((col("__cum") - sizeCol) / maxBytes).cast(LongType))
       .drop("__cum")
   }
+
+  /** Log replay / compaction: materialize the final table state a CDC log
+    * describes — the batch-backfill twin of the streaming MV sink
+    * (KeyspacesViewTargetMapper.java:60-78 upserts newImage rows and deletes
+    * on DELETE/TTL; replaying the whole log through that sink yields exactly
+    * this frame). Per key: the record with the highest sequence number wins;
+    * if its `image` is NULL (DELETE / REPLICATED_DELETE / TTL) the key is
+    * absent from the final state.
+    *
+    * Scale shape: one hash shuffle on the key via `max_by` aggregation —
+    * partial (map-side) aggregation keeps only one record per key per
+    * partition in flight, so reducer memory is O(distinct keys / partitions)
+    * regardless of log depth. A window/row_number formulation would sort
+    * whole key groups instead; at 100 TB of log that difference is the job.
+    * Requires sequence numbers unique per key (the reference's per-shard
+    * ordering guarantee — AbstractJSONConverter.java:122).
+    */
+  def replayLatest(envelopes: DataFrame, keyCol: Column, seqCol: Column): DataFrame =
+    envelopes
+      .groupBy(keyCol.as("key"))
+      .agg(
+        max_by(struct(col("metadata.stream_operation_type").as("op"), col("image")),
+          seqCol).as("last"),
+        max(seqCol).as("last_seq"))
+      .filter(col("last.image").isNotNull)
 }

@@ -96,6 +96,21 @@ object CdcQueriesImpl {
       .orderBy(col("shard"), col("message_bin"))
   }
 
+  /** q29: replay the synthesized CDC log into final per-user state (the
+    * batch backfill of the K1 materialized-view sink). Keys whose latest
+    * record is a tombstone (DELETE / REPLICATED_DELETE / TTL) are absent. */
+  def replayState(s: SparkSession, dir: String): DataFrame =
+    Cdc.replayLatest(
+        CdcSynth.fromEvents(s, dir),
+        coalesce(col("image.user_id"), col("oldImage.user_id")),
+        col("metadata.stream_sequence_number"))
+      .select(col("key").as("user_id"), col("last.op").as("last_op"),
+        col("last_seq"),
+        col("last.image.event_type").as("event_type"),
+        col("last.image.value").as("value"),
+        col("last.image.k").as("k"))
+      .orderBy(col("user_id"))
+
   def packBySize(s: SparkSession, dir: String): DataFrame = {
     val env = CdcSynth.fromEvents(s, dir)
       .withColumn("shard", pmod(coalesce(col("image.user_id"), col("oldImage.user_id")), lit(4L)))
@@ -195,6 +210,20 @@ object CdcQueries {
          |SELECT shard, CAST(FLOOR((cum - rec_bytes) / 1024.0) AS BIGINT) AS message_bin,
          |  MIN(seq) || '-' || MAX(seq) AS message_id, COUNT(*) AS n_records,
          |  CAST(SUM(rec_bytes) AS BIGINT) AS bytes
-         |FROM c GROUP BY shard, message_bin ORDER BY shard, message_bin""".stripMargin))
+         |FROM c GROUP BY shard, message_bin ORDER BY shard, message_bin""".stripMargin)),
+
+    Q("q29_cdc_replay_state", CdcQueriesImpl.replayState, Some(
+      s"""WITH $synthSql,
+         |latest AS (
+         |  SELECT COALESCE(new_user_id, old_user_id) AS user_id,
+         |    max_by(op, seq) AS last_op,
+         |    max(seq) AS last_seq,
+         |    max_by(has_new, seq) AS has_new,
+         |    max_by(new_event_type, seq) AS event_type,
+         |    max_by(new_value, seq) AS value,
+         |    max_by(new_k, seq) AS k
+         |  FROM cdc GROUP BY 1)
+         |SELECT user_id, last_op, last_seq, event_type, value, k
+         |FROM latest WHERE has_new ORDER BY user_id""".stripMargin))
   )
 }

@@ -93,4 +93,29 @@ class CdcSpec extends SparkSpec {
       .select($"seq", $"message_bin").as[(String, Long)].collect().toMap
     assert(out == Map("1" -> 0L, "2" -> 0L, "3" -> 1L))
   }
+
+  test("replayLatest keeps last image per key, drops tombstoned keys, revives re-inserts") {
+    // key 1: insert v=1 then update v=2            -> survives with v=2
+    // key 2: insert v=3 then delete                -> absent
+    // key 3: insert v=4, delete, re-insert v=5     -> survives with v=5
+    // key 4: lone TTL tombstone                    -> absent
+    val rows = Seq(
+      (1L, "01", Some(1), "USER"), (1L, "02", Some(2), "USER"),
+      (2L, "03", Some(3), "USER"), (2L, "04", None, "USER"),
+      (3L, "05", Some(4), "USER"), (3L, "06", None, "USER"), (3L, "07", Some(5), "USER"),
+      (4L, "08", None, "TTL"))
+    val env = rows.toDF("k", "seq", "v", "origin")
+      .select($"k", $"seq",
+        when($"v".isNotNull, struct($"v")).as("image"),
+        when($"v".isNull, struct(lit(0).as("v"))).as("oldImage"),
+        $"origin")
+      .select($"k", $"image",
+        struct(
+          Cdc.operationType($"origin", $"oldImage", $"image").as("stream_operation_type"),
+          $"seq".as("stream_sequence_number")).as("metadata"))
+    val out = Cdc.replayLatest(env, $"k", $"metadata.stream_sequence_number")
+      .select($"key", $"last.image.v".as("v"), $"last_seq")
+      .as[(Long, Int, String)].collect().toSeq.sorted
+    assert(out == Seq((1L, 2, "02"), (3L, 5, "07")))
+  }
 }
