@@ -308,6 +308,83 @@ object DedupOpsImpl {
          |ORDER BY c.doc_id""".stripMargin)
   }
 
+  /** Deterministic ~75 % doc sample for the recall panel (byte 0 of
+    * md5('rcl:'||doc_id) < 192) — pure function of the id, so both join
+    * sides apply it as a narrow filter, never a join. */
+  val RecallSampleByte = 192
+  private def inRecallSample(idCol: String): org.apache.spark.sql.Column = {
+    val b =
+      s"(instr('0123456789abcdef', substr(md5(concat('rcl:', CAST($idCol AS STRING))), 1, 1)) - 1) * 16" +
+        s" + (instr('0123456789abcdef', substr(md5(concat('rcl:', CAST($idCol AS STRING))), 2, 1)) - 1)"
+    expr(s"($b) < $RecallSampleByte")
+  }
+
+  /** Recall/precision panel for the near-dup candidate generators — the
+    * dedup-side sibling of the q77 ANN recall panel: every generator here
+    * (DF-capped Jaccard, banded MinHash-LSH, SimHash equality, the verified
+    * pipeline pair set) reproduces its own DEFINITION bitwise, which says
+    * nothing about what the caps and bands LOSE against true Jaccard ≥ 0.5.
+    * This measures exactly that, per method.
+    *
+    * Ground truth is the uncapped inverted-index Jaccard — the computation
+    * the caps exist to avoid — so it runs on a deterministic hash SAMPLE of
+    * the corpus ([[inRecallSample]]): truth cost is bounded by the sample's
+    * Σ df², the sampled truth set stays broadcast-sized, and the measured
+    * generators are the already-audited production plans with one extra
+    * narrow id filter. That is the honest 100 TB shape for a recall audit:
+    * exact-on-a-sample, never exact-on-the-corpus.
+    *
+    * One row per method: (method, truth_pairs, found_pairs, true_found,
+    * recall, precision); both ratios are single double divisions of exact
+    * counts (cross-engine safe). */
+  def dedupRecall(s: SparkSession, dir: String): DataFrame = {
+    val ssh = shingles(s, dir).filter(inRecallSample("doc_id"))
+    val sizes = ssh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val truth = ssh.as("a").join(ssh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("a_id", "na"), "a_id")
+      .join(sizes.toDF("b_id", "nb"), "b_id")
+      .filter(col("inter").cast(DoubleType)
+        / (col("na") + col("nb") - col("inter")) >= 0.5)
+      .select(col("a_id"), col("b_id"))
+
+    val simPairs = {
+      val sig = simhash(s, dir)
+      val ok = sig.groupBy(col("simhash")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") <= BucketCap).select("simhash")
+      val bucketed = sig.join(ok, "simhash")
+      bucketed.as("a").join(bucketed.as("b"),
+          col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    }
+    val verified = ngramJaccard(s, dir).select("a_id", "b_id")
+      .join(minhashLsh(s, dir), Seq("a_id", "b_id"))
+
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "minhash_lsh" -> minhashLsh(s, dir).select("a_id", "b_id"),
+      "ngram_capped" -> ngramJaccard(s, dir).select("a_id", "b_id"),
+      "pipeline_verified" -> verified,
+      "simhash_identical" -> simPairs)
+    val found = methods.map { case (m, df) =>
+      df.filter(inRecallSample("a_id") && inRecallSample("b_id"))
+        .select(lit(m).as("method"), col("a_id"), col("b_id"))
+    }.reduce(_ union _)
+
+    val hits = found
+      .join(broadcast(truth.withColumn("hit", lit(1L))), Seq("a_id", "b_id"), "left")
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("found_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("true_found"))
+    val tot = truth.agg(count(lit(1)).as("truth_pairs"))
+    hits.crossJoin(broadcast(tot))
+      .select(col("method"), col("truth_pairs"), col("found_pairs"), col("true_found"),
+        (col("true_found").cast(DoubleType) / col("truth_pairs")).as("recall"),
+        (col("true_found").cast(DoubleType) / col("found_pairs")).as("precision"))
+      .orderBy(col("method"))
+  }
+
   /** Same signature via the native codegen'd Catalyst expression
     * (graft.expr.SimHashExpr) — one pass per row, no explode/shuffle at all;
     * this is the hot-path form for 100 TB corpora. 48 bits so the DuckDB
@@ -510,6 +587,82 @@ object DedupOps {
          |    FROM documents)),
          |sums AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id)
          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums ORDER BY doc_id""".stripMargin
+    }),
+
+    Q("q100_dedup_recall", dedupRecall, Some {
+      def rb(id: String) =
+        s"((strpos('0123456789abcdef', substr(md5('rcl:' || CAST($id AS VARCHAR)), 1, 1)) - 1) * 16" +
+          s" + (strpos('0123456789abcdef', substr(md5('rcl:' || CAST($id AS VARCHAR)), 2, 1)) - 1)) < $RecallSampleByte"
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bh FROM sig")
+        .mkString(" UNION ALL ")
+      val sums = (0 until 16).map { j =>
+        val pos = j / 4 + 1
+        val shift = 1 << (3 - j % 4)
+        s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, $pos, 1)) - 1) // $shift) % 2 = 1 THEN 1 ELSE -1 END) AS s$j"
+      }.mkString(", ")
+      val bits = (0 until 16).map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      s"""WITH $shingleSql,
+         |ssh AS (SELECT doc_id, sh.sh FROM sh WHERE ${rb("doc_id")}),
+         |tsizes AS (SELECT doc_id, COUNT(*) AS n FROM ssh GROUP BY doc_id),
+         |truth AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |    FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) p
+         |  JOIN tsizes na ON na.doc_id = a_id JOIN tsizes nb ON nb.doc_id = b_id
+         |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5),
+         |rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= $DfCap),
+         |docsh AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+         |csizes AS (SELECT doc_id, COUNT(*) AS n FROM docsh GROUP BY doc_id),
+         |jpairs AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |    FROM docsh a JOIN docsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) p
+         |  JOIN csizes na ON na.doc_id = a_id JOIN csizes nb ON nb.doc_id = b_id
+         |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5),
+         |sig AS (SELECT doc_id, $laneSql FROM sh GROUP BY doc_id),
+         |bands AS ($bands),
+         |ok AS (SELECT band, bh FROM bands GROUP BY band, bh HAVING COUNT(*) <= $BucketCap),
+         |bk AS (SELECT b.doc_id, b.band, b.bh FROM bands b JOIN ok USING (band, bh)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |ver AS (SELECT a_id, b_id FROM jpairs JOIN cand USING (a_id, b_id)),
+         |stok AS (
+         |  SELECT doc_id, md5(tk) AS h FROM (
+         |    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tk
+         |    FROM documents)),
+         |ssums AS (SELECT doc_id, $sums FROM stok GROUP BY doc_id),
+         |simsig AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM ssums),
+         |sok AS (SELECT simhash FROM simsig GROUP BY simhash HAVING COUNT(*) <= $BucketCap),
+         |sbk AS (SELECT s.doc_id, s.simhash FROM simsig s JOIN sok USING (simhash)),
+         |spairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM sbk a JOIN sbk b ON a.simhash = b.simhash AND a.doc_id < b.doc_id),
+         |found AS (
+         |  SELECT 'minhash_lsh' AS method, a_id, b_id FROM cand
+         |    WHERE ${rb("a_id")} AND ${rb("b_id")}
+         |  UNION ALL
+         |  SELECT 'ngram_capped', a_id, b_id FROM jpairs
+         |    WHERE ${rb("a_id")} AND ${rb("b_id")}
+         |  UNION ALL
+         |  SELECT 'pipeline_verified', a_id, b_id FROM ver
+         |    WHERE ${rb("a_id")} AND ${rb("b_id")}
+         |  UNION ALL
+         |  SELECT 'simhash_identical', a_id, b_id FROM spairs
+         |    WHERE ${rb("a_id")} AND ${rb("b_id")})
+         |SELECT f.method,
+         |  (SELECT COUNT(*) FROM truth) AS truth_pairs,
+         |  COUNT(*) AS found_pairs,
+         |  CAST(SUM(CASE WHEN t.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS true_found,
+         |  CAST(SUM(CASE WHEN t.a_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / (SELECT COUNT(*) FROM truth) AS recall,
+         |  CAST(SUM(CASE WHEN t.a_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS precision
+         |FROM found f LEFT JOIN truth t USING (a_id, b_id)
+         |GROUP BY f.method ORDER BY f.method""".stripMargin
     })
   )
 }

@@ -276,6 +276,16 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("WindowGroupLimit"), s"rn <= 3 must push as a group limit:\n$s")
   }
 
+  test("q100 recall panel: sample predicates are narrow filters and the truth set broadcasts") {
+    val s = plan(ops.DedupOpsImpl.dedupRecall(spark, dir))
+    assert(!s.contains("CartesianProduct"),
+      s"truth must come from the shingle equi-join, never all-pairs:\n$s")
+    // the sampled truth pair set and the panel totals are metadata-sized —
+    // they must ride broadcasts, not shuffle the method pair sets
+    assert(s.contains("BroadcastHashJoin"), s"truth-hit join must broadcast:\n$s")
+    assert(s.contains("BroadcastNestedLoopJoin"), s"totals frame must broadcast:\n$s")
+  }
+
   test("q90 hybrid retrieval broadcasts query terms into the token equi-join and pushes top-k limits") {
     val s = plan(ops.VectorOpsImpl.hybridRrf(spark, dir))
     assert(!s.contains("CartesianProduct"), s"no all-pairs stage is allowed:\n$s")
