@@ -104,6 +104,66 @@ object TextOpsImpl {
         .as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Winnowing parameters: word-3-gram hashes (k), selection window (w).
+    * The scheme guarantees any shared token run of length ≥ k + w - 1 = 6
+    * yields at least one shared fingerprint (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    * 2003). */
+  val WinnowK = 3
+  val WinnowW = 4
+  val WinnowDfCap = 20
+  val WinnowMinShared = 2
+
+  /** Winnowing fingerprints: the minimum 3-gram hash of every w-length
+    * hash window, deduplicated — position-robust LOCAL fingerprints (a
+    * shared passage fingerprints identically wherever it sits in the doc),
+    * the passage-granular complement of q33's one-per-doc global min-hash.
+    *
+    * Scale shape: the only shuffle is the doc_id window, and it ships
+    * (doc_id, pos, 32-char hash) rows — O(len) bytes per doc, never the
+    * text itself; the per-doc sort is doc-scoped. Selection keeps ~2/(w+1)
+    * of positions, so downstream consumers see a 60 %-smaller index than
+    * raw shingles. */
+  def winnowFingerprints(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val psh = Tables(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= WinnowK)
+      .withColumn("ntok", size(col("toks")).cast(LongType))
+      .select(col("doc_id"), col("ntok"),
+        posexplode(expr(s"transform(sequence(1, size(toks) - ${WinnowK - 1}), " +
+          "i -> md5(concat(try_element_at(toks, i), ' ', try_element_at(toks, i + 1), " +
+          "' ', try_element_at(toks, i + 2))))")).as(Seq("pos0", "h")))
+      .withColumn("pos", col("pos0") + 1).drop("pos0")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    psh.withColumn("fp", min(col("h")).over(w))
+      // winnowing selects from FULL windows only: the last shingle position
+      // that starts one is ntok - (k-1) - (w-1)
+      .filter(col("pos") <= col("ntok") - (WinnowK - 1) - (WinnowW - 1))
+      .select(col("doc_id"), col("fp")).distinct()
+      .orderBy(col("doc_id"), col("fp"))
+  }
+
+  /** Shared-passage detection over winnowing fingerprints — the MOSS use:
+    * doc pairs sharing ≥ [[WinnowMinShared]] fingerprints, i.e. pairs with
+    * at least that many independent ≥ 6-token common runs. The join key is
+    * DF-capped exactly like the rare-shingle Jaccard join (stop-passage
+    * fingerprints would go quadratic); cost is Σ min(df, cap)² over
+    * fingerprints, never all-pairs. */
+  def winnowSharedPassages(s: SparkSession, dir: String): DataFrame = {
+    val fp = winnowFingerprints(s, dir)
+    val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowDfCap).select("fp")
+    val keyed = fp.join(rare, "fp")
+    keyed.as("a").join(keyed.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** TF-IDF top-3 terms per document — the vocabulary-weighting step of
     * corpus analysis / keyword extraction. Two hash aggregations (term
     * frequency, document frequency) + one equi-join on the term + a
@@ -883,6 +943,43 @@ object TextOps {
         |  list_min(list_transform(generate_series(1, length(text) - 4),
         |    i -> md5(substr(text, i, 5)))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("q101_text_winnow", winnowFingerprints, Some(
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |psh AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS ntok, i AS pos,
+         |    md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS h
+         |  FROM t, unnest(generate_series(1, len(t) - ${WinnowK - 1})) AS u(i)
+         |  WHERE len(t) >= $WinnowK),
+         |win AS (
+         |  SELECT doc_id, pos, ntok,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS fp
+         |  FROM psh)
+         |SELECT DISTINCT doc_id, fp FROM win
+         |WHERE pos <= ntok - ${WinnowK - 1} - ${WinnowW - 1}
+         |ORDER BY doc_id, fp""".stripMargin)),
+
+    Q("q102_text_winnow_pairs", winnowSharedPassages, Some(
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |psh AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS ntok, i AS pos,
+         |    md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS h
+         |  FROM t, unnest(generate_series(1, len(t) - ${WinnowK - 1})) AS u(i)
+         |  WHERE len(t) >= $WinnowK),
+         |win AS (
+         |  SELECT doc_id, pos, ntok,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS fp
+         |  FROM psh),
+         |fp AS (SELECT DISTINCT doc_id, fp FROM win
+         |       WHERE pos <= ntok - ${WinnowK - 1} - ${WinnowW - 1}),
+         |rare AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= $WinnowDfCap),
+         |k AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+         |FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared
+         |ORDER BY a_id, b_id""".stripMargin)),
 
     Q("q35_text_tfidf", tfidfTopTerms, Some(
       """WITH tf AS (

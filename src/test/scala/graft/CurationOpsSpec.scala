@@ -339,4 +339,34 @@ class CurationOpsSpec extends SparkSpec {
       assert(ratio <= minSel, s"unselected doc $id outranks a selected one")
     }
   }
+
+  test("q101 winnowing guarantee: any shared run of k+w-1 tokens yields a shared fingerprint") {
+    import ops.TextOpsImpl.{WinnowK, WinnowW}
+    val guarantee = WinnowK + WinnowW - 1
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toIndexedSeq).toMap
+    val runs = toks.map { case (id, t) =>
+      id -> t.sliding(guarantee).filter(_.length == guarantee).map(_.mkString(" ")).toSet
+    }
+    val fps = ops.TextOpsImpl.winnowFingerprints(spark, dir).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getString(1)).toSet }
+    val ids = toks.keys.toSeq.sorted
+    var sharedRunPairs = 0
+    for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      if (runs(a) & runs(b)).nonEmpty
+    } {
+      sharedRunPairs += 1
+      assert((fps(a) & fps(b)).nonEmpty,
+        s"docs $a and $b share a $guarantee-token run but no winnow fingerprint")
+    }
+    assert(sharedRunPairs > 0, "test corpus must contain shared runs (non-vacuous)")
+    // selection really thins the index: fewer fingerprints than shingles
+    fps.foreach { case (id, f) =>
+      val nShingles = (toks(id).length - WinnowK + 1).max(0)
+      assert(f.size <= nShingles, s"doc $id has more fingerprints than shingles")
+    }
+  }
 }
