@@ -15,10 +15,12 @@ class CacheHygieneSpec extends SparkSpec {
     // populated memos or left transient caches)
     DedupOpsImpl.clearCaches()
     VectorOpsImpl.clearCaches()
+    TextOpsImpl.clearCaches()
     spark.sharedState.cacheManager.clearCache()
 
     // populate every memoized cached view
     DedupOpsImpl.dedupComponents(spark, dir).count()  // shingles + components
+    TextOpsImpl.winnowSharedPassages(spark, dir).count() // winnow index
     VectorOpsImpl.ivfTopK(spark, dir).count()         // assignment view
     VectorOpsImpl.pqAdcTopK(spark, dir).count()       // PQ codes view
     VectorOpsImpl.kmeansIvfTopK(spark, dir).count()   // learned-assignment view
@@ -28,6 +30,7 @@ class CacheHygieneSpec extends SparkSpec {
 
     DedupOpsImpl.clearCaches()
     VectorOpsImpl.clearCaches()
+    TextOpsImpl.clearCaches()
     assert(spark.sharedState.cacheManager.isEmpty,
       "clearCaches must unpersist every memoized view")
 
@@ -35,5 +38,6 @@ class CacheHygieneSpec extends SparkSpec {
     assert(VectorOpsImpl.ivfTopK(spark, dir).count() > 0)
     DedupOpsImpl.clearCaches()
     VectorOpsImpl.clearCaches()
+    TextOpsImpl.clearCaches()
   }
 }
