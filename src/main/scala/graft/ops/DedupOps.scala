@@ -78,6 +78,44 @@ object DedupOpsImpl {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  val ContainmentMin = 0.8
+
+  /** Containment (asymmetric Jaccard) near-dup pairs:
+    * inter / min(|A|, |B|) ≥ [[ContainmentMin]] over the rare-shingle
+    * space — catches SUBSET duplicates (one doc quoted or embedded inside a
+    * larger one) that symmetric Jaccard dilutes below threshold whenever
+    * the sizes differ a lot. Candidate generation is the identical
+    * DF-capped equi-join as [[ngramJaccard]], so the cost bound is
+    * unchanged; `contained_id` names the smaller (covered) document, size
+    * ties break to a_id. */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap).select("sh")
+    containmentFromShingles(sh.join(rare, "sh"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** The containment pair math over any (doc_id, sh) frame (already
+    * DF-capped by the caller) — factored out so specs can drive it with
+    * constructed subset-duplicates, which the gate corpus lacks. */
+  private[graft] def containmentFromShingles(docsh: DataFrame): DataFrame = {
+    val sizes = docsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    docsh.as("a").join(docsh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("a_id", "na"), "a_id")
+      .join(sizes.toDF("b_id", "nb"), "b_id")
+      .withColumn("containment",
+        col("inter").cast(DoubleType) / least(col("na"), col("nb")))
+      .filter(col("containment") >= ContainmentMin)
+      .withColumn("contained_id",
+        when(col("na") <= col("nb"), col("a_id")).otherwise(col("b_id")))
+      .select(col("a_id"), col("b_id"), col("inter"), col("na"), col("nb"),
+        col("containment"), col("contained_id"))
+  }
+
   /** Per-doc MinHash signature — 2 md5 calls per shingle instead of 8
     * (hashing dominated round-1 bench: q42+q45 were 40% of total): the 8
     * lanes are disjoint 8-hex-char (32-bit) windows of md5(sh) and
@@ -588,6 +626,24 @@ object DedupOps {
          |sums AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id)
          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums ORDER BY doc_id""".stripMargin
     }),
+
+    Q("q103_dedup_containment", containmentPairs, Some(
+      s"""WITH $shingleSql,
+         |rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= $DfCap),
+         |docsh AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM docsh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |  FROM docsh a JOIN docsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, inter, na.n AS na, nb.n AS nb,
+         |  CAST(inter AS DOUBLE) / least(na.n, nb.n) AS containment,
+         |  CASE WHEN na.n <= nb.n THEN a_id ELSE b_id END AS contained_id
+         |FROM pairs
+         |JOIN sizes na ON na.doc_id = a_id
+         |JOIN sizes nb ON nb.doc_id = b_id
+         |WHERE CAST(inter AS DOUBLE) / least(na.n, nb.n) >= $ContainmentMin
+         |ORDER BY a_id, b_id""".stripMargin)),
 
     Q("q100_dedup_recall", dedupRecall, Some {
       def rb(id: String) =

@@ -150,6 +150,38 @@ object VectorOpsImpl {
         .sortBy(_._1).toSeq
     })
 
+  /** Per-label embedding drift between two corpus snapshots — the
+    * embedding-space sibling of q96's vocabulary drift: per label, how far
+    * did the class centroid move between the old and new snapshot (halves
+    * by vec_id parity stand in for the two snapshot scans; in production
+    * each side is its own corpus path). Catches encoder swaps, upstream
+    * content shifts, or pipeline regressions that per-vector checks miss.
+    *
+    * Scale shape: two partial-aggregated centroid passes (one per
+    * snapshot), then a label-count-sized join — never touches vectors
+    * pairwise. Determinism: per-dimension means use the floor-quantized
+    * DECIMAL(38,0) sum discipline; drift² is the same left-associative
+    * 64-term IEEE chain both engines evaluate. */
+  def embedDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .withColumn("half", pmod(col("vec_id"), lit(2L)))
+    def cent(half: Int, tag: String) = {
+      val aggs = count(lit(1)).as(s"n_$tag") +: (1 to Dims).map(i =>
+        (expr(sparkCentComp(i)) / count(lit(1))).as(s"${tag}_c$i"))
+      e.filter(col("half") === half)
+        .groupBy(col("label").cast(LongType).as("label"))
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    val drift2 = (1 to Dims).map { i =>
+      val d = col(s"old_c$i") - col(s"new_c$i")
+      d * d
+    }.reduce(_ + _)
+    cent(0, "old").join(broadcast(cent(1, "new")), "label")
+      .select(col("label"), col("n_old"), col("n_new"),
+        drift2.as("drift2"), sqrt(drift2).as("drift"))
+      .orderBy(col("label"))
+  }
+
   /** Nearest-exact-centroid assignment for every vector (L2, tie → smaller
     * centroid label): vec_id, label, embedding, assigned.
     *
@@ -1438,6 +1470,21 @@ object VectorOps {
         .mkString(", ")
       s"""SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n, $dims
          |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+    }),
+
+    Q("q104_embed_drift", embedDrift, Some {
+      def half(pred: String, tag: String) = {
+        val dims = (1 to Dims).map(i =>
+          s"${duckCentComp(i)} / COUNT(*) AS ${tag}_c$i").mkString(", ")
+        s"SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_$tag, $dims " +
+          s"FROM embeddings WHERE $pred GROUP BY label"
+      }
+      val drift2 = (1 to Dims).map(i =>
+        s"(old_c$i - new_c$i) * (old_c$i - new_c$i)").mkString(" + ")
+      s"""WITH o AS (${half("vec_id % 2 = 0", "old")}),
+         |n AS (${half("vec_id % 2 = 1", "new")})
+         |SELECT label, n_old, n_new, ($drift2) AS drift2, sqrt($drift2) AS drift
+         |FROM o JOIN n USING (label) ORDER BY label""".stripMargin
     }),
 
     Q("q53_embed_ivf_assign", ivfAssign, Some {

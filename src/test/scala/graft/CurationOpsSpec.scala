@@ -340,6 +340,24 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q103 containment flags a subset-duplicate that symmetric Jaccard misses") {
+    import spark.implicits._
+    // doc 1 has 10 shingles, all of which appear in doc 2's 40:
+    // containment = 10/10 = 1.0 but jaccard = 10/40 = 0.25 < 0.5
+    val docsh = ((1 to 10).map(i => (1L, s"s$i"))
+      ++ (1 to 40).map(i => (2L, s"s$i"))
+      ++ (100 to 110).map(i => (3L, s"t$i"))).toDF("doc_id", "sh")
+    val got = ops.DedupOpsImpl.containmentFromShingles(docsh).collect()
+    assert(got.length == 1, s"exactly the subset pair: ${got.mkString(",")}")
+    val r = got.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 10L && r.getLong(3) == 10L && r.getLong(4) == 40L)
+    assert(r.getDouble(5) == 1.0, "full containment")
+    assert(r.getLong(6) == 1L, "the smaller doc is the contained one")
+    // and the symmetric-jaccard view of the same pair is below threshold
+    assert(10.0 / (10 + 40 - 10) < 0.5)
+  }
+
   test("q101 winnowing guarantee: any shared run of k+w-1 tokens yields a shared fingerprint") {
     import ops.TextOpsImpl.{WinnowK, WinnowW}
     val guarantee = WinnowK + WinnowW - 1
