@@ -227,6 +227,30 @@ object DedupOpsImpl {
       .select(col("id").as("doc_id"), col("comp").as("component"))
       .orderBy(col("doc_id"))
 
+  /** Cluster-size histogram over the near-dup components — the shape report
+    * a dedup run is judged by (what fraction of the corpus sits in dup
+    * clusters, and whether one giant cluster dominates, which usually means
+    * boilerplate leaked past the caps). Singletons (docs in no pair) are
+    * reported as the cluster_size = 1 row so the histogram partitions the
+    * whole corpus.
+    *
+    * Scale shape: two aggregations over the component map (pair-graph
+    * sized, already memoized) plus two single-row count frames — the corpus
+    * itself contributes one count. */
+  def dedupClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    val comp = shingleComponents(s, dir)
+    val hist = comp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+    val singles = Tables(s, dir, "documents").agg(count(lit(1)).as("n_total"))
+      .crossJoin(broadcast(comp.agg(count(lit(1)).as("n_in"))))
+      .select(lit(1L).as("cluster_size"),
+        (col("n_total") - col("n_in")).as("n_clusters"),
+        (col("n_total") - col("n_in")).as("n_docs"))
+    hist.union(singles).orderBy(col("cluster_size"))
+  }
+
   /** The step that FINISHES a dedup pipeline: inside every near-dup
     * cluster, keep the highest-QUALITY member (not the arbitrary min-id) —
     * quality-aware canonicalization is what production curation does, since
@@ -592,6 +616,38 @@ object DedupOps {
          |SELECT doc_id, component, quality, rn = 1 AS keep FROM r
          |ORDER BY doc_id""".stripMargin
     }),
+
+    Q("q105_dedup_cluster_sizes", dedupClusterSizes, Some(
+      s"""WITH RECURSIVE $shingleSql,
+         |rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= $DfCap),
+         |docsh AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM docsh GROUP BY doc_id),
+         |jp AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |    FROM docsh a JOIN docsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) p
+         |  JOIN sizes na ON na.doc_id = a_id JOIN sizes nb ON nb.doc_id = b_id
+         |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5),
+         |nodes AS (SELECT a_id AS id FROM jp UNION SELECT b_id FROM jp),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM jp
+         |          UNION ALL SELECT b_id, a_id FROM jp),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |comp AS (SELECT id, MIN(r) AS c FROM reach GROUP BY id),
+         |csz AS (SELECT c, COUNT(*) AS cluster_size FROM comp GROUP BY c),
+         |hist AS (
+         |  SELECT cluster_size, COUNT(*) AS n_clusters,
+         |    cluster_size * COUNT(*) AS n_docs
+         |  FROM csz GROUP BY cluster_size)
+         |SELECT * FROM hist
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT),
+         |  (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM comp),
+         |  (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM comp)
+         |ORDER BY cluster_size""".stripMargin)),
 
     Q("q47_dedup_contamination", contamination, Some(
       s"""WITH $shingleSql,
