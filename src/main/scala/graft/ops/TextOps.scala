@@ -817,6 +817,78 @@ object TextOpsImpl {
       .orderBy(col("doc_id"))
   }
 
+  /** PII / identifier scrubbing pattern library — (name, regex, redaction
+    * tag). Every regex is written in the RE2 ∩ java.util.regex common
+    * subset so the DuckDB oracle can run the IDENTICAL pattern text.
+    * Counting treats the patterns as independent detectors over the
+    * ORIGINAL text; redaction applies them in library order, so the more
+    * specific shapes (email, phone, IP) consume their matches before the
+    * generic long-digit-run rule fires. Real deployments extend this seq —
+    * the operator itself is pattern-agnostic. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}", "[PHONE]"),
+    ("ipv4", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "[IP]"),
+    ("idrun", "[0-9]{6,}", "[ID]"))
+
+  /** Generic PII scrub: per-pattern match counts (`n_<name>` columns, plus
+    * the `n_pii` total) and a redacted copy of `textCol`. A pure narrow
+    * scan — no shuffle, no UDF: `regexp_extract_all`/`regexp_replace` are
+    * codegen'd expressions, so at 100 TB this runs at parquet-scan speed
+    * with pushdown/pruning intact. Built with the typed `functions` API
+    * (not `expr`) so the regex text reaches the engine verbatim — a Spark
+    * SQL string literal would consume the backslashes. */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+    val counted = PiiPatterns.foldLeft(df) { case (d, (nm, re, _)) =>
+      d.withColumn(s"n_$nm",
+        size(regexp_extract_all(col(textCol), lit(re), lit(0))).cast(LongType))
+    }
+    val red = PiiPatterns.foldLeft(col(textCol)) { case (c, (_, re, tag)) =>
+      regexp_replace(c, lit(re), lit(tag))
+    }
+    counted
+      .withColumn("n_pii", PiiPatterns.map { case (nm, _, _) => col(s"n_$nm") }.reduce(_ + _))
+      .withColumn("redacted", red)
+  }
+
+  /** The gated PII query runs the full library over supplier names — the
+    * one string field in the corpus with genuinely identifier-shaped
+    * content (9-digit account-number-like runs). The email/phone/IP
+    * columns are provably zero here and are asserted zero by the oracle;
+    * CurationOpsSpec exercises them on constructed rows. */
+  def piiSupplierScrub(s: SparkSession, dir: String): DataFrame =
+    piiScrub(Tables(s, dir, "supplier").select(col("s_suppkey"), col("s_name")), "s_name")
+      .filter(col("n_pii") > 0)
+      .select(col("s_suppkey"), col("n_email"), col("n_phone"), col("n_ipv4"),
+        col("n_idrun"), col("redacted"))
+      .orderBy(col("s_suppkey"))
+
+  /** Deterministic train/val/test assignment (~90/5/5 by md5-byte
+    * thresholds): the split is a pure function of the document id with a
+    * dedicated salt, so it is (a) STABLE UNDER CORPUS GROWTH — ingesting
+    * more documents never moves an existing doc across splits, which
+    * position- or sort-based splitting cannot guarantee — and (b)
+    * reproducible from the id alone on any engine (the leakage audit can
+    * recompute it without the assignment table).
+    *
+    * Scale shape: a narrow map over the scan, no shuffle; at write time
+    * `split` becomes a partition column so readers prune to their split. */
+  val SplitThresholds: (Long, Long) = (230L, 243L)
+
+  def trainSplit(s: SparkSession, dir: String): DataFrame = {
+    val byteExpr =
+      "(instr('0123456789abcdef', substr(md5(concat('split:', CAST(doc_id AS STRING))), 1, 1)) - 1) * 16" +
+        " + (instr('0123456789abcdef', substr(md5(concat('split:', CAST(doc_id AS STRING))), 2, 1)) - 1)"
+    Tables(s, dir, "documents")
+      .withColumn("bucket", expr(s"CAST($byteExpr AS BIGINT)"))
+      .withColumn("split",
+        when(col("bucket") < SplitThresholds._1, "train")
+          .when(col("bucket") < SplitThresholds._2, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source CORPUS REPORT CARD — the one-pass health dashboard a data
     * pipeline publishes per ingest source: volume (docs, tokens), exact
     * duplication rate, mean quality, and language concentration. Gini
@@ -1314,6 +1386,34 @@ object TextOps {
         |SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(oov) AS BIGINT) AS n_oov,
         |  CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
         |FROM inc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("q106_pii_scrub", piiSupplierScrub, Some {
+      val countCols = PiiPatterns.map { case (nm, re, _) =>
+        s"CAST(len(regexp_extract_all(s_name, '$re')) AS BIGINT) AS n_$nm"
+      }.mkString(",\n  ")
+      val redacted = PiiPatterns.foldLeft("s_name") { case (c, (_, re, tag)) =>
+        s"regexp_replace($c, '$re', '$tag', 'g')"
+      }
+      val total = PiiPatterns.map { case (nm, _, _) => s"n_$nm" }.mkString(" + ")
+      s"""SELECT s_suppkey, n_email, n_phone, n_ipv4, n_idrun, redacted FROM (
+         |  SELECT s_suppkey,
+         |  $countCols,
+         |  $redacted AS redacted
+         |  FROM supplier)
+         |WHERE $total > 0 ORDER BY s_suppkey""".stripMargin
+    }),
+
+    Q("q107_text_split", trainSplit, Some {
+      val byteSql =
+        "(strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16" +
+          " + (strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+      val (tr, va) = SplitThresholds
+      s"""SELECT doc_id, bucket,
+         |  CASE WHEN bucket < $tr THEN 'train'
+         |       WHEN bucket < $va THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, CAST($byteSql AS BIGINT) AS bucket FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }),
 
     Q("q96_text_vocab_drift", vocabDrift, Some(
       """WITH toks AS (

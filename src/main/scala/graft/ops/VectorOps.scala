@@ -1125,6 +1125,30 @@ object VectorOpsImpl {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** k-th-NN distance outlier scoring (Ramaswamy et al., SIGMOD 2000):
+    * each vector's score is the cosine of its LAST kNN-graph neighbor
+    * (rank k, or the highest rank available) — a low rank-k cosine means a
+    * sparse neighborhood, i.e. out-of-distribution data. Vectors the
+    * banded LSH produced NO candidates for are the extreme case and are
+    * reported with n_neighbors = 0 and a null score. This is the
+    * data-pruning signal used to drop OOD junk before training.
+    *
+    * Scale shape: one max_by aggregation over the MEMOIZED kNN edge list
+    * (n × k rows, shared with q93/q97/q99) plus an id anti-join against
+    * edge sources; embeddings are touched only to enumerate ids — no
+    * distance is recomputed. */
+  def knnOutliers(s: SparkSession, dir: String): DataFrame = {
+    val g = knnGraphRaw(s, dir)
+    val kth = g.groupBy(col("src").as("vec_id")).agg(
+      max(col("rn")).as("n_neighbors"),
+      max_by(col("cosine"), col("rn")).as("kth_cosine"))
+    val isolated = Tables(s, dir, "embeddings").select(col("vec_id"))
+      .join(g.select(col("src").as("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), lit(0L).as("n_neighbors"),
+        lit(null).cast(DoubleType).as("kth_cosine"))
+    kth.union(isolated).orderBy(col("vec_id"))
+  }
+
   /** SEMANTIC keep-best canonicalization — the cross-modal composition of
     * q58 and q67: cluster by EMBEDDING near-duplicates (sign-LSH banded
     * candidates → exact cosine → connected components), then keep the
@@ -1748,6 +1772,17 @@ object VectorOps {
          |ORDER BY src, rn""".stripMargin)),
 
     Q("q99_embed_graph_search", graphSearch, Some(q99Sql)),
+
+    Q("q108_embed_outliers", knnOutliers, Some(
+      s"""$knnGraphSqlCtes,
+         |k AS (
+         |  SELECT src AS vec_id, MAX(rn) AS n_neighbors,
+         |    max_by(cosine, rn) AS kth_cosine
+         |  FROM r WHERE rn <= $KnnK GROUP BY src)
+         |SELECT e.vec_id, CAST(COALESCE(k.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+         |  k.kth_cosine
+         |FROM embeddings e LEFT JOIN k USING (vec_id)
+         |ORDER BY e.vec_id""".stripMargin)),
 
     Q("q97_embed_knn_clusters", knnClusters, Some(
       s"""WITH RECURSIVE ${knnGraphSqlCtes.stripPrefix("WITH ")},

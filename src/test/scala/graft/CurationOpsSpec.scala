@@ -387,4 +387,72 @@ class CurationOpsSpec extends SparkSpec {
       assert(f.size <= nShingles, s"doc $id has more fingerprints than shingles")
     }
   }
+
+  test("q106 pii scrub detects and redacts every library pattern on constructed rows") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "contact Jo.Smith+x@ex-ample.co.uk for details"),
+      (2L, "call 555-123-4567 or 555.987.6543 now"),
+      (3L, "server at 10.0.255.3 responded"),
+      (4L, "account 123456789 and ref 000042 ok"),
+      (5L, "no sensitive content here"),
+      (6L, "mix a@b.io 192.168.1.1 777-888-9999 424242424242"))
+      .toDF("id", "txt")
+    val out = ops.TextOpsImpl.piiScrub(rows, "txt")
+      .select("id", "n_email", "n_phone", "n_ipv4", "n_idrun", "n_pii", "redacted")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def counts(id: Long) = (1 to 4).map(out(id).getLong(_))
+    assert(counts(1) == Seq(1, 0, 0, 0))
+    assert(out(1L).getString(6) == "contact [EMAIL] for details")
+    assert(counts(2) == Seq(0, 2, 0, 0))
+    assert(out(2L).getString(6) == "call [PHONE] or [PHONE] now")
+    assert(counts(3) == Seq(0, 0, 1, 0))
+    assert(out(3L).getString(6) == "server at [IP] responded")
+    assert(counts(4) == Seq(0, 0, 0, 2))
+    assert(out(4L).getString(6) == "account [ID] and ref [ID] ok")
+    assert(counts(5) == Seq(0, 0, 0, 0) && out(5L).getLong(5) == 0L)
+    assert(out(5L).getString(6) == "no sensitive content here")
+    // library ORDER matters on row 6: phone/ip digits must be consumed by
+    // their own tags, with only the bare 12-digit run left for [ID]
+    assert(counts(6) == Seq(1, 1, 1, 1))
+    assert(out(6L).getString(6) == "mix [EMAIL] [IP] [PHONE] [ID]")
+  }
+
+  test("q107 split is a stable pure function of doc_id and partitions the corpus") {
+    val full = ops.TextOpsImpl.trainSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(full.map(_._1).distinct.size == full.size, "one row per doc")
+    full.foreach { case (id, b, s) =>
+      assert(b >= 0 && b < 256)
+      val expected =
+        if (b < ops.TextOpsImpl.SplitThresholds._1) "train"
+        else if (b < ops.TextOpsImpl.SplitThresholds._2) "val" else "test"
+      assert(s == expected, s"doc $id split")
+    }
+    // growth-stability: the assignment of a doc is independent of which
+    // other docs are present (pure function of the id), unlike positional
+    // splits — recomputing over any subset must agree with the full run
+    val half = full.filter(_._1 % 2 == 0).map(t => t._1 -> t._3).toMap
+    full.filter(_._1 % 2 == 0).foreach { case (id, _, s) => assert(half(id) == s) }
+    assert(full.map(_._3).distinct.toSet == Set("train", "val", "test"))
+  }
+
+  test("q108 outlier scores cover every vector and equal the rank-k graph cosine") {
+    val g = ops.VectorOpsImpl.knnGraph(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    val out = ops.VectorOpsImpl.knnOutliers(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val nVecs = Tables(spark, dir, "embeddings").count()
+    assert(out.length.toLong == nVecs, "score table partitions the corpus")
+    out.foreach { case (id, n, sc) =>
+      g.get(id) match {
+        case Some(edges) =>
+          assert(n == edges.map(_._2).max)
+          val last = edges.maxBy(_._2)
+          assert(sc.contains(last._4), s"vec $id kth cosine")
+        case None => assert(n == 0L && sc.isEmpty, s"vec $id isolated")
+      }
+    }
+  }
 }
