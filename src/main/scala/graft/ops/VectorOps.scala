@@ -542,6 +542,77 @@ object VectorOpsImpl {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup scoped
+    * by the LEARNED k-means clusters — within each cluster, pairs at or
+    * above [[SemDedupTau]] cosine form duplicate groups (connected
+    * components), and each group keeps the member FARTHEST from its
+    * cluster centroid (the paper's diversity-preserving choice: the
+    * prototypical member is the one most redundant with the cluster
+    * itself), i.e. minimum centroid-direction score, ties to the smaller
+    * vec_id. τ = 0.35 is calibrated to this corpus' cosine range (its
+    * within-cluster ~99.9th percentile — the synthetic embeddings have no
+    * 0.95-cosine near-copies); the knob, not the shape, changes in
+    * production.
+    *
+    * Scale shape: the candidate scope IS the cluster — SemDeDup's own
+    * scaling argument (k grows with n so |cluster| stays bounded; the
+    * paper uses 50k clusters for 100M docs). The pair join is one shuffle
+    * of the MEMOIZED assignment view on the cluster key; components and
+    * the keep decision run on the (tiny) pair graph; centroid scores are
+    * a narrow baked-literal scan. The corpus never joins itself
+    * un-clustered. */
+  val SemDedupTau = 0.35
+
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val cents = kmeansHistory(s, dir)(KmeansIters).map { case (cid, cv, _) => (cid, cv) }
+    val asg = graft.ops.Memo.getOrCache(kmeansAssignCache, s, dir, _ =>
+      assignCenters(
+        Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        cents).cache())
+    // norms precomputed in the narrow scan projection so the pair-join
+    // stage fuses exactly ONE 64-term dot (three fused chains overflow
+    // Janino's method limit in the BHJ consume and fall back silently —
+    // the radiusSearch/probeTopK discipline)
+    val a = asg.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+      col("assigned").as("cl"),
+      expr(s"sqrt(${sparkDot("embedding", "embedding")})").as("na"))
+    val b = asg.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+      col("assigned").as("cl"),
+      expr(s"sqrt(${sparkDot("embedding", "embedding")})").as("nb"))
+    val pairs = a.join(b, Seq("cl"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", expr(s"(${sparkDot("ae", "be")}) / (na * nb)"))
+      .filter(col("cosine") >= lit(SemDedupTau))
+      .select(col("a_id"), col("b_id"))
+    val comp = DedupOpsImpl.connectedComponents(pairs)
+    // centroid-direction score: dot(e, center(assigned)) / |e| — within a
+    // cluster this ranks identically to cosine-to-centroid (|center| is a
+    // per-cluster constant) with one fewer 64-term chain in the plan.
+    // Compact HOF form (baked center-array literal + aggregate fold, the
+    // assignCentersCompact pattern): the 8×64-term unrolled alternative
+    // overflows codegen; the fold is bitwise-equal to the left-assoc
+    // unrolled sum (0D + t1 ≡ t1).
+    val centsSql = cents.map { case (cl, cv) =>
+      s"named_struct('l', ${cl}L, 'v', array(${cv.map(v => s"${v}D").mkString(",")}))"
+    }.mkString("array(", ",", ")")
+    val scored = asg
+      .withColumn("cv",
+        expr(s"element_at(filter($centsSql, c -> c.l = assigned), 1).v"))
+      .withColumn("cdot",
+        expr(s"""aggregate(sequence(1, $Dims), 0D, (acc, i) ->
+                |  acc + CAST(element_at(embedding, i) AS DOUBLE) * element_at(cv, i))""".stripMargin))
+      .select(col("vec_id"), col("assigned").as("cluster"),
+        (col("cdot") / expr(s"sqrt(${sparkDot("embedding", "embedding")})")).as("score"))
+    val members = broadcast(comp).join(scored, comp("id") === scored("vec_id"))
+      .select(col("vec_id"), col("cluster"), col("comp").as("group_id"), col("score"))
+    val w = Window.partitionBy(col("group_id")).orderBy(col("score"), col("vec_id"))
+    val kept = members.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("group_id"), col("vec_id").as("kept_id"))
+    members.join(broadcast(kept), Seq("group_id"))
+      .select(col("vec_id"), col("cluster"), col("group_id"), col("kept_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** IVF-probed ANN: search only the query's own coarse cluster instead of
     * the whole corpus — the 100 TB scale path (cluster = partition prune;
     * cost drops from O(corpus) to O(corpus / k) per query at equal recall
@@ -1650,6 +1721,47 @@ object VectorOps {
       s"""WITH $kmeansChainSql,
          |$kmeansFinalAssignSql
          |SELECT vec_id, assigned FROM af ORDER BY vec_id""".stripMargin)),
+
+    Q("q109_embed_semdedup", semDedup, Some {
+      import VectorOpsImpl.{SemDedupTau, Dims}
+      val centDot = (1 to Dims).map(i =>
+        s"CAST(e.embedding[$i] AS DOUBLE) * c.c$i").mkString(" + ")
+      s"""WITH RECURSIVE $kmeansChainSql,
+         |$kmeansFinalAssignSql,
+         |pr AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM af a JOIN af b ON a.assigned = b.assigned AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE (${duckDot("ea.embedding", "eb.embedding")})
+         |      / (sqrt(${duckDot("ea.embedding", "ea.embedding")})
+         |         * sqrt(${duckDot("eb.embedding", "eb.embedding")})) >= $SemDedupTau),
+         |nodes AS (SELECT a_id AS id FROM pr UNION SELECT b_id FROM pr),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pr
+         |          UNION ALL SELECT b_id, a_id FROM pr),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |cmp AS (SELECT id, MIN(r) AS group_id FROM reach GROUP BY id),
+         |sc AS (
+         |  SELECT e.vec_id, af.assigned AS cluster,
+         |    ($centDot) / sqrt(${duckDot("e.embedding", "e.embedding")}) AS score
+         |  FROM embeddings e
+         |  JOIN af ON af.vec_id = e.vec_id
+         |  JOIN c$KmeansIters c ON c.cid = af.assigned),
+         |m AS (
+         |  SELECT cmp.id AS vec_id, sc.cluster, cmp.group_id, sc.score
+         |  FROM cmp JOIN sc ON sc.vec_id = cmp.id),
+         |k AS (
+         |  SELECT group_id, vec_id AS kept_id FROM (
+         |    SELECT group_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY group_id ORDER BY score, vec_id) AS rn
+         |    FROM m) WHERE rn = 1)
+         |SELECT m.vec_id, m.cluster, m.group_id, k.kept_id
+         |FROM m JOIN k USING (group_id)
+         |ORDER BY m.vec_id""".stripMargin
+    }),
 
     Q("q77_embed_ann_recall", annRecall, Some {
       val branches = Seq(

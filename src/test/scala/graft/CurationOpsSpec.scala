@@ -388,6 +388,25 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q109 semdedup groups are well-formed: cluster-scoped, one kept member each") {
+    val rows = ops.VectorOpsImpl.semDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty, "tau must bind on this corpus")
+    val groups = rows.groupBy(_._3)
+    groups.foreach { case (gid, ms) =>
+      assert(ms.length >= 2, s"group $gid must have at least a pair")
+      assert(ms.map(_._2).distinct.length == 1, s"group $gid crosses clusters")
+      val kepts = ms.map(_._4).distinct
+      assert(kepts.length == 1, s"group $gid has conflicting kept ids")
+      assert(ms.exists(_._1 == kepts.head), s"group $gid kept id not a member")
+      assert(gid == ms.map(_._1).min, s"group id is the min member label")
+    }
+    // the prune decision: dropping all non-kept members removes
+    // members - groups vectors, and never a kept one
+    val dropped = rows.filter(r => r._1 != r._4)
+    assert(dropped.length == rows.length - groups.size)
+  }
+
   test("q106 pii scrub detects and redacts every library pattern on constructed rows") {
     import spark.implicits._
     val rows = Seq(
