@@ -280,6 +280,26 @@ object DedupOpsImpl {
     * Shared by the shingle-based (q46) and embedding-based (q58) duplicate
     * clustering — the pair graph is tiny relative to the corpus, so the
     * driver loop is over metadata-scale data only. */
+  /** Cross-split near-dup LEAKAGE audit: verified near-dup pairs (the
+    * DF-capped rare-shingle Jaccard pairs of q41) whose endpoints were
+    * assigned to DIFFERENT q107 splits — each such pair is an eval
+    * document whose near-copy the model trains on: the contamination mode
+    * that survives exact-hash-per-document splitting and silently
+    * inflates eval scores. Because the split is a pure function of the id
+    * (q107's design point), the audit recomputes membership inline — no
+    * assignment-table join.
+    *
+    * Scale shape: the pair graph is the bounded q41 artifact; the split
+    * columns are narrow expressions over its two id columns. Cost beyond
+    * the shared pair generation is nil. */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame =
+    ngramJaccard(s, dir)
+      .withColumn("split_a", TextOpsImpl.splitNameCol(TextOpsImpl.splitBucketExpr("a_id")))
+      .withColumn("split_b", TextOpsImpl.splitNameCol(TextOpsImpl.splitBucketExpr("b_id")))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("a_id"), col("b_id"), col("split_a"), col("split_b"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val p = pairs.toDF("a", "b")
     val edges = p.union(p.select(col("b"), col("a")))
@@ -498,6 +518,38 @@ object DedupOps {
          |JOIN sizes nb ON nb.doc_id = b_id
          |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin), headline = true),
+
+    Q("q110_dedup_split_leakage", splitLeakage, Some {
+      def splitSql(id: String) = {
+        val byteSql =
+          s"(strpos('0123456789abcdef', substr(md5('split:' || CAST($id AS VARCHAR)), 1, 1)) - 1) * 16" +
+            s" + (strpos('0123456789abcdef', substr(md5('split:' || CAST($id AS VARCHAR)), 2, 1)) - 1)"
+        val (tr, va) = TextOpsImpl.SplitThresholds
+        s"CASE WHEN ($byteSql) < $tr THEN 'train' WHEN ($byteSql) < $va THEN 'val' ELSE 'test' END"
+      }
+      s"""WITH $shingleSql,
+         |rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= $DfCap),
+         |docsh AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM docsh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |  FROM docsh a JOIN docsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT a_id, b_id,
+         |    CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
+         |  FROM pairs
+         |  JOIN sizes na ON na.doc_id = a_id
+         |  JOIN sizes nb ON nb.doc_id = b_id
+         |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5)
+         |SELECT a_id, b_id,
+         |  ${splitSql("a_id")} AS split_a,
+         |  ${splitSql("b_id")} AS split_b,
+         |  jaccard
+         |FROM jp
+         |WHERE ${splitSql("a_id")} <> ${splitSql("b_id")}
+         |ORDER BY a_id, b_id""".stripMargin
+    }),
 
     Q("q42_dedup_minhash_lsh", minhashLsh, Some {
       val bands = (0 until 4).map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bh FROM sig")

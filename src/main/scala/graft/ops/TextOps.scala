@@ -875,18 +875,62 @@ object TextOpsImpl {
     * `split` becomes a partition column so readers prune to their split. */
   val SplitThresholds: (Long, Long) = (230L, 243L)
 
-  def trainSplit(s: SparkSession, dir: String): DataFrame = {
-    val byteExpr =
-      "(instr('0123456789abcdef', substr(md5(concat('split:', CAST(doc_id AS STRING))), 1, 1)) - 1) * 16" +
-        " + (instr('0123456789abcdef', substr(md5(concat('split:', CAST(doc_id AS STRING))), 2, 1)) - 1)"
+  /** The split byte as a Spark expression over any id column — shared by
+    * the assignment table (q107) and every audit that needs to recompute
+    * membership in place (q110): pure function of id+salt. */
+  private[graft] def splitBucketExpr(idCol: String): Column = expr(
+    s"CAST((instr('0123456789abcdef', substr(md5(concat('split:', CAST($idCol AS STRING))), 1, 1)) - 1) * 16" +
+      s" + (instr('0123456789abcdef', substr(md5(concat('split:', CAST($idCol AS STRING))), 2, 1)) - 1) AS BIGINT)")
+
+  private[graft] def splitNameCol(bucket: Column): Column =
+    when(bucket < SplitThresholds._1, "train")
+      .when(bucket < SplitThresholds._2, "val")
+      .otherwise("test")
+
+  def trainSplit(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
-      .withColumn("bucket", expr(s"CAST($byteExpr AS BIGINT)"))
-      .withColumn("split",
-        when(col("bucket") < SplitThresholds._1, "train")
-          .when(col("bucket") < SplitThresholds._2, "val")
-          .otherwise("test"))
+      .withColumn("bucket", splitBucketExpr("doc_id"))
+      .withColumn("split", splitNameCol(col("bucket")))
       .select(col("doc_id"), col("bucket"), col("split"))
       .orderBy(col("doc_id"))
+
+  /** Collocation mining via LIFT (log-free PMI): for adjacent token
+    * bigrams seen at least [[MinBigramCount]] times, score
+    * P(ab) / (P(a)·P(b)) evaluated as (c_ab/c_a)·(N/c_b) — two fixed-order
+    * double divisions and one multiply, so no ln() (libm-portability, the
+    * q96/q86 discipline) and no integer overflow (c_ab·N and c_a·c_b
+    * overflow 64-bit once the corpus passes ~3e9 tokens). Margins are the
+    * bigram-position marginals (count of a as FIRST member, b as SECOND) —
+    * the contingency-table-correct normalization for adjacent bigrams.
+    * The multi-word-expression / tokenizer-vocabulary miner.
+    *
+    * Scale shape: the bigram generator is a narrow per-doc transform; the
+    * three counts are token-keyed aggregations with map-side combine; the
+    * single-row total broadcasts; top-k plans as TakeOrderedAndProject,
+    * never a global sort. */
+  val MinBigramCount = 5L
+  val CollocationTopK = 100
+
+  def collocations(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables(s, dir, "documents")
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> named_struct('a', element_at(t, i), 'b', element_at(t, i + 1)))")).as("bg"))
+      .select(col("bg.a").as("wa"), col("bg.b").as("wb"))
+    val bc = big.groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("c_ab"))
+    val ua = big.groupBy(col("wa")).agg(count(lit(1)).as("c_a"))
+    val ub = big.groupBy(col("wb")).agg(count(lit(1)).as("c_b"))
+    val n = big.agg(count(lit(1)).as("n"))
+    bc.filter(col("c_ab") >= MinBigramCount)
+      .join(ua, "wa").join(ub, "wb")
+      .crossJoin(broadcast(n))
+      .withColumn("lift",
+        (col("c_ab").cast(DoubleType) / col("c_a"))
+          * (col("n").cast(DoubleType) / col("c_b")))
+      .select(col("wa"), col("wb"), col("c_ab"), col("lift"))
+      .orderBy(col("lift").desc, col("wa"), col("wb"))
+      .limit(CollocationTopK)
   }
 
   /** Per-source CORPUS REPORT CARD — the one-pass health dashboard a data
@@ -1414,6 +1458,25 @@ object TextOps {
          |FROM (SELECT doc_id, CAST($byteSql AS BIGINT) AS bucket FROM documents)
          |ORDER BY doc_id""".stripMargin
     }),
+
+    Q("q111_text_collocations", collocations, Some(
+      s"""WITH t AS (
+         |  SELECT string_split(text, ' ') AS t FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |b2 AS (
+         |  SELECT bg.a AS wa, bg.b AS wb FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+         |      i -> {'a': t[i], 'b': t[i + 1]})) AS bg
+         |    FROM t)),
+         |bc AS (SELECT wa, wb, COUNT(*) AS c_ab FROM b2 GROUP BY wa, wb),
+         |ua AS (SELECT wa, COUNT(*) AS c_a FROM b2 GROUP BY wa),
+         |ub AS (SELECT wb, COUNT(*) AS c_b FROM b2 GROUP BY wb),
+         |n AS (SELECT COUNT(*) AS n FROM b2)
+         |SELECT wa, wb, c_ab,
+         |  (CAST(c_ab AS DOUBLE) / c_a) * (CAST(n AS DOUBLE) / c_b) AS lift
+         |FROM bc JOIN ua USING (wa) JOIN ub USING (wb) CROSS JOIN n
+         |WHERE c_ab >= $MinBigramCount
+         |ORDER BY lift DESC, wa, wb LIMIT $CollocationTopK""".stripMargin)),
 
     Q("q96_text_vocab_drift", vocabDrift, Some(
       """WITH toks AS (
