@@ -320,4 +320,42 @@ class PlanSpec extends SparkSpec {
       assert(!firstLine.contains("toks"), s"no shuffle may carry document text:\n$s")
     }
   }
+
+  test("q106 pii scrub is a pure narrow scan: no shuffle, no UDF, regexes codegen'd") {
+    val df = ops.TextOpsImpl.piiSupplierScrub(spark, dir).queryExecution.analyzed match {
+      case org.apache.spark.sql.catalyst.plans.logical.Sort(_, _, child, _) =>
+        org.apache.spark.sql.graftshim.Bridge.ofRows(spark, child)
+      case _ => fail("expected a top-level Sort to strip")
+    }
+    val s = plan(df)
+    assert(!s.contains("Exchange"), s"pii scrub must not shuffle:\n$s")
+    assert(!s.contains("BatchEvalPython") && !s.contains("ScalaUDF"),
+      s"detectors must be native expressions:\n$s")
+  }
+
+  test("q107 split assignment is a pure narrow scan with no shuffle") {
+    val df = ops.TextOpsImpl.trainSplit(spark, dir).queryExecution.analyzed match {
+      case org.apache.spark.sql.catalyst.plans.logical.Sort(_, _, child, _) =>
+        org.apache.spark.sql.graftshim.Bridge.ofRows(spark, child)
+      case _ => fail("expected a top-level Sort to strip")
+    }
+    val s = plan(df)
+    assert(!s.contains("Exchange"), s"split must not shuffle:\n$s")
+    assert(!s.toLowerCase.contains("rand"), s"split must be hash-deterministic:\n$s")
+  }
+
+  test("q109 semdedup pairs shuffle on the cluster key only; component map broadcasts") {
+    val s = plan(ops.VectorOpsImpl.semDedup(spark, dir))
+    assert(!s.contains("CartesianProduct"), s"pairing must stay cluster-scoped:\n$s")
+    assert(s.contains("BroadcastHashJoin"),
+      s"the pair-graph component map must broadcast against the corpus:\n$s")
+  }
+
+  test("q111 collocations: broadcast total, top-k limit pushed, no global sort of bigrams") {
+    val s = plan(ops.TextOpsImpl.collocations(spark, dir))
+    assert(s.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrderedAndProject:\n$s")
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+      s"the single-row total must broadcast:\n$s")
+  }
 }
