@@ -39,6 +39,8 @@ object GraftExtensions {
         Cast(Signum(Subtract(tryDecimal(args(0)), tryDecimal(args(1)), EvalMode.TRY)),
           IntegerType)),
 
+    graft.expr.DotF64.function,
+
     (new FunctionIdentifier("simhash"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "simhash"),
       (args: Seq[Expression]) => args match {

@@ -36,8 +36,12 @@ object VectorOpsImpl {
   /** Unrolled Σ f(i) over dims, identical text modulo element accessor. */
   private def unroll(f: Int => String): String = (1 to Dims).map(f).mkString(" + ")
 
-  def sparkDot(a: String, b: String): String =
-    unroll(i => s"CAST(element_at($a, $i) AS DOUBLE) * CAST(element_at($b, $i) AS DOUBLE)")
+  /** Native codegen'd dot (graft.expr.DotF64Expr) — one static call in
+    * generated code instead of 64 inlined statements, so join stages that
+    * fuse several dots stay inside WholeStageCodegen (the unrolled text
+    * overflowed Janino's method limit there; see DotF64's scaladoc for
+    * the bitwise-parity argument vs the unrolled DuckDB oracles). */
+  def sparkDot(a: String, b: String): String = s"dotf64($a, $b)"
   def duckDot(a: String, b: String): String =
     unroll(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
 

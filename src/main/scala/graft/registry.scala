@@ -25,6 +25,7 @@ object Tables {
     * in nanos exceeds double's 2^53 exact-integer range).
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.expr.DotF64.register(spark) // ops emit dotf64(...) SQL; see its scaladoc
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")

@@ -67,6 +67,7 @@ object StreamIndex {
     * full k × Dims assignment expression at every join-key reference
     * (null filter, hash key) and balloon the generated stage by MBs. */
   def probeTopK(index: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.expr.DotF64.register(index.sparkSession)
     val dot = VectorOpsImpl.sparkDot("qe", "ce")
     // norms are PER-SIDE (n + q sqrt's, not n × q) and — as in the batch
     // radiusSearch — keeping the join-side expression to the single dot
