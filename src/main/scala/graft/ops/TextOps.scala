@@ -1020,6 +1020,74 @@ object TextOpsImpl {
         col("message_bin").as("bin"))
       .orderBy(col("lang"), col("doc_id"))
   }
+
+  // ------------------------------------------------------- BM25 retrieval
+
+  /** Fixed literal query term sets — the retrieval benchmark shape (a
+    * handful of keyword queries against the whole corpus). */
+  val bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("scan", "filter", "table"),
+    1L -> Seq("join", "merge", "window"),
+    2L -> Seq("stream", "batch", "data"),
+    3L -> Seq("vector", "hash", "group"))
+  val Bm25TopN = 10
+
+  /** Per-term BM25 score with k1=1.2, b=0.75 — SAME text in Spark and
+    * DuckDB so the double arithmetic is bit-identical (+,−,×,/ are
+    * IEEE-correctly-rounded in every engine). The idf keeps the classic
+    * BM25 argument (n−df+0.5)/(df+0.5)+1 but WITHOUT the outer ln():
+    * logarithms are libm-dependent and break bitwise cross-engine parity
+    * (same discipline as q35's ratio idf and the lift-based q111). The
+    * rational idf is a monotone transform of the standard one, so ranking
+    * behavior per term is preserved; absolute scores are not ln-scaled. */
+  private[graft] def bm25TermScore(tf: String, df: String, dl: String,
+      nDocs: String, avgdl: String): String =
+    s"((CAST($nDocs AS DOUBLE) - CAST($df AS DOUBLE) + 0.5) / (CAST($df AS DOUBLE) + 0.5) + 1.0)" +
+      s" * ((CAST($tf AS DOUBLE) * 2.2) / (CAST($tf AS DOUBLE)" +
+      s" + 1.2 * (0.25 + 0.75 * CAST($dl AS DOUBLE) / $avgdl)))"
+
+  /** BM25 top-10 per query over the corpus (q112) — the lexical ranked-
+    * retrieval operator proper (q90's hybrid fusion uses a raw tf·idf
+    * product; this is the calibrated tf-saturating, length-normalized
+    * scorer a retrieval user expects).
+    *
+    * Scale shape: tf/df/dl are the standard one-shuffle-each inverted-
+    * index side tables a deployment precomputes; the query set is tiny and
+    * BROADCASTS into the df lookup and then into the tf postings probe, so
+    * the corpus-sized side never reshuffles for the probe — per-query work
+    * is O(postings of its terms), never a corpus scan. The dl (doc-norm)
+    * join keys on doc_id over exactly the matched postings, and the final
+    * top-k is a per-query window over candidate docs only. Summation over
+    * a query's matched terms uses the floor-quantized DECIMAL(38,0)
+    * accumulator (order-independent, cross-engine exact). */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(toks.agg(count(lit(1)).as("n_toks")))
+      .withColumn("avgdl", expr("CAST(n_toks AS DOUBLE) / CAST(n_docs AS DOUBLE)"))
+      .select(col("n_docs"), col("avgdl"))
+    val q = bm25Queries.flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .toDF("query_id", "tok")
+    val qd = broadcast(q).join(dfreq, "tok")
+    val scored = broadcast(qd).join(tf, "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("p", expr(bm25TermScore("tf", "df", "dl", "n_docs", "avgdl")))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(expr("CAST(SUM(CAST(FLOOR(p * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12")
+        .as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= Bm25TopN)
+      .select(col("query_id"), col("rn"), col("doc_id"), col("score"))
+      .orderBy(col("query_id"), col("rn"))
+  }
 }
 
 object TextOps {
@@ -1477,6 +1545,33 @@ object TextOps {
          |FROM bc JOIN ua USING (wa) JOIN ub USING (wb) CROSS JOIN n
          |WHERE c_ab >= $MinBigramCount
          |ORDER BY lift DESC, wa, wb LIMIT $CollocationTopK""".stripMargin)),
+
+    Q("q112_text_bm25", bm25TopK, Some {
+      val vals = bm25Queries.flatMap { case (qid, ts) =>
+        ts.map(t => s"(CAST($qid AS BIGINT), '$t')")
+      }.mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+         |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         |stats AS (
+         |  SELECT nd.n_docs, CAST(nt.n_toks AS DOUBLE) / CAST(nd.n_docs AS DOUBLE) AS avgdl
+         |  FROM (SELECT COUNT(*) AS n_docs FROM documents) nd,
+         |       (SELECT COUNT(*) AS n_toks FROM toks) nt),
+         |q(query_id, tok) AS (VALUES $vals),
+         |scored AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    ${bm25TermScore("tf.tf", "dfreq.df", "dl.dl", "stats.n_docs", "stats.avgdl")} AS p
+         |  FROM q JOIN dfreq USING (tok) JOIN tf USING (tok) JOIN dl USING (doc_id), stats),
+         |agg AS (SELECT query_id, doc_id,
+         |    CAST(SUM(CAST(FLOOR(p * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS score
+         |  FROM scored GROUP BY query_id, doc_id),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, doc_id) AS BIGINT) AS rn FROM agg)
+         |SELECT query_id, rn, doc_id, score FROM r WHERE rn <= $Bm25TopN
+         |ORDER BY query_id, rn""".stripMargin
+    }),
 
     Q("q96_text_vocab_drift", vocabDrift, Some(
       """WITH toks AS (

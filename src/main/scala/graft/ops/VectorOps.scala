@@ -1329,20 +1329,23 @@ object VectorOpsImpl {
     * views); the union ships only path-tagged (query, neighbor) id pairs —
     * queries × k rows per path — and the ground-truth join is against a
     * broadcast-sized exact top-k. */
+  /** Every approximate ANN path, tagged — the measurement panel shared by
+    * q77 (recall) and q113 (rank metrics). */
+  private def annPaths(s: SparkSession, dir: String): Seq[(String, DataFrame)] = Seq(
+    "adc_rerank" -> pqAdcRerank(s, dir),
+    "graph_search" -> graphSearch(s, dir),
+    "ivf" -> ivfTopK(s, dir),
+    "ivf_multiprobe" -> ivfMultiProbeTopK(s, dir),
+    "ivfpq" -> ivfPqTopK(s, dir),
+    "jl_rerank" -> jlRerank(s, dir),
+    "kmeans_ivf" -> kmeansIvfTopK(s, dir),
+    "kmeans_ivfpq" -> kmeansIvfPqTopK(s, dir),
+    "pq_adc" -> pqAdcTopK(s, dir))
+
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     val exact = cosineTopK(s, dir).filter(col("rn") <= 3)
       .select(col("query_id"), col("neighbor_id"))
-    val paths: Seq[(String, DataFrame)] = Seq(
-      "adc_rerank" -> pqAdcRerank(s, dir),
-      "graph_search" -> graphSearch(s, dir),
-      "ivf" -> ivfTopK(s, dir),
-      "ivf_multiprobe" -> ivfMultiProbeTopK(s, dir),
-      "ivfpq" -> ivfPqTopK(s, dir),
-      "jl_rerank" -> jlRerank(s, dir),
-      "kmeans_ivf" -> kmeansIvfTopK(s, dir),
-      "kmeans_ivfpq" -> kmeansIvfPqTopK(s, dir),
-      "pq_adc" -> pqAdcTopK(s, dir))
-    val approx = paths.map { case (p, df) =>
+    val approx = annPaths(s, dir).map { case (p, df) =>
       df.select(lit(p).as("path"), col("query_id"), col("neighbor_id"))
     }.reduce(_ union _)
     val hits = approx
@@ -1355,6 +1358,58 @@ object VectorOpsImpl {
       .select(col("path"), lit(3L).as("k"), col("matched"), col("n_exact"),
         (col("matched").cast(DoubleType) / col("n_exact")).as("recall"))
       .orderBy(col("path"))
+  }
+
+  /** 1/log2(r+1) position discounts for r=1..3, baked as literals; the
+    * ideal DCG is their left-associated sum (a constant — every query has
+    * a full exact top-3). Computed ONCE in Scala and interpolated into
+    * BOTH engines' SQL as `<digits>e0` (e-notation parses as DOUBLE in
+    * Spark and DuckDB alike, sidestepping both parsers' decimal-literal
+    * typing), so no engine ever evaluates a logarithm — ln() is
+    * libm-dependent and would break bitwise parity. */
+  private[graft] val NdcgDisc: Seq[Double] =
+    (1 to 3).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+  private[graft] val NdcgIdcg: Double = NdcgDisc.foldLeft(0.0)(_ + _)
+  private[graft] def ndcgGainSql(rel: String, rn: String): String =
+    s"CAST($rel AS DOUBLE) * (CASE WHEN $rn = 1 THEN ${NdcgDisc(0)}e0" +
+      s" WHEN $rn = 2 THEN ${NdcgDisc(1)}e0" +
+      s" WHEN $rn = 3 THEN ${NdcgDisc(2)}e0 ELSE 0e0 END)"
+
+  /** Rank-sensitive retrieval metrics per ANN path (q113): NDCG@3 and
+    * reciprocal rank per (path, query) against the exact top-3 ground
+    * truth. The position-aware complement of q77's recall panel — recall
+    * says how many true neighbors a path returns, this says WHERE it puts
+    * them (a path that returns the true best at rank 3 and junk at rank 1
+    * has perfect recall and poor NDCG/MRR).
+    *
+    * Determinism: relevance is binary id-set membership; gains multiply by
+    * baked discount literals (see [[NdcgDisc]]); per-(path,query) DCG uses
+    * the floor-quantized DECIMAL(38,0) sum; NDCG divides by the constant
+    * ideal DCG and RR is one double division — every step bitwise
+    * portable. Scale shape: inherits each path's audited plan; the union
+    * ships only (path, query, rank, neighbor) ids and the ground-truth
+    * join broadcasts queries×3 rows, so measurement cost is the paths'
+    * own probe cost, never a corpus rescan. */
+  def rankMetrics(s: SparkSession, dir: String): DataFrame = {
+    val exact = cosineTopK(s, dir).filter(col("rn") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = annPaths(s, dir).map { case (p, df) =>
+      df.select(lit(p).as("path"), col("query_id"), col("rn"), col("neighbor_id"))
+    }.reduce(_ union _)
+    val graded = approx
+      .join(broadcast(exact.withColumn("hit", lit(1L))),
+        Seq("query_id", "neighbor_id"), "left")
+      .withColumn("rel", coalesce(col("hit"), lit(0L)))
+      .withColumn("gg", expr(ndcgGainSql("rel", "rn")))
+    graded.groupBy(col("path"), col("query_id"))
+      .agg(
+        expr("CAST(SUM(CAST(FLOOR(gg * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12")
+          .as("dcg"),
+        min(when(col("rel") === 1L, col("rn"))).as("first_hit"))
+      .select(col("path"), col("query_id"), col("dcg"),
+        expr(s"dcg / ${NdcgIdcg}e0").as("ndcg"),
+        coalesce(lit(1.0) / col("first_hit").cast(DoubleType), lit(0.0)).as("rr"))
+      .orderBy(col("path"), col("query_id"))
   }
 
   /** Clustering QUALITY diagnostics over the learned codebook — per final
@@ -1797,6 +1852,43 @@ object VectorOps {
          |SELECT path, CAST(3 AS BIGINT) AS k, matched, n_exact,
          |  CAST(matched AS DOUBLE) / n_exact AS recall
          |FROM hits, tot ORDER BY path""".stripMargin
+    }),
+
+    Q("q113_embed_rank_metrics", rankMetrics, Some {
+      val branches = Seq(
+        "adc_rerank" -> q66Sql,
+        "graph_search" -> q99Sql,
+        "ivf" -> q55Sql,
+        "ivf_multiprobe" -> q64Sql,
+        "ivfpq" -> q68Sql,
+        "jl_rerank" -> q70Sql,
+        "kmeans_ivf" -> q76Sql,
+        "kmeans_ivfpq" -> q79Sql,
+        "pq_adc" -> q63Sql)
+      val approx = branches.map { case (p, sql) =>
+        s"SELECT '$p' AS path, query_id, rn, neighbor_id FROM (\n$sql\n)"
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |$q51Sql
+         |) WHERE rn <= 3),
+         |approx AS (
+         |$approx),
+         |graded AS (
+         |  SELECT a.path, a.query_id, a.rn,
+         |    CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+         |  FROM approx a LEFT JOIN exact e
+         |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id),
+         |g AS (SELECT path, query_id, rn, rel,
+         |    ${ndcgGainSql("rel", "rn")} AS gg FROM graded),
+         |agg AS (
+         |  SELECT path, query_id,
+         |    CAST(SUM(CAST(FLOOR(gg * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS dcg,
+         |    MIN(CASE WHEN rel = 1 THEN rn END) AS first_hit
+         |  FROM g GROUP BY path, query_id)
+         |SELECT path, query_id, dcg, dcg / ${NdcgIdcg}e0 AS ndcg,
+         |  COALESCE(1e0 / CAST(first_hit AS DOUBLE), 0e0) AS rr
+         |FROM agg ORDER BY path, query_id""".stripMargin
     }),
 
     Q("q76_embed_kmeans_ivf", kmeansIvfTopK, Some(q76Sql)),

@@ -474,4 +474,68 @@ class CurationOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q112 BM25 equals a brute-force recomputation, ranks and scores included") {
+    import ops.TextOpsImpl.{bm25Queries, Bm25TopN}
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val nDocs = docs.length
+    val dl = docs.map { case (id, ts) => id -> ts.length }.toMap
+    val avgdl = dl.values.map(_.toLong).sum.toDouble / nDocs.toDouble
+    val tf = docs.flatMap { case (id, ts) => ts.map(t => (id, t)) }
+      .groupBy(identity).map { case (k, v) => k -> v.length }
+    val df = tf.keys.groupBy(_._2).map { case (t, ks) => t -> ks.size }
+    // same expression tree as bm25TermScore, evaluated in Scala doubles
+    def term(tfv: Int, dfv: Int, dlv: Int): Double =
+      ((nDocs.toDouble - dfv.toDouble + 0.5) / (dfv.toDouble + 0.5) + 1.0) *
+        ((tfv.toDouble * 2.2) / (tfv.toDouble + 1.2 * (0.25 + 0.75 * dlv.toDouble / avgdl)))
+    val expected = bm25Queries.flatMap { case (qid, terms) =>
+      val scored = docs.map(_._1).flatMap { id =>
+        val ps = terms.flatMap(t =>
+          tf.get((id, t)).map(tfv => term(tfv, df(t), dl(id))))
+        if (ps.isEmpty) None
+        else Some(id ->
+          ps.map(p => BigInt(math.floor(p * 1e12).toLong)).sum.toDouble / 1e12)
+      }
+      scored.sortBy { case (id, sc) => (-sc, id) }.take(Bm25TopN)
+        .zipWithIndex.map { case ((id, sc), i) => (qid, i.toLong + 1, id, sc) }
+    }.toSet
+    val got = ops.TextOpsImpl.bm25TopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected)
+  }
+
+  test("q113 rank metrics agree with a recomputation from the ivf path's own output") {
+    import ops.VectorOpsImpl.{NdcgDisc, NdcgIdcg}
+    val metrics = ops.VectorOpsImpl.rankMetrics(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // global invariants over every path
+    metrics.values.foreach { case (dcg, ndcg, rr) =>
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-12)
+      assert(dcg == ndcg * NdcgIdcg || math.abs(dcg - ndcg * NdcgIdcg) < 1e-12)
+      assert(Seq(0.0, 1.0, 0.5, 1.0 / 3.0).exists(v => math.abs(rr - v) < 1e-15))
+    }
+    // exact recomputation for the ivf path from its gated rank list
+    val exact = ops.VectorOpsImpl.cosineTopK(spark, dir)
+      .filter(col("rn") <= 3).select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = ops.VectorOpsImpl.ivfTopK(spark, dir)
+      .select(col("query_id"), col("rn"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    ivf.groupBy(_._1).foreach { case (qid, rows) =>
+      val rels = rows.map { case (_, rn, nid) => rn -> exact.contains((qid, nid)) }
+      val dcg = rels.map { case (rn, rel) =>
+        val g = if (rel) NdcgDisc(rn.toInt - 1) else 0.0
+        BigInt(math.floor(g * 1e12).toLong)
+      }.sum.toDouble / 1e12
+      val firstHit = rels.filter(_._2).map(_._1).sorted.headOption
+      val rr = firstHit.map(1.0 / _.toDouble).getOrElse(0.0)
+      val (gotDcg, gotNdcg, gotRr) = metrics(("ivf", qid))
+      assert(gotDcg == dcg, s"q$qid dcg")
+      assert(gotNdcg == dcg / NdcgIdcg, s"q$qid ndcg")
+      assert(gotRr == rr, s"q$qid rr")
+    }
+  }
 }

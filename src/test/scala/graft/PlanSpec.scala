@@ -358,4 +358,22 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
       s"the single-row total must broadcast:\n$s")
   }
+
+  test("q112 bm25: query terms and stats broadcast; the corpus index never broadcasts") {
+    val s = plan(ops.TextOpsImpl.bm25TopK(spark, dir))
+    // the literal query set and its df lookup broadcast into the tf probe;
+    // the single-row stats frame broadcasts as a nested-loop join
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 2,
+      s"query side and df probe must be broadcast hash joins:\n$s")
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      s"single-row stats must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no cartesian allowed:\n$s")
+  }
+
+  test("q113 rank metrics: ground truth broadcasts into every path's id stream") {
+    val s = plan(ops.VectorOpsImpl.rankMetrics(spark, dir))
+    // the queries×3 exact set joins each path by broadcast, never sort-merge
+    assert(s.contains("BroadcastHashJoin"),
+      s"exact top-3 set must broadcast:\n$s")
+  }
 }
