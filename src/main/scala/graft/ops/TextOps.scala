@@ -1021,6 +1021,56 @@ object TextOpsImpl {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** Per-document curation funnel audit (q114): every document gets the
+    * FIRST stage that drops it — quality gate → exact dedup (canonical =
+    * min doc_id per identical text, evaluated only among quality passers,
+    * as the real pipeline would) → stratified sample — or `kept` plus its
+    * q107 train/val/test assignment. The audit artifact behind q49's
+    * composed pipeline: q49 emits the survivors, this explains every
+    * document's fate (attrition accounting, drop-reason drill-down,
+    * kept-set lineage) without re-running any stage.
+    *
+    * Scale shape: one corpus scan computes quality/buckets narrowly; the
+    * only shuffle is the exact-dedup window on md5(text) (the same single
+    * hash shuffle q40 pays); split membership is recomputed in place as a
+    * pure function of the id (q107's design), so no assignment table is
+    * joined. Dropping a stage's non-candidates BEFORE its shuffle keeps
+    * stage costs ordered by selectivity, exactly like the production
+    * pipeline it audits. */
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")).cast(LongType))
+      .withColumn("n_stop",
+        expr(s"CAST(size(filter(toks, x -> x IN ${inList(stopwords)})) AS BIGINT)"))
+      .withColumn("quality",
+        least(col("n_tok").cast(DoubleType) / 50.0, lit(1.0)) * 0.5
+          + (lit(1.0) - col("n_stop").cast(DoubleType) / col("n_tok")) * 0.5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val canon = base.filter(col("quality") >= CurationQualityMin)
+      .withColumn("rnk", row_number().over(w))
+      .select(col("doc_id"), (col("rnk") === 1).as("is_canon"))
+    val byteExpr =
+      "(instr('0123456789abcdef', substr(md5(concat('smp:', CAST(doc_id AS STRING))), 1, 1)) - 1) * 16" +
+        " + (instr('0123456789abcdef', substr(md5(concat('smp:', CAST(doc_id AS STRING))), 2, 1)) - 1)"
+    val threshold = SampleThresholds.foldRight(lit(256): Column) { case ((l, t), acc) =>
+      when(col("lang") === l, lit(t)).otherwise(acc)
+    }
+    base.join(canon, Seq("doc_id"), "left")
+      .withColumn("bucket", expr(s"CAST($byteExpr AS BIGINT)"))
+      .withColumn("stage",
+        when(col("quality") < CurationQualityMin, "low_quality")
+          .when(!col("is_canon"), "exact_dup")
+          .when(col("bucket") >= threshold, "sampled_out")
+          .otherwise("kept"))
+      .withColumn("split",
+        when(col("stage") === "kept", splitNameCol(splitBucketExpr("doc_id")))
+          .otherwise(lit("none")))
+      .select(col("doc_id"), col("quality"), col("stage"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------- BM25 retrieval
 
   /** Fixed literal query term sets — the retrieval benchmark shape (a
@@ -1571,6 +1621,47 @@ object TextOps {
          |    ORDER BY score DESC, doc_id) AS BIGINT) AS rn FROM agg)
          |SELECT query_id, rn, doc_id, score FROM r WHERE rn <= $Bm25TopN
          |ORDER BY query_id, rn""".stripMargin
+    }),
+
+    Q("q114_curation_funnel", curationFunnel, Some {
+      val sampByte =
+        "(strpos('0123456789abcdef', substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16" +
+          " + (strpos('0123456789abcdef', substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+      val splitByte =
+        "(strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16" +
+          " + (strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+      val thresholdSql = "CASE " + stratifiedThresholdCases + " ELSE 256 END"
+      val (tr, va) = SplitThresholds
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x IN $stopSql)) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, lang, text,
+         |    least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.5
+         |      + (1.0 - CAST(n_stop AS DOUBLE) / n_tok) * 0.5 AS quality
+         |  FROM t),
+         |canon AS (
+         |  SELECT doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS is_canon
+         |  FROM q WHERE quality >= $CurationQualityMin),
+         |s AS (
+         |  SELECT q.doc_id, q.lang, q.quality, c.is_canon,
+         |    CAST($sampByte AS BIGINT) AS bucket,
+         |    CAST($splitByte AS BIGINT) AS sbucket
+         |  FROM q LEFT JOIN canon c USING (doc_id))
+         |SELECT doc_id, quality,
+         |  CASE WHEN quality < $CurationQualityMin THEN 'low_quality'
+         |       WHEN NOT is_canon THEN 'exact_dup'
+         |       WHEN bucket >= ($thresholdSql) THEN 'sampled_out'
+         |       ELSE 'kept' END AS stage,
+         |  CASE WHEN quality >= $CurationQualityMin AND is_canon
+         |            AND bucket < ($thresholdSql)
+         |       THEN (CASE WHEN sbucket < $tr THEN 'train'
+         |                  WHEN sbucket < $va THEN 'val' ELSE 'test' END)
+         |       ELSE 'none' END AS split
+         |FROM s ORDER BY doc_id""".stripMargin
     }),
 
     Q("q96_text_vocab_drift", vocabDrift, Some(

@@ -506,6 +506,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q114 funnel partitions the corpus and its kept set equals q49's survivors") {
+    val funnel = ops.TextOpsImpl.curationFunnel(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3)))
+    val nDocs = Tables(spark, dir, "documents").count()
+    assert(funnel.length.toLong == nDocs, "one disposition row per document")
+    assert(funnel.map(_._1).distinct.length == funnel.length)
+    // split is assigned exactly to kept docs, and matches q107 for them
+    val split107 = ops.TextOpsImpl.trainSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    funnel.foreach { case (id, stage, split) =>
+      if (stage == "kept") assert(split == split107(id), s"doc $id split")
+      else assert(split == "none", s"doc $id dropped but split=$split")
+    }
+    // the kept set IS q49's output (the funnel audits that pipeline)
+    val kept = funnel.filter(_._2 == "kept").map(_._1).toSet
+    val q49 = ops.TextOpsImpl.curationPipeline(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == q49, "funnel kept-set must equal the composed pipeline's output")
+  }
+
   test("q113 rank metrics agree with a recomputation from the ivf path's own output") {
     import ops.VectorOpsImpl.{NdcgDisc, NdcgIdcg}
     val metrics = ops.VectorOpsImpl.rankMetrics(spark, dir).collect()
