@@ -1110,22 +1110,35 @@ object TextOpsImpl {
     * top-k is a per-query window over candidate docs only. Summation over
     * a query's matched terms uses the floor-quantized DECIMAL(38,0)
     * accumulator (order-independent, cross-engine exact). */
-  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables(s, dir, "documents")
+  /** The batch lexical-index build: one postings table
+    * (doc_id, tok, tf, dl) from two token-keyed aggregations — the
+    * one-time corpus-wide shuffle a deployment pays to build the index.
+    * graft.streaming.StreamLex maintains the SAME table incrementally
+    * (per-arriving-doc, stateless) and StreamLexSpec proves the two
+    * builds row-identical. */
+  private[graft] def lexPostings(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(toks.agg(count(lit(1)).as("n_toks")))
+    tf.join(dl, "doc_id")
+      .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
+  }
+
+  /** BM25 search over ANY postings table — batch-built or stream-built,
+    * the caller should not be able to tell. df and the corpus stats
+    * derive from the postings themselves (distinct doc norms / token
+    * document counts), so the index file is self-contained. */
+  private[graft] def bm25Over(postings: DataFrame, s: SparkSession): DataFrame = {
+    import s.implicits._
+    val dfreq = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val dl = postings.select(col("doc_id"), col("dl")).distinct()
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_toks"))
       .withColumn("avgdl", expr("CAST(n_toks AS DOUBLE) / CAST(n_docs AS DOUBLE)"))
       .select(col("n_docs"), col("avgdl"))
     val q = bm25Queries.flatMap { case (qid, ts) => ts.map(qid -> _) }
       .toDF("query_id", "tok")
     val qd = broadcast(q).join(dfreq, "tok")
-    val scored = broadcast(qd).join(tf, "tok")
-      .join(dl, "doc_id")
+    val scored = broadcast(qd).join(postings, "tok")
       .crossJoin(broadcast(stats))
       .withColumn("p", expr(bm25TermScore("tf", "df", "dl", "n_docs", "avgdl")))
       .groupBy(col("query_id"), col("doc_id"))
@@ -1138,6 +1151,9 @@ object TextOpsImpl {
       .select(col("query_id"), col("rn"), col("doc_id"), col("score"))
       .orderBy(col("query_id"), col("rn"))
   }
+
+  def bm25TopK(s: SparkSession, dir: String): DataFrame =
+    bm25Over(lexPostings(Tables(s, dir, "documents")), s)
 }
 
 object TextOps {
