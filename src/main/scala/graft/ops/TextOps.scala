@@ -1071,6 +1071,57 @@ object TextOpsImpl {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source token budget for [[tokenBudgetSelect]] (q115). */
+  val TokenBudget = 600L
+
+  /** Quality-prioritized selection under a per-source TOKEN budget (q115):
+    * fill each source's budget with its best documents — priority is the
+    * quantized quality level FLOOR(quality·256) descending (doc_id breaks
+    * ties), and a document is kept iff it fits entirely within the budget
+    * after all higher-priority documents. The budgeted-mixture builder: a
+    * training run doesn't want "x% of source S" (q80) so much as "the best
+    * N tokens of source S".
+    *
+    * Scale shape: the q73 two-pass prefix-sum decomposition, keyed on the
+    * QUANTIZED level — a naive `SUM OVER (PARTITION BY source ORDER BY
+    * quality DESC)` funnels each source's entire corpus through one
+    * reducer. Here pass 1 sums tokens per (source, level) — ≤257 rows per
+    * source, metadata-scale — and a window over that tiny frame yields
+    * each level's higher-priority token offset, broadcast back; pass 2
+    * computes the within-level running sum, so parallelism is
+    * sources × levels. Level quantization is what makes the priority
+    * order range-decomposable; it is part of the operator's DEFINITION
+    * (both engines compute the same quantized priority), not an
+    * approximation of it. All sums are BIGINT token counts — exact in any
+    * engine. */
+  def tokenBudgetSelect(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val base = Tables(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")).cast(LongType))
+      .withColumn("n_stop",
+        expr(s"CAST(size(filter(toks, x -> x IN ${inList(stopwords)})) AS BIGINT)"))
+      .withColumn("quality",
+        least(col("n_tok").cast(DoubleType) / 50.0, lit(1.0)) * 0.5
+          + (lit(1.0) - col("n_stop").cast(DoubleType) / col("n_tok")) * 0.5)
+      .withColumn("level", expr("CAST(FLOOR(quality * 256) AS BIGINT)"))
+      .select(col("source"), col("doc_id"), col("n_tok"), col("level"))
+    val within = base.withColumn("wcum",
+      sum(col("n_tok")).over(
+        w.partitionBy(col("source"), col("level")).orderBy(col("doc_id"))))
+    val offs = base.groupBy(col("source"), col("level")).agg(sum(col("n_tok")).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(w.partitionBy(col("source")).orderBy(col("level").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("source"), col("level"), col("off"))
+    within.join(broadcast(offs), Seq("source", "level"))
+      .withColumn("cum_tokens", col("off") + col("wcum"))
+      .filter(col("cum_tokens") <= TokenBudget)
+      .select(col("source"), col("doc_id"), col("n_tok"), col("level"), col("cum_tokens"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   // ------------------------------------------------------- BM25 retrieval
 
   /** Fixed literal query term sets — the retrieval benchmark shape (a
@@ -1679,6 +1730,24 @@ object TextOps {
          |       ELSE 'none' END AS split
          |FROM s ORDER BY doc_id""".stripMargin
     }),
+
+    Q("q115_text_token_budget", tokenBudgetSelect, Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x IN $stopSql)) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, source, n_tok,
+         |    least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.5
+         |      + (1.0 - CAST(n_stop AS DOUBLE) / n_tok) * 0.5 AS quality
+         |  FROM t),
+         |lv AS (SELECT doc_id, source, n_tok,
+         |    CAST(FLOOR(quality * 256) AS BIGINT) AS level FROM q),
+         |c AS (SELECT *, CAST(SUM(n_tok) OVER (PARTITION BY source
+         |    ORDER BY level DESC, doc_id) AS BIGINT) AS cum_tokens FROM lv)
+         |SELECT source, doc_id, n_tok, level, cum_tokens FROM c
+         |WHERE cum_tokens <= $TokenBudget ORDER BY source, doc_id""".stripMargin)),
 
     Q("q96_text_vocab_drift", vocabDrift, Some(
       """WITH toks AS (

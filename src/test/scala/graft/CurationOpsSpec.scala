@@ -526,6 +526,35 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept == q49, "funnel kept-set must equal the composed pipeline's output")
   }
 
+  test("q115 token-budget selection is the exact greedy prefix per source") {
+    import ops.TextOpsImpl.TokenBudget
+    val base = ops.TextOpsImpl.qualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tok"), col("quality")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val src = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = base.toSeq.groupBy { case (id, _, _) => src(id) }.flatMap {
+      case (source, docs) =>
+        var cum = 0L
+        docs.sortBy { case (id, _, q) => (-math.floor(q * 256).toLong, id) }
+          .flatMap { case (id, nTok, q) =>
+            cum += nTok
+            if (cum <= TokenBudget)
+              Some((source, id, nTok, math.floor(q * 256).toLong, cum))
+            else None // greedy PREFIX: once over budget nothing later fits
+          }
+    }.toSet
+    val got = ops.TextOpsImpl.tokenBudgetSelect(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+    // budget is respected per source
+    got.groupBy(_._1).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sum <= TokenBudget, s"source $s over budget")
+    }
+  }
+
   test("q113 rank metrics agree with a recomputation from the ivf path's own output") {
     import ops.VectorOpsImpl.{NdcgDisc, NdcgIdcg}
     val metrics = ops.VectorOpsImpl.rankMetrics(spark, dir).collect()
