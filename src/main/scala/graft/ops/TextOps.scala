@@ -1122,6 +1122,53 @@ object TextOpsImpl {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Interpolated bigram LM scoring (q116) — the context-aware upgrade of
+    * q91's unigram scorer: each transition i→i+1 scores
+    * λ·p(tᵢ₊₁|tᵢ) + (1−λ)·p(tᵢ₊₁) with λ=0.75 (Jelinek-Mercer
+    * interpolation; the backoff to unigram mass is what keeps unseen
+    * transitions from zeroing a document). Per-document output is the
+    * mean and min transition probability — the repetition/fluency signal
+    * a perplexity filter thresholds, kept log-free (probabilities, not
+    * logprobs: ln() is libm-dependent and breaks bitwise cross-engine
+    * parity; mean-p orders documents the same way mean-logp does NOT, but
+    * both are standard filter signals and this one is portable).
+    * λ = 3/4 and 1−λ = 1/4 are powers of two — exact in any
+    * decimal-or-double literal parse.
+    *
+    * Scale shape: the bigram/left-context count tables are token-keyed
+    * aggregations with map-side combine (the same shuffles q111 pays);
+    * the per-position probability join keys on the bigram — corpus-sized
+    * but narrow rows (ids + two tokens) — and the final reduce is one
+    * doc-keyed aggregate. Nothing is all-pairs; skew on a hot bigram is
+    * bounded by the count tables being pre-reduced before the join. */
+  def bigramLmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val nTot = toks.agg(count(lit(1)).as("n_total"))
+    val big = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> named_struct('a', element_at(t, i), 'b', element_at(t, i + 1)))")).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("wa"), col("bg.b").as("wb"))
+    val bc = big.groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("c_ab"))
+    val ca = big.groupBy(col("wa")).agg(count(lit(1)).as("c_a"))
+    big.join(bc, Seq("wa", "wb")).join(ca, "wa")
+      .join(uni.withColumnRenamed("tok", "wb"), "wb")
+      .crossJoin(broadcast(nTot))
+      .withColumn("p", expr(
+        "0.75 * (CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE))" +
+          " + 0.25 * (CAST(tf AS DOUBLE) / CAST(n_total AS DOUBLE))"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("CAST(SUM(CAST(FLOOR(p * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12")
+          .as("sum_p"),
+        min(col("p")).as("min_p"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_p") / col("n_bigrams")).as("mean_p"), col("min_p"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------- BM25 retrieval
 
   /** Fixed literal query term sets — the retrieval benchmark shape (a
@@ -1748,6 +1795,27 @@ object TextOps {
          |    ORDER BY level DESC, doc_id) AS BIGINT) AS cum_tokens FROM lv)
          |SELECT source, doc_id, n_tok, level, cum_tokens FROM c
          |WHERE cum_tokens <= $TokenBudget ORDER BY source, doc_id""".stripMargin)),
+
+    Q("q116_text_bigram_lm", bigramLmScore, Some(
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |uni AS (SELECT tok, COUNT(*) AS tf FROM tk GROUP BY tok),
+        |nt AS (SELECT COUNT(*) AS n_total FROM tk),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |      WHERE len(string_split(text, ' ')) >= 2),
+        |big AS (SELECT doc_id, bg.a AS wa, bg.b AS wb FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> {'a': t[i], 'b': t[i + 1]})) AS bg FROM t)),
+        |bc AS (SELECT wa, wb, COUNT(*) AS c_ab FROM big GROUP BY wa, wb),
+        |ca AS (SELECT wa, COUNT(*) AS c_a FROM big GROUP BY wa),
+        |p AS (SELECT big.doc_id,
+        |    0.75 * (CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE))
+        |      + 0.25 * (CAST(tf AS DOUBLE) / CAST(n_total AS DOUBLE)) AS p
+        |  FROM big JOIN bc USING (wa, wb) JOIN ca USING (wa)
+        |  JOIN uni ON uni.tok = big.wb, nt)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CAST(FLOOR(p * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 / COUNT(*) AS mean_p,
+        |  MIN(p) AS min_p
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     Q("q96_text_vocab_drift", vocabDrift, Some(
       """WITH toks AS (

@@ -555,6 +555,49 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q116 bigram LM equals a brute-force recomputation; contexts normalize to 1") {
+    val texts = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val allToks = texts.flatMap(_._2)
+    val uni = allToks.groupBy(identity).map { case (t, xs) => t -> xs.length }
+    val nTotal = allToks.length
+    val bigrams = texts.toSeq.flatMap { case (id, ts) =>
+      ts.sliding(2).filter(_.length == 2).map(p => (id, p(0), p(1))).toSeq
+    }
+    val cab = bigrams.groupBy { case (_, a, b) => (a, b) }.map { case (k, v) => k -> v.length }
+    val caCnt = bigrams.groupBy(_._2).map { case (a, v) => a -> v.length }
+    def p(a: String, b: String): Double =
+      0.75 * (cab((a, b)).toDouble / caCnt(a).toDouble) +
+        0.25 * (uni(b).toDouble / nTotal.toDouble)
+    val expected = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val ps = bs.map { case (_, a, b) => p(a, b) }
+      val mean = ps.map(x => BigInt(math.floor(x * 1e12).toLong)).sum.toDouble / 1e12 /
+        ps.length.toDouble
+      id -> (ps.length.toLong, mean, ps.min)
+    }
+    val got = ops.TextOpsImpl.bigramLmScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, (n, mean, mn)) =>
+      val (gn, gmean, gmn) = got(id)
+      assert(gn == n, s"doc $id n_bigrams")
+      assert(math.abs(gmean - mean) < 1e-12, s"doc $id mean_p")
+      assert(gmn == mn, s"doc $id min_p")
+    }
+    // the interpolated model is a proper conditional distribution: for any
+    // seen left context, summing over the WHOLE vocabulary gives exactly
+    // lambda + (1-lambda) = 1
+    val vocab = uni.keys.toSeq
+    caCnt.keys.take(5).foreach { a =>
+      val mass = vocab.map { b =>
+        val bi = cab.get((a, b)).map(_.toDouble / caCnt(a).toDouble).getOrElse(0.0)
+        0.75 * bi + 0.25 * (uni(b).toDouble / nTotal.toDouble)
+      }.sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"context '$a' mass $mass")
+    }
+  }
+
   test("q113 rank metrics agree with a recomputation from the ivf path's own output") {
     import ops.VectorOpsImpl.{NdcgDisc, NdcgIdcg}
     val metrics = ops.VectorOpsImpl.rankMetrics(spark, dir).collect()
