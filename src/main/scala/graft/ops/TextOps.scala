@@ -1169,6 +1169,56 @@ object TextOpsImpl {
       .orderBy(col("doc_id"))
   }
 
+  /** Second-stage reranker seam (q117) — where a production deployment
+    * calls a cross-encoder model on (query, document) pairs. The trait is
+    * the full integration surface: batching, retries, and the model client
+    * live behind it (same altitude as the q59 Embedder seam). The offline
+    * default is deterministic and SQL-mirrorable so the rerank PIPELINE —
+    * shortlist join, per-pair scoring, re-sort, truncation — is
+    * value-gated end-to-end in this zero-egress sandbox. */
+  trait Reranker extends Serializable {
+    def score(queryId: Long, text: String): Double
+  }
+  object HashReranker extends Reranker {
+    def score(queryId: Long, text: String): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(s"rr:$queryId:$text".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val byte = Integer.parseInt(hex.substring(0, 2), 16)
+      byte.toDouble / 256.0
+    }
+  }
+  val RerankKeep = 3
+
+  /** Retrieve → rerank (q117): the canonical two-stage search pipeline —
+    * BM25 produces the cheap top-[[Bm25TopN]] shortlist (q112's gated
+    * stage 1), the [[Reranker]] scores only those queries × 10 pairs, and
+    * the final order is the reranker's. Model-call economics are the
+    * point: the expensive scorer touches the shortlist, never the corpus.
+    *
+    * Scale shape: the shortlist (queries × 10 rows) BROADCASTS into the
+    * documents join to fetch text — the corpus never shuffles for stage 2
+    * — and the rerank window runs over shortlist-sized groups. The one
+    * per-row UDF is the deliberate model seam, outside any corpus-sized
+    * plan. */
+  def rerankTopK(s: SparkSession, dir: String,
+      reranker: Reranker = HashReranker): DataFrame = {
+    s.udf.register("rerank_score",
+      (qid: Long, text: String) => reranker.score(qid, text))
+    val shortlist = bm25TopK(s, dir)
+      .select(col("query_id"), col("rn").as("retrieval_rn"), col("doc_id"))
+    val withText = broadcast(shortlist)
+      .join(Tables(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id")
+      .withColumn("rr_score", expr("rerank_score(query_id, text)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rr_score").desc, col("doc_id"))
+    withText.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= RerankKeep)
+      .select(col("query_id"), col("rn"), col("doc_id"),
+        col("retrieval_rn"), col("rr_score"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   // ------------------------------------------------------- BM25 retrieval
 
   /** Fixed literal query term sets — the retrieval benchmark shape (a
@@ -1710,31 +1760,24 @@ object TextOps {
          |WHERE c_ab >= $MinBigramCount
          |ORDER BY lift DESC, wa, wb LIMIT $CollocationTopK""".stripMargin)),
 
-    Q("q112_text_bm25", bm25TopK, Some {
-      val vals = bm25Queries.flatMap { case (qid, ts) =>
-        ts.map(t => s"(CAST($qid AS BIGINT), '$t')")
-      }.mkString(", ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
-         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
-         |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
-         |stats AS (
-         |  SELECT nd.n_docs, CAST(nt.n_toks AS DOUBLE) / CAST(nd.n_docs AS DOUBLE) AS avgdl
-         |  FROM (SELECT COUNT(*) AS n_docs FROM documents) nd,
-         |       (SELECT COUNT(*) AS n_toks FROM toks) nt),
-         |q(query_id, tok) AS (VALUES $vals),
-         |scored AS (
-         |  SELECT q.query_id, tf.doc_id,
-         |    ${bm25TermScore("tf.tf", "dfreq.df", "dl.dl", "stats.n_docs", "stats.avgdl")} AS p
-         |  FROM q JOIN dfreq USING (tok) JOIN tf USING (tok) JOIN dl USING (doc_id), stats),
-         |agg AS (SELECT query_id, doc_id,
-         |    CAST(SUM(CAST(FLOOR(p * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS score
-         |  FROM scored GROUP BY query_id, doc_id),
+    Q("q112_text_bm25", bm25TopK, Some(bm25Sql)),
+
+    Q("q117_text_rerank", (s, dir) => rerankTopK(s, dir), Some {
+      val h = "md5('rr:' || CAST(query_id AS VARCHAR) || ':' || text)"
+      val byte = s"(strpos('0123456789abcdef', substr($h, 1, 1)) - 1) * 16" +
+        s" + (strpos('0123456789abcdef', substr($h, 2, 1)) - 1)"
+      s"""WITH sl AS ($bm25Sql),
+         |wt AS (
+         |  SELECT sl.query_id, sl.rn AS retrieval_rn, sl.doc_id, d.text
+         |  FROM sl JOIN documents d USING (doc_id)),
+         |sc AS (
+         |  SELECT query_id, retrieval_rn, doc_id,
+         |    CAST($byte AS DOUBLE) / CAST(256 AS DOUBLE) AS rr_score
+         |  FROM wt),
          |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |    ORDER BY score DESC, doc_id) AS BIGINT) AS rn FROM agg)
-         |SELECT query_id, rn, doc_id, score FROM r WHERE rn <= $Bm25TopN
-         |ORDER BY query_id, rn""".stripMargin
+         |    ORDER BY rr_score DESC, doc_id) AS BIGINT) AS rn FROM sc)
+         |SELECT query_id, rn, doc_id, retrieval_rn, rr_score FROM r
+         |WHERE rn <= $RerankKeep ORDER BY query_id, rn""".stripMargin
     }),
 
     Q("q114_curation_funnel", curationFunnel, Some {
@@ -1925,4 +1968,33 @@ object TextOps {
     stratifiedThresholds.map { case (l, t) => s"WHEN lang = '$l' THEN $t" }.mkString(" ")
 
   private def stratifiedThresholds = TextOpsImpl.SampleThresholds
+
+  /** DuckDB mirror of [[TextOpsImpl.bm25TopK]] — q112's oracle, reused as
+    * the shortlist stage inside q117's. */
+  private lazy val bm25Sql: String = {
+    val vals = bm25Queries.flatMap { case (qid, ts) =>
+      ts.map(t => s"(CAST($qid AS BIGINT), '$t')")
+    }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+       |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+       |stats AS (
+       |  SELECT nd.n_docs, CAST(nt.n_toks AS DOUBLE) / CAST(nd.n_docs AS DOUBLE) AS avgdl
+       |  FROM (SELECT COUNT(*) AS n_docs FROM documents) nd,
+       |       (SELECT COUNT(*) AS n_toks FROM toks) nt),
+       |q(query_id, tok) AS (VALUES $vals),
+       |scored AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    ${bm25TermScore("tf.tf", "dfreq.df", "dl.dl", "stats.n_docs", "stats.avgdl")} AS p
+       |  FROM q JOIN dfreq USING (tok) JOIN tf USING (tok) JOIN dl USING (doc_id), stats),
+       |agg AS (SELECT query_id, doc_id,
+       |    CAST(SUM(CAST(FLOOR(p * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS score
+       |  FROM scored GROUP BY query_id, doc_id),
+       |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id) AS BIGINT) AS rn FROM agg)
+       |SELECT query_id, rn, doc_id, score FROM r WHERE rn <= $Bm25TopN
+       |ORDER BY query_id, rn""".stripMargin
+  }
 }

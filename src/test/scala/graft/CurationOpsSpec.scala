@@ -598,6 +598,33 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q117 rerank stays within the shortlist, rescored by the plugged model") {
+    val shortlist = ops.TextOpsImpl.bm25TopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val texts = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = ops.TextOpsImpl.rerankTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (qid, rn, docId, score) =>
+      assert(shortlist.contains((qid, docId)), s"($qid,$docId) not in shortlist")
+      assert(rn >= 1 && rn <= ops.TextOpsImpl.RerankKeep)
+      assert(score == ops.TextOpsImpl.HashReranker.score(qid, texts(docId)),
+        s"($qid,$docId) score is not the plugged model's")
+    }
+    // the seam is live: a constant scorer degrades the order to the
+    // deterministic doc_id tie-break over each query's shortlist
+    val flat = ops.TextOpsImpl.rerankTopK(spark, dir,
+      new ops.TextOpsImpl.Reranker { def score(q: Long, t: String) = 0.0 })
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    flat.groupBy(_._1).foreach { case (qid, rows) =>
+      val expected = shortlist.filter(_._1 == qid).map(_._2).toSeq.sorted
+        .take(ops.TextOpsImpl.RerankKeep)
+      assert(rows.sortBy(_._2).map(_._3).toSeq == expected, s"query $qid flat order")
+    }
+  }
+
   test("q113 rank metrics agree with a recomputation from the ivf path's own output") {
     import ops.VectorOpsImpl.{NdcgDisc, NdcgIdcg}
     val metrics = ops.VectorOpsImpl.rankMetrics(spark, dir).collect()
