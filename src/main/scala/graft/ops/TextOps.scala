@@ -1219,6 +1219,60 @@ object TextOpsImpl {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  val MaxPTopN = 5
+
+  /** Passage retrieval with MaxP document aggregation (q118, Dai & Callan
+    * 2019's BERT-MaxP shape with BM25 as the passage scorer): score every
+    * q39 fixed-window chunk as its own BM25 "document" (chunk-level df and
+    * length normalization — long documents no longer dilute a locally
+    * relevant passage), then rank documents by their BEST chunk. The
+    * retrieval answer carries `best_chunk`, which is the snippet/grounding
+    * answer a RAG pipeline actually wants. Chunks are character windows,
+    * so window-edge partial tokens score as their own terms — identical in
+    * both engines; a token-aligned chunker is a parameter choice, not a
+    * correctness one.
+    *
+    * Scale shape: chunk postings are the q112 index build over the chunk
+    * table (one shuffle each, keyed by (doc, chunk, token)); the query set
+    * broadcasts into the probe; MaxP is one (query, doc)-keyed max — the
+    * struct-max tie-break (higher score, then lower chunk_id) is
+    * deterministic in both engines. Nothing touches more than the matched
+    * chunk postings. */
+  def passageMaxP(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = chunkDocuments(s, dir)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+    val toks = chunks.select(col("doc_id"), col("chunk_id"),
+      explode(split(col("chunk_text"), " ")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("chunk_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id"), col("chunk_id")).agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_toks"))
+      .withColumn("avgdl", expr("CAST(n_toks AS DOUBLE) / CAST(n_docs AS DOUBLE)"))
+      .select(col("n_docs"), col("avgdl"))
+    val q = bm25Queries.flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .toDF("query_id", "tok")
+    val qd = broadcast(q).join(dfreq, "tok")
+    val scored = broadcast(qd).join(tf, "tok")
+      .join(dl, Seq("doc_id", "chunk_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("p", expr(bm25TermScore("tf", "df", "dl", "n_docs", "avgdl")))
+      .groupBy(col("query_id"), col("doc_id"), col("chunk_id"))
+      .agg(expr("CAST(SUM(CAST(FLOOR(p * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12")
+        .as("score"))
+    val maxp = scored.groupBy(col("query_id"), col("doc_id"))
+      .agg(max(struct(col("score"), (-col("chunk_id")).as("nc"))).as("m"))
+      .select(col("query_id"), col("doc_id"),
+        col("m.score").as("score"), (-col("m.nc")).as("best_chunk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    maxp.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= MaxPTopN)
+      .select(col("query_id"), col("rn"), col("doc_id"), col("best_chunk"), col("score"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   // ------------------------------------------------------- BM25 retrieval
 
   /** Fixed literal query term sets — the retrieval benchmark shape (a
@@ -1778,6 +1832,44 @@ object TextOps {
          |    ORDER BY rr_score DESC, doc_id) AS BIGINT) AS rn FROM sc)
          |SELECT query_id, rn, doc_id, retrieval_rn, rr_score FROM r
          |WHERE rn <= $RerankKeep ORDER BY query_id, rn""".stripMargin
+    }),
+
+    Q("q118_text_passage_maxp", passageMaxP, Some {
+      val vals = bm25Queries.flatMap { case (qid, ts) =>
+        ts.map(t => s"(CAST($qid AS BIGINT), '$t')")
+      }.mkString(", ")
+      val n = s"1 + CAST(floor((greatest(length(text) - $ChunkSize, 0) + ${ChunkStride - 1}) / ${ChunkStride}.0) AS BIGINT)"
+      s"""WITH ch AS (
+         |  SELECT doc_id, chunk_id,
+         |    substr(text, CAST(chunk_id * $ChunkStride + 1 AS INT), $ChunkSize) AS chunk_text
+         |  FROM (SELECT doc_id, text,
+         |    unnest(generate_series(0, ($n) - 1)) AS chunk_id FROM documents)),
+         |tk AS (SELECT doc_id, chunk_id,
+         |    unnest(string_split(chunk_text, ' ')) AS tok FROM ch),
+         |tf AS (SELECT doc_id, chunk_id, tok, COUNT(*) AS tf FROM tk
+         |  GROUP BY doc_id, chunk_id, tok),
+         |dl AS (SELECT doc_id, chunk_id, COUNT(*) AS dl FROM tk
+         |  GROUP BY doc_id, chunk_id),
+         |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         |stats AS (SELECT COUNT(*) AS n_docs,
+         |    CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+         |  FROM dl),
+         |q(query_id, tok) AS (VALUES $vals),
+         |scored AS (
+         |  SELECT q.query_id, tf.doc_id, tf.chunk_id,
+         |    ${bm25TermScore("tf.tf", "dfreq.df", "dl.dl", "stats.n_docs", "stats.avgdl")} AS p
+         |  FROM q JOIN dfreq USING (tok) JOIN tf USING (tok)
+         |  JOIN dl USING (doc_id, chunk_id), stats),
+         |cs AS (SELECT query_id, doc_id, chunk_id,
+         |    CAST(SUM(CAST(FLOOR(p * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS score
+         |  FROM scored GROUP BY query_id, doc_id, chunk_id),
+         |mx AS (SELECT query_id, doc_id, MAX({'score': score, 'nc': -chunk_id}) AS m
+         |  FROM cs GROUP BY query_id, doc_id),
+         |r AS (SELECT query_id, doc_id, m.score AS score, -(m.nc) AS best_chunk,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY m.score DESC, doc_id) AS BIGINT) AS rn FROM mx)
+         |SELECT query_id, rn, doc_id, best_chunk, score FROM r
+         |WHERE rn <= $MaxPTopN ORDER BY query_id, rn""".stripMargin
     }),
 
     Q("q114_curation_funnel", curationFunnel, Some {

@@ -625,6 +625,39 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q118 MaxP equals a brute-force recomputation over the gated chunk table") {
+    import ops.TextOpsImpl.{bm25Queries, MaxPTopN}
+    val chunks = ops.TextOpsImpl.chunkDocuments(spark, dir)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getString(2).split(" ", -1).toSeq))
+    val nChunks = chunks.length
+    val dl = chunks.map { case (k, ts) => k -> ts.length }.toMap
+    val avgdl = dl.values.map(_.toLong).sum.toDouble / nChunks.toDouble
+    val tf = chunks.flatMap { case (k, ts) => ts.map(t => (k, t)) }
+      .groupBy(identity).map { case (k, v) => k -> v.length }
+    val df = tf.keys.groupBy(_._2).map { case (t, ks) => t -> ks.size }
+    def term(tfv: Int, dfv: Int, dlv: Int): Double =
+      ((nChunks.toDouble - dfv.toDouble + 0.5) / (dfv.toDouble + 0.5) + 1.0) *
+        ((tfv.toDouble * 2.2) / (tfv.toDouble + 1.2 * (0.25 + 0.75 * dlv.toDouble / avgdl)))
+    val expected = bm25Queries.flatMap { case (qid, terms) =>
+      val chunkScores = chunks.map(_._1).flatMap { k =>
+        val ps = terms.flatMap(t => tf.get((k, t)).map(v => term(v, df(t), dl(k))))
+        if (ps.isEmpty) None
+        else Some(k -> ps.map(p => BigInt(math.floor(p * 1e12).toLong)).sum.toDouble / 1e12)
+      }
+      val maxp = chunkScores.groupBy(_._1._1).map { case (docId, cs) =>
+        val best = cs.minBy { case ((_, cid), sc) => (-sc, cid) }
+        (docId, best._1._2, best._2)
+      }
+      maxp.toSeq.sortBy { case (id, _, sc) => (-sc, id) }.take(MaxPTopN)
+        .zipWithIndex.map { case ((id, cid, sc), i) => (qid, i.toLong + 1, id, cid, sc) }
+    }.toSet
+    val got = ops.TextOpsImpl.passageMaxP(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(got == expected)
+  }
+
   test("q113 rank metrics agree with a recomputation from the ivf path's own output") {
     import ops.VectorOpsImpl.{NdcgDisc, NdcgIdcg}
     val metrics = ops.VectorOpsImpl.rankMetrics(spark, dir).collect()
