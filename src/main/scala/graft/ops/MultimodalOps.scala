@@ -38,6 +38,49 @@ object MultimodalOpsImpl {
       .select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0L), col("n_frames") - 1, lit(2L))).as("frame_idx"))
       .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** Byte window hashed per sampled frame (a stand-in for a perceptual
+    * frame hash — a real deployment hashes decoded pixels behind
+    * [[graft.multimodal.Multimodal.MediaDecoder]]; the Spark shape is
+    * identical). */
+  val FrameWin = 16
+  /** Near-dup thresholds: signatures shared by more than [[FrameSigDfCap]]
+    * videos are boilerplate (dropped, the q102/q42 cap discipline); a pair
+    * needs [[FrameMinShared]] shared signatures to count as near-dup. */
+  val FrameSigDfCap = 20
+  val FrameMinShared = 2
+
+  /** Video near-duplicate detection via shared frame signatures (q120):
+    * two videos are near-dups when ≥ [[FrameMinShared]] of their SAMPLED
+    * frames hash identically — the standard frame-fingerprint shape for
+    * video dedup (re-encodes, trims and container changes keep most frame
+    * hashes; perceptual hashing slots in behind the decoder seam without
+    * changing the plan).
+    *
+    * Scale shape: signatures are a narrow per-frame map; the pair join is
+    * the capped-bucket equi-join every dedup family here uses — per-sig
+    * fan-out ≤ cap², never corpus × corpus — and the pair aggregate keys
+    * on the (a, b) id pair. */
+  def videoNearDup(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables(s, dir, "documents")
+      .withColumn("n_frames",
+        (octet_length(encode(col("text"), "UTF-8")).cast(LongType) % 7 + 1))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(2L))).as("frame_idx"))
+      .select(col("doc_id"),
+        md5(expr(s"substr(text, CAST(frame_idx * $FrameWin + 1 AS INT), $FrameWin)"))
+          .as("sig"))
+      .distinct()
+    val rare = sigs.groupBy(col("sig")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= FrameSigDfCap).select(col("sig"))
+    val k = sigs.join(rare, "sig")
+    val a = k.select(col("sig"), col("doc_id").as("a_id"))
+    val b = k.select(col("sig"), col("doc_id").as("b_id"))
+    a.join(b, "sig").filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= FrameMinShared)
+      .orderBy(col("a_id"), col("b_id"))
+  }
 }
 
 object MultimodalOps {
@@ -61,6 +104,26 @@ object MultimodalOps {
          |  FROM documents)
          |SELECT doc_id, n_frames, CAST(unnest(generate_series(0, n_frames - 1, 2)) AS BIGINT) AS frame_idx
          |FROM m ORDER BY doc_id, frame_idx""".stripMargin
+    }),
+
+    Q("q120_multimodal_neardup", MultimodalOpsImpl.videoNearDup, Some {
+      import MultimodalOpsImpl.{FrameWin, FrameSigDfCap, FrameMinShared}
+      s"""WITH m AS (
+         |  SELECT doc_id, text,
+         |    CAST(octet_length(encode(text)) % 7 + 1 AS BIGINT) AS n_frames
+         |  FROM documents),
+         |f AS (SELECT doc_id,
+         |    CAST(unnest(generate_series(0, n_frames - 1, 2)) AS BIGINT) AS frame_idx,
+         |    text FROM m),
+         |s AS (SELECT DISTINCT doc_id,
+         |    md5(substr(text, CAST(frame_idx * $FrameWin + 1 AS INT), $FrameWin)) AS sig
+         |  FROM f),
+         |rare AS (SELECT sig FROM s GROUP BY sig HAVING COUNT(*) <= $FrameSigDfCap),
+         |k AS (SELECT s.doc_id, s.sig FROM s JOIN rare USING (sig))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+         |FROM k a JOIN k b ON a.sig = b.sig AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= $FrameMinShared
+         |ORDER BY a_id, b_id""".stripMargin
     })
   )
 }

@@ -1269,7 +1269,12 @@ object VectorOpsImpl {
   val HybridShortlist = 10
   val RrfK = 60
 
-  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+  /** The tf·idf lexical shortlist stage — shared by q90 (fusion) and q119
+    * (hard-negative mining): query = a query doc's own weighted terms,
+    * score = Σ qw·w over shared tokens, top-[[HybridShortlist]] per query.
+    * Scale: query terms broadcast into the tfidf probe; the corpus never
+    * reshuffles for the query batch. */
+  private def lexTopK(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
@@ -1288,9 +1293,34 @@ object VectorOpsImpl {
       .agg(expr("CAST(SUM(CAST(FLOOR(p * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12")
         .as("lex"))
     val wl = Window.partitionBy(col("query_id")).orderBy(col("lex").desc, col("doc_id"))
-    val lexTop = lex.withColumn("lrn", row_number().over(wl).cast(LongType))
+    lex.withColumn("lrn", row_number().over(wl).cast(LongType))
       .filter(col("lrn") <= HybridShortlist)
       .select(col("query_id"), col("doc_id"), col("lrn"))
+  }
+
+  /** Hard-negative mining for retriever training (q119): documents the
+    * LEXICAL retriever ranks highly that the dense ground truth says are
+    * NOT relevant — exactly the negatives contrastive training wants
+    * (random negatives are too easy; lexically-confusable ones teach the
+    * boundary). negatives = lexTopK minus the exact dense top-3, ranked
+    * hardest-first by lexical rank.
+    *
+    * Scale shape: the lexical stage is q90's audited broadcast probe; the
+    * positive set is queries × 3 rows and broadcasts into the anti-join,
+    * so mining cost is the shortlist stage's cost. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val pos = cosineTopK(s, dir).filter(col("rn") <= 3)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"))
+    val negs = lexTopK(s, dir)
+      .join(broadcast(pos), Seq("query_id", "doc_id"), "left_anti")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("lrn"))
+    negs.withColumn("rn", row_number().over(w).cast(LongType))
+      .select(col("query_id"), col("rn"), col("doc_id"), col("lrn").as("lex_rank"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val lexTop = lexTopK(s, dir)
     val e = Tables(s, dir, "embeddings")
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -2035,6 +2065,37 @@ object VectorOps {
          |SELECT doc_id, component, quality, rn = 1 AS keep FROM r
          |ORDER BY doc_id""".stripMargin
     }),
+
+    Q("q119_embed_hard_negatives", hardNegatives, Some(
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |ti AS (
+         |  SELECT t.doc_id, t.tok,
+         |    CAST(t.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) AS w
+         |  FROM tf t JOIN dfreq d USING (tok) CROSS JOIN n),
+         |qt AS (SELECT doc_id AS query_id, tok, w AS qw FROM ti WHERE doc_id < 8),
+         |lex AS (
+         |  SELECT q.query_id, t.doc_id,
+         |    CAST(SUM(CAST(FLOOR(q.qw * t.w * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS lex
+         |  FROM qt q JOIN ti t USING (tok)
+         |  WHERE t.doc_id <> q.query_id
+         |  GROUP BY q.query_id, t.doc_id),
+         |lt AS (SELECT query_id, doc_id, CAST(lrn AS BIGINT) AS lrn FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY lex DESC, doc_id) AS lrn FROM lex) WHERE lrn <= $HybridShortlist),
+         |ex AS (SELECT query_id, neighbor_id AS doc_id FROM (
+         |$q51Sql
+         |) WHERE rn <= 3)
+         |SELECT l.query_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY l.query_id ORDER BY l.lrn) AS BIGINT) AS rn,
+         |  l.doc_id, l.lrn AS lex_rank
+         |FROM lt l LEFT JOIN ex e ON e.query_id = l.query_id AND e.doc_id = l.doc_id
+         |WHERE e.doc_id IS NULL
+         |ORDER BY l.query_id, rn""".stripMargin)),
 
     Q("q90_hybrid_rrf", hybridRrf, Some {
       val cosAB = s"(${duckDot("a.embedding", "b.embedding")})" +

@@ -658,6 +658,52 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q119 hard negatives exclude every dense positive and rank hardest-first") {
+    val pos = ops.VectorOpsImpl.cosineTopK(spark, dir).filter(col("rn") <= 3)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val negs = ops.VectorOpsImpl.hardNegatives(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(negs.nonEmpty)
+    negs.foreach { case (qid, _, docId, _) =>
+      assert(!pos.contains((qid, docId)), s"($qid,$docId) is a dense positive")
+    }
+    negs.groupBy(_._1).foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to rows.length).toSeq, s"q$qid ranks")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).toSeq.sorted,
+        s"q$qid not hardest-first (lex_rank must increase with rn)")
+    }
+  }
+
+  test("q120 video near-dup equals a brute-force frame-signature recomputation") {
+    import ops.MultimodalOpsImpl.{FrameWin, FrameSigDfCap, FrameMinShared}
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sigs = docs.flatMap { case (id, text) =>
+      val nFrames = text.getBytes("UTF-8").length % 7 + 1
+      (0 until nFrames by 2).map { fi =>
+        val start = fi * FrameWin
+        val window =
+          if (start >= text.length) ""
+          else text.substring(start, math.min(start + FrameWin, text.length))
+        (id, md5hex(window))
+      }.distinct
+    }
+    val byCap = sigs.groupBy(_._2).filter(_._2.map(_._1).distinct.size <= FrameSigDfCap)
+    val expected = byCap.values.flatMap { rows =>
+      val ids = rows.map(_._1).distinct.sorted
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }
+      .filter(_._3 >= FrameMinShared).toSet
+    val got = ops.MultimodalOpsImpl.videoNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
   test("q113 rank metrics agree with a recomputation from the ivf path's own output") {
     import ops.VectorOpsImpl.{NdcgDisc, NdcgIdcg}
     val metrics = ops.VectorOpsImpl.rankMetrics(spark, dir).collect()
