@@ -1273,6 +1273,52 @@ object TextOpsImpl {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  val KmvK = 32
+
+  /** Bottom-k (KMV) distinct-count sketch per source (q121, Bar-Yossef et
+    * al. 2002): estimate each source's vocabulary size from only its k
+    * smallest token hashes — D̂ = (k−1)/v where v is the k-th smallest
+    * hash mapped to [0,1). Unlike HLL (whose register layout differs
+    * engine to engine), the bottom-k sketch is a DETERMINISTIC function of
+    * the data — both engines compute the identical estimate bit for bit —
+    * which is what makes an approximate-cardinality operator gateable
+    * here, and mergeable in production (union of sketches = sketch of
+    * union: keep the k smallest of the merged candidates).
+    *
+    * Scale shape: the candidate set reduces to distinct (source, token)
+    * once, then the native TopKPerKey physical operator (q16's) keeps a
+    * bounded k-row heap per source — no per-source sort, no full-group
+    * materialization. The [0,1) mapping reads 15 hex nibbles as an exact
+    * BIGINT (< 2⁶⁰) and divides by 2⁶⁰ — a power of two, so the scaling
+    * is exact in both engines. n_distinct is carried alongside to expose
+    * the estimator's error, which is the point of the panel. */
+  def vocabSketch(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+      .withColumn("h", md5(col("tok")))
+    val bottom = graft.plans.TopK.topKPerKey(
+      sigs.select(col("source"), col("h")), KmvK,
+      Seq("source"), Seq(graft.plans.TopK.Ord("h")))
+    def nibSum(c: String): String =
+      (1 to 15).map { i =>
+        val pow = java.math.BigInteger.valueOf(16L).pow(15 - i)
+        s"CAST(instr('0123456789abcdef', substr($c, $i, 1)) - 1 AS BIGINT) * $pow"
+      }.mkString(" + ")
+    val kth = bottom.groupBy(col("source"))
+      .agg(max(struct(col("rank"), col("h"))).as("m"), count(lit(1)).as("k"))
+      .select(col("source"), col("k"), col("m.h").as("kth_h"))
+      .withColumn("kth_frac", expr(
+        s"CAST(${nibSum("kth_h")} AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)"))
+    val exact = sigs.groupBy(col("source")).agg(count(lit(1)).as("n_distinct"))
+    exact.join(kth, "source")
+      .withColumn("estimate", expr("CAST(k - 1 AS DOUBLE) / kth_frac"))
+      .withColumn("err_ratio", expr("estimate / CAST(n_distinct AS DOUBLE)"))
+      .select(col("source"), col("n_distinct"), col("k"), col("kth_frac"),
+        col("estimate"), col("err_ratio"))
+      .orderBy(col("source"))
+  }
+
   // ------------------------------------------------------- BM25 retrieval
 
   /** Fixed literal query term sets — the retrieval benchmark shape (a
@@ -1951,6 +1997,30 @@ object TextOps {
         |  CAST(SUM(CAST(FLOOR(p * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 / COUNT(*) AS mean_p,
         |  MIN(p) AS min_p
         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("q121_text_vocab_sketch", vocabSketch, Some {
+      val nibSum = (1 to 15).map { i =>
+        val pow = java.math.BigInteger.valueOf(16L).pow(15 - i)
+        s"CAST(strpos('0123456789abcdef', substr(kth_h, $i, 1)) - 1 AS BIGINT) * $pow"
+      }.mkString(" + ")
+      s"""WITH v AS (SELECT DISTINCT source, tok FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)),
+         |hh AS (SELECT source, md5(tok) AS h FROM v),
+         |r AS (SELECT source, h,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn FROM hh),
+         |b AS (SELECT source, MAX({'rank': rn, 'h': h}) AS m,
+         |    CAST(COUNT(*) AS BIGINT) AS k
+         |  FROM r WHERE rn <= $KmvK GROUP BY source),
+         |e AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct FROM v GROUP BY source),
+         |kt AS (SELECT source, k, m.h AS kth_h FROM b),
+         |kf AS (SELECT source, k, kth_h,
+         |    CAST($nibSum AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE) AS kth_frac
+         |  FROM kt)
+         |SELECT e.source, e.n_distinct, kf.k, kf.kth_frac,
+         |  CAST(kf.k - 1 AS DOUBLE) / kf.kth_frac AS estimate,
+         |  (CAST(kf.k - 1 AS DOUBLE) / kf.kth_frac) / CAST(e.n_distinct AS DOUBLE) AS err_ratio
+         |FROM e JOIN kf USING (source) ORDER BY source""".stripMargin
+    }),
 
     Q("q96_text_vocab_drift", vocabDrift, Some(
       """WITH toks AS (

@@ -704,6 +704,45 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q121 KMV sketch equals brute-force, bounds error, and merges") {
+    import ops.TextOpsImpl.KmvK
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val vocab = Tables(spark, dir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSeq
+      .flatMap { case (src, t) => t.split(" ", -1).map(src -> _) }
+      .distinct
+    def frac(h: String): Double =
+      (1 to 15).map(i => ("0123456789abcdef".indexOf(h(i - 1)).toLong) *
+        java.math.BigInteger.valueOf(16L).pow(15 - i).longValueExact()).sum.toDouble /
+        1152921504606846976L.toDouble
+    val bySource = vocab.groupBy(_._1).map { case (s, ts) =>
+      s -> ts.map(t => md5hex(t._2)).sorted
+    }
+    val got = ops.TextOpsImpl.vocabSketch(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(got.keySet == bySource.keySet)
+    bySource.foreach { case (src, hs) =>
+      val (nd, k, kf, est, ratio) = got(src)
+      assert(nd == hs.length.toLong, s"$src n_distinct")
+      assert(k == math.min(KmvK, hs.length).toLong, s"$src k")
+      val expectedFrac = frac(hs(k.toInt - 1))
+      assert(kf == expectedFrac, s"$src kth_frac")
+      assert(est == (k - 1).toDouble / expectedFrac, s"$src estimate")
+      // k=32 gives ~1/sqrt(k) ~ 18% relative error; 2x is a loose ceiling
+      assert(ratio > 0.5 && ratio < 2.0, s"$src err_ratio $ratio out of bounds")
+    }
+    // mergeability: bottom-k of (A union B) == bottom-k of (bottom-k(A) ++ bottom-k(B))
+    val srcs = bySource.keys.toSeq.sorted.take(2)
+    val (a, b) = (bySource(srcs(0)), bySource(srcs(1)))
+    val mergedSketch = (a.take(KmvK) ++ b.take(KmvK)).distinct.sorted.take(KmvK)
+    val unionSketch = (a ++ b).distinct.sorted.take(KmvK)
+    assert(mergedSketch == unionSketch, "sketch of union must equal merged sketches")
+  }
+
   test("q113 rank metrics agree with a recomputation from the ivf path's own output") {
     import ops.VectorOpsImpl.{NdcgDisc, NdcgIdcg}
     val metrics = ops.VectorOpsImpl.rankMetrics(spark, dir).collect()
