@@ -1273,6 +1273,49 @@ object TextOpsImpl {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Cross-source quality calibration (q122): each document's quality
+    * PERCENTILE within its own source — the comparable signal when raw
+    * quality scores are miscalibrated across domains (a 0.9 from a clean
+    * wiki source and a 0.9 from raw crawl mean different things; the 95th
+    * percentile of each means the same). Rank is over the quantized
+    * priority (level = FLOOR(quality·256) ascending, doc_id tie-break) —
+    * the same range-decomposable order as q115, and like there it is the
+    * operator's definition, making the q73/q115 two-pass shape apply:
+    * per-(source, level) counts broadcast as lower-level offsets,
+    * within-level ranks run sources × levels wide, never one reducer per
+    * source. percentile = rank / n_source (one double division). */
+  def qualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val base = Tables(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")).cast(LongType))
+      .withColumn("n_stop",
+        expr(s"CAST(size(filter(toks, x -> x IN ${inList(stopwords)})) AS BIGINT)"))
+      .withColumn("quality",
+        least(col("n_tok").cast(DoubleType) / 50.0, lit(1.0)) * 0.5
+          + (lit(1.0) - col("n_stop").cast(DoubleType) / col("n_tok")) * 0.5)
+      .withColumn("level", expr("CAST(FLOOR(quality * 256) AS BIGINT)"))
+      .select(col("source"), col("doc_id"), col("quality"), col("level"))
+    val within = base.withColumn("wrn",
+      row_number().over(
+        w.partitionBy(col("source"), col("level")).orderBy(col("doc_id"))).cast(LongType))
+    val offs = base.groupBy(col("source"), col("level")).agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(w.partitionBy(col("source")).orderBy(col("level"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("source"), col("level"), col("off"))
+    val nSrc = base.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
+    within.join(broadcast(offs), Seq("source", "level"))
+      .join(broadcast(nSrc), "source")
+      .withColumn("rank", col("off") + col("wrn"))
+      .withColumn("pct",
+        expr("CAST(rank AS DOUBLE) / CAST(n_source AS DOUBLE)"))
+      .select(col("source"), col("doc_id"), col("quality"), col("level"),
+        col("rank"), col("pct"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   val KmvK = 32
 
   /** Bottom-k (KMV) distinct-count sketch per source (q121, Bar-Yossef et
@@ -2021,6 +2064,28 @@ object TextOps {
          |  (CAST(kf.k - 1 AS DOUBLE) / kf.kth_frac) / CAST(e.n_distinct AS DOUBLE) AS err_ratio
          |FROM e JOIN kf USING (source) ORDER BY source""".stripMargin
     }),
+
+    Q("q122_text_quality_calibration", qualityCalibration, Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x IN $stopSql)) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.5
+         |      + (1.0 - CAST(n_stop AS DOUBLE) / n_tok) * 0.5 AS quality
+         |  FROM t),
+         |lv AS (SELECT doc_id, source, quality,
+         |    CAST(FLOOR(quality * 256) AS BIGINT) AS level FROM q),
+         |r AS (SELECT *,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY level, doc_id) AS BIGINT) AS rank,
+         |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_source
+         |  FROM lv)
+         |SELECT source, doc_id, quality, level, rank,
+         |  CAST(rank AS DOUBLE) / CAST(n_source AS DOUBLE) AS pct
+         |FROM r ORDER BY source, doc_id""".stripMargin)),
 
     Q("q96_text_vocab_drift", vocabDrift, Some(
       """WITH toks AS (

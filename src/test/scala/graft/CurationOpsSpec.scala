@@ -743,6 +743,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(mergedSketch == unionSketch, "sketch of union must equal merged sketches")
   }
 
+  test("q122 calibration is a per-source rank permutation matching a direct sort") {
+    val rows = ops.TextOpsImpl.qualityCalibration(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val n = g.length
+      assert(g.map(_._4).sorted.toSeq == (1L to n).toSeq, s"$src ranks not a permutation")
+      // the two-pass decomposition equals the direct (level, doc_id) sort
+      val direct = g.sortBy { case (_, id, lvl, _, _) => (lvl, id) }
+        .zipWithIndex.map { case ((_, id, _, _, _), i) => id -> (i + 1).toLong }.toMap
+      g.foreach { case (_, id, _, rank, pct) =>
+        assert(rank == direct(id), s"$src doc $id rank")
+        assert(pct == rank.toDouble / n.toDouble, s"$src doc $id pct")
+      }
+    }
+  }
+
   test("q113 rank metrics agree with a recomputation from the ivf path's own output") {
     import ops.VectorOpsImpl.{NdcgDisc, NdcgIdcg}
     val metrics = ops.VectorOpsImpl.rankMetrics(spark, dir).collect()
