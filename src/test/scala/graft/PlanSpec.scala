@@ -376,4 +376,30 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("BroadcastHashJoin"),
       s"exact top-3 set must broadcast:\n$s")
   }
+
+  test("q115 token budget: level offsets broadcast back; corpus side never sort-merges") {
+    val s = plan(ops.TextOpsImpl.tokenBudgetSelect(spark, dir))
+    assert(s.contains("BroadcastHashJoin"),
+      s"the metadata-scale offsets frame must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"no corpus-sized join may sort-merge:\n$s")
+  }
+
+  test("q118 MaxP: query terms broadcast into the chunk-postings probe") {
+    val s = plan(ops.TextOpsImpl.passageMaxP(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 2,
+      s"query and df probes must be broadcast hash joins:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no cartesian allowed:\n$s")
+  }
+
+  test("q121 KMV sketch runs on the native TopKPerKey heap, no per-source sort") {
+    val s = plan(ops.TextOpsImpl.vocabSketch(spark, dir))
+    assert(s.contains("TopKPerKey"),
+      s"bottom-k must plan as the native heap operator:\n$s")
+  }
+
+  test("q122 calibration: offsets and per-source totals broadcast") {
+    val s = plan(ops.TextOpsImpl.qualityCalibration(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 2,
+      s"offsets and n_source frames must broadcast:\n$s")
+  }
 }
