@@ -467,6 +467,51 @@ object DedupOpsImpl {
       .orderBy(col("method"))
   }
 
+  /** S-curve validation for the MinHash-LSH banding — the measurement that
+    * justifies the (bands=4, rows=2) choice instead of asserting it: per
+    * exact-Jaccard bucket over the q100 recall sample, the EMPIRICAL
+    * collision rate of the production (capped) band join next to the
+    * ANALYTIC MinHash expectation 1-(1-j²)⁴. Where the curves agree, the
+    * banding behaves like the textbook model; where the empirical rate
+    * falls below it, the bucket cap (or lane correlation) is eating
+    * candidates — exactly the drift a curation owner re-tunes b/r against.
+    *
+    * Scale shape: the truth side is the same exact-on-a-sample pair
+    * enumeration q100 runs (cost bounded by the sample's Σ df², never the
+    * corpus); the empirical side is the already-audited q42 generator with
+    * two extra narrow id filters; the final attach broadcasts the sampled
+    * candidate set. The analytic mean uses the floor-quantized
+    * DECIMAL(38,0) sum discipline so the per-bucket average is
+    * order-independent and bitwise cross-engine. */
+  def lshScurve(s: SparkSession, dir: String): DataFrame = {
+    val ssh = shingles(s, dir).filter(inRecallSample("doc_id"))
+    val sizes = ssh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = ssh.as("a").join(ssh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("a_id", "na"), "a_id")
+      .join(sizes.toDF("b_id", "nb"), "b_id")
+      .withColumn("j",
+        col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+    val collided = minhashLsh(s, dir)
+      .filter(inRecallSample("a_id") && inRecallSample("b_id"))
+      .withColumn("hit", lit(1L))
+    pairs.join(broadcast(collided), Seq("a_id", "b_id"), "left")
+      // (1-j²)⁴ via explicit squarings — the same IEEE association the
+      // oracle SQL spells out, so the analytic column is bitwise portable
+      .withColumn("p", expr(
+        "1.0 - ((1.0 - j*j)*(1.0 - j*j)) * ((1.0 - j*j)*(1.0 - j*j))"))
+      .withColumn("bucket", expr("CAST(LEAST(FLOOR(j * 10), 9) AS BIGINT)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("collided"),
+        expr("CAST(SUM(coalesce(hit, 0)) AS DOUBLE) / COUNT(*)").as("emp_rate"),
+        expr("CAST(SUM(CAST(FLOOR(p * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 / COUNT(*)")
+          .as("analytic_rate"))
+      .orderBy(col("bucket"))
+  }
+
   /** Same signature via the native codegen'd Catalyst expression
     * (graft.expr.SimHashExpr) — one pass per row, no explode/shuffle at all;
     * this is the hot-path form for 100 TB corpora. 48 bits so the DuckDB
@@ -827,6 +872,44 @@ object DedupOps {
          |    / COUNT(*) AS precision
          |FROM found f LEFT JOIN truth t USING (a_id, b_id)
          |GROUP BY f.method ORDER BY f.method""".stripMargin
+    }),
+
+    Q("q123_dedup_scurve", lshScurve, Some {
+      def rb(id: String) =
+        s"((strpos('0123456789abcdef', substr(md5('rcl:' || CAST($id AS VARCHAR)), 1, 1)) - 1) * 16" +
+          s" + (strpos('0123456789abcdef', substr(md5('rcl:' || CAST($id AS VARCHAR)), 2, 1)) - 1)) < $RecallSampleByte"
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bh FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH $shingleSql,
+         |ssh AS (SELECT doc_id, sh.sh FROM sh WHERE ${rb("doc_id")}),
+         |tsizes AS (SELECT doc_id, COUNT(*) AS n FROM ssh GROUP BY doc_id),
+         |tp AS (
+         |  SELECT a_id, b_id,
+         |    CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS j
+         |  FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |    FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) p
+         |  JOIN tsizes na ON na.doc_id = a_id JOIN tsizes nb ON nb.doc_id = b_id),
+         |sig AS (SELECT doc_id, $laneSql FROM sh GROUP BY doc_id),
+         |bands AS ($bands),
+         |ok AS (SELECT band, bh FROM bands GROUP BY band, bh HAVING COUNT(*) <= $BucketCap),
+         |bk AS (SELECT b.doc_id, b.band, b.bh FROM bands b JOIN ok USING (band, bh)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |scand AS (SELECT a_id, b_id FROM cand WHERE ${rb("a_id")} AND ${rb("b_id")}),
+         |scored AS (
+         |  SELECT CAST(LEAST(FLOOR(tp.j * 10), 9) AS BIGINT) AS bucket,
+         |    CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END AS hit,
+         |    1.0 - ((1.0 - tp.j*tp.j)*(1.0 - tp.j*tp.j)) * ((1.0 - tp.j*tp.j)*(1.0 - tp.j*tp.j)) AS p
+         |  FROM tp LEFT JOIN scand c USING (a_id, b_id))
+         |SELECT bucket, COUNT(*) AS n_pairs,
+         |  CAST(SUM(hit) AS BIGINT) AS collided,
+         |  CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS emp_rate,
+         |  CAST(SUM(CAST(FLOOR(p * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 / COUNT(*) AS analytic_rate
+         |FROM scored GROUP BY bucket ORDER BY bucket""".stripMargin
     })
   )
 }

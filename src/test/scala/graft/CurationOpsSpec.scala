@@ -791,4 +791,68 @@ class CurationOpsSpec extends SparkSpec {
       assert(gotRr == rr, s"q$qid rr")
     }
   }
+
+  test("q123 S-curve panel matches a brute-force recomputation") {
+    import ops.DedupOpsImpl.{BucketCap, RecallSampleByte}
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def inSample(id: Long): Boolean =
+      Integer.parseInt(md5hex(s"rcl:$id").take(2), 16) < RecallSampleByte
+
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // truth side: exact Jaccard over distinct 3-token shingles of sampled docs
+    val sh = docs.collect { case (id, t) if inSample(id) =>
+      val toks = t.split(" ", -1)
+      id -> toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val ids = sh.keys.toSeq.sorted
+    val pairs = for {
+      i <- ids.indices; k <- (i + 1) until ids.length
+      a = ids(i); b = ids(k)
+      inter = (sh(a) & sh(b)).size if inter > 0
+    } yield (a, b, inter.toDouble / (sh(a).size + sh(b).size - inter))
+
+    // empirical side: the StreamDedup pure-Scala MinHash mirror (itself
+    // spec-proven equal to the batch q42 SQL), capped buckets, sample filter
+    val banded = docs.toSeq.flatMap { case (id, t) =>
+      streaming.StreamDedup.bandKeys(id, t) }
+    val collided: Set[(Long, Long)] = banded.groupBy(b => (b.band, b.bh))
+      .valuesIterator
+      .filter(g => g.size > 1 && g.size <= BucketCap)
+      .flatMap { g =>
+        val gs = g.map(_.docId).toSeq.sorted
+        for (i <- gs.indices; k <- (i + 1) until gs.length) yield (gs(i), gs(k))
+      }.toSet
+      .filter(p => inSample(p._1) && inSample(p._2))
+
+    val expected = pairs.groupBy { case (_, _, j) => math.min(math.floor(j * 10), 9).toLong }
+      .map { case (bucket, ps) =>
+        val hits = ps.count { case (a, b, _) => collided.contains((a, b)) }
+        val analytic = ps.map { case (_, _, j) =>
+          val u2 = (1.0 - j * j) * (1.0 - j * j)
+          BigInt(math.floor((1.0 - u2 * u2) * 1e12).toLong)
+        }.sum
+        bucket -> (ps.size.toLong, hits.toLong, analytic)
+      }
+
+    val got = ops.DedupOpsImpl.lshScurve(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSet == expected.keySet, "bucket set")
+    got.foreach { r =>
+      val (n, hits, analytic) = expected(r.getLong(0))
+      assert(r.getLong(1) == n, s"bucket ${r.getLong(0)} n_pairs")
+      assert(r.getLong(2) == hits, s"bucket ${r.getLong(0)} collided")
+      assert(r.getDouble(3) == hits.toDouble / n, s"bucket ${r.getLong(0)} emp_rate")
+      assert(math.abs(r.getDouble(4) - analytic.toDouble / 1e12 / n) < 1e-9,
+        s"bucket ${r.getLong(0)} analytic_rate")
+    }
+    // the analytic S-curve is monotone in the bucket midpoint
+    val byBucket = got.sortBy(_.getLong(0)).map(_.getDouble(4))
+    byBucket.sliding(2).foreach {
+      case Array(a, b) => assert(a <= b + 1e-12, "analytic curve must be monotone")
+      case _ =>
+    }
+  }
 }
