@@ -186,6 +186,46 @@ object VectorOpsImpl {
       .orderBy(col("label"))
   }
 
+  /** Per-DIMENSION encoder health panel: mean, population variance, min,
+    * max and near-zero fraction for each of the 64 embedding components —
+    * the diagnostic that catches dead dimensions (a dim whose variance
+    * collapsed after an encoder swap carries no information but still costs
+    * index space) and scale drift (a dim whose range exploded dominates
+    * every L2/cosine). Per-vector checks (q50 norms) can't see either:
+    * both are properties of a dimension across the corpus.
+    *
+    * Scale shape: ONE global partial aggregation computing 4 accumulators
+    * per dimension (floor-quantized DECIMAL(38,0) sums for mean/variance —
+    * order-independent and overflow-safe to ~1e26 rows — plus double
+    * min/max), i.e. a 257-column single-row reduce with map-side combine;
+    * the corpus is never exploded into n×64 rows and never shuffled. The
+    * 64-row output frame then unfolds from that single row with a trivial
+    * generator. This is the panel you run after every encoder change; at
+    * 100 TB it is one narrow scan. */
+  def dimStats(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    def d(i: Int) = s"CAST(element_at(embedding, $i) AS DOUBLE)"
+    val aggs = (1 to Dims).flatMap { i =>
+      Seq(
+        expr(s"CAST(SUM(CAST(FLOOR(${d(i)} * 1e12) AS DECIMAL(38,0))) AS DOUBLE)").as(s"s$i"),
+        expr(s"CAST(SUM(CAST(FLOOR(${d(i)} * ${d(i)} * 1e12) AS DECIMAL(38,0))) AS DOUBLE)").as(s"q$i"),
+        expr(s"MIN(${d(i)})").as(s"mn$i"),
+        expr(s"MAX(${d(i)})").as(s"mx$i"),
+        expr(s"SUM(CASE WHEN ABS(${d(i)}) < 0.01 THEN 1 ELSE 0 END)").as(s"z$i"))
+    } :+ count(lit(1)).as("n")
+    val one = e.agg(aggs.head, aggs.tail: _*)
+    val rows = one.select(col("n"), explode(array((1 to Dims).map(i =>
+      struct(lit(i).cast(LongType).as("dim"), col(s"s$i").as("s"),
+        col(s"q$i").as("q"), col(s"mn$i").as("mn"), col(s"mx$i").as("mx"),
+        col(s"z$i").as("z"))): _*)).as("d"))
+    rows.select(col("d.dim").as("dim"), col("n").as("n_vecs"),
+        expr("d.s / 1e12 / n").as("mean"),
+        expr("d.q / 1e12 / n - (d.s / 1e12 / n) * (d.s / 1e12 / n)").as("variance"),
+        col("d.mn").as("min_v"), col("d.mx").as("max_v"),
+        expr("CAST(d.z AS DOUBLE) / n").as("near_zero_frac"))
+      .orderBy(col("dim"))
+  }
+
   /** Nearest-exact-centroid assignment for every vector (L2, tie → smaller
     * centroid label): vec_id, label, embedding, assigned.
     *
@@ -2151,7 +2191,25 @@ object VectorOps {
          |  FROM embeddings a, embeddings b
          |  WHERE a.vec_id < 8 AND b.vec_id <> a.vec_id)
          |WHERE cosine >= $RadiusCos
-         |ORDER BY query_id, neighbor_id""".stripMargin))
+         |ORDER BY query_id, neighbor_id""".stripMargin)),
+
+    Q("q124_embed_dim_stats", dimStats, Some {
+      def d = "CAST(embedding[i.i] AS DOUBLE)"
+      s"""WITH g AS (
+         |  SELECT i.i AS dim, COUNT(*) AS n,
+         |    CAST(SUM(CAST(FLOOR($d * 1e12) AS DECIMAL(38,0))) AS DOUBLE) AS s,
+         |    CAST(SUM(CAST(FLOOR($d * $d * 1e12) AS DECIMAL(38,0))) AS DOUBLE) AS q,
+         |    MIN($d) AS mn, MAX($d) AS mx,
+         |    SUM(CASE WHEN ABS($d) < 0.01 THEN 1 ELSE 0 END) AS z
+         |  FROM embeddings CROSS JOIN generate_series(1, $Dims) AS i(i)
+         |  GROUP BY i.i)
+         |SELECT dim, n AS n_vecs,
+         |  s / 1e12 / n AS mean,
+         |  q / 1e12 / n - (s / 1e12 / n) * (s / 1e12 / n) AS variance,
+         |  mn AS min_v, mx AS max_v,
+         |  CAST(z AS DOUBLE) / n AS near_zero_frac
+         |FROM g ORDER BY dim""".stripMargin
+    })
   )
 
 

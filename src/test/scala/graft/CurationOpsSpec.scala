@@ -855,4 +855,28 @@ class CurationOpsSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("q124 per-dimension stats match a brute-force recomputation bitwise") {
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length
+    val got = ops.VectorOpsImpl.dimStats(spark, dir).collect()
+    assert(got.length == ops.VectorOpsImpl.Dims)
+    got.foreach { r =>
+      val i = r.getLong(0).toInt - 1
+      val ds = vecs.map(_(i))
+      val s = ds.map(d => BigInt(math.floor(d * 1e12).toLong)).sum
+      val q = ds.map(d => BigInt(math.floor(d * d * 1e12).toLong)).sum
+      val mean = s.toDouble / 1e12 / n
+      assert(r.getLong(1) == n.toLong, s"dim ${i + 1} n_vecs")
+      assert(r.getDouble(2) == mean, s"dim ${i + 1} mean")
+      assert(r.getDouble(3) == q.toDouble / 1e12 / n - mean * mean, s"dim ${i + 1} variance")
+      assert(r.getDouble(4) == ds.min, s"dim ${i + 1} min")
+      assert(r.getDouble(5) == ds.max, s"dim ${i + 1} max")
+      assert(r.getDouble(6) == ds.count(d => math.abs(d) < 0.01).toDouble / n,
+        s"dim ${i + 1} near_zero_frac")
+      assert(r.getDouble(3) >= -1e-12, s"dim ${i + 1} variance must be non-negative")
+    }
+  }
 }

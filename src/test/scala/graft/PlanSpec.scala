@@ -402,4 +402,15 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(s).size >= 2,
       s"offsets and n_source frames must broadcast:\n$s")
   }
+
+  test("q124 dim stats reduce in one pass: no explode before the aggregate") {
+    val s = plan(ops.VectorOpsImpl.dimStats(spark, dir))
+    // the 64-row unfold must sit ABOVE the single-row aggregate; a Generate
+    // under the agg would mean the corpus was exploded into n×64 rows
+    val genIdx = s.indexOf("Generate")
+    val aggIdx = s.lastIndexOf("HashAggregate")
+    assert(genIdx >= 0 && aggIdx > genIdx,
+      s"explode must apply to the aggregated single row, not the corpus:\n$s")
+    assert("HashAggregate".r.findAllIn(s).size >= 2, "expect partial+final agg")
+  }
 }
