@@ -41,6 +41,8 @@ object GraftExtensions {
 
     graft.expr.DotF64.function,
 
+    graft.expr.ZOrder.function,
+
     (new FunctionIdentifier("simhash"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "simhash"),
       (args: Seq[Expression]) => args match {

@@ -42,7 +42,8 @@ object Registry {
       ops.TextOps.queries ++
       ops.DedupOps.queries ++
       ops.VectorOps.queries ++
-      ops.MultimodalOps.queries
+      ops.MultimodalOps.queries ++
+      ops.LayoutOpsImpl.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

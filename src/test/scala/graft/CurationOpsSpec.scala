@@ -879,4 +879,46 @@ class CurationOpsSpec extends SparkSpec {
       assert(r.getDouble(3) >= -1e-12, s"dim ${i + 1} variance must be non-negative")
     }
   }
+
+  test("q125 z-values recompute bit-by-bit from the emitted cells") {
+    val rows = ops.LayoutOpsImpl.zorderKey(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (x, y, z) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(x >= 0 && x <= 65535 && y >= 0 && y <= 65535, "cells are 16-bit")
+      var ref = 0L
+      for (b <- 0 until 16) {
+        ref |= ((x >> b) & 1L) << (2 * b)
+        ref |= ((y >> b) & 1L) << (2 * b + 1)
+      }
+      assert(z == ref, s"order ${r.getLong(0)} zval")
+    }
+  }
+
+  test("q126 skipping panel invariants: boxes partition rows, linear can't prune y") {
+    import ops.LayoutOpsImpl.{BandLo, BandHi}
+    val got = ops.LayoutOpsImpl.zorderSkipping(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.size == 4)
+    got.foreach { case ((layout, query), (total, scanned, skip)) =>
+      assert(scanned >= 0 && scanned <= total, s"$layout/$query bounds")
+      assert(math.abs(skip - (1.0 - scanned.toDouble / total)) < 1e-15)
+    }
+    // a layout sorted by cellx interleaves celly arbitrarily: unless the
+    // band happens to dodge every file box, it scans ~everything — and it
+    // can never beat the z-order layout on the y query
+    assert(got(("linear", "y_band"))._2 >= got(("zorder", "y_band"))._2,
+      "z-order must prune y at least as well as an x-sorted layout")
+    // both layouts see the same file count (same rows, same file size)
+    assert(got.values.map(_._1).toSet.size == 1)
+    // cross-check one scanned count against independently recomputed boxes
+    val cells = ops.LayoutOpsImpl.zorderKey(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val zSorted = cells.sortBy(c => (c._4, c._1)).grouped(ops.LayoutOpsImpl.FileRows).toSeq
+    val zScan = zSorted.count(f =>
+      f.map(_._3).max >= BandLo && f.map(_._3).min <= BandHi)
+    assert(got(("zorder", "y_band"))._2 == zScan.toLong,
+      "zorder y_band scan count must match recomputed file boxes")
+  }
 }

@@ -403,6 +403,31 @@ class PlanSpec extends SparkSpec {
       s"offsets and n_source frames must broadcast:\n$s")
   }
 
+  test("q125 zorder key is a narrow pass: broadcast stats only, codegen'd interleave") {
+    val df = ops.LayoutOpsImpl.zorderKey(spark, dir).queryExecution.analyzed match {
+      case org.apache.spark.sql.catalyst.plans.logical.Sort(_, _, child, _) =>
+        org.apache.spark.sql.graftshim.Bridge.ofRows(spark, child)
+      case _ => fail("expected a top-level Sort to strip")
+    }
+    val s = plan(df)
+    assert(!s.contains("SortMergeJoin"), s"stats must broadcast:\n$s")
+    assert(!s.contains("Window"), s"the key itself needs no window:\n$s")
+    assert(s.contains("zorder2"), s"native expression must be in the plan:\n$s")
+  }
+
+  test("q126 skipping panel: offsets broadcast, ranks stay bucket-partitioned") {
+    val s = plan(ops.LayoutOpsImpl.zorderSkipping(spark, dir))
+    assert(s.contains("BroadcastHashJoin"), s"offset join must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"no sort-merge join anywhere:\n$s")
+    // the corpus-sized ranks must be bucket-partitioned windows; the only
+    // unpartitioned window allowed is the offsets prefix-sum, which runs
+    // over the bucket-count frame (metadata-sized by construction)
+    val rowNumberWindows = "row_number\\(\\) windowspecdefinition\\(([^,]*),"
+      .r.findAllMatchIn(s).map(_.group(1)).toSeq
+    assert(rowNumberWindows.nonEmpty && rowNumberWindows.forall(_.contains("bucket")),
+      s"every row_number window must partition by bucket: $rowNumberWindows")
+  }
+
   test("q124 dim stats reduce in one pass: no explode before the aggregate") {
     val s = plan(ops.VectorOpsImpl.dimStats(spark, dir))
     // the 64-row unfold must sit ABOVE the single-row aggregate; a Generate
