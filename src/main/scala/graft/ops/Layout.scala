@@ -83,7 +83,7 @@ object LayoutOpsImpl {
     ranked.join(broadcast(offsets), "bucket")
       .select(lit(layout).as("layout"),
         expr(s"CAST(FLOOR((off + r - 1) / $FileRows.0) AS BIGINT)").as("file"),
-        col("cellx"), col("celly"))
+        col("cellx"), col("celly"), col("zval"))
   }
 
   /** q126: the data-skipping measurement — the same rows laid out two ways
@@ -119,6 +119,79 @@ object LayoutOpsImpl {
       .orderBy(col("layout"), col("query"))
   }
 
+  /** q127: clustering HEALTH — the re-optimize trigger. Files written in
+    * ARRIVAL order (ingestion appends) have z-ranges that straddle the
+    * whole space, so any z-range query touches most of them; files written
+    * in z-order have disjoint, tight ranges. `avg_overlap` = the average
+    * number of files whose [z_min, z_max] intersects a given file's range
+    * (self included): 1.0 is a perfectly clustered table, the file count
+    * is a fully interleaved one. Lakehouse OPTIMIZE schedulers run exactly
+    * this metric to decide when re-clustering pays for itself; here it is
+    * an oracle-gated operator.
+    *
+    * Scale shape: everything after the file assignment is METADATA-sized —
+    * per-file boxes are one row per file, and the overlap join is
+    * |files|², i.e. thousands of rows for a 100 TB table. The file
+    * assignment itself is the q73 bucket-parallel rank (arrival buckets =
+    * FLOOR(key / FileRows), a monotone prefix of the arrival order). */
+  def zorderHealth(s: SparkSession, dir: String): DataFrame = {
+    val z = cells(s, dir).withColumn("zval",
+      graft.expr.ZOrderFunctions.zorder2(col("cellx"), col("celly")))
+    val arrival = fileAssign(z, "arrival",
+      s"CAST(FLOOR(o_orderkey / $FileRows.0) AS BIGINT)", Seq("o_orderkey"))
+    val zsorted = fileAssign(z, "zorder",
+      "CAST(FLOOR(zval / 4194304.0) AS BIGINT)", Seq("zval", "o_orderkey"))
+    val boxes = arrival.union(zsorted)
+      .groupBy(col("layout"), col("file"))
+      .agg(min(col("zval")).as("zmn"), max(col("zval")).as("zmx"))
+    val overlaps = boxes.as("a").join(boxes.as("b"),
+        col("a.layout") === col("b.layout")
+          && col("a.zmn") <= col("b.zmx") && col("b.zmn") <= col("a.zmx"))
+      .groupBy(col("a.layout").as("layout"))
+      .agg(count(lit(1)).as("overlapping_pairs"))
+    val totals = boxes.groupBy(col("layout")).agg(count(lit(1)).as("files_total"))
+    totals.join(overlaps, "layout")
+      .select(col("layout"), col("files_total"), col("overlapping_pairs"),
+        expr("CAST(overlapping_pairs AS DOUBLE) / files_total").as("avg_overlap"))
+      .orderBy(col("layout"))
+  }
+
+  /** Number of target range partitions the boundary planner emits. */
+  val RangeSplits = 16
+
+  /** q128: range-boundary PLANNER — the missing half of the production
+    * z-order write path (`repartitionByRange` needs boundaries; Spark's
+    * own RangePartitioner samples them nondeterministically, which is fine
+    * for execution but useless as a reproducible artifact). Boundaries are
+    * planned at z-PREFIX granularity (top 16 bits): a 65 536-row histogram
+    * of prefix counts — metadata-sized no matter how big the corpus — and
+    * for each split k the smallest prefix whose cumulative row count
+    * reaches k/16 of the table. The same discipline as q38's
+    * quantiles-from-histogram: the corpus is aggregated once and never
+    * sorted. */
+  def zorderRanges(s: SparkSession, dir: String): DataFrame = {
+    val z = cells(s, dir).withColumn("zval",
+      graft.expr.ZOrderFunctions.zorder2(col("cellx"), col("celly")))
+    val hist = z.groupBy(expr("CAST(FLOOR(zval / 65536.0) AS BIGINT)").as("prefix"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("prefix"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val n = z.agg(count(lit(1)).as("n"))
+    val splits = (1 until RangeSplits)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS split").mkString(" UNION ALL ")
+    val grid = hist.crossJoin(broadcast(n))
+      .crossJoin(broadcast(s.sql(splits)))
+      .filter(expr(s"cum >= FLOOR(n * split / $RangeSplits.0)"))
+      .groupBy(col("split"))
+      .agg(min(col("prefix")).as("boundary_prefix"))
+    val withRows = grid.join(broadcast(hist.select(col("prefix"), col("cum"))),
+        col("boundary_prefix") === col("prefix"))
+      .select(col("split"), col("boundary_prefix"), col("cum").as("rows_below"))
+      .orderBy(col("split"))
+    withRows
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private def cellCte: String =
@@ -132,6 +205,21 @@ object LayoutOpsImpl {
        |    ${cellSql("o_custkey", "mnc", "mxc")} AS celly
        |  FROM orders, st)""".stripMargin
 
+  /** Shared oracle CTE text: bucket-parallel rank → FileRows-row files —
+    * the SQL mirror of [[fileAssign]] (expects a `z` CTE with o_orderkey,
+    * cellx, celly, zval). */
+  private def rank(layout: String, bucket: String, ord: String): String =
+    s"""SELECT '$layout' AS layout,
+       |  CAST(FLOOR((off + r - 1) / $FileRows.0) AS BIGINT) AS file, cellx, celly, zval
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY $ord) AS r
+       |  FROM (SELECT *, $bucket AS bucket FROM z) zz
+       |) rr JOIN (
+       |  SELECT bucket, COALESCE(SUM(cnt) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM (SELECT $bucket AS bucket, COUNT(*) AS cnt FROM z GROUP BY 1) bc
+       |) oo USING (bucket)""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q125_zorder_key", zorderKey, Some(
       s"""WITH $cellCte
@@ -140,17 +228,6 @@ object LayoutOpsImpl {
          |FROM c ORDER BY o_orderkey""".stripMargin)),
 
     Q("q126_zorder_skipping", zorderSkipping, Some {
-      def rank(layout: String, bucket: String, ord: String) =
-        s"""SELECT '$layout' AS layout,
-           |  CAST(FLOOR((off + r - 1) / $FileRows.0) AS BIGINT) AS file, cellx, celly
-           |FROM (
-           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY $ord) AS r
-           |  FROM (SELECT *, $bucket AS bucket FROM z) zz
-           |) rr JOIN (
-           |  SELECT bucket, COALESCE(SUM(cnt) OVER (ORDER BY bucket
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-           |  FROM (SELECT $bucket AS bucket, COUNT(*) AS cnt FROM z GROUP BY 1) bc
-           |) oo USING (bucket)""".stripMargin
       s"""WITH $cellCte,
          |z AS (SELECT o_orderkey, cellx, celly,
          |  ${ZOrder.interleaveSql("cellx", "celly")} AS zval FROM c),
@@ -174,6 +251,53 @@ object LayoutOpsImpl {
          |  UNION ALL
          |  SELECT layout, 'y_band', files_total, ys FROM fl)
          |ORDER BY layout, query""".stripMargin
+    }),
+
+    Q("q127_zorder_health", zorderHealth, Some(
+      s"""WITH $cellCte,
+         |z AS (SELECT o_orderkey, cellx, celly,
+         |  ${ZOrder.interleaveSql("cellx", "celly")} AS zval FROM c),
+         |f AS (
+         |${rank("arrival", s"CAST(FLOOR(o_orderkey / $FileRows.0) AS BIGINT)", "o_orderkey")}
+         |UNION ALL
+         |${rank("zorder", "CAST(FLOOR(zval / 4194304.0) AS BIGINT)", "zval, o_orderkey")}),
+         |bx AS (
+         |  SELECT layout, file, MIN(zval) AS zmn, MAX(zval) AS zmx
+         |  FROM f GROUP BY layout, file),
+         |ov AS (
+         |  SELECT a.layout AS layout, COUNT(*) AS overlapping_pairs
+         |  FROM bx a JOIN bx b ON a.layout = b.layout
+         |    AND a.zmn <= b.zmx AND b.zmn <= a.zmx
+         |  GROUP BY a.layout),
+         |tt AS (SELECT layout, COUNT(*) AS files_total FROM bx GROUP BY layout)
+         |SELECT t.layout, t.files_total, o.overlapping_pairs,
+         |  CAST(o.overlapping_pairs AS DOUBLE) / t.files_total AS avg_overlap
+         |FROM tt t JOIN ov o USING (layout)
+         |ORDER BY layout""".stripMargin)),
+
+    Q("q128_zorder_ranges", zorderRanges, Some {
+      val splits = (1 until RangeSplits)
+        .map(k => s"SELECT CAST($k AS BIGINT) AS split").mkString(" UNION ALL ")
+      s"""WITH $cellCte,
+         |z AS (SELECT o_orderkey, cellx, celly,
+         |  ${ZOrder.interleaveSql("cellx", "celly")} AS zval FROM c),
+         |hist AS (
+         |  SELECT CAST(FLOOR(zval / 65536.0) AS BIGINT) AS prefix, COUNT(*) AS cnt
+         |  FROM z GROUP BY 1),
+         |cumh AS (
+         |  SELECT prefix, cnt, SUM(cnt) OVER (ORDER BY prefix
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM hist),
+         |nn AS (SELECT COUNT(*) AS n FROM z),
+         |sp AS ($splits),
+         |g AS (
+         |  SELECT split, MIN(prefix) AS boundary_prefix
+         |  FROM cumh, nn, sp
+         |  WHERE cum >= FLOOR(n * split / $RangeSplits.0)
+         |  GROUP BY split)
+         |SELECT g.split, g.boundary_prefix, CAST(c.cum AS BIGINT) AS rows_below
+         |FROM g JOIN cumh c ON c.prefix = g.boundary_prefix
+         |ORDER BY split""".stripMargin
     })
   )
 }

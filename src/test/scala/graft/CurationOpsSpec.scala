@@ -921,4 +921,56 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(("zorder", "y_band"))._2 == zScan.toLong,
       "zorder y_band scan count must match recomputed file boxes")
   }
+
+  test("q127 health metric: z-sorted files are near-disjoint, arrival files are not") {
+    val got = ops.LayoutOpsImpl.zorderHealth(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set("arrival", "zorder"))
+    val (zFiles, _, zOv) = got("zorder")
+    val (aFiles, _, aOv) = got("arrival")
+    assert(zFiles == aFiles, "same rows, same file size, same file count")
+    // z-sorted files have contiguous z ranges: a file overlaps itself and at
+    // most its two neighbours (boundary-straddling equal z values)
+    assert(zOv >= 1.0 && zOv <= 3.0, s"zorder overlap $zOv")
+    assert(aOv >= zOv, "arrival order cannot beat the clustered layout")
+    // recompute the arrival boxes brute-force
+    val cells = ops.LayoutOpsImpl.zorderKey(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    val arrivalBoxes = cells.sortBy(_._1).grouped(ops.LayoutOpsImpl.FileRows)
+      .map(f => (f.map(_._2).min, f.map(_._2).max)).toSeq
+    val pairs = (for {
+      a <- arrivalBoxes; b <- arrivalBoxes
+      if a._1 <= b._2 && b._1 <= a._2
+    } yield 1).size
+    assert(got("arrival")._2 == pairs.toLong, "arrival overlapping pairs")
+  }
+
+  test("q128 range boundaries recompute from the prefix histogram and balance rows") {
+    import ops.LayoutOpsImpl.RangeSplits
+    val zvals = ops.LayoutOpsImpl.zorderKey(spark, dir).collect().map(_.getLong(3))
+    val n = zvals.length
+    val hist = zvals.groupBy(z => z / 65536L).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    val cum = hist.scanLeft((Long.MinValue, 0L)) { case ((_, c), (p, k)) => (p, c + k) }.tail
+    val got = ops.LayoutOpsImpl.zorderRanges(spark, dir).collect()
+    assert(got.length == RangeSplits - 1)
+    got.foreach { r =>
+      val k = r.getLong(0)
+      val target = math.floor(n.toDouble * k / RangeSplits).toLong
+      val expect = cum.find(_._2 >= target).get
+      assert(r.getLong(1) == expect._1, s"split $k boundary")
+      assert(r.getLong(2) == expect._2, s"split $k rows_below")
+    }
+    // boundaries are strictly ordered and the planned partitions are balanced
+    // to within one prefix bucket's population
+    val bs = got.map(_.getLong(1))
+    assert(bs.sameElements(bs.sorted), "boundaries must be nondecreasing")
+    val maxBucket = hist.map(_._2).max
+    got.foreach { r =>
+      val k = r.getLong(0)
+      val target = math.floor(n.toDouble * k / RangeSplits).toLong
+      assert(r.getLong(2) >= target && r.getLong(2) < target + maxBucket,
+        s"split $k rows_below ${r.getLong(2)} must stay within one bucket of $target")
+    }
+  }
 }
