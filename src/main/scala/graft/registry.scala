@@ -43,7 +43,8 @@ object Registry {
       ops.DedupOps.queries ++
       ops.VectorOps.queries ++
       ops.MultimodalOps.queries ++
-      ops.LayoutOpsImpl.queries
+      ops.LayoutOpsImpl.queries ++
+      ops.BpeOpsImpl.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
