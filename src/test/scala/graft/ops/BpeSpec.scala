@@ -68,6 +68,26 @@ class BpeSpec extends SparkSpec {
     assert(merged == expected.map(_._2.replace(" ", "")))
   }
 
+  test("q130 per-doc token counts match independently applied learned merges") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val merges = learn(corpusVocab(docs.map(_._2)), BpeOpsImpl.Merges, applyEngine).map(_._2)
+    def tokens(word: String): Long = {
+      val repr = merges.foldLeft(word.map(_.toString).mkString(" "))(applyEngine)
+      repr.split(' ').length.toLong
+    }
+    val expected = docs.flatMap { case (id, text) =>
+      val ws = text.split(' ').filter(_.nonEmpty)
+      if (ws.isEmpty) None
+      else Some((id, ws.length.toLong, ws.map(tokens).sum))
+    }.sortBy(_._1)
+    val got = BpeOpsImpl.bpeEncode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
   test("two-pass padded replace equals classic BPE on the real corpus") {
     val dir = "/root/testdata/sf0.001"
     val texts = Tables(spark, dir, "documents")
