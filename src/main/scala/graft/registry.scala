@@ -28,9 +28,22 @@ object Tables {
     graft.expr.DotF64.register(spark) // ops emit dotf64(...) SQL; see its scaladoc
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") {
+      // The driver has shipped ts as TIMESTAMP(NANOS) (readable only as
+      // long under the legacy conf) and as plain TIMESTAMP(MICROS) (read
+      // as TIMESTAMP_NTZ) in different rounds — normalize either encoding
+      // to session-zone TimestampType (UTC everywhere in this repo).
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case TimestampType => df
+        case _ => // TIMESTAMP_NTZ: wall-clock == instant under UTC session tz
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      }
+    } else df
   }
 }
 
