@@ -15,6 +15,11 @@ run / fork := true
 // every child stdout line in "[info] ", which breaks any caller parsing
 // machine-readable output (graft.Bench's JSON metric line).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and sbt's own "[success] Total time: ..." epilogue prints AFTER the
+// child exits, so a tail-anchored parse still saw it as the last stdout
+// line (BENCH_r04 recorded the JSON line followed by "[success] ...").
+// Suppress it so graft.Bench's JSON metric line really is the last word.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

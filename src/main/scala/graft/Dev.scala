@@ -11,22 +11,29 @@ object Dev {
     val sfDir = args(0)
     val outDir = args(1)
     val prefixes = if (args.length > 2) args.drop(2).toSeq else Seq("")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_DEV_REPEAT", "1").toInt
     val selected = Registry.all.filter(q => prefixes.exists(q.name.startsWith))
     selected.foreach { q =>
-      val t0 = System.nanoTime()
-      try {
-        q.fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/${q.name}")
-        println(f"[dev] ${q.name} ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
-      } catch {
-        case e: Throwable => println(s"[dev] ${q.name} FAILED: ${e.getMessage.take(300)}")
+      (1 to repeat).foreach { r =>
+        val t0 = System.nanoTime()
+        try {
+          // no coalesce(1): it would collapse the whole query into ONE task
+          // and make every timing here look serial
+          q.fn(spark, sfDir).write.mode("overwrite").parquet(s"$outDir/${q.name}")
+          println(f"[dev] ${q.name} ok in ${(System.nanoTime() - t0) / 1e9}%.1fs" +
+            (if (repeat > 1) s" (run $r)" else ""))
+        } catch {
+          case e: Throwable => println(s"[dev] ${q.name} FAILED: ${e.getMessage.take(300)}")
+        }
       }
     }
     // Same escaping as Verify — subset oracle for tools/oracle_check.py.

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, regexp_replace}
 
 import graft.{Q, Tables}
 
@@ -72,8 +73,16 @@ object BpeOpsImpl {
 
   /** r0 (char-split vocab) + per-iteration pair-count / argmax / merge
     * CTEs. Learning needs the merged vocab only up to r{Merges-1};
-    * encoding also needs the final r{Merges}. */
-  private def ctes(d: Dialect, finalApply: Boolean): String = {
+    * encoding also needs the final r{Merges}.
+    *
+    * `r0From`: Spark INLINES WITH-CTEs, so every chain that reaches back to
+    * r0 (each p_i, each m_i scalar subquery, tok, …) re-ran the corpus-wide
+    * vocabulary aggregation — ~8× for Merges=3 (r4 bench: q130 12.5 s).
+    * The Spark side therefore materializes r0 once as a memoized cached
+    * temp view and rebases the CTE chain on it; every later stage is
+    * vocab-sized. DuckDB (the oracle) keeps the self-contained form. */
+  private def ctes(d: Dialect, finalApply: Boolean,
+      r0From: Option[String] = None): String = {
     def pairs(i: Int) =
       s"""p$i AS (
          |  SELECT pr AS pair, SUM(freq) AS cnt FROM (
@@ -95,20 +104,27 @@ object BpeOpsImpl {
       Seq(pairs(i), best(i)) ++
         (if (i < Merges || finalApply) Seq(apply(i)) else Nil))
       .mkString(",\n")
+    val r0 = r0From match {
+      case Some(view) => s"r0 AS (SELECT word, freq, repr FROM $view)"
+      case None => r0Sql(d)
+    }
+    s"""$r0,
+       |$stages""".stripMargin
+  }
+
+  private def r0Sql(d: Dialect): String =
     s"""r0 AS (
        |  SELECT word, freq, ${d.charsJoined("word")} AS repr
        |  FROM (
        |    SELECT word, COUNT(*) AS freq FROM (
        |      SELECT ${d.explode(d.split("text"))} AS word FROM ${d.table}) w
-       |    WHERE word <> '' GROUP BY word) v),
-       |$stages""".stripMargin
-  }
+       |    WHERE word <> '' GROUP BY word) v)""".stripMargin
 
-  private def learnSql(d: Dialect): String = {
+  private def learnSql(d: Dialect, r0From: Option[String] = None): String = {
     val out = (1 to Merges).map(i =>
       s"SELECT CAST($i AS BIGINT) AS merge_rank, pair, replace(pair, ' ', '') AS merged, CAST(cnt AS BIGINT) AS cnt FROM m$i")
       .mkString(" UNION ALL ")
-    s"""WITH ${ctes(d, finalApply = false)}
+    s"""WITH ${ctes(d, finalApply = false, r0From)}
        |SELECT merge_rank, pair, merged, cnt FROM ($out) ORDER BY merge_rank""".stripMargin
   }
 
@@ -116,8 +132,8 @@ object BpeOpsImpl {
     * VOCAB once (|vocab| rows), then equi-join counts back to the
     * exploded corpus. Documents with no non-empty words drop out (no
     * words => nothing to tokenize) — identically in both engines. */
-  private def encodeSql(d: Dialect): String =
-    s"""WITH ${ctes(d, finalApply = true)},
+  private def encodeSql(d: Dialect, r0From: Option[String] = None): String =
+    s"""WITH ${ctes(d, finalApply = true, r0From)},
        |tok AS (SELECT word, CAST(${d.size(d.split("repr"))} AS BIGINT) AS n_tok FROM r$Merges),
        |w AS (SELECT doc_id, word FROM (
        |  SELECT doc_id, ${d.explode(d.split("text"))} AS word FROM ${d.table}) x
@@ -127,16 +143,82 @@ object BpeOpsImpl {
        |FROM w JOIN tok ON w.word = tok.word
        |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin
 
+  /** Spark-side BPE learning as an ITERATIVE driver loop over the
+    * vocabulary — the shape k-means and connected-components already use:
+    * one corpus-sized aggregation builds r0 (cached), then each merge
+    * iteration is two vocab-scale jobs (pair-count argmax; merge apply)
+    * with `localCheckpoint` truncating lineage between rounds. The
+    * previous single unrolled plan was semantically identical but Spark
+    * INLINES CTEs, so every chain back to r_i re-ran the whole prefix —
+    * q129+q130 cost ~12 s at sf0.1 mostly re-deriving the same vocab
+    * states. The DuckDB oracle keeps the self-contained unrolled form;
+    * both sides share the same dialect SQL fragments, so the semantics
+    * pin (BpeSpec) is unchanged.
+    *
+    * Memoized per (session, dir): q129 (merge table) and q130 (encode)
+    * share one learning run. */
+  private def learned(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
+    val key = (s, dir)
+    bpeCache.computeIfAbsent(key, { _ =>
+      Tables(s, dir, "documents").createOrReplaceTempView("gdocs_bpe")
+      var r = s.sql(s"WITH ${r0Sql(spark_)} SELECT word, freq, repr FROM r0")
+        .localCheckpoint()
+      val ms = Seq.newBuilder[DataFrame]
+      for (_ <- 1 to Merges) {
+        r.createOrReplaceTempView("gbpe_r")
+        // same pair-count/argmax text as ctes().pairs/best, rebased on the
+        // materialized current vocab
+        val m = s.sql(
+          s"""SELECT pair, cnt FROM (
+             |  SELECT pr AS pair, SUM(freq) AS cnt FROM (
+             |    SELECT freq, ${spark_.explode(spark_.pairList("sy"))} AS pr
+             |    FROM (SELECT freq, ${spark_.split("repr")} AS sy FROM gbpe_r
+             |          WHERE ${spark_.size(spark_.split("repr"))} >= 2) t)
+             |  GROUP BY pr)
+             |ORDER BY cnt DESC, pair ASC LIMIT 1""".stripMargin).localCheckpoint()
+        ms += m
+        m.createOrReplaceTempView("gbpe_m")
+        val pat = "' ' || (SELECT pair FROM gbpe_m) || ' '"
+        val rep = "' ' || (SELECT replace(pair, ' ', '') FROM gbpe_m) || ' '"
+        r = s.sql(
+          s"""SELECT word, freq, TRIM(replace(replace(' ' || repr || ' ',
+             |  $pat, $rep), $pat, $rep)) AS repr
+             |FROM gbpe_r""".stripMargin).localCheckpoint()
+      }
+      (ms.result(), r)
+    })
+  }
+
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Seq[DataFrame], DataFrame)]()
+
+  def clearCaches(): Unit = bpeCache.clear()
+
   /** q129: the learned merge table over the documents corpus. */
   def bpeMerges(s: SparkSession, dir: String): DataFrame = {
-    Tables(s, dir, "documents").createOrReplaceTempView("gdocs_bpe")
-    s.sql(learnSql(spark_))
+    val (ms, _) = learned(s, dir)
+    ms.zipWithIndex.map { case (m, i) =>
+      m.select(lit(i + 1L).as("merge_rank"), col("pair"),
+        regexp_replace(col("pair"), " ", "").as("merged"),
+        col("cnt").cast("bigint").as("cnt"))
+    }.reduce(_ union _).orderBy(col("merge_rank"))
   }
 
   /** q130: per-document BPE token counts under the learned merges. */
   def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val (_, rFinal) = learned(s, dir)
     Tables(s, dir, "documents").createOrReplaceTempView("gdocs_bpe")
-    s.sql(encodeSql(spark_))
+    rFinal.createOrReplaceTempView("gbpe_rfinal")
+    s.sql(
+      s"""WITH tok AS (SELECT word, CAST(${spark_.size(spark_.split("repr"))} AS BIGINT) AS n_tok
+         |            FROM gbpe_rfinal),
+         |w AS (SELECT doc_id, word FROM (
+         |  SELECT doc_id, ${spark_.explode(spark_.split("text"))} AS word FROM gdocs_bpe) x
+         |  WHERE word <> '')
+         |SELECT w.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(tok.n_tok) AS BIGINT) AS n_tokens
+         |FROM w JOIN tok ON w.word = tok.word
+         |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin)
   }
 
   def queries: Seq[Q] = Seq(

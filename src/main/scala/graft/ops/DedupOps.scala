@@ -57,8 +57,25 @@ object DedupOpsImpl {
       .agg(min(col("doc_id")).as("canonical_doc"), count(lit(1)).as("n_copies"))
       .orderBy(col("canonical_doc"))
 
-  /** Near-dup pairs by n-gram Jaccard ≥ 0.5 over the rare-shingle space. */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** Near-dup pairs by n-gram Jaccard ≥ 0.5 over the rare-shingle space.
+    *
+    * Memoized CACHED pair set per (session, dir): the verified pair graph is
+    * tiny (near-dup docs only) but its generator is the DF-capped self-join,
+    * and SIX consumers start here (q41, q45, q46/q67 components, q100 recall
+    * panel ×2, q110 leakage) — without the memo each re-ran the join
+    * (r4 bench: q110 9.0 s, q100 5.1 s, mostly this plan). */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Memo.getOrCache(ngramPairsCache, s, dir, _ =>
+      // localCheckpoint, not .cache(): the pair set is tiny but its plan is
+      // the DF-capped self-join over the shingle view — consumers composing
+      // several memoized views (q100's four-generator panel) would re-pay
+      // analysis of each embedded join tree on every call
+      ngramJaccardPlan(s, dir).localCheckpoint())
+
+  private val ngramPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def ngramJaccardPlan(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select("sh")
@@ -137,8 +154,17 @@ object DedupOpsImpl {
 
   /** LSH candidate pairs: 4 bands × 2 rows; same band hash → candidate.
     * Buckets larger than BucketCap are dropped (standard LSH cap — they are
-    * stop-shingle artifacts and would produce quadratic pair blowup). */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    * stop-shingle artifacts and would produce quadratic pair blowup).
+    * Memoized cached pair set, same rationale as [[ngramJaccard]]
+    * (consumers: q42, q45 verify, q100 panel ×2, q123 S-curve). */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Memo.getOrCache(lshPairsCache, s, dir, _ =>
+      minhashLshPlan(s, dir).localCheckpoint())
+
+  private val lshPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def minhashLshPlan(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(s, dir)
       .withColumn("bands", array(
         (0 until 4).map(b => struct(lit(b).as("band"),
@@ -157,8 +183,17 @@ object DedupOpsImpl {
   }
 
   /** 16-bit SimHash over distinct tokens; bit j comes from nibble j/4 of the
-    * token's md5 (nibble decoded portably via strpos on the hex alphabet). */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
+    * token's md5 (nibble decoded portably via strpos on the hex alphabet).
+    * Memoized cached (doc_id, simhash) view — q43 and the q100 panel's
+    * simhash-bucket generator share one 16-lane aggregation. */
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Memo.getOrCache(simhashCache, s, dir, _ =>
+      simhashPlan(s, dir).localCheckpoint())
+
+  private val simhashCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def simhashPlan(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables(s, dir, "documents")
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tk"))
       .withColumn("h", md5(col("tk")))
@@ -216,6 +251,10 @@ object DedupOpsImpl {
   def clearCaches(): Unit = {
     graft.ops.Memo.clear(shinglesCache)
     graft.ops.Memo.clear(componentsCache)
+    graft.ops.Memo.clear(ngramPairsCache)
+    graft.ops.Memo.clear(lshPairsCache)
+    graft.ops.Memo.clear(simhashCache)
+    graft.ops.Memo.clear(truthPairsCache)
   }
 
   private def shingleComponents(s: SparkSession, dir: String): DataFrame =
@@ -419,17 +458,30 @@ object DedupOpsImpl {
     * One row per method: (method, truth_pairs, found_pairs, true_found,
     * recall, precision); both ratios are single double divisions of exact
     * counts (cross-engine safe). */
+  /** The sampled EXACT-Jaccard pair enumeration (a_id, b_id, j) shared by
+    * the q100 recall panel and the q123 S-curve — memoized cached view so
+    * the uncapped (sample-bounded) self-join runs once per (session, dir). */
+  private def recallTruthPairs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Memo.getOrCache(truthPairsCache, s, dir, { _ =>
+      val ssh = shingles(s, dir).filter(inRecallSample("doc_id"))
+      val sizes = ssh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      ssh.as("a").join(ssh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.toDF("a_id", "na"), "a_id")
+        .join(sizes.toDF("b_id", "nb"), "b_id")
+        .withColumn("j",
+          col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+        .select(col("a_id"), col("b_id"), col("j"))
+        .localCheckpoint()
+    })
+
+  private val truthPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def dedupRecall(s: SparkSession, dir: String): DataFrame = {
-    val ssh = shingles(s, dir).filter(inRecallSample("doc_id"))
-    val sizes = ssh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val truth = ssh.as("a").join(ssh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.toDF("a_id", "na"), "a_id")
-      .join(sizes.toDF("b_id", "nb"), "b_id")
-      .filter(col("inter").cast(DoubleType)
-        / (col("na") + col("nb") - col("inter")) >= 0.5)
+    val truth = recallTruthPairs(s, dir).filter(col("j") >= 0.5)
       .select(col("a_id"), col("b_id"))
 
     val simPairs = {
@@ -484,16 +536,7 @@ object DedupOpsImpl {
     * DECIMAL(38,0) sum discipline so the per-bucket average is
     * order-independent and bitwise cross-engine. */
   def lshScurve(s: SparkSession, dir: String): DataFrame = {
-    val ssh = shingles(s, dir).filter(inRecallSample("doc_id"))
-    val sizes = ssh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = ssh.as("a").join(ssh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.toDF("a_id", "na"), "a_id")
-      .join(sizes.toDF("b_id", "nb"), "b_id")
-      .withColumn("j",
-        col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+    val pairs = recallTruthPairs(s, dir)
     val collided = minhashLsh(s, dir)
       .filter(inRecallSample("a_id") && inRecallSample("b_id"))
       .withColumn("hit", lit(1L))

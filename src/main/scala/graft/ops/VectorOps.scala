@@ -134,6 +134,7 @@ object VectorOpsImpl {
     graft.ops.Memo.clear(pqKmeansIndexCache)
     graft.ops.Memo.clear(embedComponentsCache)
     graft.ops.Memo.clear(knnGraphCache)
+    graft.ops.Memo.clear(annPanelCache)
     centroidCache.clear()
     kmeansCache.clear()
     pqKmeansCache.clear()
@@ -1412,12 +1413,33 @@ object VectorOpsImpl {
     "kmeans_ivfpq" -> kmeansIvfPqTopK(s, dir),
     "pq_adc" -> pqAdcTopK(s, dir))
 
+  /** The tagged (path, query_id, rn, neighbor_id) union of every
+    * approximate path's top-3 — memoized CACHED view shared by q77 and
+    * q113: the panel is queries × 3 × 9 rows (tiny) but its generator runs
+    * all nine probe plans, and without the memo BOTH measurement queries
+    * re-ran the full panel (r4 bench: q77 32 s + q113 36 s; one
+    * materialization serves both). */
+  private def annPanel(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Memo.getOrCache(annPanelCache, s, dir, _ =>
+      // localCheckpoint PER PATH, not .cache() on the union: a cached union
+      // keeps the nine probe plans as lineage, and analyzing that composite
+      // tree (windows + joins + k×64 baked-literal arrays per path) cost
+      // more DRIVER time than the probes cost executor time — q77 stayed
+      // ~30 s with a fully warm cache. Checkpointing each path's (queries×3)-row
+      // result truncates lineage, so the panel's consumers analyze a
+      // nine-way union of tiny LogicalRDDs instead.
+      annPaths(s, dir).map { case (p, df) =>
+        df.select(lit(p).as("path"), col("query_id"), col("rn"), col("neighbor_id"))
+          .localCheckpoint()
+      }.reduce(_ union _))
+
+  private val annPanelCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     val exact = cosineTopK(s, dir).filter(col("rn") <= 3)
       .select(col("query_id"), col("neighbor_id"))
-    val approx = annPaths(s, dir).map { case (p, df) =>
-      df.select(lit(p).as("path"), col("query_id"), col("neighbor_id"))
-    }.reduce(_ union _)
+    val approx = annPanel(s, dir).select(col("path"), col("query_id"), col("neighbor_id"))
     val hits = approx
       .join(broadcast(exact.withColumn("hit", lit(1L))),
         Seq("query_id", "neighbor_id"), "left")
@@ -1463,9 +1485,7 @@ object VectorOpsImpl {
   def rankMetrics(s: SparkSession, dir: String): DataFrame = {
     val exact = cosineTopK(s, dir).filter(col("rn") <= 3)
       .select(col("query_id"), col("neighbor_id"))
-    val approx = annPaths(s, dir).map { case (p, df) =>
-      df.select(lit(p).as("path"), col("query_id"), col("rn"), col("neighbor_id"))
-    }.reduce(_ union _)
+    val approx = annPanel(s, dir)
     val graded = approx
       .join(broadcast(exact.withColumn("hit", lit(1L))),
         Seq("query_id", "neighbor_id"), "left")
