@@ -54,7 +54,17 @@ object VectorOpsImpl {
       .orderBy(col("vec_id"))
 
   /** Brute-force cosine top-5 per query vector (query set = vec_id < 8). */
-  def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+  def cosineTopK(s: SparkSession, dir: String): DataFrame =
+    // memoized checkpointed view: the exact top-5 is the ground truth for
+    // q51 plus three measurement panels (q77/q113/q90-family) — one brute
+    // pass serves all, and the 8×5-row result carries no lineage
+    graft.ops.Memo.getOrCache(exactTopKCache, s, dir, _ =>
+      cosineTopKPlan(s, dir).localCheckpoint())
+
+  private val exactTopKCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def cosineTopKPlan(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -135,6 +145,7 @@ object VectorOpsImpl {
     graft.ops.Memo.clear(embedComponentsCache)
     graft.ops.Memo.clear(knnGraphCache)
     graft.ops.Memo.clear(annPanelCache)
+    graft.ops.Memo.clear(exactTopKCache)
     centroidCache.clear()
     kmeansCache.clear()
     pqKmeansCache.clear()
