@@ -365,6 +365,40 @@ object DedupOpsImpl {
     labels
   }
 
+  /** Shard count for [[dedupShards]] (q133). */
+  val NumShards = 8
+
+  /** Dedup-AWARE shard assignment (q133): partition the corpus into
+    * [[NumShards]] shards such that every near-dup cluster lands WHOLLY in
+    * one shard — the layout that lets dedup (and keep-best
+    * canonicalization) run shard-LOCAL at 100 TB with no cross-shard pair
+    * work or reconciliation pass. Shard = md5 nibble of the cluster's
+    * component id (singletons hash their own doc_id), so placement is a
+    * pure function of the component map: cluster-atomic by construction,
+    * md5-uniform in expectation. Output is the per-shard balance report
+    * (docs, clustered docs, clusters) a layout owner reads; the
+    * cluster-atomicity invariant itself is pinned by spec (every component
+    * maps to exactly one shard, by construction of the hash).
+    *
+    * Scale shape: the component map is pair-graph-sized (broadcast); the
+    * corpus is scanned once with a narrow hash projection and one
+    * [[NumShards]]-row aggregation — repartitioning the actual bytes by
+    * the same key is the writer's `repartition(shard)` away. */
+  def dedupShards(s: SparkSession, dir: String): DataFrame = {
+    val comp = shingleComponents(s, dir).select(col("id").as("doc_id"), col("comp"))
+    val docs = Tables(s, dir, "documents").select(col("doc_id"))
+    docs.join(broadcast(comp), Seq("doc_id"), "left")
+      .withColumn("shard", expr(
+        s"(instr('0123456789abcdef', substr(md5(concat('shard:', " +
+          s"CAST(coalesce(comp, doc_id) AS STRING))), 1, 1)) - 1) % $NumShards")
+        .cast(LongType))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("comp").isNotNull, 1L).otherwise(0L)).as("n_clustered"),
+        countDistinct(col("comp")).as("n_clusters"))
+      .orderBy(col("shard"))
+  }
+
   /** Train/benchmark contamination check: which training documents share
     * content (3-token shingles) with a held-out set (doc_id % 50 == 0 here;
     * in production, the eval benchmarks). The held-out distinct-shingle set
@@ -606,6 +640,37 @@ object DedupOps {
          |JOIN sizes nb ON nb.doc_id = b_id
          |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin), headline = true),
+
+    Q("q133_dedup_shards", dedupShards, Some(
+      s"""WITH RECURSIVE $shingleSql,
+         |rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= $DfCap),
+         |docsh AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM docsh GROUP BY doc_id),
+         |jp AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |    FROM docsh a JOIN docsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) p
+         |  JOIN sizes na ON na.doc_id = a_id JOIN sizes nb ON nb.doc_id = b_id
+         |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5),
+         |nodes AS (SELECT a_id AS id FROM jp UNION SELECT b_id FROM jp),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM jp
+         |          UNION ALL SELECT b_id, a_id FROM jp),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |comp AS (SELECT id AS doc_id, MIN(r) AS comp FROM reach GROUP BY id),
+         |a AS (
+         |  SELECT d.doc_id, c.comp,
+         |    (strpos('0123456789abcdef', substr(md5('shard:' ||
+         |      CAST(COALESCE(c.comp, d.doc_id) AS VARCHAR)), 1, 1)) - 1) % $NumShards
+         |      AS shard
+         |  FROM documents d LEFT JOIN comp c USING (doc_id))
+         |SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN comp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+         |  CAST(COUNT(DISTINCT comp) AS BIGINT) AS n_clusters
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin)),
 
     Q("q110_dedup_split_leakage", splitLeakage, Some {
       def splitSql(id: String) = {

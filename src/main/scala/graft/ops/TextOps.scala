@@ -1445,6 +1445,70 @@ object TextOpsImpl {
 
   def bm25TopK(s: SparkSession, dir: String): DataFrame =
     bm25Over(lexPostings(Tables(s, dir, "documents")), s)
+
+  /** Count-min sketch geometry for q132: [[CmsDepth]] independent md5-keyed
+    * hash rows × [[CmsWidth]] cells. Width 16 (one hex nibble) is sized to
+    * FORCE collisions on this corpus so the estimate/exact gap is a real
+    * measurement; production sizes width ≈ e/ε for target overcount ε·N. */
+  val CmsDepth = 4
+  val CmsWidth = 16
+  val CmsTopK = 20
+
+  private def cmsHash(i: Int, instrFn: String, word: String): String =
+    s"($instrFn('0123456789abcdef', substr(md5(concat('cms$i:', $word)), 1, 1)) - 1)"
+
+  /** Count-min sketch heavy hitters (q132): the mergeable frequency
+    * structure a 100 TB term-stats job actually ships — each executor
+    * sketches its partition into a depth×width integer grid, grids merge
+    * by cell-wise addition (one tiny reduce, never a vocab-sized shuffle),
+    * and any term's count is estimated as the MIN over its depth cells
+    * (overcount-only error ≤ ε·N with prob 1-δ). The panel reports the
+    * top-[[CmsTopK]] true heavy hitters with exact count, CMS estimate and
+    * the realized overcount — the validation a user sizing depth/width
+    * reads. Deterministic: hashes are md5 nibbles, all math integer.
+    *
+    * The gate form computes cells from the exact word-count table (so the
+    * DuckDB mirror is the same aggregation); the streaming/mapPartitions
+    * form would sketch rows directly — identical cell contents by
+    * additivity. */
+  def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val wc = Tables(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val withH = (0 until CmsDepth).map(i =>
+      wc.select(col("word"), col("cnt"), lit(i).as("r"),
+        expr(cmsHash(i, "instr", "word")).cast(LongType).as("h"))).reduce(_ union _)
+    val cells = withH.groupBy(col("r"), col("h")).agg(sum(col("cnt")).as("total"))
+    withH.join(cells, Seq("r", "h"))
+      .groupBy(col("word"))
+      .agg(max(col("cnt")).as("n_exact"), min(col("total")).as("cms_est"))
+      .select(col("word"), col("n_exact"), col("cms_est"),
+        (col("cms_est") - col("n_exact")).as("overcount"))
+      .orderBy(col("n_exact").desc, col("word"))
+      .limit(CmsTopK)
+  }
+
+  /** DuckDB mirror of [[cmsHeavyHitters]]. */
+  private[ops] def cmsOracleSql: String = {
+    val wh = (0 until CmsDepth).map(i =>
+      s"SELECT word, cnt, $i AS r, ${cmsHash(i, "strpos", "word")} AS h FROM wc")
+      .mkString("\n  UNION ALL ")
+    s"""WITH wc AS (
+       |  SELECT word, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
+       |  WHERE word <> '' GROUP BY word),
+       |wh AS (
+       |  $wh),
+       |cells AS (SELECT r, h, CAST(SUM(cnt) AS BIGINT) AS total
+       |          FROM wh GROUP BY r, h)
+       |SELECT wh.word, CAST(MAX(wh.cnt) AS BIGINT) AS n_exact,
+       |  CAST(MIN(c.total) AS BIGINT) AS cms_est,
+       |  CAST(MIN(c.total) - MAX(wh.cnt) AS BIGINT) AS overcount
+       |FROM wh JOIN cells c ON c.r = wh.r AND c.h = wh.h
+       |GROUP BY wh.word
+       |ORDER BY n_exact DESC, word LIMIT $CmsTopK""".stripMargin
+  }
 }
 
 object TextOps {
@@ -2040,6 +2104,8 @@ object TextOps {
         |  CAST(SUM(CAST(FLOOR(p * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 / COUNT(*) AS mean_p,
         |  MIN(p) AS min_p
         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("q132_text_cms", cmsHeavyHitters, Some(cmsOracleSql)),
 
     Q("q121_text_vocab_sketch", vocabSketch, Some {
       val nibSum = (1 to 15).map { i =>

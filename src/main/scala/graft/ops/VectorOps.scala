@@ -1188,6 +1188,52 @@ object VectorOpsImpl {
   def knnGraph(s: SparkSession, dir: String): DataFrame =
     knnGraphRaw(s, dir).orderBy(col("src"), col("rn"))
 
+  /** PageRank damping / base and fixed iteration count for q131. */
+  val PrDamp = 0.85
+  val PrBase = 0.15
+  val PrIters = 3
+
+  /** Graph CENTRALITY over the kNN graph (q131): [[PrIters]] fixed
+    * PageRank iterations on the directed q93 edge list — the
+    * data-selection signal the clustering (q97) and outlier (q108) views
+    * don't give: which documents sit at the CENTER of the corpus'
+    * similarity structure (high in-link mass from other docs' top-k
+    * lists) versus its periphery. Used in production to bias sampling
+    * toward prototypical documents or, inverted, toward diverse tails.
+    * Dangling mass is dropped (nodes with no out-edges contribute
+    * nothing) — the standard simplification, mirrored by the oracle.
+    *
+    * Determinism: per-node in-sums use the floor-quantized
+    * DECIMAL(38,0) discipline (order-independent); the recurrence
+    * base + damp * sum is the same two IEEE ops in both engines (the
+    * constants interpolate as `0.15e0` e-notation so neither parser
+    * types them DECIMAL). Scale shape: scores are one row per node;
+    * each iteration is one shuffle of the n×k edge list on dst with
+    * map-side partial aggregation; `localCheckpoint` truncates lineage
+    * between rounds (the k-means/components discipline). At 100 TB the
+    * edge list is k× the corpus row count — metadata next to the text —
+    * and iterations are a fixed small budget. */
+  def knnPagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = knnGraphRaw(s, dir).select(col("src"), col("dst"))
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    val nodes = Tables(s, dir, "embeddings").select(col("vec_id"))
+    var scores = nodes.withColumn("score", lit(1.0)).localCheckpoint()
+    for (_ <- 1 to PrIters) {
+      val contrib = edges.join(outdeg, "src")
+        .join(scores.select(col("vec_id").as("src"), col("score")), "src")
+        .select(col("dst").as("vec_id"), (col("score") / col("outdeg")).as("c"))
+      val summed = contrib.groupBy(col("vec_id"))
+        .agg(expr("CAST(SUM(CAST(FLOOR(c * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12")
+          .as("in_sum"))
+      scores = nodes.join(summed, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(PrBase) + lit(PrDamp) * coalesce(col("in_sum"), lit(0.0))).as("score"))
+        .localCheckpoint()
+    }
+    scores.orderBy(col("vec_id"))
+  }
+
   /** Graph CLUSTERING over the kNN graph — communities from MUTUAL kNN
     * edges (a lists b AND b lists a: the standard symmetrization that
     * separates genuine neighborhoods from one-sided hub attraction), then
@@ -2081,6 +2127,23 @@ object VectorOps {
          |ORDER BY src, rn""".stripMargin)),
 
     Q("q99_embed_graph_search", graphSearch, Some(q99Sql)),
+
+    Q("q131_embed_pagerank", knnPagerank, Some {
+      def iter(i: Int) =
+        s"""s$i AS (
+           |  SELECT e.vec_id, ${PrBase}e0 + ${PrDamp}e0 * COALESCE(t.in_sum, 0e0) AS score
+           |  FROM embeddings e LEFT JOIN (
+           |    SELECT g.dst AS vec_id,
+           |      CAST(SUM(CAST(FLOOR((p.score / od.outdeg) * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS in_sum
+           |    FROM g JOIN od ON od.src = g.src JOIN s${i - 1} p ON p.vec_id = g.src
+           |    GROUP BY g.dst) t ON t.vec_id = e.vec_id)""".stripMargin
+      s"""$knnGraphSqlCtes,
+         |g AS (SELECT src, dst FROM r WHERE rn <= $KnnK),
+         |od AS (SELECT src, COUNT(*) AS outdeg FROM g GROUP BY src),
+         |s0 AS (SELECT vec_id, 1e0 AS score FROM embeddings),
+         |${(1 to PrIters).map(iter).mkString(",\n")}
+         |SELECT vec_id, score FROM s$PrIters ORDER BY vec_id""".stripMargin
+    }),
 
     Q("q108_embed_outliers", knnOutliers, Some(
       s"""$knnGraphSqlCtes,

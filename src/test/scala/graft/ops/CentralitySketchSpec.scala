@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Invariants of the round-5 measurement/layout operators: kNN PageRank
+  * (q131), count-min heavy hitters (q132), dedup-aware sharding (q133). */
+class CentralitySketchSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q131 pagerank: every score >= base, isolated nodes sit exactly at base") {
+    val pr = VectorOpsImpl.knnPagerank(spark, dir)
+    val base = VectorOpsImpl.PrBase
+    assert(pr.filter(col("score") < base - 1e-12).count() === 0,
+      "damped recurrence can never drop below the base mass")
+    // nodes that receive no in-links (not a dst of any kNN edge) stay at base
+    val edges = VectorOpsImpl.knnGraph(spark, dir).select(col("dst"))
+    val isolated = pr.join(edges, pr("vec_id") === edges("dst"), "left_anti")
+    val distinctScores = isolated.select(col("score")).distinct().collect()
+    assert(distinctScores.nonEmpty, "the sf0.001 graph must leave some node unlinked")
+    assert(distinctScores.forall(_.getDouble(0) == base),
+      s"no-in-link nodes must score exactly $base")
+    // centrality is informative: linked nodes separate from the base mass
+    assert(pr.filter(col("score") > base + 1e-9).count() > 0)
+  }
+
+  test("q132 count-min: estimates only ever overcount, and bound the exact count") {
+    val hh = TextOpsImpl.cmsHeavyHitters(spark, dir).collect()
+    assert(hh.length > 0)
+    hh.foreach { r =>
+      val exact = r.getAs[Long]("n_exact")
+      val est = r.getAs[Long]("cms_est")
+      assert(est >= exact, s"CMS must never undercount: ${r}")
+      assert(r.getAs[Long]("overcount") === est - exact)
+    }
+    // width 16 on this corpus must actually collide somewhere, or the
+    // estimate/exact panel measures nothing
+    assert(hh.exists(_.getAs[Long]("overcount") > 0),
+      "sketch width is sized to force collisions on the gate corpus")
+  }
+
+  test("q133 shards: cluster-atomic, covering, and balanced counts reconcile") {
+    val shards = DedupOpsImpl.dedupShards(spark, dir).collect()
+    val nDocs = graft.Tables(spark, dir, "documents").count()
+    assert(shards.map(_.getAs[Long]("n_docs")).sum === nDocs,
+      "shard sizes must partition the corpus")
+    // atomicity: recompute the per-doc assignment and check every component
+    // lands on exactly one shard
+    val comp = DedupOpsImpl.dedupComponents(spark, dir)
+      .select(col("doc_id"), col("component"))
+    val assigned = comp.withColumn("shard", expr(
+      s"(instr('0123456789abcdef', substr(md5(concat('shard:', " +
+        s"CAST(component AS STRING))), 1, 1)) - 1) % ${DedupOpsImpl.NumShards}"))
+    val split = assigned.groupBy(col("component"))
+      .agg(countDistinct(col("shard")).as("n_shards"))
+      .filter(col("n_shards") > 1)
+    assert(split.count() === 0, "a near-dup cluster must never span shards")
+    // clustered-doc totals reconcile with the component map
+    assert(shards.map(_.getAs[Long]("n_clustered")).sum === comp.count())
+  }
+}
