@@ -64,7 +64,21 @@ object VectorOpsImpl {
   private val exactTopKCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def cosineTopKPlan(s: SparkSession, dir: String): DataFrame = {
+  /** Generic (session, dir, path-name)-keyed memo for the per-path ANN
+    * top-3 results: each is queries×3 rows behind an expensive probe plan,
+    * and each is consumed TWICE per Verify/Bench session (its own gate +
+    * the q77/q113 panel). `localCheckpoint` so consumers carry no probe
+    * lineage. Plan locks target the `*Plan` builders, which stay the
+    * single source of the probe shape. */
+  private val pathResultCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def memoPath(s: SparkSession, dir: String, name: String)(
+      build: => DataFrame): DataFrame =
+    graft.ops.Memo.getOrCache(pathResultCache, s, s"$dir#$name",
+      _ => build.localCheckpoint())
+
+  private[graft] def cosineTopKPlan(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -146,6 +160,7 @@ object VectorOpsImpl {
     graft.ops.Memo.clear(knnGraphCache)
     graft.ops.Memo.clear(annPanelCache)
     graft.ops.Memo.clear(exactTopKCache)
+    graft.ops.Memo.clear(pathResultCache)
     centroidCache.clear()
     kmeansCache.clear()
     pqKmeansCache.clear()
@@ -535,7 +550,10 @@ object VectorOpsImpl {
     * partition by learned coarse cluster, store learned codes, never touch
     * a label or a raw corpus vector during search. Same plan shape as q68:
     * broadcast query side, both cached index views, per-query window. */
-  def kmeansIvfPqTopK(s: SparkSession, dir: String): DataFrame = {
+  def kmeansIvfPqTopK(s: SparkSession, dir: String): DataFrame =
+    memoPath(s, dir, "kmeans_ivfpq")(kmeansIvfPqTopKPlan(s, dir))
+
+  private[graft] def kmeansIvfPqTopKPlan(s: SparkSession, dir: String): DataFrame = {
     val books = pqKmeansCodebooks(s, dir)
     val asg = graft.ops.Memo.getOrCache(kmeansAssignCache, s, dir, _ =>
       assignCenters(
@@ -577,7 +595,10 @@ object VectorOpsImpl {
     * at the unsupervised index — the proof that the ANN plumbing never
     * needed labels. Identical scale shape: broadcast query side, corpus
     * pruned to the probed cluster via the cached assignment view. */
-  def kmeansIvfTopK(s: SparkSession, dir: String): DataFrame = {
+  def kmeansIvfTopK(s: SparkSession, dir: String): DataFrame =
+    memoPath(s, dir, "kmeans_ivf")(kmeansIvfTopKPlan(s, dir))
+
+  private[graft] def kmeansIvfTopKPlan(s: SparkSession, dir: String): DataFrame = {
     val asg = graft.ops.Memo.getOrCache(kmeansAssignCache, s, dir, _ =>
       assignCenters(
         Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
@@ -673,7 +694,10 @@ object VectorOpsImpl {
     * the whole corpus — the 100 TB scale path (cluster = partition prune;
     * cost drops from O(corpus) to O(corpus / k) per query at equal recall
     * for in-cluster neighbors). Top-3 by cosine within the probed cluster. */
-  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+  def ivfTopK(s: SparkSession, dir: String): DataFrame =
+    memoPath(s, dir, "ivf")(ivfTopKPlan(s, dir))
+
+  private[graft] def ivfTopKPlan(s: SparkSession, dir: String): DataFrame = {
     // The assignment view is the IVF *index*: materialize it once (at real
     // scale you persist it to storage next to the corpus) instead of
     // re-deriving the k×64-literal argmin on both sides of the probe join —
@@ -705,7 +729,10 @@ object VectorOpsImpl {
     * nprobe rows, so the probe join stays a broadcast hash probe of the
     * same materialized index q55 uses. Probe ranking = `array_sort` over
     * (dist², label) structs — same tie discipline as the argmin. */
-  def ivfMultiProbeTopK(s: SparkSession, dir: String): DataFrame = {
+  def ivfMultiProbeTopK(s: SparkSession, dir: String): DataFrame =
+    memoPath(s, dir, "ivf_multiprobe")(ivfMultiProbeTopKPlan(s, dir))
+
+  private[graft] def ivfMultiProbeTopKPlan(s: SparkSession, dir: String): DataFrame = {
     val cents = centroidVectors(s, dir)
     def dist2(cv: Array[Double], elem: Int => Column): Column =
       (1 to Dims).map { i =>
@@ -743,7 +770,11 @@ object VectorOpsImpl {
     * not O(corpus). Recall is whatever the shortlist captures; deepening
     * the shortlist trades stage-2 work for recall without re-touching the
     * corpus. */
-  def pqAdcRerank(s: SparkSession, dir: String, shortlist: Int = 10): DataFrame = {
+  def pqAdcRerank(s: SparkSession, dir: String, shortlist: Int = 10): DataFrame =
+    if (shortlist == 10) memoPath(s, dir, "adc_rerank")(pqAdcRerankPlan(s, dir, 10))
+    else pqAdcRerankPlan(s, dir, shortlist)
+
+  private[graft] def pqAdcRerankPlan(s: SparkSession, dir: String, shortlist: Int): DataFrame = {
     val q = Tables(s, dir, "embeddings").filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val n = graft.ops.Memo.getOrCache(pqIndexCache, s, dir, _ => pqCodes(s, dir).cache())
@@ -780,7 +811,10 @@ object VectorOpsImpl {
     * ones (assignment + codes), so the probe is a broadcast hash join
     * against cached columns; exact re-rank of the ADC top-k (q66's stage 2)
     * completes the production pipeline. */
-  def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
+  def ivfPqTopK(s: SparkSession, dir: String): DataFrame =
+    memoPath(s, dir, "ivfpq")(ivfPqTopKPlan(s, dir))
+
+  private[graft] def ivfPqTopKPlan(s: SparkSession, dir: String): DataFrame = {
     val asg = graft.ops.Memo.getOrCache(assignCache, s, dir, _ => assignAll(s, dir).cache())
     val codes = graft.ops.Memo.getOrCache(pqIndexCache, s, dir, _ => pqCodes(s, dir).cache())
     val q = asg.filter(col("vec_id") < 8)
@@ -922,6 +956,9 @@ object VectorOpsImpl {
     * never the raw corpus vectors (queries are broadcast, corpus streams
     * once, per-query heap via WindowGroupLimit). */
   def pqAdcTopK(s: SparkSession, dir: String): DataFrame =
+    memoPath(s, dir, "pq_adc")(pqAdcTopKPlan(s, dir))
+
+  private[graft] def pqAdcTopKPlan(s: SparkSession, dir: String): DataFrame =
     adcSearch(s, dir,
       graft.ops.Memo.getOrCache(pqIndexCache, s, dir, _ => pqCodes(s, dir).cache()))
 
@@ -1002,7 +1039,11 @@ object VectorOpsImpl {
     * exact cosine re-rank of the shortlist — the dense-sketch sibling of
     * the PQ path (q66): same candidates-then-verify economics, different
     * compression point on the accuracy/size curve. */
-  def jlRerank(s: SparkSession, dir: String, shortlist: Int = 10): DataFrame = {
+  def jlRerank(s: SparkSession, dir: String, shortlist: Int = 10): DataFrame =
+    if (shortlist == 10) memoPath(s, dir, "jl_rerank")(jlRerankPlan(s, dir, 10))
+    else jlRerankPlan(s, dir, shortlist)
+
+  private[graft] def jlRerankPlan(s: SparkSession, dir: String, shortlist: Int): DataFrame = {
     val sk = jlSketch(s, dir)
     val q = sk.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id") +:
@@ -1270,7 +1311,10 @@ object VectorOpsImpl {
     * and the corpus is never scanned at query time at all. */
   val GraphSearchHops = 2
 
-  def graphSearch(s: SparkSession, dir: String): DataFrame = {
+  def graphSearch(s: SparkSession, dir: String): DataFrame =
+    memoPath(s, dir, "graph_search")(graphSearchPlan(s, dir))
+
+  private[graft] def graphSearchPlan(s: SparkSession, dir: String): DataFrame = {
     val g = knnGraphRaw(s, dir).select(col("src"), col("dst"))
     var frontier = g.filter(col("src") < 8)
       .select(col("src").as("query_id"), col("dst").as("cand"))

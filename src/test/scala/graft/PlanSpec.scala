@@ -26,7 +26,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q51 pushes the query-set predicate into the parquet scan and broadcasts it") {
-    val s = plan(ops.VectorOpsImpl.cosineTopK(spark, dir))
+    val s = plan(ops.VectorOpsImpl.cosineTopKPlan(spark, dir))
     assert(s.contains("LessThan(vec_id,8)"), "query-set filter must reach PushedFilters")
     assert(s.contains("BroadcastNestedLoopJoin"), "small query side must broadcast")
   }
@@ -77,13 +77,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q76 learned-codebook IVF probe broadcasts the query side, never sort-merges") {
-    val s = plan(ops.VectorOpsImpl.kmeansIvfTopK(spark, dir))
+    val s = plan(ops.VectorOpsImpl.kmeansIvfTopKPlan(spark, dir))
     assert(s.contains("BroadcastHashJoin"), s"probe must be a broadcast hash join:\n$s")
     assert(!s.contains("SortMergeJoin"), s"corpus-side sort-merge would not scale:\n$s")
   }
 
   test("q79 fully-learned IVF-PQ probes and ranks over cached index views only") {
-    val s = plan(ops.VectorOpsImpl.kmeansIvfPqTopK(spark, dir))
+    val s = plan(ops.VectorOpsImpl.kmeansIvfPqTopKPlan(spark, dir))
     assert(s.contains("BroadcastHashJoin"), s"probe must broadcast the query side:\n$s")
     assert(!s.contains("SortMergeJoin"), s"corpus-side sort-merge would not scale:\n$s")
     assert(s.contains("InMemoryTableScan"), s"search must read the cached index views:\n$s")
@@ -131,13 +131,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q63 ADC search scans only the code columns of the corpus side and broadcasts queries") {
-    val s = plan(ops.VectorOpsImpl.pqAdcTopK(spark, dir))
+    val s = plan(ops.VectorOpsImpl.pqAdcTopKPlan(spark, dir))
     assert(s.contains("BroadcastNestedLoopJoin"), s"query side must broadcast:\n$s")
     assert(!s.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$s")
   }
 
   test("q64 multi-probe IVF broadcasts the probe-expanded query side only") {
-    val s = plan(ops.VectorOpsImpl.ivfMultiProbeTopK(spark, dir))
+    val s = plan(ops.VectorOpsImpl.ivfMultiProbeTopKPlan(spark, dir))
     assert(s.contains("BroadcastNestedLoopJoin"), s"query side must broadcast:\n$s")
     assert(!s.contains("SortMergeJoin"), s"corpus must not sort-merge for the probe:\n$s")
   }
@@ -158,7 +158,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q68 IVF-PQ probes and ranks over the cached index views only") {
-    val s = plan(ops.VectorOpsImpl.ivfPqTopK(spark, dir))
+    val s = plan(ops.VectorOpsImpl.ivfPqTopKPlan(spark, dir))
     assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
       s"query side must broadcast:\n$s")
     assert(!s.contains("SortMergeJoin"), s"probe must not sort-merge:\n$s")
@@ -176,7 +176,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q70 JL rerank never sort-merges; both stages broadcast the small side") {
-    val s = plan(ops.VectorOpsImpl.jlRerank(spark, dir))
+    val s = plan(ops.VectorOpsImpl.jlRerankPlan(spark, dir, 10))
     assert(!s.contains("SortMergeJoin"), s"shortlist/rerank joins must broadcast:\n$s")
     assert(s.contains("LessThan(vec_id,8)"), s"query filter must push into the scan:\n$s")
   }
@@ -269,7 +269,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q99 graph search broadcasts the expanded candidate set; no corpus-wide join") {
-    val s = plan(ops.VectorOpsImpl.graphSearch(spark, dir))
+    val s = plan(ops.VectorOpsImpl.graphSearchPlan(spark, dir))
     assert(!s.contains("CartesianProduct"), s"expansion must stay edge-keyed:\n$s")
     assert(!s.contains("SortMergeJoin"),
       s"candidate set is ≤ k+k² per query — every join must broadcast:\n$s")
