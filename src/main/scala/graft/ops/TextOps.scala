@@ -1454,7 +1454,7 @@ object TextOpsImpl {
   val CmsWidth = 16
   val CmsTopK = 20
 
-  private def cmsHash(i: Int, instrFn: String, word: String): String =
+  private[graft] def cmsHash(i: Int, instrFn: String, word: String): String =
     s"($instrFn('0123456789abcdef', substr(md5(concat('cms$i:', $word)), 1, 1)) - 1)"
 
   /** Count-min sketch heavy hitters (q132): the mergeable frequency

@@ -69,6 +69,24 @@ object Stateful {
         (col("qsum") / col("n_docs")).as("avg_quality"))
   }
 
+  /** Streaming maintenance of the q132 count-min sketch: the depth×width
+    * cell grid as a streaming aggregation over arriving documents. The
+    * sketch is additive (cell-wise sums), so the stream state IS the
+    * sketch — depth×width rows total, independent of vocabulary or corpus
+    * size — and a stream-built grid equals the batch grid over the same
+    * documents bitwise (integer counts; StatefulSpec proves it). Estimates
+    * (min over a word's depth cells) read the materialized grid at query
+    * time, as in the batch panel. */
+  def runningCmsCells(docs: DataFrame): DataFrame = {
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    (0 until graft.ops.TextOpsImpl.CmsDepth).map { i =>
+      words.select(lit(i).as("r"),
+        expr(graft.ops.TextOpsImpl.cmsHash(i, "instr", "word")).cast("long").as("h"))
+    }.reduce(_ union _)
+      .groupBy(col("r"), col("h")).agg(count(lit(1)).as("total"))
+  }
+
   /** Per-key latest-image state (the MV sink's semantics as a streaming
     * state machine): emits one change row per key per micro-batch when the
     * key's latest image changed; DELETE/TTL clears state. State holds one

@@ -102,4 +102,31 @@ class StatefulSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming count-min cells equal the batch sketch over the same documents") {
+    val input = MemoryStream[(Long, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = Stateful.runningCmsCells(docs)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("cmscells").start()
+    try {
+      input.addData((1L, "alpha beta gamma alpha"), (2L, "beta delta"))
+      q.processAllAvailable()
+      input.addData((3L, "gamma gamma epsilon alpha"))
+      q.processAllAvailable()
+      val streamed = spark.table("cmscells").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      import spark.implicits._
+      val batch = Stateful.runningCmsCells(Seq(
+        (1L, "alpha beta gamma alpha"), (2L, "beta delta"),
+        (3L, "gamma gamma epsilon alpha")).toDF("doc_id", "text"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed === batch,
+        "the additive sketch must make stream state == batch grid bitwise")
+      // grid state is depth x width bounded regardless of vocabulary
+      assert(streamed.size <= graft.ops.TextOpsImpl.CmsDepth * graft.ops.TextOpsImpl.CmsWidth)
+      // mass check: every token lands in exactly one cell per hash row
+      assert(streamed.values.sum === 40L, "4 hash rows x 10 tokens")
+    } finally q.stop()
+  }
 }
