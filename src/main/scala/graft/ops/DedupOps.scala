@@ -653,8 +653,8 @@ object DedupOps {
          |    GROUP BY 1, 2) p
          |  JOIN sizes na ON na.doc_id = a_id JOIN sizes nb ON nb.doc_id = b_id
          |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5),
-         |nodes AS (SELECT a_id AS id FROM jp UNION SELECT b_id FROM jp),
-         |edges AS (SELECT a_id AS src, b_id AS dst FROM jp
+         |nodes AS MATERIALIZED (SELECT a_id AS id FROM jp UNION SELECT b_id FROM jp),
+         |edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM jp
          |          UNION ALL SELECT b_id, a_id FROM jp),
          |reach(id, r) AS (
          |  SELECT id, id FROM nodes
@@ -775,8 +775,8 @@ object DedupOps {
          |    GROUP BY 1, 2) p
          |  JOIN sizes na ON na.doc_id = a_id JOIN sizes nb ON nb.doc_id = b_id
          |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5),
-         |nodes AS (SELECT a_id AS id FROM jp UNION SELECT b_id FROM jp),
-         |edges AS (SELECT a_id AS src, b_id AS dst FROM jp
+         |nodes AS MATERIALIZED (SELECT a_id AS id FROM jp UNION SELECT b_id FROM jp),
+         |edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM jp
          |          UNION ALL SELECT b_id, a_id FROM jp),
          |reach(id, r) AS (
          |  SELECT id, id FROM nodes
@@ -798,8 +798,8 @@ object DedupOps {
          |    GROUP BY 1, 2) p
          |  JOIN sizes na ON na.doc_id = a_id JOIN sizes nb ON nb.doc_id = b_id
          |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5),
-         |nodes AS (SELECT a_id AS id FROM jp UNION SELECT b_id FROM jp),
-         |edges AS (SELECT a_id AS src, b_id AS dst FROM jp
+         |nodes AS MATERIALIZED (SELECT a_id AS id FROM jp UNION SELECT b_id FROM jp),
+         |edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM jp
          |          UNION ALL SELECT b_id, a_id FROM jp),
          |reach(id, r) AS (
          |  SELECT id, id FROM nodes
@@ -834,8 +834,8 @@ object DedupOps {
          |    GROUP BY 1, 2) p
          |  JOIN sizes na ON na.doc_id = a_id JOIN sizes nb ON nb.doc_id = b_id
          |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5),
-         |nodes AS (SELECT a_id AS id FROM jp UNION SELECT b_id FROM jp),
-         |edges AS (SELECT a_id AS src, b_id AS dst FROM jp
+         |nodes AS MATERIALIZED (SELECT a_id AS id FROM jp UNION SELECT b_id FROM jp),
+         |edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM jp
          |          UNION ALL SELECT b_id, a_id FROM jp),
          |reach(id, r) AS (
          |  SELECT id, id FROM nodes

@@ -1229,6 +1229,40 @@ object VectorOpsImpl {
   def knnGraph(s: SparkSession, dir: String): DataFrame =
     knnGraphRaw(s, dir).orderBy(col("src"), col("rn"))
 
+  /** CLUSTER CARDS (q134): the human-readable label for every q97 kNN
+    * community — its size plus the top-3 terms by cluster-level TF-IDF
+    * (term count within the cluster × inverse share of clusters containing
+    * the term). This is the corpus-exploration artifact a curation owner
+    * reads after clustering: embeddings find the structure, text explains
+    * it — the cross-modal composition neither side gives alone.
+    *
+    * Scale shape: the component map is pair-graph-sized (broadcast into
+    * the documents join — the corpus scans once, narrow); term stats
+    * aggregate to |clusters|×|vocab-per-cluster| rows; the top-3 window
+    * partitions per cluster. No corpus-sized shuffle beyond the one
+    * tokenize-aggregate. */
+  def clusterCards(s: SparkSession, dir: String): DataFrame = {
+    val cl = knnClusters(s, dir)
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val toks = broadcast(cl).join(docs, cl("vec_id") === docs("doc_id"))
+      .select(col("cluster"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("cluster"), col("tok")).agg(count(lit(1)).as("ctf"))
+    val cdf = toks.groupBy(col("tok")).agg(count(lit(1)).as("cdf"))
+    val ncl = cl.select(col("cluster")).distinct().agg(count(lit(1)).as("n_clusters"))
+    val sizes = cl.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+    val scored = toks.join(cdf, "tok").crossJoin(broadcast(ncl))
+      .withColumn("score", col("ctf").cast(DoubleType)
+        * (col("n_clusters").cast(DoubleType) / col("cdf").cast(DoubleType)))
+    val w = Window.partitionBy(col("cluster")).orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .join(broadcast(sizes), "cluster")
+      .select(col("cluster"), col("n_members"), col("rn"), col("tok"),
+        col("ctf"), col("cdf"), col("score"))
+      .orderBy(col("cluster"), col("rn"))
+  }
+
   /** PageRank damping / base and fixed iteration count for q131. */
   val PrDamp = 0.85
   val PrBase = 0.15
@@ -1952,8 +1986,8 @@ object VectorOps {
 
     Q("q58_embed_components", embedNearDupComponents, Some(
       s"""WITH RECURSIVE jp AS (SELECT a_id, b_id FROM ($nearDupPairsSql) q56),
-         |nodes AS (SELECT a_id AS id FROM jp UNION SELECT b_id FROM jp),
-         |edges AS (SELECT a_id AS src, b_id AS dst FROM jp
+         |nodes AS MATERIALIZED (SELECT a_id AS id FROM jp UNION SELECT b_id FROM jp),
+         |edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM jp
          |          UNION ALL SELECT b_id, a_id FROM jp),
          |reach(id, r) AS (
          |  SELECT id, id FROM nodes
@@ -1986,8 +2020,8 @@ object VectorOps {
          |  WHERE (${duckDot("ea.embedding", "eb.embedding")})
          |      / (sqrt(${duckDot("ea.embedding", "ea.embedding")})
          |         * sqrt(${duckDot("eb.embedding", "eb.embedding")})) >= $SemDedupTau),
-         |nodes AS (SELECT a_id AS id FROM pr UNION SELECT b_id FROM pr),
-         |edges AS (SELECT a_id AS src, b_id AS dst FROM pr
+         |nodes AS MATERIALIZED (SELECT a_id AS id FROM pr UNION SELECT b_id FROM pr),
+         |edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM pr
          |          UNION ALL SELECT b_id, a_id FROM pr),
          |reach(id, r) AS (
          |  SELECT id, id FROM nodes
@@ -2207,8 +2241,8 @@ object VectorOps {
          |  SELECT a.src AS a_id, a.dst AS b_id FROM g a
          |  JOIN g b ON a.src = b.dst AND a.dst = b.src
          |  WHERE a.src < a.dst),
-         |nodes AS (SELECT a_id AS id FROM m UNION SELECT b_id FROM m),
-         |edges AS (SELECT a_id AS src, b_id AS dst FROM m
+         |nodes AS MATERIALIZED (SELECT a_id AS id FROM m UNION SELECT b_id FROM m),
+         |edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM m
          |          UNION ALL SELECT b_id, a_id FROM m),
          |reach(id, rr) AS (
          |  SELECT id, id FROM nodes
@@ -2217,11 +2251,44 @@ object VectorOps {
          |SELECT id AS vec_id, MIN(rr) AS cluster FROM reach
          |GROUP BY id ORDER BY vec_id""".stripMargin)),
 
+    Q("q134_embed_cluster_cards", clusterCards, Some(
+      s"""WITH RECURSIVE ${knnGraphSqlCtes.stripPrefix("WITH ")},
+         |g AS (SELECT src, dst FROM r WHERE rn <= $KnnK),
+         |m AS (
+         |  SELECT a.src AS a_id, a.dst AS b_id FROM g a
+         |  JOIN g b ON a.src = b.dst AND a.dst = b.src
+         |  WHERE a.src < a.dst),
+         |nodes AS MATERIALIZED (SELECT a_id AS id FROM m UNION SELECT b_id FROM m),
+         |edgs AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM m
+         |          UNION ALL SELECT b_id, a_id FROM m),
+         |reach(id, rr) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.rr FROM edgs e JOIN reach ON e.dst = reach.id),
+         |cl AS MATERIALIZED (SELECT id AS vec_id, MIN(rr) AS cluster FROM reach GROUP BY id),
+         |toks AS MATERIALIZED (
+         |  SELECT cluster, tok, COUNT(*) AS ctf FROM (
+         |    SELECT cl.cluster, unnest(string_split(d.text, ' ')) AS tok
+         |    FROM cl JOIN documents d ON d.doc_id = cl.vec_id) t
+         |  WHERE tok <> '' GROUP BY cluster, tok),
+         |cdf AS (SELECT tok, COUNT(*) AS cdf FROM toks GROUP BY tok),
+         |ncl AS (SELECT COUNT(DISTINCT cluster) AS n_clusters FROM cl),
+         |sizes AS (SELECT cluster, COUNT(*) AS n_members FROM cl GROUP BY cluster),
+         |sc AS (
+         |  SELECT t.cluster, t.tok, t.ctf, c.cdf,
+         |    CAST(t.ctf AS DOUBLE) * (CAST(n.n_clusters AS DOUBLE) / CAST(c.cdf AS DOUBLE)) AS score
+         |  FROM toks t JOIN cdf c USING (tok) CROSS JOIN ncl n),
+         |rr2 AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+         |    ORDER BY score DESC, tok) AS BIGINT) AS rn FROM sc)
+         |SELECT rr2.cluster, sizes.n_members, rn, tok, ctf, cdf, score
+         |FROM rr2 JOIN sizes ON sizes.cluster = rr2.cluster
+         |WHERE rn <= 3 ORDER BY rr2.cluster, rn""".stripMargin)),
+
     Q("q89_embed_keep_best", semanticKeepBest, Some {
       val stopSql = TextOpsImpl.stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
       s"""WITH RECURSIVE jp AS (SELECT a_id, b_id FROM ($nearDupPairsSql) q56),
-         |nodes AS (SELECT a_id AS id FROM jp UNION SELECT b_id FROM jp),
-         |edges AS (SELECT a_id AS src, b_id AS dst FROM jp
+         |nodes AS MATERIALIZED (SELECT a_id AS id FROM jp UNION SELECT b_id FROM jp),
+         |edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM jp
          |          UNION ALL SELECT b_id, a_id FROM jp),
          |reach(id, r) AS (
          |  SELECT id, id FROM nodes
