@@ -1241,17 +1241,31 @@ object VectorOpsImpl {
     * aggregate to |clusters|×|vocab-per-cluster| rows; the top-3 window
     * partitions per cluster. No corpus-sized shuffle beyond the one
     * tokenize-aggregate. */
-  def clusterCards(s: SparkSession, dir: String): DataFrame = {
+  /** The one corpus-sized stage of [[clusterCards]], exposed for the plan
+    * lock: broadcast cluster map → tokenize → (cluster, tok, ctf). */
+  private[graft] def clusterTermCounts(s: SparkSession, dir: String): DataFrame = {
     val cl = knnClusters(s, dir)
     val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
-    val toks = broadcast(cl).join(docs, cl("vec_id") === docs("doc_id"))
+    broadcast(cl).join(docs, cl("vec_id") === docs("doc_id"))
       .select(col("cluster"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy(col("cluster"), col("tok")).agg(count(lit(1)).as("ctf"))
+  }
+
+  def clusterCards(s: SparkSession, dir: String): DataFrame = {
+    val cl = knnClusters(s, dir)
+    // checkpointed: BOTH the score branch and the cluster-df branch read
+    // this |clusters|×|vocab-per-cluster| aggregate — without it Spark
+    // (which shares no subplans across DataFrame branches) would tokenize
+    // the corpus twice
+    val toks = clusterTermCounts(s, dir).localCheckpoint()
     val cdf = toks.groupBy(col("tok")).agg(count(lit(1)).as("cdf"))
     val ncl = cl.select(col("cluster")).distinct().agg(count(lit(1)).as("n_clusters"))
     val sizes = cl.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
-    val scored = toks.join(cdf, "tok").crossJoin(broadcast(ncl))
+    // cdf is the distinct-term table (vocab-sized — MBs even at corpus
+    // scale), so the term join broadcasts instead of shuffling the
+    // cluster-term aggregate
+    val scored = toks.join(broadcast(cdf), "tok").crossJoin(broadcast(ncl))
       .withColumn("score", col("ctf").cast(DoubleType)
         * (col("n_clusters").cast(DoubleType) / col("cdf").cast(DoubleType)))
     val w = Window.partitionBy(col("cluster")).orderBy(col("score").desc, col("tok"))

@@ -428,6 +428,39 @@ class PlanSpec extends SparkSpec {
       s"every row_number window must partition by bucket: $rowNumberWindows")
   }
 
+  test("q132 count-min builds from one corpus tokenize-aggregate, no sort-merge join") {
+    val s = plan(ops.TextOpsImpl.cmsHeavyHitters(spark, dir))
+    // the cell lookup joins word-counts (vocab-sized) to the grid
+    // (depth×width rows) — both metadata-scale, so nothing may degrade to a
+    // corpus-shuffling sort-merge join
+    assert(!s.contains("SortMergeJoin"), s)
+    // top-k is a bounded TakeOrdered, never a global sort
+    assert(s.contains("TakeOrderedAndProject"), "limit after orderBy must stay bounded")
+  }
+
+  test("q133 shard assignment broadcasts the component map into one narrow corpus scan") {
+    val s = plan(ops.DedupOpsImpl.dedupShards(spark, dir))
+    assert(s.contains("BroadcastHashJoin"), "pair-graph-sized component map must broadcast")
+    assert(!s.contains("SortMergeJoin"), s)
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(s).get
+    assert(read.contains("doc_id") && !read.contains("text"),
+      s"the corpus scan must read ids only, never the text: $read")
+  }
+
+  test("q134 cluster cards broadcast the component map; corpus text scans once") {
+    // the corpus-sized stage: broadcast cluster map, one documents scan
+    val t = plan(ops.VectorOpsImpl.clusterTermCounts(spark, dir))
+    assert(t.contains("BroadcastHashJoin"), "cluster map must broadcast into the doc join")
+    assert(!t.contains("SortMergeJoin"), t)
+    assert("documents.parquet".r.findAllIn(t).size == 1,
+      "the corpus must be tokenized exactly once")
+    // the assembly reads the checkpointed term table; nothing re-scans text
+    val s = plan(ops.VectorOpsImpl.clusterCards(spark, dir))
+    assert(!s.contains("SortMergeJoin"), s)
+    assert(!s.contains("documents.parquet"),
+      "cards assemble from the checkpointed term aggregate, not a re-scan")
+  }
+
   test("q124 dim stats reduce in one pass: no explode before the aggregate") {
     val s = plan(ops.VectorOpsImpl.dimStats(spark, dir))
     // the 64-row unfold must sit ABOVE the single-row aggregate; a Generate
