@@ -161,6 +161,7 @@ object VectorOpsImpl {
     graft.ops.Memo.clear(annPanelCache)
     graft.ops.Memo.clear(exactTopKCache)
     graft.ops.Memo.clear(pathResultCache)
+    graft.ops.Memo.clear(pagerankCache)
     centroidCache.clear()
     kmeansCache.clear()
     pqKmeansCache.clear()
@@ -1277,6 +1278,24 @@ object VectorOpsImpl {
       .orderBy(col("cluster"), col("rn"))
   }
 
+  /** CLUSTER EXEMPLARS (q135): the most CENTRAL member of every q97
+    * community by q131 PageRank — the representative-document selection a
+    * diverse-coreset builder runs (one exemplar per semantic neighborhood
+    * instead of k-per-corpus top-k, which collapses onto the densest
+    * region). Ties break to the smaller vec_id. Composes two audited,
+    * memoized artifacts — the community map and the centrality vector —
+    * with one per-cluster window over the (tiny) joined map. */
+  def clusterExemplars(s: SparkSession, dir: String): DataFrame = {
+    val cl = knnClusters(s, dir)
+    val pr = knnPagerank(s, dir)
+    val w = Window.partitionBy(col("cluster")).orderBy(col("score").desc, col("vec_id"))
+    cl.join(pr, "vec_id")
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("vec_id").as("exemplar_id"), col("score"))
+      .orderBy(col("cluster"))
+  }
+
   /** PageRank damping / base and fixed iteration count for q131. */
   val PrDamp = 0.85
   val PrBase = 0.15
@@ -1302,7 +1321,16 @@ object VectorOpsImpl {
     * between rounds (the k-means/components discipline). At 100 TB the
     * edge list is k× the corpus row count — metadata next to the text —
     * and iterations are a fixed small budget. */
-  def knnPagerank(s: SparkSession, dir: String): DataFrame = {
+  def knnPagerank(s: SparkSession, dir: String): DataFrame =
+    // memoized: the score vector is n rows behind PrIters driver-loop
+    // rounds, and both q131 and the q135 exemplar pick consume it
+    graft.ops.Memo.getOrCache(pagerankCache, s, dir, _ =>
+      knnPagerankLoop(s, dir).localCheckpoint())
+
+  private val pagerankCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def knnPagerankLoop(s: SparkSession, dir: String): DataFrame = {
     val edges = knnGraphRaw(s, dir).select(col("src"), col("dst"))
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
@@ -2219,6 +2247,41 @@ object VectorOps {
          |ORDER BY src, rn""".stripMargin)),
 
     Q("q99_embed_graph_search", graphSearch, Some(q99Sql)),
+
+    Q("q135_embed_cluster_exemplars", clusterExemplars, Some {
+      def iter(i: Int) =
+        s"""s$i AS (
+           |  SELECT e.vec_id, ${PrBase}e0 + ${PrDamp}e0 * COALESCE(t.in_sum, 0e0) AS score
+           |  FROM embeddings e LEFT JOIN (
+           |    SELECT g.dst AS vec_id,
+           |      CAST(SUM(CAST(FLOOR((p2.score / od.outdeg) * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS in_sum
+           |    FROM g JOIN od ON od.src = g.src JOIN s${i - 1} p2 ON p2.vec_id = g.src
+           |    GROUP BY g.dst) t ON t.vec_id = e.vec_id)""".stripMargin
+      s"""WITH RECURSIVE ${knnGraphSqlCtes.stripPrefix("WITH ")},
+         |g AS MATERIALIZED (SELECT src, dst FROM r WHERE rn <= $KnnK),
+         |m AS (
+         |  SELECT a.src AS a_id, a.dst AS b_id FROM g a
+         |  JOIN g b ON a.src = b.dst AND a.dst = b.src
+         |  WHERE a.src < a.dst),
+         |nodes AS MATERIALIZED (SELECT a_id AS id FROM m UNION SELECT b_id FROM m),
+         |edgs AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM m
+         |          UNION ALL SELECT b_id, a_id FROM m),
+         |reach(id, rr) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.rr FROM edgs e JOIN reach ON e.dst = reach.id),
+         |cl AS MATERIALIZED (SELECT id AS vec_id, MIN(rr) AS cluster FROM reach GROUP BY id),
+         |od AS (SELECT src, COUNT(*) AS outdeg FROM g GROUP BY src),
+         |s0 AS (SELECT vec_id, 1e0 AS score FROM embeddings),
+         |${(1 to PrIters).map(iter).mkString(",\n")},
+         |jn AS (
+         |  SELECT cl.cluster, cl.vec_id, sN.score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY cl.cluster
+         |      ORDER BY sN.score DESC, cl.vec_id) AS BIGINT) AS rn
+         |  FROM cl JOIN s$PrIters sN USING (vec_id))
+         |SELECT cluster, vec_id AS exemplar_id, score FROM jn
+         |WHERE rn = 1 ORDER BY cluster""".stripMargin
+    }),
 
     Q("q131_embed_pagerank", knnPagerank, Some {
       def iter(i: Int) =

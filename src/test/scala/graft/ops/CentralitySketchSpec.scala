@@ -41,6 +41,22 @@ class CentralitySketchSpec extends SparkSpec {
       "sketch width is sized to force collisions on the gate corpus")
   }
 
+  test("q135 exemplars: one per community, a member of it, with its max score") {
+    val ex = VectorOpsImpl.clusterExemplars(spark, dir).collect()
+    val cl = VectorOpsImpl.knnClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap // vec_id -> cluster
+    val pr = VectorOpsImpl.knnPagerank(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ex.map(_.getLong(0)).toSet === cl.values.toSet, "one exemplar per community")
+    ex.foreach { r =>
+      val (cluster, id, score) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(cl(id) === cluster, "exemplar must belong to its cluster")
+      assert(score === pr(id))
+      val best = cl.collect { case (v, c) if c == cluster => pr(v) }.max
+      assert(score === best, s"exemplar of $cluster must carry the max PageRank")
+    }
+  }
+
   test("q133 shards: cluster-atomic, covering, and balanced counts reconcile") {
     val shards = DedupOpsImpl.dedupShards(spark, dir).collect()
     val nDocs = graft.Tables(spark, dir, "documents").count()
