@@ -26,6 +26,54 @@ class CentralitySketchSpec extends SparkSpec {
     assert(pr.filter(col("score") > base + 1e-9).count() > 0)
   }
 
+  test("q131 pagerank equals a pure-Scala recomputation, bitwise") {
+    val edges = VectorOpsImpl.knnGraph(spark, dir)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = graft.Tables(spark, dir, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0))
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var score = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to VectorOpsImpl.PrIters) {
+      // same floor-quantized order-independent sum as both engines
+      val sums = edges.groupBy(_._2).view.mapValues { es =>
+        val q = es.map { case (u, _) =>
+          BigInt(math.floor(score(u) / outdeg(u) * 1e12).toLong)
+        }.sum
+        q.toDouble / 1e12
+      }.toMap
+      score = nodes.map(v => v ->
+        (VectorOpsImpl.PrBase + VectorOpsImpl.PrDamp * sums.getOrElse(v, 0.0))).toMap
+    }
+    val got = VectorOpsImpl.knnPagerank(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === score.keySet)
+    got.foreach { case (v, s) =>
+      assert(s == score(v), s"node $v: engine $s vs scala ${score(v)}")
+    }
+  }
+
+  test("q132 cms estimates equal a pure-Scala sketch recomputation") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def nibble(i: Int, word: String): Int = {
+      val d = md.digest(s"cms$i:$word".getBytes("UTF-8"))
+      (d(0) >> 4) & 0xf
+    }
+    val words = graft.Tables(spark, dir, "documents").select("text").collect()
+      .flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
+    val wc = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val grid = scala.collection.mutable.Map.empty[(Int, Int), Long].withDefaultValue(0L)
+    for ((w, c) <- wc; i <- 0 until TextOpsImpl.CmsDepth)
+      grid((i, nibble(i, w))) += c
+    val est = wc.map { case (w, _) =>
+      w -> (0 until TextOpsImpl.CmsDepth).map(i => grid((i, nibble(i, w)))).min
+    }
+    TextOpsImpl.cmsHeavyHitters(spark, dir).collect().foreach { r =>
+      val w = r.getString(0)
+      assert(r.getAs[Long]("n_exact") === wc(w))
+      assert(r.getAs[Long]("cms_est") === est(w), s"word $w")
+    }
+  }
+
   test("q132 count-min: estimates only ever overcount, and bound the exact count") {
     val hh = TextOpsImpl.cmsHeavyHitters(spark, dir).collect()
     assert(hh.length > 0)
