@@ -11,7 +11,7 @@ object Dev {
     val sfDir = args(0)
     val outDir = args(1)
     val prefixes = if (args.length > 2) args.drop(2).toSeq else Seq("")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val cpus = Cpus(default = 8)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -158,8 +158,7 @@ object BpeOpsImpl {
     * Memoized per (session, dir): q129 (merge table) and q130 (encode)
     * share one learning run. */
   private def learned(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
-    val key = (s, dir)
-    bpeCache.computeIfAbsent(key, { _ =>
+    graft.ops.Memo.getOrCacheAny(bpeCache, s, dir, { _ =>
       Tables(s, dir, "documents").createOrReplaceTempView("gdocs_bpe")
       var r = s.sql(s"WITH ${r0Sql(spark_)} SELECT word, freq, repr FROM r0")
         .localCheckpoint()
@@ -180,10 +179,12 @@ object BpeOpsImpl {
         m.createOrReplaceTempView("gbpe_m")
         val pat = "' ' || (SELECT pair FROM gbpe_m) || ' '"
         val rep = "' ' || (SELECT replace(pair, ' ', '') FROM gbpe_m) || ' '"
-        r = s.sql(
+        // roll: the new vocab state is eager-checkpointed, so the previous
+        // round's blocks are freed at once (one round of storage, ever)
+        r = graft.ops.Memo.roll(r, s.sql(
           s"""SELECT word, freq, TRIM(replace(replace(' ' || repr || ' ',
              |  $pat, $rep), $pat, $rep)) AS repr
-             |FROM gbpe_r""".stripMargin).localCheckpoint()
+             |FROM gbpe_r""".stripMargin).localCheckpoint())
       }
       (ms.result(), r)
     })
@@ -192,7 +193,8 @@ object BpeOpsImpl {
   private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (Seq[DataFrame], DataFrame)]()
 
-  def clearCaches(): Unit = bpeCache.clear()
+  def clearCaches(): Unit =
+    graft.ops.Memo.clearAny(bpeCache) { case (ms, r) => ms :+ r }
 
   /** q129: the learned merge table over the documents corpus. */
   def bpeMerges(s: SparkSession, dir: String): DataFrame = {

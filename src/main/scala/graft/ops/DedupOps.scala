@@ -360,8 +360,11 @@ object DedupOpsImpl {
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
         .localCheckpoint()
       changed = updated.filter(col("comp") =!= col("old")).count()
-      labels = updated.select(col("id"), col("comp"))
+      // roll: free the previous round's checkpoint blocks now that the new
+      // round is materialized — the loop holds one round of storage, ever
+      labels = graft.ops.Memo.roll(labels, updated).select(col("id"), col("comp"))
     }
+    graft.ops.Memo.unpersistAll(edges)
     labels
   }
 
@@ -495,7 +498,7 @@ object DedupOpsImpl {
   /** The sampled EXACT-Jaccard pair enumeration (a_id, b_id, j) shared by
     * the q100 recall panel and the q123 S-curve — memoized cached view so
     * the uncapped (sample-bounded) self-join runs once per (session, dir). */
-  private def recallTruthPairs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def recallTruthPairs(s: SparkSession, dir: String): DataFrame =
     graft.ops.Memo.getOrCache(truthPairsCache, s, dir, { _ =>
       val ssh = shingles(s, dir).filter(inRecallSample("doc_id"))
       val sizes = ssh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

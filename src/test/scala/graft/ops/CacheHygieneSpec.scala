@@ -40,4 +40,28 @@ class CacheHygieneSpec extends SparkSpec {
     VectorOpsImpl.clearCaches()
     TextOpsImpl.clearCaches()
   }
+
+  test("clearCaches releases localCheckpoint blocks, not just cached plans") {
+    val dir = "/root/testdata/sf0.001"
+    def clearAll(): Unit = {
+      DedupOpsImpl.clearCaches(); VectorOpsImpl.clearCaches()
+      TextOpsImpl.clearCaches(); BpeOpsImpl.clearCaches()
+    }
+    clearAll()
+    // snapshot instead of asserting emptiness: other suites sharing this
+    // JVM may legitimately hold persisted RDDs of their own
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+
+    // checkpoint-backed memos: BPE learning loop, PageRank, ANN panel
+    BpeOpsImpl.bpeMerges(spark, dir).count()
+    VectorOpsImpl.knnPagerank(spark, dir).count()
+    val during = spark.sparkContext.getPersistentRDDs.keySet
+    assert((during -- before).nonEmpty,
+      "the memos under test must actually persist checkpoint RDD blocks")
+
+    clearAll()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"clearCaches leaked checkpoint RDD blocks: ids ${(after -- before).toSeq.sorted}")
+  }
 }
