@@ -52,6 +52,13 @@ object GraftExtensions {
           "simhash(tokens array<string>[, bits int literal])")
       }),
 
+    (new FunctionIdentifier("dhash64"),
+      new ExpressionInfo(classOf[graft.expr.DHashExpr].getName, "dhash64"),
+      (args: Seq[Expression]) => args match {
+        case Seq(payload) => graft.expr.DHashExpr(payload)
+        case _ => throw new IllegalArgumentException("dhash64(payload binary)")
+      }),
+
     // Spark's own runtime-filter Bloom expressions (codegen'd, two-phase
     // distributive aggregation), surfaced as session SQL functions — the
     // optimizer keeps them internal-only, but a membership sketch the user

@@ -81,11 +81,101 @@ object MultimodalOpsImpl {
       .filter(col("n_shared") >= FrameMinShared)
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** Per-image perceptual hash (q136): the native codegen'd
+    * [[graft.expr.DHashExpr]] over the binary payload. One narrow scan →
+    * one LONG per image; the corpus-sized artifact every downstream image
+    * near-dup / contamination probe keys on. */
+  def imageDHash(s: SparkSession, dir: String): DataFrame =
+    dhashes(s, dir).orderBy(col("doc_id"))
+
+  private def dhashes(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.expr.DHashFunctions.dhash64(encode(col("text"), "UTF-8")).as("dhash"))
+
+  /** dHash banding constants: 4 bands of 16 bits (band 3 carries 15 — bit
+    * 63 does not exist, see [[graft.expr.DHash64]]); buckets larger than
+    * [[DHashBucketCap]] are boilerplate and dropped (the SimHash/LSH cap
+    * discipline); a candidate pair is a near-dup at Hamming distance ≤
+    * [[DHashMaxHamming]] of 63 bits. */
+  val DHashBands = 4
+  val DHashBucketCap = 50
+  val DHashMaxHamming = 8
+
+  /** Image near-duplicate pairs (q137): band the 63-bit dHash into 16-bit
+    * bucket keys, equi-join within capped buckets, verify candidates by
+    * exact Hamming distance — SimHash's banding applied to the image
+    * signature, so re-encoded / lightly-edited images collapse like
+    * reworded text does.
+    *
+    * Scale shape: the band table is 4 rows per image (narrow longs); the
+    * only join is bucket-equi with fan-out ≤ cap² per bucket — never
+    * corpus × corpus; the Hamming verify is a codegen'd xor/popcount on
+    * the pair rows only. */
+  def imageNearDup(s: SparkSession, dir: String): DataFrame = {
+    val bnd = dhashes(s, dir)
+      .select(col("doc_id"), col("dhash"),
+        explode(sequence(lit(0L), lit(DHashBands - 1L))).as("j"))
+      .withColumn("key",
+        expr("shiftright(dhash, CAST(16 * j AS INT)) & 65535"))
+    val ok = bnd.groupBy(col("j"), col("key")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= DHashBucketCap).select(col("j"), col("key"))
+    val k = bnd.join(ok, Seq("j", "key"))
+    val a = k.select(col("j"), col("key"), col("doc_id").as("a_id"), col("dhash").as("ha"))
+    val b = k.select(col("j"), col("key"), col("doc_id").as("b_id"), col("dhash").as("hb"))
+    a.join(b, Seq("j", "key")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("CAST(bit_count(ha ^ hb) AS BIGINT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= DHashMaxHamming)
+      .orderBy(col("a_id"), col("b_id"))
+  }
 }
 
 object MultimodalOps {
 
+  /** DuckDB mirror of [[graft.expr.DHash64.compute]] over the utf-8 bytes
+    * of `text` (the corpus is ASCII, so `ord(substr(text, i+1, 1))` IS byte
+    * i — asserted by DHashSpec against the binary-fed expression): stripe
+    * sums by `i*72 // n`, one bit per adjacent-stripe comparison, bits 0–62. */
+  private val dhashCte: String =
+    """d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
+      |pos AS (SELECT doc_id, CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS i, text, n FROM d),
+      |st AS (SELECT doc_id, (i * 72) // n AS k,
+      |         SUM(ord(substr(text, CAST(i + 1 AS INT), 1))) AS s
+      |       FROM pos GROUP BY 1, 2),
+      |grid AS (SELECT d.doc_id, g.k, CAST(COALESCE(st.s, 0) AS BIGINT) AS s
+      |         FROM d CROSS JOIN (SELECT CAST(unnest(generate_series(0, 71)) AS BIGINT) AS k) g
+      |         LEFT JOIN st ON st.doc_id = d.doc_id AND st.k = g.k),
+      |h AS (SELECT a.doc_id,
+      |        CAST(SUM(CASE WHEN b.s > a.s
+      |          THEN (CAST(1 AS BIGINT) << CAST((a.k // 9) * 8 + (a.k % 9) AS INT))
+      |          ELSE 0 END) AS BIGINT) AS dhash
+      |      FROM grid a JOIN grid b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+      |      WHERE a.k % 9 < 8 AND (a.k // 9) * 8 + (a.k % 9) < 63
+      |      GROUP BY 1)""".stripMargin
+
   def queries: Seq[Q] = Seq(
+    Q("q136_multimodal_dhash", MultimodalOpsImpl.imageDHash, Some(
+      s"""WITH $dhashCte
+         |SELECT doc_id, dhash FROM h ORDER BY doc_id""".stripMargin)),
+
+    Q("q137_multimodal_dhash_neardup", MultimodalOpsImpl.imageNearDup, Some {
+      import MultimodalOpsImpl.{DHashBucketCap, DHashMaxHamming}
+      s"""WITH $dhashCte,
+         |bnd AS (SELECT doc_id, dhash, j, (dhash >> CAST(16 * j AS INT)) & 65535 AS key
+         |        FROM h CROSS JOIN (SELECT CAST(unnest(generate_series(0, 3)) AS BIGINT) AS j) jj),
+         |ok AS (SELECT j, key FROM bnd GROUP BY 1, 2 HAVING COUNT(*) <= $DHashBucketCap),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+         |         FROM bnd a JOIN ok USING (j, key)
+         |         JOIN bnd b ON b.j = a.j AND b.key = a.key AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, hamming FROM cand
+         |WHERE hamming <= $DHashMaxHamming ORDER BY a_id, b_id""".stripMargin
+    }),
+
+
     Q("q60_multimodal_meta", MultimodalOpsImpl.binaryMeta, Some {
       def nib(pos: Int) = s"(strpos('0123456789abcdef', substr(md5(text), $pos, 1)) - 1)"
       s"""SELECT doc_id,
