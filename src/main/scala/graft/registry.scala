@@ -91,6 +91,7 @@ object Indexes {
     IndexBuild("dedup_truth_pairs", (s, d) => f(ops.DedupOpsImpl.recallTruthPairs(s, d))),
     IndexBuild("text_winnow", (s, d) => f(ops.TextOpsImpl.winnowIndex(s, d))),
     IndexBuild("text_bpe", (s, d) => f(ops.BpeOpsImpl.bpeMerges(s, d))),
+    IndexBuild("text_unigram", (s, d) => f(ops.UnigramOpsImpl.unigramVocab(s, d))),
     IndexBuild("embed_exact_topk", (s, d) => f(ops.VectorOpsImpl.cosineTopK(s, d))),
     IndexBuild("embed_kmeans_model", (s, d) => f(ops.VectorOpsImpl.kmeansCentroids(s, d))),
     IndexBuild("embed_ann_panel", (s, d) => f(ops.VectorOpsImpl.annPanel(s, d))),
@@ -109,7 +110,8 @@ object Registry {
       ops.VectorOps.queries ++
       ops.MultimodalOps.queries ++
       ops.LayoutOpsImpl.queries ++
-      ops.BpeOpsImpl.queries
+      ops.BpeOpsImpl.queries ++
+      ops.UnigramOps.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

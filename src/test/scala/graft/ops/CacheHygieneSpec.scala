@@ -46,14 +46,16 @@ class CacheHygieneSpec extends SparkSpec {
     def clearAll(): Unit = {
       DedupOpsImpl.clearCaches(); VectorOpsImpl.clearCaches()
       TextOpsImpl.clearCaches(); BpeOpsImpl.clearCaches()
+      UnigramOpsImpl.clearCaches()
     }
     clearAll()
     // snapshot instead of asserting emptiness: other suites sharing this
     // JVM may legitimately hold persisted RDDs of their own
     val before = spark.sparkContext.getPersistentRDDs.keySet
 
-    // checkpoint-backed memos: BPE learning loop, PageRank, ANN panel
+    // checkpoint-backed memos: BPE + unigram learning loops, PageRank
     BpeOpsImpl.bpeMerges(spark, dir).count()
+    UnigramOpsImpl.unigramVocab(spark, dir).count()
     VectorOpsImpl.knnPagerank(spark, dir).count()
     val during = spark.sparkContext.getPersistentRDDs.keySet
     assert((during -- before).nonEmpty,
