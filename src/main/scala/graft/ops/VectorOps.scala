@@ -1112,8 +1112,14 @@ object VectorOpsImpl {
   }
 
   private def bandedSignatures(s: SparkSession, dir: String,
+      bands: Int, bandBits: Int): DataFrame =
+    bandedSignaturesOf(Tables(s, dir, "embeddings"), bands, bandBits)
+
+  /** DataFrame-input form: incremental refresh ([[refreshKnnGraph]]) bands
+    * arbitrary embedding snapshots, not just the registered corpus dir. */
+  private[graft] def bandedSignaturesOf(emb: DataFrame,
       bands: Int, bandBits: Int): DataFrame = {
-    val sig = Tables(s, dir, "embeddings").select(
+    val sig = emb.select(
       col("vec_id"),
       graft.expr.SignLshFunctions.signLsh(col("embedding"), hyperplanes).as("sig"))
     val mask = (1L << bandBits) - 1
@@ -1206,27 +1212,61 @@ object VectorOpsImpl {
 
   private def knnGraphRaw(s: SparkSession, dir: String): DataFrame =
     graft.ops.Memo.getOrCache(knnGraphCache, s, dir, { _ =>
-      val banded = bandedSignatures(s, dir, NearDupBands, NearDupBandBits)
-      val ok = banded.groupBy(col("band"), col("bv")).agg(count(lit(1)).as("n"))
-        .filter(col("n") <= NearDupBucketCap).select("band", "bv")
-      val bk = banded.join(ok, Seq("band", "bv"))
-      val cand = bk.as("a").join(bk.as("b"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
-            && col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
-        .distinct()
-      val e = Tables(s, dir, "embeddings")
-      val scored = cand
-        .join(e.select(col("vec_id").as("src"), col("embedding").as("ae")), "src")
-        .join(e.select(col("vec_id").as("dst"), col("embedding").as("be")), "dst")
-        .withColumn("cosine",
-          expr(s"(${sparkDot("ae", "be")}) / (sqrt(${sparkDot("ae", "ae")}) * sqrt(${sparkDot("be", "be")}))"))
-      val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
-      scored.withColumn("rn", row_number().over(w).cast(LongType))
-        .filter(col("rn") <= KnnK)
-        .select(col("src"), col("rn"), col("dst"), col("cosine"))
-        .cache()
+      knnGraphOf(Tables(s, dir, "embeddings")).cache()
     })
+
+  /** The kNN-graph build over an arbitrary embedding snapshot.
+    * `srcFilter` (vec_id set) restricts which sources are RANKED while
+    * candidates still come from the full bucket state — the incremental
+    * refresh's contract: an affected node re-ranks against everything in
+    * its (possibly changed) buckets, not just against the delta. */
+  private[graft] def knnGraphOf(emb: DataFrame,
+      srcFilter: Option[DataFrame] = None): DataFrame = {
+    val banded = bandedSignaturesOf(emb, NearDupBands, NearDupBandBits)
+    val ok = banded.groupBy(col("band"), col("bv")).agg(count(lit(1)).as("n"))
+      .filter(col("n") <= NearDupBucketCap).select("band", "bv")
+    val bk = banded.join(ok, Seq("band", "bv"))
+    val aSide = srcFilter.map(f => bk.join(f, "vec_id")).getOrElse(bk)
+    val cand = aSide.as("a").join(bk.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      .distinct()
+    val scored = cand
+      .join(emb.select(col("vec_id").as("src"), col("embedding").as("ae")), "src")
+      .join(emb.select(col("vec_id").as("dst"), col("embedding").as("be")), "dst")
+      .withColumn("cosine",
+        expr(s"(${sparkDot("ae", "be")}) / (sqrt(${sparkDot("ae", "ae")}) * sqrt(${sparkDot("be", "be")}))"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+    scored.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= KnnK)
+      .select(col("src"), col("rn"), col("dst"), col("cosine"))
+  }
+
+  /** INCREMENTAL kNN-graph refresh on corpus append — the delta discipline
+    * [[graft.streaming.StreamIndex]] proves for IVF, applied to the graph
+    * family: a node's candidate set changes ONLY if a delta vector landed
+    * in one of its LSH buckets (bucket membership AND the bucket's cap
+    * state are both functions of bucket contents), so refresh re-ranks
+    * exactly the nodes sharing ≥ 1 band-bucket with the delta and keeps
+    * every other node's edges untouched. GraphRefreshSpec proves the
+    * result row-equal to a full rebuild.
+    *
+    * Scale shape: the delta bucket probe is |delta|×bands rows joined to
+    * the banded signature table; the re-rank is the standard capped-bucket
+    * top-k restricted to affected sources; untouched edges pass through an
+    * anti-join — no corpus-wide re-scoring. */
+  def refreshKnnGraph(s: SparkSession, embAll: DataFrame, deltaIds: DataFrame,
+      oldEdges: DataFrame): DataFrame = {
+    val sigs = bandedSignaturesOf(embAll, NearDupBands, NearDupBandBits)
+    val deltaBuckets = sigs.join(deltaIds, "vec_id")
+      .select(col("band"), col("bv")).distinct()
+    val affected = sigs.join(deltaBuckets, Seq("band", "bv"))
+      .select(col("vec_id")).distinct()
+    val fresh = knnGraphOf(embAll, Some(affected))
+    oldEdges.join(affected.withColumnRenamed("vec_id", "src"), Seq("src"), "left_anti")
+      .union(fresh)
+  }
 
   def knnGraph(s: SparkSession, dir: String): DataFrame =
     knnGraphRaw(s, dir).orderBy(col("src"), col("rn"))
@@ -2288,40 +2328,7 @@ object VectorOps {
 
     Q("q99_embed_graph_search", graphSearch, Some(q99Sql)),
 
-    Q("q135_embed_cluster_exemplars", clusterExemplars, Some {
-      def iter(i: Int) =
-        s"""s$i AS (
-           |  SELECT e.vec_id, ${PrBase}e0 + ${PrDamp}e0 * COALESCE(t.in_sum, 0e0) AS score
-           |  FROM embeddings e LEFT JOIN (
-           |    SELECT g.dst AS vec_id,
-           |      CAST(SUM(CAST(FLOOR((p2.score / od.outdeg) * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS in_sum
-           |    FROM g JOIN od ON od.src = g.src JOIN s${i - 1} p2 ON p2.vec_id = g.src
-           |    GROUP BY g.dst) t ON t.vec_id = e.vec_id)""".stripMargin
-      s"""WITH RECURSIVE ${knnGraphSqlCtes.stripPrefix("WITH ")},
-         |g AS MATERIALIZED (SELECT src, dst FROM r WHERE rn <= $KnnK),
-         |m AS (
-         |  SELECT a.src AS a_id, a.dst AS b_id FROM g a
-         |  JOIN g b ON a.src = b.dst AND a.dst = b.src
-         |  WHERE a.src < a.dst),
-         |nodes AS MATERIALIZED (SELECT a_id AS id FROM m UNION SELECT b_id FROM m),
-         |edgs AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM m
-         |          UNION ALL SELECT b_id, a_id FROM m),
-         |reach(id, rr) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.src, reach.rr FROM edgs e JOIN reach ON e.dst = reach.id),
-         |cl AS MATERIALIZED (SELECT id AS vec_id, MIN(rr) AS cluster FROM reach GROUP BY id),
-         |od AS (SELECT src, COUNT(*) AS outdeg FROM g GROUP BY src),
-         |s0 AS (SELECT vec_id, 1e0 AS score FROM embeddings),
-         |${(1 to PrIters).map(iter).mkString(",\n")},
-         |jn AS (
-         |  SELECT cl.cluster, cl.vec_id, sN.score,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY cl.cluster
-         |      ORDER BY sN.score DESC, cl.vec_id) AS BIGINT) AS rn
-         |  FROM cl JOIN s$PrIters sN USING (vec_id))
-         |SELECT cluster, vec_id AS exemplar_id, score FROM jn
-         |WHERE rn = 1 ORDER BY cluster""".stripMargin
-    }),
+    Q("q135_embed_cluster_exemplars", clusterExemplars, Some(exemplarsOracleSql)),
 
     Q("q131_embed_pagerank", knnPagerank, Some {
       def iter(i: Int) =
@@ -2999,6 +3006,44 @@ object VectorOps {
        |    ORDER BY cosine DESC, cand) AS BIGINT) AS rn FROM gp)
        |SELECT query_id, rn, cand AS neighbor_id, cosine FROM grk WHERE rn <= 3
        |ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** DuckDB mirror of the exemplar pick (q135), shared with q140's
+    * persisted-artifact round trip: identical SQL because the persisted
+    * index is REQUIRED to hash-match the batch rebuild. */
+  private[graft] lazy val exemplarsOracleSql: String = {
+    def iter(i: Int) =
+      s"""s$i AS (
+         |  SELECT e.vec_id, ${PrBase}e0 + ${PrDamp}e0 * COALESCE(t.in_sum, 0e0) AS score
+         |  FROM embeddings e LEFT JOIN (
+         |    SELECT g.dst AS vec_id,
+         |      CAST(SUM(CAST(FLOOR((p2.score / od.outdeg) * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS in_sum
+         |    FROM g JOIN od ON od.src = g.src JOIN s${i - 1} p2 ON p2.vec_id = g.src
+         |    GROUP BY g.dst) t ON t.vec_id = e.vec_id)""".stripMargin
+    s"""WITH RECURSIVE ${knnGraphSqlCtes.stripPrefix("WITH ")},
+       |g AS MATERIALIZED (SELECT src, dst FROM r WHERE rn <= $KnnK),
+       |m AS (
+       |  SELECT a.src AS a_id, a.dst AS b_id FROM g a
+       |  JOIN g b ON a.src = b.dst AND a.dst = b.src
+       |  WHERE a.src < a.dst),
+       |nodes AS MATERIALIZED (SELECT a_id AS id FROM m UNION SELECT b_id FROM m),
+       |edgs AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM m
+       |          UNION ALL SELECT b_id, a_id FROM m),
+       |reach(id, rr) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.src, reach.rr FROM edgs e JOIN reach ON e.dst = reach.id),
+       |cl AS MATERIALIZED (SELECT id AS vec_id, MIN(rr) AS cluster FROM reach GROUP BY id),
+       |od AS (SELECT src, COUNT(*) AS outdeg FROM g GROUP BY src),
+       |s0 AS (SELECT vec_id, 1e0 AS score FROM embeddings),
+       |${(1 to PrIters).map(iter).mkString(",\n")},
+       |jn AS (
+       |  SELECT cl.cluster, cl.vec_id, sN.score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY cl.cluster
+       |      ORDER BY sN.score DESC, cl.vec_id) AS BIGINT) AS rn
+       |  FROM cl JOIN s$PrIters sN USING (vec_id))
+       |SELECT cluster, vec_id AS exemplar_id, score FROM jn
+       |WHERE rn = 1 ORDER BY cluster""".stripMargin
   }
 
   /** DuckDB mirror of the kNN-graph build (shared by q93 and the q97

@@ -111,7 +111,8 @@ object Registry {
       ops.MultimodalOps.queries ++
       ops.LayoutOpsImpl.queries ++
       ops.BpeOpsImpl.queries ++
-      ops.UnigramOps.queries
+      ops.UnigramOps.queries ++
+      ops.GraphPersistOps.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
