@@ -32,16 +32,22 @@ object Bench {
     // warm-up: session, parquet footer reads, codegen paths
     Tables(spark, sfDir, "lineitem").limit(10).write.format("noop").mode("overwrite").save()
 
-    val indexResults = Indexes.all.map { ib =>
+    // SPARK_GRAFT_BENCH_ONLY=name,name restricts both index builds and
+    // queries — local targeted re-timing; unset = the full driver run.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val indexResults = Indexes.all
+      .filter(ib => only.forall(_.contains(s"index:${ib.name}")))
+      .map { ib =>
       val t0 = System.nanoTime()
       try ib.force(spark, sfDir)
       catch { case e: Throwable => System.err.println(s"[bench] index:${ib.name}: ${e.getMessage}") }
       s"index:${ib.name}" -> (System.nanoTime() - t0) / 1e9
     }
-    val ordered = sys.env.get("SPARK_GRAFT_BENCH_ORDER") match {
+    val ordered = (sys.env.get("SPARK_GRAFT_BENCH_ORDER") match {
       case Some("reverse") => Registry.all.reverse
       case _ => Registry.all
-    }
+    }).filter(q => only.forall(_.contains(q.name)))
     val results = indexResults ++ ordered.map { q =>
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()

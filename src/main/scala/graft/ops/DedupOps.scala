@@ -255,6 +255,7 @@ object DedupOpsImpl {
     graft.ops.Memo.clear(lshPairsCache)
     graft.ops.Memo.clear(simhashCache)
     graft.ops.Memo.clear(truthPairsCache)
+    graft.ops.Memo.clearAny(docCountCache)(_ => Seq.empty)
   }
 
   private def shingleComponents(s: SparkSession, dir: String): DataFrame =
@@ -466,16 +467,37 @@ object DedupOpsImpl {
          |ORDER BY c.doc_id""".stripMargin)
   }
 
-  /** Deterministic ~75 % doc sample for the recall panel (byte 0 of
-    * md5('rcl:'||doc_id) < 192) — pure function of the id, so both join
-    * sides apply it as a narrow filter, never a join. */
-  val RecallSampleByte = 192
-  private def inRecallSample(idCol: String): org.apache.spark.sql.Column = {
-    val b =
-      s"(instr('0123456789abcdef', substr(md5(concat('rcl:', CAST($idCol AS STRING))), 1, 1)) - 1) * 16" +
-        s" + (instr('0123456789abcdef', substr(md5(concat('rcl:', CAST($idCol AS STRING))), 2, 1)) - 1)"
-    expr(s"($b) < $RecallSampleByte")
+  /** Target SIZE of the deterministic doc sample the recall panel's exact
+    * ground truth runs on. A constant FRACTION does not survive scale on a
+    * near-dup-heavy corpus: 10× docs multiplies both the sampled doc count
+    * and each shingle's in-sample df, so the uncapped truth self-join grows
+    * ~100× (measured in the sf1 sweep: the truth build went 2.2 s → 81.6 s
+    * under the old 75 %-of-docs rule). A constant target keeps truth cost
+    * flat at any corpus size — a recall estimate's error is a function of
+    * absolute sample size anyway. 3750 = 75 % of the 5 000-doc sf0.1
+    * corpus, making the sf0.1 threshold exactly the historical byte rule
+    * (h16 < 49152), so recorded results there are unchanged. */
+  val RecallSampleTarget = 3750L
+
+  /** Keep iff h16(doc_id) × n_docs < target × 2¹⁶, where h16 is the first
+    * 16 bits of md5('rcl:'||doc_id): a pure function of the id plus ONE
+    * corpus-count scalar, so both join sides apply it as a narrow filter,
+    * never a join. The comparison is an exact integer cross-multiply
+    * (no division), so both engines agree bitwise at any n. */
+  private def inRecallSample(idCol: String, nDocs: Long): org.apache.spark.sql.Column = {
+    def nib(i: Int) =
+      s"(instr('0123456789abcdef', substr(md5(concat('rcl:', CAST($idCol AS STRING))), $i, 1)) - 1)"
+    val h16 = s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
+    expr(s"CAST($h16 AS BIGINT) * CAST($nDocs AS BIGINT) < ${RecallSampleTarget * 65536L}L")
   }
+
+  /** Corpus doc count feeding [[inRecallSample]] — one count() per
+    * (session, dir), memoized with the standard purge hygiene. */
+  private val docCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+  private[graft] def docCount(s: SparkSession, dir: String): Long =
+    graft.ops.Memo.getOrCacheAny[java.lang.Long](docCountCache, s, dir,
+      d => java.lang.Long.valueOf(graft.Tables(s, d, "documents").count()))
 
   /** Recall/precision panel for the near-dup candidate generators — the
     * dedup-side sibling of the q77 ANN recall panel: every generator here
@@ -500,7 +522,7 @@ object DedupOpsImpl {
     * the uncapped (sample-bounded) self-join runs once per (session, dir). */
   private[graft] def recallTruthPairs(s: SparkSession, dir: String): DataFrame =
     graft.ops.Memo.getOrCache(truthPairsCache, s, dir, { _ =>
-      val ssh = shingles(s, dir).filter(inRecallSample("doc_id"))
+      val ssh = shingles(s, dir).filter(inRecallSample("doc_id", docCount(s, dir)))
       val sizes = ssh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       ssh.as("a").join(ssh.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -538,8 +560,9 @@ object DedupOpsImpl {
       "ngram_capped" -> ngramJaccard(s, dir).select("a_id", "b_id"),
       "pipeline_verified" -> verified,
       "simhash_identical" -> simPairs)
+    val n = docCount(s, dir)
     val found = methods.map { case (m, df) =>
-      df.filter(inRecallSample("a_id") && inRecallSample("b_id"))
+      df.filter(inRecallSample("a_id", n) && inRecallSample("b_id", n))
         .select(lit(m).as("method"), col("a_id"), col("b_id"))
     }.reduce(_ union _)
 
@@ -574,9 +597,12 @@ object DedupOpsImpl {
     * order-independent and bitwise cross-engine. */
   def lshScurve(s: SparkSession, dir: String): DataFrame = {
     val pairs = recallTruthPairs(s, dir)
-    val collided = minhashLsh(s, dir)
-      .filter(inRecallSample("a_id") && inRecallSample("b_id"))
-      .withColumn("hit", lit(1L))
+    val collided = {
+      val n = docCount(s, dir)
+      minhashLsh(s, dir)
+        .filter(inRecallSample("a_id", n) && inRecallSample("b_id", n))
+        .withColumn("hit", lit(1L))
+    }
     pairs.join(broadcast(collided), Seq("a_id", "b_id"), "left")
       // (1-j²)⁴ via explicit squarings — the same IEEE association the
       // oracle SQL spells out, so the analytic column is bitwise portable
@@ -911,8 +937,12 @@ object DedupOps {
 
     Q("q100_dedup_recall", dedupRecall, Some {
       def rb(id: String) =
-        s"((strpos('0123456789abcdef', substr(md5('rcl:' || CAST($id AS VARCHAR)), 1, 1)) - 1) * 16" +
-          s" + (strpos('0123456789abcdef', substr(md5('rcl:' || CAST($id AS VARCHAR)), 2, 1)) - 1)) < $RecallSampleByte"
+        {
+          def nib(i: Int) =
+            s"(strpos('0123456789abcdef', substr(md5('rcl:' || CAST($id AS VARCHAR)), $i, 1)) - 1)"
+          s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})" +
+            s" * (SELECT COUNT(*) FROM documents) < ${RecallSampleTarget * 65536L}"
+        }
       val bands = (0 until 4).map(b =>
         s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bh FROM sig")
         .mkString(" UNION ALL ")
@@ -987,8 +1017,12 @@ object DedupOps {
 
     Q("q123_dedup_scurve", lshScurve, Some {
       def rb(id: String) =
-        s"((strpos('0123456789abcdef', substr(md5('rcl:' || CAST($id AS VARCHAR)), 1, 1)) - 1) * 16" +
-          s" + (strpos('0123456789abcdef', substr(md5('rcl:' || CAST($id AS VARCHAR)), 2, 1)) - 1)) < $RecallSampleByte"
+        {
+          def nib(i: Int) =
+            s"(strpos('0123456789abcdef', substr(md5('rcl:' || CAST($id AS VARCHAR)), $i, 1)) - 1)"
+          s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})" +
+            s" * (SELECT COUNT(*) FROM documents) < ${RecallSampleTarget * 65536L}"
+        }
       val bands = (0 until 4).map(b =>
         s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bh FROM sig")
         .mkString(" UNION ALL ")

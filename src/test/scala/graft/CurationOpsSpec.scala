@@ -793,15 +793,17 @@ class CurationOpsSpec extends SparkSpec {
   }
 
   test("q123 S-curve panel matches a brute-force recomputation") {
-    import ops.DedupOpsImpl.{BucketCap, RecallSampleByte}
+    import ops.DedupOpsImpl.{BucketCap, RecallSampleTarget}
     def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    def inSample(id: Long): Boolean =
-      Integer.parseInt(md5hex(s"rcl:$id").take(2), 16) < RecallSampleByte
 
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // constant-SIZE sample rule: h16 × n_docs < target × 2^16
+    def inSample(id: Long): Boolean =
+      java.lang.Long.parseLong(md5hex(s"rcl:$id").take(4), 16) * docs.size <
+        RecallSampleTarget * 65536L
 
     // truth side: exact Jaccard over distinct 3-token shingles of sampled docs
     val sh = docs.collect { case (id, t) if inSample(id) =>
