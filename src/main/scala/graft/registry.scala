@@ -97,7 +97,8 @@ object Indexes {
     IndexBuild("embed_ann_panel", (s, d) => f(ops.VectorOpsImpl.annPanel(s, d))),
     IndexBuild("embed_knn_graph", (s, d) => f(ops.VectorOpsImpl.knnGraph(s, d))),
     IndexBuild("embed_components", (s, d) => f(ops.VectorOpsImpl.embedNearDupComponents(s, d))),
-    IndexBuild("embed_pagerank", (s, d) => f(ops.VectorOpsImpl.knnPagerank(s, d))))
+    IndexBuild("embed_pagerank", (s, d) => f(ops.VectorOpsImpl.knnPagerank(s, d))),
+    IndexBuild("embed_pca_model", (s, d) => { ops.PcaOpsImpl.model(s, d); () }))
 }
 
 /** Aggregates every module's query list into the driver contract. */
@@ -112,7 +113,8 @@ object Registry {
       ops.LayoutOpsImpl.queries ++
       ops.BpeOpsImpl.queries ++
       ops.UnigramOps.queries ++
-      ops.GraphPersistOps.queries
+      ops.GraphPersistOps.queries ++
+      ops.PcaOps.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
