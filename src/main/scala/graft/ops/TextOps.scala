@@ -21,6 +21,9 @@ object TextOpsImpl {
 
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
   private def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ", ", ")")
+  /** The stopword set as a SQL IN-list — shared with [[LrOpsImpl]] so the
+    * trained classifier's features stay bit-identical to q82's. */
+  val stopwordsInList: String = inList(stopwords)
 
   def tokenCounts(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents").select(

@@ -98,7 +98,8 @@ object Indexes {
     IndexBuild("embed_knn_graph", (s, d) => f(ops.VectorOpsImpl.knnGraph(s, d))),
     IndexBuild("embed_components", (s, d) => f(ops.VectorOpsImpl.embedNearDupComponents(s, d))),
     IndexBuild("embed_pagerank", (s, d) => f(ops.VectorOpsImpl.knnPagerank(s, d))),
-    IndexBuild("embed_pca_model", (s, d) => { ops.PcaOpsImpl.model(s, d); () }))
+    IndexBuild("embed_pca_model", (s, d) => { ops.PcaOpsImpl.model(s, d); () }),
+    IndexBuild("text_lr_model", (s, d) => { ops.LrOpsImpl.model(s, d); () }))
 }
 
 /** Aggregates every module's query list into the driver contract. */
@@ -114,7 +115,8 @@ object Registry {
       ops.BpeOpsImpl.queries ++
       ops.UnigramOps.queries ++
       ops.GraphPersistOps.queries ++
-      ops.PcaOps.queries
+      ops.PcaOps.queries ++
+      ops.LrOps.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
