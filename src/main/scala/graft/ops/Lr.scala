@@ -159,6 +159,72 @@ object LrOpsImpl {
       .orderBy(col("doc_id"))
   }
 
+  /** q147 gate: the evaluation panel for the trained classifier — confusion
+    * matrix, accuracy/precision/recall, and exact rank-based AUC (the
+    * Mann-Whitney formulation with average ranks for ties:
+    * AUC = (Σ_pos rank̄ − nPos(nPos+1)/2) / (nPos·nNeg)). Training a filter
+    * without measuring it is how curation pipelines rot; this panel is the
+    * measurement half of q143/q144, mirroring what q77/q113 do for ANN.
+    *
+    * Determinism: every count is an integer; ranks are computed on the
+    * distinct-SCORE histogram with ties resolved by the average-rank rule,
+    * carried as 2×-scaled integers (rank2 = 2·(cum−cnt)+cnt+1) so nothing
+    * fractional exists until the single final division per metric — the
+    * same bits in any engine, any partitioning. (Integer exactness bounds:
+    * nPos·nNeg overflows int64 past ~6e9 docs; shard the eval or move the
+    * product to DECIMAL(38,0) there.)
+    *
+    * Scale shape: one narrow scan of the cached features view for the
+    * confusion counts; the AUC side aggregates to the distinct-score
+    * histogram (map-side combine) and ranks it with the q73 two-pass
+    * decomposition — a 256-way-parallel window keyed on the score's
+    * leading byte (monotone in p, so (bucket, p) order IS p order) plus a
+    * broadcast 256-row offset table. No single reducer ever sees the
+    * corpus, even if every document's score is unique. */
+  def lrEval(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val wt = model(s, dir).weights
+    val f = features(s, dir)
+    val z = logit(wt)
+    val scored = f.select(sig(z).as("p"), (z >= lit(0.0)).as("pred"),
+      (col("y") === lit(1.0)).as("pos"))
+    val conf = scored.agg(
+      sum(when(col("pred") && col("pos"), 1L).otherwise(0L)).as("tp"),
+      sum(when(col("pred") && !col("pos"), 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("pred") && !col("pos"), 1L).otherwise(0L)).as("tn"),
+      sum(when(!col("pred") && col("pos"), 1L).otherwise(0L)).as("fn"))
+    val hist = scored.groupBy(col("p"))
+      .agg(count(lit(1)).as("cnt"), sum(when(col("pos"), 1L).otherwise(0L)).as("npos"))
+      .withColumn("bucket", floor(col("p") * lit(256.0)).cast(LongType))
+    val ranked = hist.withColumn("cumb",
+      sum(col("cnt")).over(w.partitionBy(col("bucket")).orderBy(col("p"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val offsets = hist.groupBy(col("bucket")).agg(sum(col("cnt")).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(w.orderBy(col("bucket"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("bucket"), col("off"))
+    val auc = ranked.join(broadcast(offsets), "bucket")
+      .select(col("npos"),
+        ((col("off") + col("cumb") - col("cnt")) * lit(2L) + col("cnt") + lit(1L)).as("rank2"))
+      .agg(sum(col("npos") * col("rank2")).as("sumrank2"), sum(col("npos")).as("np"))
+    // zero-denominator metrics (e.g. a model that never predicts positive)
+    // are NULL by definition in both engines — Spark ANSI would throw and
+    // DuckDB would yield NaN, neither of which hash-compares
+    def ratio(num: Column, den: Column): Column =
+      when(den > lit(0L), num.cast(DoubleType) / den.cast(DoubleType))
+    conf.crossJoin(broadcast(auc)).select(
+      col("tp"), col("fp"), col("tn"), col("fn"),
+      ratio(col("tp") + col("tn"),
+        col("tp") + col("fp") + col("tn") + col("fn")).as("accuracy"),
+      ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+      ratio(col("tp"), col("tp") + col("fn")).as("recall"),
+      ratio(col("sumrank2") - col("np") * (col("np") + lit(1L)),
+        col("np") * (col("tp") + col("fp") + col("tn") + col("fn") - col("np")) * lit(2L))
+        .as("auc"))
+  }
+
   // ----------------------------------------------------------- oracle SQL
 
   private def duckQsum(e: String): String =
@@ -236,7 +302,50 @@ object LrOpsImpl {
          |SELECT l.doc_id, (${sigSql(s"(${zSql("w")})")}) AS p,
          |  (${zSql("w")}) >= 0.0 AS keep, l.y = 1.0 AS is_en
          |FROM f l, w$LrIters w
-         |ORDER BY l.doc_id""".stripMargin), headline = true))
+         |ORDER BY l.doc_id""".stripMargin), headline = true),
+    Q("q147_text_lr_eval", lrEval, Some(
+      s"""WITH $lrChainSql,
+         |scored AS MATERIALIZED (
+         |  SELECT (${sigSql(s"(${zSql("w")})")}) AS p,
+         |    (${zSql("w")}) >= 0.0 AS pred, l.y = 1.0 AS pos
+         |  FROM f l, w$LrIters w),
+         |conf AS MATERIALIZED (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN pred AND pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN pred AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN NOT pred AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |    CAST(SUM(CASE WHEN NOT pred AND pos THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM scored),
+         |hist AS MATERIALIZED (
+         |  SELECT p, CAST(FLOOR(p * 256.0) AS BIGINT) AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS npos
+         |  FROM scored GROUP BY p),
+         |ranked AS MATERIALIZED (
+         |  SELECT bucket, cnt, npos,
+         |    CAST(SUM(cnt) OVER (PARTITION BY bucket ORDER BY p
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb
+         |  FROM hist),
+         |offs AS MATERIALIZED (
+         |  SELECT bucket, CAST(COALESCE(SUM(c) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |  FROM (SELECT bucket, SUM(cnt) AS c FROM hist GROUP BY bucket) t),
+         |auc AS MATERIALIZED (
+         |  SELECT
+         |    CAST(SUM(npos * ((o.off + r.cumb - r.cnt) * 2 + r.cnt + 1)) AS BIGINT) AS sumrank2,
+         |    CAST(SUM(npos) AS BIGINT) AS np
+         |  FROM ranked r JOIN offs o ON r.bucket = o.bucket)
+         |SELECT tp, fp, tn, fn,
+         |  CASE WHEN tp + fp + tn + fn > 0 THEN
+         |    CAST(tp + tn AS DOUBLE) / CAST(tp + fp + tn + fn AS DOUBLE) END AS accuracy,
+         |  CASE WHEN tp + fp > 0 THEN
+         |    CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+         |  CASE WHEN tp + fn > 0 THEN
+         |    CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+         |  CASE WHEN np * (tp + fp + tn + fn - np) * 2 > 0 THEN
+         |    CAST(sumrank2 - np * (np + 1) AS DOUBLE) /
+         |      CAST(np * (tp + fp + tn + fn - np) * 2 AS DOUBLE) END AS auc
+         |FROM conf, auc""".stripMargin)))
 }
 
 /** Registry hook. */

@@ -261,6 +261,60 @@ object RelationalOps {
       .orderBy(col("event_type"))
   }
 
+  /** CUBE aggregate — all 2ⁿ grouping-set combinations in ONE pass with the
+    * grouping_id bitmask distinguishing slots (the rollup q11 covers only
+    * the hierarchy prefix sets). Spark expands the cube in a single Expand +
+    * hash-aggregate stage with map-side combine, so the corpus is scanned
+    * once and the shuffle carries (groups × sets × partitions) rows — at
+    * 100 TB this replaces 2ⁿ separate GROUP BY jobs with one scan. Spark's
+    * `grouping_id()` and DuckDB's `GROUPING(a, b)` use the same bitmask
+    * convention (bit set = column aggregated away), checked by the gate. */
+  def cubeByFlagStatus(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("gid"), col("n"), col("sum_qty"))
+      .orderBy(col("gid"), col("flag"), col("status"))
+
+  /** Range (interval) join via time-bucket equi-join — the second temporal
+    * join shape Spark lacks natively (q17 covers as-of). Semantics: for
+    * every purchase event, count and sum platform-wide click events in the
+    * strictly-preceding [[RangeJoinWindowMs]] window (the attribution
+    * shape). There is NO selective equi key, so the naive plan is a
+    * broadcast-nested-loop over the full inequality predicate — O(n²)
+    * comparisons. Bucketizing time into window-sized cells turns it into a
+    * plain equi-join: each click keys on its own cell, each purchase
+    * explodes into the (exactly two, because cell width == window length)
+    * cells its window can overlap, and the exact range predicate filters
+    * the joined candidates. Fan-out per key is bounded by the per-window
+    * arrival rate — the hottest 5 minutes of traffic, not the corpus — and
+    * AQE's skew split covers a flash-crowd cell. Purchases with zero
+    * prior clicks survive via the left-outer join + conditional count. */
+  def purchaseClickAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_id"), col("event_type"), unix_millis(col("ts")).as("ems"),
+        col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(expr(s"ems div $RangeJoinWindowMs").as("bucket"),
+        col("event_id").as("click_id"), col("ems").as("cems"), col("value").as("cvalue"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ems"))
+      .withColumn("bucket", explode(array(
+        expr(s"ems div $RangeJoinWindowMs - 1"), expr(s"ems div $RangeJoinWindowMs"))))
+    val inWin = col("cems") >= col("ems") - lit(RangeJoinWindowMs) && col("cems") < col("ems")
+    purchases.join(clicks, Seq("bucket"), "left_outer")
+      .groupBy(col("event_id"))
+      .agg(sum(when(inWin, 1L).otherwise(0L)).as("n_clicks"),
+        dsum(when(inWin, col("cvalue"))).as("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** 5 minutes; also the bucket cell width (a window then spans ≤ 2 cells). */
+  val RangeJoinWindowMs = 300000L
+
   /** Correlated scalar subquery through the engine's SQL surface — Catalyst
     * decorrelates it into an aggregate + join (no per-row re-execution).
     * Customers with balance above their nation's average. */
@@ -437,6 +491,23 @@ object Relational {
 
     Q("q15_json_extract", RelationalOps.eventPropsJson, Some(
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
-        |FROM events ORDER BY event_id""".stripMargin))
+        |FROM events ORDER BY event_id""".stripMargin)),
+
+    Q("q145_cube", RelationalOps.cubeByFlagStatus, Some(
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |  COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY gid, flag, status""".stripMargin)),
+
+    Q("q146_range_join", RelationalOps.purchaseClickAttribution, Some(
+      s"""WITH e AS (SELECT event_id, event_type, epoch_ms(ts) AS ems, value FROM events)
+         |SELECT p.event_id, COUNT(c.event_id) AS n_clicks,
+         |  CAST(SUM(CAST(c.value AS DECIMAL(38,6))) AS DOUBLE) AS click_value
+         |FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+         |LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
+         |  ON c.ems >= p.ems - ${RelationalOps.RangeJoinWindowMs}
+         |  AND c.ems < p.ems
+         |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin))
   )
 }

@@ -96,4 +96,30 @@ class LrSpec extends SparkSpec {
     }
     LrOpsImpl.clearCaches()
   }
+
+  test("q147 eval panel equals the brute-force pairwise recomputation") {
+    val row = LrOpsImpl.lrEval(spark, dir).collect()(0)
+    val applied = LrOpsImpl.lrApply(spark, dir).collect()
+      .map(r => (r.getDouble(1), r.getBoolean(2), r.getBoolean(3))) // (p, keep, is_en)
+    val tp = applied.count { case (_, k, y) => k && y }.toLong
+    val fp = applied.count { case (_, k, y) => k && !y }.toLong
+    val tn = applied.count { case (_, k, y) => !k && !y }.toLong
+    val fn = applied.count { case (_, k, y) => !k && y }.toLong
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      == ((tp, fp, tn, fn)))
+    val n = applied.length.toLong
+    assert(row.getAs[Double]("accuracy") == (tp + tn).toDouble / n.toDouble)
+    // rank-based AUC == the O(np·nn) Mann-Whitney definition, exactly:
+    // both numerators are the same integer and IEEE division is correctly
+    // rounded, so the two formulations agree bitwise
+    val pos = applied.filter(_._3).map(_._1)
+    val neg = applied.filterNot(_._3).map(_._1)
+    val u = pos.iterator.map(pp =>
+      neg.count(pn => pp > pn) + 0.5 * neg.count(pn => pp == pn)).sum
+    assert(row.getAs[Double]("auc") == u / (pos.length.toDouble * neg.length.toDouble))
+    // the score must carry real ordering signal even when the hard
+    // classifier degenerates (it predicts all-negative at small SF)
+    assert(row.getAs[Double]("auc") > 0.5)
+    LrOpsImpl.clearCaches()
+  }
 }

@@ -29,6 +29,35 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(buckets > 4, s"expected hot key spread over >4 of 8 salt buckets, got $buckets")
   }
 
+  test("q146 bucketed range join equals the naive inequality join") {
+    val dir = "/root/testdata/sf0.001"
+    val got = RelationalOps.purchaseClickAttribution(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    val ev = graft.Tables(spark, dir, "events")
+      .select($"event_id", $"event_type", unix_millis($"ts").as("ems"), $"value")
+      .collect()
+    val clicks = ev.filter(_.getString(1) == "click")
+    val naive = ev.filter(_.getString(1) == "purchase").map { p =>
+      val pe = p.getLong(2)
+      val in = clicks.filter { c =>
+        val ce = c.getLong(2)
+        ce >= pe - RelationalOps.RangeJoinWindowMs && ce < pe
+      }
+      (p.getLong(0), in.length.toLong,
+        if (in.isEmpty) None
+        else Some(in.map(c => BigDecimal(c.getDouble(3)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble))
+    }.sortBy(_._1).toSeq
+    assert(got.map(t => (t._1, t._2)) == naive.map(t => (t._1, t._2)))
+    got.zip(naive).foreach { case ((id, _, gv), (_, _, nv)) =>
+      (gv, nv) match {
+        case (Some(g), Some(n)) => assert(math.abs(g - n) < 1e-9, s"purchase $id")
+        case (a, b) => assert(a == b, s"purchase $id")
+      }
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // default warehouse dir (static conf); tables dropped in finally
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("id", "va")
