@@ -163,9 +163,12 @@ object VectorOpsImpl {
     graft.ops.Memo.clear(pathResultCache)
     graft.ops.Memo.clear(pagerankCache)
     graft.ops.Memo.clear(knnClustersCache)
+    graft.ops.Memo.clear(residualCache)
+    graft.ops.Memo.clear(residualPqIndexCache)
     centroidCache.clear()
     kmeansCache.clear()
     pqKmeansCache.clear()
+    residualPqCache.clear()
   }
 
   private def centroidVectors(s: SparkSession, dir: String): Seq[(Long, Array[Double])] =
@@ -571,6 +574,171 @@ object VectorOpsImpl {
     val joined = broadcast(q).join(c,
         col("qcluster") === col("ncluster") && col("neighbor_id") =!= col("query_id"))
       .withColumn("adc", adcDistanceLearned(books))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
+    joined.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("adc"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  // ------------------------------------------------ residual IVF-PQ (q148/q149)
+
+  /** Cached residual view (vec_id, assigned, res[64]) where res =
+    * embedding − learnedCenter(assigned) — the quantity the CANONICAL
+    * IVF-PQ (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011, §IV) encodes: within a coarse cell, residuals
+    * concentrate near 0, so the same 8-byte budget spends its codewords on
+    * a much smaller ball than raw-vector PQ (q79) and recall rises for
+    * free at identical index bytes. One narrow pass over the cached
+    * assignment view: the per-dim center lookup is an element_at into
+    * baked k-double array literals (the adcDistance discipline), so the
+    * residual computation codegens and never joins. */
+  private val residualCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def residuals(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Memo.getOrCache(residualCache, s, dir, { _ =>
+      val cents = learnedCenters(s, dir)
+      val asg = graft.ops.Memo.getOrCache(kmeansAssignCache, s, dir, _ =>
+        assignCenters(
+          Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+          cents).cache())
+      val labels = array(cents.map(c => lit(c._1)): _*)
+      val pos = array_position(labels, col("assigned")).cast(IntegerType)
+      val resCols = (1 to Dims).map { i =>
+        val cb = array(cents.map(c => lit(c._2(i - 1))): _*)
+        expr(s"CAST(element_at(embedding, $i) AS DOUBLE)") - element_at(cb, pos)
+      }
+      asg.select(col("vec_id"), col("assigned"), array(resCols: _*).as("res")).cache()
+    })
+
+  /** Per-subspace PQ codebooks trained on RESIDUALS — [[pqKmeansCodebooks]]
+    * with the corpus replaced by the residual view (same deterministic
+    * Lloyd discipline, same shared hash-derived seed sample, seeds taken as
+    * those vectors' residuals). Scale shape is identical: all 8 subspaces
+    * train in the same passes, one materialized argmin projection + 8
+    * metadata-sized aggregations per iteration. */
+  private val residualPqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, IndexedSeq[Seq[(Long, Array[Double])]]]()
+
+  private def resCentComp(i: Int): String =
+    s"CAST(SUM(CAST(FLOOR(element_at(res, $i) * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12"
+
+  private def residualPqCodebooks(s: SparkSession,
+      dir: String): IndexedSeq[Seq[(Long, Array[Double])]] =
+    residualPqCache.computeIfAbsent(dir, { d =>
+      val r = residuals(s, d)
+      def subDist2(m: Int, cv: Array[Double]): Column =
+        (1 to PqSub).map { j =>
+          val i = m * PqSub + j
+          val dd = element_at(col("res"), i) - lit(cv(j - 1))
+          dd * dd
+        }.reduce(_ + _)
+      var books: IndexedSeq[Seq[(Long, Array[Double])]] = {
+        val seedRows = r
+          .withColumn("sk", md5(concat(lit("seed:"), col("vec_id").cast(StringType))))
+          .orderBy(col("sk"), col("vec_id"))
+          .limit(KmeansK)
+          .select(col("res"))
+          .collect()
+        (0 until PqM).map { m =>
+          seedRows.zipWithIndex.map { case (row, i) =>
+            (i.toLong, row.getSeq[Double](0).slice(m * PqSub, m * PqSub + PqSub).toArray)
+          }.toSeq
+        }
+      }
+      (1 to KmeansIters).foreach { _ =>
+        val assigned = r.select(col("res") +:
+          (0 until PqM).map { m =>
+            val candidates = array(books(m).map { case (cl, cv) =>
+              struct(subDist2(m, cv).as("d"), lit(cl).as("l"))
+            }: _*)
+            array_min(candidates).getField("l").as(s"a$m")
+          }: _*).cache()
+        try {
+          books = (0 until PqM).map { m =>
+            val sums = count(lit(1)).as("n") +:
+              (1 to PqSub).map(j => expr(resCentComp(m * PqSub + j)).as(s"s$j"))
+            val byId = assigned.groupBy(col(s"a$m")).agg(sums.head, sums.tail: _*)
+              .collect().map(rr => rr.getLong(0) -> rr).toMap
+            books(m).map { case (cid, old) =>
+              byId.get(cid) match {
+                case Some(rr) =>
+                  val n = rr.getLong(1)
+                  (cid, (1 to PqSub).map(j => rr.getDouble(1 + j) / n).toArray)
+                case None => (cid, old)
+              }
+            }
+          }
+        } finally assigned.unpersist()
+      }
+      books
+    })
+
+  /** Residual PQ encode: per-subspace argmin of each vector's residual
+    * against the residual-trained codebook — q62's narrow baked-literal
+    * projection over the residual view. The (assigned, code0..7) row IS
+    * the complete IVF-PQ index entry: coarse cell + 8-byte residual code. */
+  private def residualPqCodes(s: SparkSession, dir: String): DataFrame = {
+    val books = residualPqCodebooks(s, dir)
+    def subDist2(m: Int, cv: Array[Double]): Column =
+      (1 to PqSub).map { j =>
+        val i = m * PqSub + j
+        val dd = element_at(col("res"), i) - lit(cv(j - 1))
+        dd * dd
+      }.reduce(_ + _)
+    val codeCols = (0 until PqM).map { m =>
+      val candidates = array(books(m).map { case (cl, cv) =>
+        struct(subDist2(m, cv).as("d"), lit(cl).as("l"))
+      }: _*)
+      array_min(candidates).getField("l").as(s"code$m")
+    }
+    residuals(s, dir).select(col("vec_id") :: col("assigned") :: codeCols.toList: _*)
+  }
+
+  private val residualPqIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def residualPqEncode(s: SparkSession, dir: String): DataFrame =
+    residualPqCodes(s, dir).orderBy(col("vec_id"))
+
+  /** ADC over residual codebooks: Σ_m ‖qres_sub − books(m)[code_m]‖² where
+    * qres is the QUERY's residual in its own coarse cell (probe = query's
+    * cell, so both sides' residuals are against the same center and the
+    * distance approximates ‖q − x‖² exactly as in the canonical scheme). */
+  private def adcDistanceResidual(books: IndexedSeq[Seq[(Long, Array[Double])]]): Column =
+    (0 until PqM).map { m =>
+      val labels = array(books(m).map(c => lit(c._1)): _*)
+      val pos = array_position(labels, col(s"code$m")).cast(IntegerType)
+      (1 to PqSub).map { j =>
+        val i = m * PqSub + j
+        val cb = array(books(m).map(c => lit(c._2(j - 1))): _*)
+        val d = element_at(col("qres"), i) - element_at(cb, pos)
+        d * d
+      }.reduce(_ + _)
+    }.reduce(_ + _)
+
+  /** Residual IVF-PQ search (q149): the q79 pipeline with residual-trained
+    * codes — the exact layout of production billion-scale indexes (IVFADC).
+    * Plan shape unchanged: broadcast query side (with its residual), both
+    * cached index views, per-query window; measured against the same
+    * ground truth in the q77/q113 panel, where the residual encoding's
+    * recall gain over raw-vector IVF-PQ is the whole point. */
+  def residualIvfPqTopK(s: SparkSession, dir: String): DataFrame =
+    memoPath(s, dir, "rivfpq")(residualIvfPqTopKPlan(s, dir))
+
+  private[graft] def residualIvfPqTopKPlan(s: SparkSession, dir: String): DataFrame = {
+    val books = residualPqCodebooks(s, dir)
+    val codes = graft.ops.Memo.getOrCache(residualPqIndexCache, s, dir, _ =>
+      residualPqCodes(s, dir).cache())
+    val q = residuals(s, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("res").as("qres"),
+        col("assigned").as("qcluster"))
+    val c = codes.select(col("vec_id").as("neighbor_id") +: col("assigned").as("ncluster") +:
+      (0 until PqM).map(m => col(s"code$m")): _*)
+    val joined = broadcast(q).join(c,
+        col("qcluster") === col("ncluster") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", adcDistanceResidual(books))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
     joined.withColumn("rn", row_number().over(w).cast(LongType))
       .filter(col("rn") <= 3)
@@ -1668,7 +1836,8 @@ object VectorOpsImpl {
     "jl_rerank" -> jlRerank(s, dir),
     "kmeans_ivf" -> kmeansIvfTopK(s, dir),
     "kmeans_ivfpq" -> kmeansIvfPqTopK(s, dir),
-    "pq_adc" -> pqAdcTopK(s, dir))
+    "pq_adc" -> pqAdcTopK(s, dir),
+    "rivfpq" -> residualIvfPqTopK(s, dir))
 
   /** The tagged (path, query_id, rn, neighbor_id) union of every
     * approximate path's top-3 — memoized CACHED view shared by q77 and
@@ -2179,7 +2348,8 @@ object VectorOps {
         "jl_rerank" -> q70Sql,
         "kmeans_ivf" -> q76Sql,
         "kmeans_ivfpq" -> q79Sql,
-        "pq_adc" -> q63Sql)
+        "pq_adc" -> q63Sql,
+        "rivfpq" -> q149Sql)
       val approx = branches.map { case (p, sql) =>
         s"SELECT '$p' AS path, query_id, neighbor_id FROM (\n$sql\n)"
       }.mkString("\n  UNION ALL\n")
@@ -2211,7 +2381,8 @@ object VectorOps {
         "jl_rerank" -> q70Sql,
         "kmeans_ivf" -> q76Sql,
         "kmeans_ivfpq" -> q79Sql,
-        "pq_adc" -> q63Sql)
+        "pq_adc" -> q63Sql,
+        "rivfpq" -> q149Sql)
       val approx = branches.map { case (p, sql) =>
         s"SELECT '$p' AS path, query_id, rn, neighbor_id FROM (\n$sql\n)"
       }.mkString("\n  UNION ALL\n")
@@ -2258,6 +2429,10 @@ object VectorOps {
          |ORDER BY vec_id""".stripMargin)),
 
     Q("q79_embed_kmeans_ivfpq", kmeansIvfPqTopK, Some(q79Sql)),
+
+    Q("q148_embed_rpq_encode", residualPqEncode, Some(q148Sql)),
+
+    Q("q149_embed_rivfpq", residualIvfPqTopK, Some(q149Sql), headline = true),
 
     Q("q83_embed_kmeans_quality", kmeansQuality, Some(
       s"""WITH $kmeansChainSql,
@@ -2636,6 +2811,97 @@ object VectorOps {
        |SELECT vec_id, $codes
        |FROM pf GROUP BY vec_id
        |ORDER BY vec_id""".stripMargin
+  }
+
+  /** Residual view mirror (res[64] = embedding − learned coarse center);
+    * assumes kmeansChainSql + kmeansFinalAssignSql are in scope. */
+  private lazy val residualSql: String = {
+    val comps = (1 to Dims).map(i =>
+      s"CAST(e.embedding[$i] AS DOUBLE) - c.c$i").mkString(", ")
+    s"""res AS MATERIALIZED (
+       |  SELECT e.vec_id, a.assigned, [$comps] AS res
+       |  FROM embeddings e
+       |  JOIN af a ON a.vec_id = e.vec_id
+       |  JOIN c$KmeansIters c ON c.cid = a.assigned)""".stripMargin
+  }
+
+  /** Residual per-subspace Lloyd chains — [[pqChainsSql]] over the res
+    * list (rcb0..rcbN codebooks, rf = final (vec_id, m, code)). */
+  private lazy val rpqChainsSql: String = {
+    val dist = (1 to PqSub).map(j =>
+      s"(r.res[c.m * $PqSub + $j] - c.c$j) * (r.res[c.m * $PqSub + $j] - c.c$j)")
+      .mkString(" + ")
+    val seedCols = (1 to PqSub).map(j =>
+      s"r.res[t.m * $PqSub + $j] AS c$j").mkString(", ")
+    val means = (1 to PqSub).map(j =>
+      s"CAST(SUM(CAST(FLOOR(r.res[a.m * $PqSub + $j] * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 / COUNT(*) AS m$j")
+      .mkString(",\n    ")
+    val coal = (1 to PqSub).map(j => s"COALESCE(g.m$j, p.c$j) AS c$j").mkString(", ")
+    val iters = (1 to KmeansIters).map { t =>
+      s"""rpa$t AS (
+         |  SELECT r.vec_id, c.m,
+         |    (MIN({'d': ($dist), 'cid': c.cid})).cid AS assigned
+         |  FROM res r, rcb${t - 1} c GROUP BY r.vec_id, c.m),
+         |rpg$t AS (SELECT a.m, a.assigned AS cid, COUNT(*) AS n,
+         |    $means
+         |  FROM res r JOIN rpa$t a ON a.vec_id = r.vec_id GROUP BY a.m, a.assigned),
+         |rcb$t AS (SELECT p.m, p.cid, $coal
+         |  FROM rcb${t - 1} p LEFT JOIN rpg$t g USING (m, cid))""".stripMargin
+    }.mkString(",\n")
+    s"""rcb0 AS (SELECT t.m, s.cid, $seedCols
+       |  FROM seeds s, res r, (SELECT range AS m FROM range($PqM)) t
+       |  WHERE r.vec_id = s.vec_id AND s.cid < $KmeansK),
+       |$iters,
+       |rf AS (
+       |  SELECT r.vec_id, c.m,
+       |    (MIN({'d': ($dist), 'cid': c.cid})).cid AS code
+       |  FROM res r, rcb$KmeansIters c GROUP BY r.vec_id, c.m)""".stripMargin
+  }
+
+  /** q148 mirror: residual codes pivoted into one row per vector. */
+  private lazy val q148Sql: String = {
+    val codes = (0 until PqM).map(m =>
+      s"MAX(CASE WHEN f.m = $m THEN f.code END) AS code$m").mkString(", ")
+    s"""WITH $kmeansChainSql,
+       |$kmeansFinalAssignSql,
+       |$residualSql,
+       |$rpqChainsSql
+       |SELECT f.vec_id, r.assigned, $codes
+       |FROM rf f JOIN res r ON r.vec_id = f.vec_id
+       |GROUP BY f.vec_id, r.assigned
+       |ORDER BY f.vec_id""".stripMargin
+  }
+
+  /** q149 mirror: residual-ADC IVF-PQ probe (q79's shape over residuals,
+    * with the same explicitly ordered 8-term ADC addition). */
+  private lazy val q149Sql: String = {
+    val sub = (1 to PqSub).map(j =>
+      s"(p.qres[f.m * $PqSub + $j] - cb.c$j) * (p.qres[f.m * $PqSub + $j] - cb.c$j)")
+      .mkString(" + ")
+    val adcSum = (0 until PqM).map(m =>
+      s"MAX(CASE WHEN m = $m THEN d END)").mkString("\n      + ")
+    s"""WITH $kmeansChainSql,
+       |$kmeansFinalAssignSql,
+       |$residualSql,
+       |$rpqChainsSql,
+       |pairs AS (
+       |  SELECT qr.vec_id AS query_id, nb.vec_id AS neighbor_id, qr.res AS qres
+       |  FROM res qr
+       |  JOIN res nb ON nb.assigned = qr.assigned AND nb.vec_id <> qr.vec_id
+       |  WHERE qr.vec_id < 8),
+       |parts AS (
+       |  SELECT p.query_id, p.neighbor_id, f.m, ($sub) AS d
+       |  FROM pairs p
+       |  JOIN rf f ON f.vec_id = p.neighbor_id
+       |  JOIN rcb$KmeansIters cb ON cb.m = f.m AND cb.cid = f.code),
+       |adc AS (
+       |  SELECT query_id, neighbor_id,
+       |    $adcSum AS adc
+       |  FROM parts GROUP BY query_id, neighbor_id),
+       |rr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY adc, neighbor_id) AS BIGINT) AS rn FROM adc)
+       |SELECT query_id, rn, neighbor_id, adc FROM rr WHERE rn <= 3
+       |ORDER BY query_id, rn""".stripMargin
   }
 
   private lazy val q76Sql: String =

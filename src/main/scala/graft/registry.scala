@@ -94,6 +94,7 @@ object Indexes {
     IndexBuild("text_unigram", (s, d) => f(ops.UnigramOpsImpl.unigramVocab(s, d))),
     IndexBuild("embed_exact_topk", (s, d) => f(ops.VectorOpsImpl.cosineTopK(s, d))),
     IndexBuild("embed_kmeans_model", (s, d) => f(ops.VectorOpsImpl.kmeansCentroids(s, d))),
+    IndexBuild("embed_rpq_model", (s, d) => f(ops.VectorOpsImpl.residualPqEncode(s, d))),
     IndexBuild("embed_ann_panel", (s, d) => f(ops.VectorOpsImpl.annPanel(s, d))),
     IndexBuild("embed_knn_graph", (s, d) => f(ops.VectorOpsImpl.knnGraph(s, d))),
     IndexBuild("embed_components", (s, d) => f(ops.VectorOpsImpl.embedNearDupComponents(s, d))),

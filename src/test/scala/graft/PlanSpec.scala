@@ -89,6 +89,13 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("InMemoryTableScan"), s"search must read the cached index views:\n$s")
   }
 
+  test("q149 residual IVF-PQ probes and ranks over cached index views only") {
+    val s = plan(ops.VectorOpsImpl.residualIvfPqTopKPlan(spark, dir))
+    assert(s.contains("BroadcastHashJoin"), s"probe must broadcast the query side:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"corpus-side sort-merge would not scale:\n$s")
+    assert(s.contains("InMemoryTableScan"), s"search must read the cached index views:\n$s")
+  }
+
   test("q71 content-defined chunking is a narrow generator: no shuffle before the sort") {
     val df = ops.TextOpsImpl.contentDefinedChunks(spark, dir).queryExecution.analyzed match {
       case org.apache.spark.sql.catalyst.plans.logical.Sort(_, _, child, _) =>
@@ -475,6 +482,29 @@ class PlanSpec extends SparkSpec {
     // budget restored: the broadcast regime comes back
     val t2 = plan(ops.VectorOpsImpl.clusterTermCounts(spark, dir))
     assert(t2.contains("BroadcastHashJoin"), t2)
+  }
+
+  test("q146 range join rides the bucket equi-join, never a nested loop") {
+    val s = plan(ops.RelationalOps.purchaseClickAttribution(spark, dir))
+    // without the time-bucket key the only join strategy for a pure
+    // inequality predicate is BroadcastNestedLoopJoin — O(n²) compares
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      s"interval predicate must ride the bucket equi-join:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin") ||
+      s.contains("ShuffledHashJoin"), s"expect an equi-join on bucket:\n$s")
+  }
+
+  test("q147 eval ranks scores bucket-partitioned with broadcast offsets") {
+    val s = plan(ops.LrOpsImpl.lrEval(spark, dir))
+    assert(s.contains("BroadcastHashJoin"), s"offset join must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"), s)
+    // the distinct-score ranking window must stay bucket-partitioned; the
+    // only unpartitioned window is the 256-row offsets prefix sum
+    val cumWindows = "windowspecdefinition\\(([^,]*), p#"
+      .r.findAllMatchIn(s).map(_.group(1)).toSeq
+    assert(cumWindows.nonEmpty && cumWindows.forall(_.contains("bucket")),
+      s"score-histogram windows must partition by bucket: $cumWindows")
   }
 
   test("q124 dim stats reduce in one pass: no explode before the aggregate") {

@@ -69,4 +69,22 @@ class KmeansSpec extends SparkSpec {
     assert(perQuery.length == 8, "all 8 query vectors probe")
     assert(perQuery.forall(_.getLong(1) <= 3), "top-3 per query")
   }
+
+  test("residual encoding lifts IVF-PQ recall at identical index bytes") {
+    // the reason q148/q149 exist: within a coarse cell residuals concentrate
+    // near zero, so the same 8-byte code budget quantizes a smaller ball
+    // than raw-vector PQ — recall must not be WORSE than q79's at the same
+    // (cluster, 8-code) layout, and the codes must differ (it is a
+    // genuinely different quantizer, not a relabeling)
+    val dir = "/root/testdata/sf0.001"
+    val r = VectorOpsImpl.annRecall(spark, dir).collect()
+      .map(x => x.getString(0) -> x.getAs[Double]("recall")).toMap
+    assert(r("rivfpq") >= r("kmeans_ivfpq"),
+      s"residual IVF-PQ recall ${r("rivfpq")} must be >= raw IVF-PQ ${r("kmeans_ivfpq")}")
+    val raw = VectorOpsImpl.pqKmeansEncode(spark, dir).collect()
+      .map(x => x.getLong(0) -> (1 to 8).map(i => x.getLong(x.length - 9 + i)))
+    val res = VectorOpsImpl.residualPqEncode(spark, dir).collect()
+      .map(x => x.getLong(0) -> (1 to 8).map(i => x.getLong(x.length - 9 + i)))
+    assert(raw.toMap != res.toMap, "residual codes must not equal raw-vector codes")
+  }
 }
