@@ -119,6 +119,54 @@ object LayoutOpsImpl {
       .orderBy(col("layout"), col("query"))
   }
 
+  /** q150: the Hilbert clustering key — same 16-bit cells as q125, mapped
+    * by the native codegen'd `hilbert2` traversal instead of the Morton
+    * interleave. Same narrow plan shape: one pass, the only exchange is the
+    * single-row stats broadcast. */
+  def hilbertKey(s: SparkSession, dir: String): DataFrame =
+    cells(s, dir)
+      .select(col("o_orderkey"), col("cellx"), col("celly"),
+        graft.expr.HilbertFunctions.hilbert2(col("cellx"), col("celly")).as("hval"))
+      .orderBy(col("o_orderkey"))
+
+  /** q151: the three-way layout shoot-out — the SAME rows split into the
+    * SAME [[FileRows]]-row files under linear, Morton and Hilbert sort
+    * orders, probed with the same selective band per dimension. Hilbert's
+    * curve never takes Morton's long diagonal jumps, so its files' min/max
+    * boxes are tighter and its skip fraction dominates Morton's on both
+    * dimensions (measured, not asserted — the panel is the evidence a
+    * layout decision actually needs). Measurement scale shape is q126's:
+    * bucket-parallel ranks, broadcast offsets, metadata-sized file boxes. */
+  def hilbertSkipping(s: SparkSession, dir: String): DataFrame = {
+    val z = cells(s, dir)
+      .withColumn("zval",
+        graft.expr.ZOrderFunctions.zorder2(col("cellx"), col("celly")))
+      .withColumn("hval",
+        graft.expr.HilbertFunctions.hilbert2(col("cellx"), col("celly")))
+    val zf = fileAssign(z, "zorder",
+      "CAST(FLOOR(zval / 4194304.0) AS BIGINT)", Seq("zval", "o_orderkey"))
+    val lf = fileAssign(z, "linear",
+      "CAST(FLOOR(cellx / 256.0) AS BIGINT)", Seq("cellx", "o_orderkey"))
+    val hf = fileAssign(z, "hilbert",
+      "CAST(FLOOR(hval / 4194304.0) AS BIGINT)", Seq("hval", "o_orderkey"))
+    val fs = zf.union(lf).union(hf)
+      .groupBy(col("layout"), col("file"))
+      .agg(min(col("cellx")).as("mnx"), max(col("cellx")).as("mxx"),
+        min(col("celly")).as("mny"), max(col("celly")).as("mxy"))
+    val perLayout = fs.groupBy(col("layout")).agg(
+      count(lit(1)).as("files_total"),
+      sum(expr(s"CASE WHEN mxx >= $BandLo AND mnx <= $BandHi THEN 1 ELSE 0 END")).as("xs"),
+      sum(expr(s"CASE WHEN mxy >= $BandLo AND mny <= $BandHi THEN 1 ELSE 0 END")).as("ys"))
+    perLayout
+      .select(col("layout"), col("files_total"), explode(array(
+        struct(lit("x_band").as("query"), col("xs").as("files_scanned")),
+        struct(lit("y_band").as("query"), col("ys").as("files_scanned")))).as("q"))
+      .select(col("layout"), col("q.query").as("query"), col("files_total"),
+        col("q.files_scanned").as("files_scanned"),
+        expr("1.0 - CAST(q.files_scanned AS DOUBLE) / files_total").as("skip_fraction"))
+      .orderBy(col("layout"), col("query"))
+  }
+
   /** q127: clustering HEALTH — the re-optimize trigger. Files written in
     * ARRIVAL order (ingestion appends) have z-ranges that straddle the
     * whole space, so any z-range query touches most of them; files written
@@ -235,6 +283,44 @@ object LayoutOpsImpl {
          |${rank("linear", "CAST(FLOOR(cellx / 256.0) AS BIGINT)", "cellx, o_orderkey")}
          |UNION ALL
          |${rank("zorder", "CAST(FLOOR(zval / 4194304.0) AS BIGINT)", "zval, o_orderkey")}),
+         |fs AS (
+         |  SELECT layout, file, MIN(cellx) AS mnx, MAX(cellx) AS mxx,
+         |         MIN(celly) AS mny, MAX(celly) AS mxy
+         |  FROM f GROUP BY layout, file),
+         |fl AS (
+         |  SELECT layout, COUNT(*) AS files_total,
+         |    SUM(CASE WHEN mxx >= $BandLo AND mnx <= $BandHi THEN 1 ELSE 0 END) AS xs,
+         |    SUM(CASE WHEN mxy >= $BandLo AND mny <= $BandHi THEN 1 ELSE 0 END) AS ys
+         |  FROM fs GROUP BY layout)
+         |SELECT layout, query, files_total, CAST(files_scanned AS BIGINT) AS files_scanned,
+         |  1.0 - CAST(files_scanned AS DOUBLE) / files_total AS skip_fraction
+         |FROM (
+         |  SELECT layout, 'x_band' AS query, files_total, xs AS files_scanned FROM fl
+         |  UNION ALL
+         |  SELECT layout, 'y_band', files_total, ys FROM fl)
+         |ORDER BY layout, query""".stripMargin
+    }),
+
+    Q("q150_hilbert_key", hilbertKey, Some(
+      s"""WITH $cellCte,
+         |${graft.expr.Hilbert.chainSql("c",
+              Seq("o_orderkey", "cellx", "celly"), "cellx", "celly")}
+         |SELECT o_orderkey, cellx, celly, hacc AS hval
+         |FROM h${graft.expr.Hilbert.Bits} ORDER BY o_orderkey""".stripMargin)),
+
+    Q("q151_hilbert_skipping", hilbertSkipping, Some {
+      s"""WITH $cellCte,
+         |${graft.expr.Hilbert.chainSql("c",
+              Seq("o_orderkey", "cellx", "celly"), "cellx", "celly")},
+         |z AS (SELECT o_orderkey, cellx, celly,
+         |  ${ZOrder.interleaveSql("cellx", "celly")} AS zval,
+         |  hacc AS hval FROM h${graft.expr.Hilbert.Bits}),
+         |f AS (
+         |${rank("linear", "CAST(FLOOR(cellx / 256.0) AS BIGINT)", "cellx, o_orderkey")}
+         |UNION ALL
+         |${rank("zorder", "CAST(FLOOR(zval / 4194304.0) AS BIGINT)", "zval, o_orderkey")}
+         |UNION ALL
+         |${rank("hilbert", "CAST(FLOOR(hval / 4194304.0) AS BIGINT)", "hval, o_orderkey")}),
          |fs AS (
          |  SELECT layout, file, MIN(cellx) AS mnx, MAX(cellx) AS mxx,
          |         MIN(celly) AS mny, MAX(celly) AS mxy

@@ -435,6 +435,16 @@ class PlanSpec extends SparkSpec {
       s"every row_number window must partition by bucket: $rowNumberWindows")
   }
 
+  test("q151 hilbert panel: offsets broadcast, ranks stay bucket-partitioned") {
+    val s = plan(ops.LayoutOpsImpl.hilbertSkipping(spark, dir))
+    assert(s.contains("BroadcastHashJoin"), s"offset join must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"no sort-merge join anywhere:\n$s")
+    val rowNumberWindows = "row_number\\(\\) windowspecdefinition\\(([^,]*),"
+      .r.findAllMatchIn(s).map(_.group(1)).toSeq
+    assert(rowNumberWindows.nonEmpty && rowNumberWindows.forall(_.contains("bucket")),
+      s"every row_number window must partition by bucket: $rowNumberWindows")
+  }
+
   test("q132 count-min builds from one corpus tokenize-aggregate, no sort-merge join") {
     val s = plan(ops.TextOpsImpl.cmsHeavyHitters(spark, dir))
     // the cell lookup joins word-counts (vocab-sized) to the grid
