@@ -223,6 +223,10 @@ object BpeOpsImpl {
          |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin)
   }
 
+  /** The DuckDB-dialect encode mirror, for oracles that aggregate over
+    * the per-doc encode (q152 fertility). */
+  private[graft] lazy val encodeSqlDuck: String = encodeSql(duck)
+
   def queries: Seq[Q] = Seq(
     Q("q129_text_bpe_merges", bpeMerges, Some(learnSql(duck))),
     Q("q130_text_bpe_encode", bpeEncode, Some(encodeSql(duck))))

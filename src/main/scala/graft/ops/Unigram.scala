@@ -221,7 +221,7 @@ object UnigramOps {
        |FROM c$f ORDER BY piece""".stripMargin
   }
 
-  private def encodeSql: String =
+  private[graft] def encodeSql: String =
     s"""WITH $ctes,
        |tok AS (SELECT word, CAST(len(segs) AS BIGINT) AS n_tok FROM seg$EmIters),
        |cw AS (SELECT doc_id, word FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) x WHERE word <> '')

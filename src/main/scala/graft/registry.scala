@@ -117,7 +117,8 @@ object Registry {
       ops.UnigramOps.queries ++
       ops.GraphPersistOps.queries ++
       ops.PcaOps.queries ++
-      ops.LrOps.queries
+      ops.LrOps.queries ++
+      ops.FertilityOps.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
