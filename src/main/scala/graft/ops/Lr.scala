@@ -55,28 +55,34 @@ object LrOpsImpl {
     Memo.clear(featCache)
   }
 
-  /** Cached per-doc features + weak label (one tokenize per corpus). */
-  private def features(s: SparkSession, dir: String): DataFrame =
-    Memo.getOrCache(featCache, s, dir, { _ =>
-      Tables(s, dir, "documents")
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("n_tok", size(col("toks")).cast(LongType))
-        .withColumn("x1", least(col("n_tok").cast(DoubleType) / 50.0, lit(1.0)))
-        .withColumn("x2",
+  /** Featurize an arbitrary (doc_id, text, lang) frame — batch and
+    * streaming alike (every feature is a stateless narrow expression, so
+    * graft.streaming.StreamScore scores an arriving stream with the same
+    * column definitions the trainer used — no train/serve skew). */
+  private[graft] def featurize(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")).cast(LongType))
+      .withColumn("x1", least(col("n_tok").cast(DoubleType) / 50.0, lit(1.0)))
+      .withColumn("x2",
           expr(s"CAST(size(filter(toks, x -> x IN ${TextOpsImpl.stopwordsInList})) AS BIGINT)")
             .cast(DoubleType) / col("n_tok"))
-        .withColumn("x3",
+      .withColumn("x3",
           size(array_distinct(col("toks"))).cast(DoubleType) / col("n_tok"))
         // mean token length pre-scaled to O(1): raw avg_tok_len (~5) makes
         // full-batch steps overshoot the σ̃ boundary and the trajectory
         // oscillates keep-all/keep-none instead of settling (observed);
         // conditioning features to a common scale is the standard fix
-        .withColumn("x4",
+      .withColumn("x4",
           ((length(col("text")).cast(DoubleType) - (col("n_tok") - lit(1L))) / col("n_tok"))
             / lit(8.0))
-        .withColumn("y", when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)))
-        .select(col("doc_id"), col("y"), col("x1"), col("x2"), col("x3"), col("x4"))
-        .cache()
+      .withColumn("y", when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)))
+      .select(col("doc_id"), col("y"), col("x1"), col("x2"), col("x3"), col("x4"))
+
+  /** Cached per-doc features + weak label (one tokenize per corpus). */
+  private def features(s: SparkSession, dir: String): DataFrame =
+    Memo.getOrCache(featCache, s, dir, { _ =>
+      featurize(Tables(s, dir, "documents")).cache()
     })
 
   private def qsum(c: Column): Column =
@@ -84,11 +90,11 @@ object LrOpsImpl {
 
   /** Logit chain with the given weights baked as literals — left-assoc
     * w0 + x1·w1 + x2·w2 + x3·w3 + x4·w4, the oracle's exact order. */
-  private def logit(w: Array[Double]): Column =
+  private[graft] def logit(w: Array[Double]): Column =
     (1 to 4).foldLeft[Column](lit(w(0)))((acc, i) => acc + col(s"x$i") * lit(w(i)))
 
   /** σ̃(z) = 0.5 + 0.5·z/(1+|z|). */
-  private def sig(z: Column): Column =
+  private[graft] def sig(z: Column): Column =
     lit(0.5) + lit(0.5) * (z / (lit(1.0) + abs(z)))
 
   /** One pass: gradient raw sums for each feature + correct-prediction

@@ -315,6 +315,39 @@ object RelationalOps {
   /** 5 minutes; also the bucket cell width (a window then spans ≤ 2 cells). */
   val RangeJoinWindowMs = 300000L
 
+  /** PIVOT: revenue matrix (order priority × explicit status columns). With
+    * the pivot values DECLARED, Spark plans this as ONE scan + one hash
+    * aggregate whose row is the pivoted struct — no per-column pass, no
+    * second shuffle; the oracle mirrors it as portable CASE aggregation
+    * (statuses that never co-occur with a priority come out NULL in both
+    * engines). An UNDECLARED value list would force a distinct-scan first —
+    * at 100 TB always enumerate the pivot domain. */
+  def revenuePivot(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(dsum(col("o_totalprice")))
+      .orderBy(col("o_orderpriority"))
+
+  /** Ranking-window panel: ntile / percent_rank / cume_dist / lag / lead
+    * under one total order per event type — the §2.7 ranking functions not
+    * already exercised by q06/q07/q13. All four are rational functions of
+    * integer ranks (percent_rank = (r−1)/(n−1) as one double division), so
+    * they hash-compare bitwise; the partition key is event_type with
+    * per-type order (value, event_id) — a skewed type bounds a reducer by
+    * its own row count, the same envelope as every doc-scoped window. */
+  def rankingWindows(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    Tables(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Correlated scalar subquery through the engine's SQL surface — Catalyst
     * decorrelates it into an aggregate + join (no per-row re-execution).
     * Customers with balance above their nation's average. */
@@ -508,6 +541,25 @@ object Relational {
          |LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
          |  ON c.ems >= p.ems - ${RelationalOps.RangeJoinWindowMs}
          |  AND c.ems < p.ems
-         |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin))
+         |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin)),
+
+    Q("q153_pivot", RelationalOps.revenuePivot, Some(
+      s"""SELECT o_orderpriority,
+         |  ${dsumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS "F",
+         |  ${dsumSql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS "O",
+         |  ${dsumSql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS "P"
+         |FROM orders GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin)),
+
+    Q("q154_ranking_windows", RelationalOps.rankingWindows, Some(
+      """SELECT event_id, event_type, value,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume,
+        |  LAG(value, 1) OVER w AS prev_value,
+        |  LEAD(value, 1) OVER w AS next_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin))
   )
 }
