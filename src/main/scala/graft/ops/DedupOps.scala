@@ -618,6 +618,68 @@ object DedupOpsImpl {
       .orderBy(col("bucket"))
   }
 
+  /** The (bands, rows-per-band) geometries the sweep executes: the
+    * production (4, 2) plus the recall-lean (8, 1) and precision-lean
+    * (2, 4) splits of the same 8 minhash lanes. */
+  val BandGeometries: Seq[(Int, Int)] = Seq((2, 4), (4, 2), (8, 1))
+
+  /** Candidate pairs under an arbitrary bands × rowsPerBand split of the 8
+    * lanes — [[minhashLshPlan]] generalized; same bucket cap, same
+    * distinct-pair shape, so every geometry inherits the audited
+    * buckets × cap² fan-out bound. */
+  private def bandPairsGeom(s: SparkSession, dir: String,
+      bands: Int, rows: Int): DataFrame = {
+    val sig = minhashSignatures(s, dir)
+      .withColumn("bands", array(
+        (0 until bands).map(b => struct(lit(b).as("band"),
+          md5(concat((0 until rows).map(r => col(s"h${b * rows + r}")): _*)).as("bh"))): _*))
+      .select(col("doc_id"), explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val ok = sig.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
+      .filter(col("n") <= BucketCap).select("band", "bh")
+    val bucketed = sig.join(ok, Seq("band", "bh"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** q155: the banding-geometry SWEEP — q123's S-curve validates the
+    * production (4, 2) banding against theory; this EXECUTES the
+    * alternative geometries over the same corpus and measures each against
+    * the sampled exact-Jaccard truth (j ≥ 0.5): recall, precision, and the
+    * candidate volume the verifier must then pay for. The b/r trade is THE
+    * tuning knob of MinHash dedup (more, narrower bands ⇒ recall up,
+    * candidates up); a curation owner re-tunes it from exactly this panel.
+    *
+    * Scale shape: three band joins, each the audited capped-bucket
+    * generator; the truth set is the memoized sample-bounded enumeration
+    * (broadcast-sized), and the panel is |geometries| rows. */
+  def lshBandSweep(s: SparkSession, dir: String): DataFrame = {
+    val n = docCount(s, dir)
+    val truth = recallTruthPairs(s, dir).filter(col("j") >= 0.5)
+      .select(col("a_id"), col("b_id"))
+    val found = BandGeometries.map { case (b, r) =>
+      bandPairsGeom(s, dir, b, r)
+        .filter(inRecallSample("a_id", n) && inRecallSample("b_id", n))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("a_id"), col("b_id"))
+    }.reduce(_ union _)
+    val hits = found
+      .join(broadcast(truth.withColumn("hit", lit(1L))), Seq("a_id", "b_id"), "left")
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("found_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("true_found"))
+    val tot = truth.agg(count(lit(1)).as("truth_pairs"))
+    hits.crossJoin(broadcast(tot))
+      .select(col("bands"), col("rows_per_band"), col("truth_pairs"),
+        col("found_pairs"), col("true_found"),
+        (col("true_found").cast(DoubleType) / col("truth_pairs")).as("recall"),
+        (col("true_found").cast(DoubleType) / col("found_pairs")).as("precision"))
+      .orderBy(col("bands"))
+  }
+
   /** Same signature via the native codegen'd Catalyst expression
     * (graft.expr.SimHashExpr) — one pass per row, no explode/shuffle at all;
     * this is the hot-path form for 100 TB corpora. 48 bits so the DuckDB
@@ -1013,6 +1075,54 @@ object DedupOps {
          |    / COUNT(*) AS precision
          |FROM found f LEFT JOIN truth t USING (a_id, b_id)
          |GROUP BY f.method ORDER BY f.method""".stripMargin
+    }),
+
+    Q("q155_dedup_band_sweep", lshBandSweep, Some {
+      def rb(id: String) = {
+        def nib(i: Int) =
+          s"(strpos('0123456789abcdef', substr(md5('rcl:' || CAST($id AS VARCHAR)), $i, 1)) - 1)"
+        s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})" +
+          s" * (SELECT COUNT(*) FROM documents) < ${RecallSampleTarget * 65536L}"
+      }
+      val geoms = BandGeometries.zipWithIndex.map { case ((b, r), g) =>
+        val bandsSel = (0 until b).map(bi =>
+          s"SELECT doc_id, $bi AS band, md5(${(0 until r).map(ri => s"h${bi * r + ri}").mkString(" || ")}) AS bh FROM sig")
+          .mkString(" UNION ALL ")
+        s"""bands$g AS ($bandsSel),
+           |ok$g AS (SELECT band, bh FROM bands$g GROUP BY band, bh HAVING COUNT(*) <= $BucketCap),
+           |bk$g AS (SELECT b.doc_id, b.band, b.bh FROM bands$g b JOIN ok$g USING (band, bh)),
+           |f$g AS (
+           |  SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band, a_id, b_id
+           |  FROM (
+           |    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |    FROM bk$g a JOIN bk$g b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id) c
+           |  WHERE ${rb("a_id")} AND ${rb("b_id")})""".stripMargin
+      }.mkString(",\n")
+      val unionAll = BandGeometries.indices
+        .map(g => s"SELECT * FROM f$g").mkString(" UNION ALL ")
+      s"""WITH $shingleSql,
+         |ssh AS (SELECT doc_id, sh.sh FROM sh WHERE ${rb("doc_id")}),
+         |tsizes AS (SELECT doc_id, COUNT(*) AS n FROM ssh GROUP BY doc_id),
+         |truth AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |    FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) p
+         |  JOIN tsizes na ON na.doc_id = a_id JOIN tsizes nb ON nb.doc_id = b_id
+         |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5),
+         |sig AS (SELECT doc_id, $laneSql FROM sh GROUP BY doc_id),
+         |$geoms,
+         |found AS ($unionAll),
+         |hits AS (
+         |  SELECT bands, rows_per_band, CAST(COUNT(*) AS BIGINT) AS found_pairs,
+         |    CAST(SUM(CASE WHEN t.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS true_found
+         |  FROM found f LEFT JOIN truth t ON t.a_id = f.a_id AND t.b_id = f.b_id
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS truth_pairs FROM truth)
+         |SELECT bands, rows_per_band, truth_pairs, found_pairs, true_found,
+         |  CAST(true_found AS DOUBLE) / truth_pairs AS recall,
+         |  CAST(true_found AS DOUBLE) / found_pairs AS precision
+         |FROM hits, tot ORDER BY bands""".stripMargin
     }),
 
     Q("q123_dedup_scurve", lshScurve, Some {

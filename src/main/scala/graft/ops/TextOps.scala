@@ -1319,6 +1319,29 @@ object TextOpsImpl {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Per-group cap for the deterministic group sample (q157). */
+  val GroupSampleK = 5
+
+  /** Deterministic k-per-group subsample (q157) — the per-language /
+    * per-source CAP every mixture recipe needs ("at most N docs from X"):
+    * keep each group's k smallest `md5('grp:' || doc_id)` ranks. Hash
+    * ranks make it a uniform random sample that is reproducible across
+    * engines, retries and partitionings (the [[stratifiedSample]]
+    * argument), and the native TopKPerKey operator bounds the work: ≤ k
+    * rows per group per partition cross the wire, no per-group sort — on
+    * a 100 TB corpus with a handful of languages this is the difference
+    * between a metadata shuffle and re-sorting the corpus (q34's
+    * low-cardinality-key analysis). */
+  def groupSample(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        md5(concat(lit("grp:"), col("doc_id").cast(StringType))).as("sk"))
+    graft.plans.TopK.topKPerKey(keyed, GroupSampleK,
+        Seq("lang"), Seq(graft.plans.TopK.Ord("sk"), graft.plans.TopK.Ord("doc_id")))
+      .select(col("lang"), col("rank"), col("doc_id"), col("sk"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   val KmvK = 32
 
   /** Bottom-k (KMV) distinct-count sketch per source (q121, Bar-Yossef et
@@ -1363,6 +1386,84 @@ object TextOpsImpl {
       .select(col("source"), col("n_distinct"), col("k"), col("kth_frac"),
         col("estimate"), col("err_ratio"))
       .orderBy(col("source"))
+  }
+
+  /** KMV set OPERATIONS between per-source vocabulary sketches (q156,
+    * Beyer et al., SIGMOD 2007): for every source pair, the merged
+    * bottom-k sketch estimates |A ∪ B| (as (k−1)/v over the merged k-th
+    * hash), the fraction of merged-sketch members present in BOTH
+    * originals estimates Jaccard, and their product estimates |A ∩ B| —
+    * overlap analytics (shared vocabulary, near-duplicate sources, cross
+    * contamination) from sketches alone, without ever joining the
+    * underlying sets. The estimates sit next to the exact values so the
+    * panel exposes its own error, like q121.
+    *
+    * The determinism argument is q121's: a bottom-k sketch is a pure
+    * function of the data, so every derived estimate is bitwise identical
+    * in any engine — unlike HLL-family sketch unions. Mergeability is the
+    * production story at 100 TB: per-partition/per-day sketches union by
+    * keeping the k smallest hashes, so the pairwise panel runs on
+    * |sources|² × k metadata rows, never on the vocabularies.
+    *
+    * Scale shape: one distinct (source, token) reduce (map-side combine),
+    * the bounded TopKPerKey heap per source, then everything downstream is
+    * sketch-sized (|sources|² × 2k rows); the exact columns are
+    * vocabulary-keyed joins with map-side-combined counts — the same cost
+    * class as q96's drift grid. */
+  def kmvSetOps(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val v = Tables(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val sigs = v.withColumn("h", md5(col("tok")))
+    val bottom = graft.plans.TopK.topKPerKey(
+        sigs.select(col("source"), col("h")), KmvK,
+        Seq("source"), Seq(graft.plans.TopK.Ord("h")))
+      .select(col("source"), col("h"))
+    val sources = v.select(col("source")).distinct()
+    val pairs = sources.toDF("sa").crossJoin(sources.toDF("sb"))
+      .filter(col("sa") < col("sb"))
+    val tagged = broadcast(pairs).join(bottom, col("source") === col("sa"))
+      .select(col("sa"), col("sb"), col("h"), lit(1L).as("ina"), lit(0L).as("inb"))
+      .union(broadcast(pairs).join(bottom, col("source") === col("sb"))
+        .select(col("sa"), col("sb"), col("h"), lit(0L).as("ina"), lit(1L).as("inb")))
+      .groupBy(col("sa"), col("sb"), col("h"))
+      .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
+    val merged = tagged.withColumn("rn",
+        row_number().over(w.partitionBy(col("sa"), col("sb")).orderBy(col("h"))))
+      .filter(col("rn") <= KmvK)
+    def nibSum(c: String): String =
+      (1 to 15).map { i =>
+        val pow = java.math.BigInteger.valueOf(16L).pow(15 - i)
+        s"CAST(instr('0123456789abcdef', substr($c, $i, 1)) - 1 AS BIGINT) * $pow"
+      }.mkString(" + ")
+    val est = merged.groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("km"),
+        sum(col("ina") * col("inb")).as("nboth"),
+        max(col("h")).as("kth_h"))
+      .withColumn("kth_frac", expr(
+        s"CAST(${nibSum("kth_h")} AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)"))
+    val exactCounts = v.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val exactInter = broadcast(pairs)
+      .join(v.toDF("sa", "tok"), "sa")
+      .join(v.toDF("sb", "tok2").withColumnRenamed("tok2", "tok"), Seq("sb", "tok"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("exact_inter"))
+    est
+      .join(exactCounts.toDF("sa", "na"), "sa")
+      .join(exactCounts.toDF("sb", "nb"), "sb")
+      .join(exactInter, Seq("sa", "sb"), "left")
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"), col("km").as("k"),
+        (col("nboth").cast(DoubleType) / col("km")).as("jaccard_est"),
+        ((col("km") - lit(1L)).cast(DoubleType) / col("kth_frac")).as("union_est"),
+        ((col("nboth").cast(DoubleType) / col("km")) *
+          ((col("km") - lit(1L)).cast(DoubleType) / col("kth_frac"))).as("inter_est"),
+        (col("exact_inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("exact_inter")).cast(DoubleType))
+          .as("jaccard_exact"),
+        (col("na") + col("nb") - col("exact_inter")).as("union_exact"),
+        col("exact_inter"))
+      .orderBy(col("source_a"), col("source_b"))
   }
 
   // ------------------------------------------------------- BM25 retrieval
@@ -2109,6 +2210,62 @@ object TextOps {
         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     Q("q132_text_cms", cmsHeavyHitters, Some(cmsOracleSql)),
+
+    Q("q157_text_group_sample", groupSample, Some(
+      s"""SELECT lang, rank, doc_id, sk FROM (
+         |  SELECT lang, doc_id, md5('grp:' || CAST(doc_id AS VARCHAR)) AS sk,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY md5('grp:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank
+         |  FROM documents) t
+         |WHERE rank <= $GroupSampleK ORDER BY lang, rank""".stripMargin)),
+
+    Q("q156_text_vocab_setops", kmvSetOps, Some {
+      val nibSum = (1 to 15).map { i =>
+        val pow = java.math.BigInteger.valueOf(16L).pow(15 - i)
+        s"CAST(strpos('0123456789abcdef', substr(kth_h, $i, 1)) - 1 AS BIGINT) * $pow"
+      }.mkString(" + ")
+      s"""WITH v AS (SELECT DISTINCT source, tok FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)),
+         |hh AS (SELECT source, md5(tok) AS h FROM v),
+         |r AS (SELECT source, h,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn FROM hh),
+         |bot AS (SELECT source, h FROM r WHERE rn <= $KmvK),
+         |srcs AS (SELECT DISTINCT source FROM v),
+         |prs AS (SELECT a.source AS sa, b.source AS sb
+         |  FROM srcs a, srcs b WHERE a.source < b.source),
+         |tag AS (
+         |  SELECT sa, sb, h, MAX(ina) AS ina, MAX(inb) AS inb FROM (
+         |    SELECT p.sa, p.sb, b.h, 1 AS ina, 0 AS inb
+         |    FROM prs p JOIN bot b ON b.source = p.sa
+         |    UNION ALL
+         |    SELECT p.sa, p.sb, b.h, 0, 1
+         |    FROM prs p JOIN bot b ON b.source = p.sb) t
+         |  GROUP BY sa, sb, h),
+         |mg AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+         |  FROM tag),
+         |est AS (SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS km,
+         |    CAST(SUM(ina * inb) AS BIGINT) AS nboth, MAX(h) AS kth_h
+         |  FROM mg WHERE rn <= $KmvK GROUP BY sa, sb),
+         |ef AS (SELECT sa, sb, km, nboth,
+         |    CAST($nibSum AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE) AS kth_frac
+         |  FROM est),
+         |ec AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY source),
+         |ei AS (SELECT p.sa, p.sb, CAST(COUNT(*) AS BIGINT) AS exact_inter
+         |  FROM prs p JOIN v a ON a.source = p.sa
+         |  JOIN v b ON b.source = p.sb AND b.tok = a.tok
+         |  GROUP BY p.sa, p.sb)
+         |SELECT ef.sa AS source_a, ef.sb AS source_b, ef.km AS k,
+         |  CAST(nboth AS DOUBLE) / km AS jaccard_est,
+         |  CAST(km - 1 AS DOUBLE) / kth_frac AS union_est,
+         |  (CAST(nboth AS DOUBLE) / km) * (CAST(km - 1 AS DOUBLE) / kth_frac) AS inter_est,
+         |  CAST(COALESCE(ei.exact_inter, 0) AS DOUBLE)
+         |    / CAST(na.n + nb.n - COALESCE(ei.exact_inter, 0) AS DOUBLE) AS jaccard_exact,
+         |  CAST(na.n + nb.n - COALESCE(ei.exact_inter, 0) AS BIGINT) AS union_exact,
+         |  CAST(COALESCE(ei.exact_inter, 0) AS BIGINT) AS exact_inter
+         |FROM ef JOIN ec na ON na.source = ef.sa JOIN ec nb ON nb.source = ef.sb
+         |LEFT JOIN ei ON ei.sa = ef.sa AND ei.sb = ef.sb
+         |ORDER BY source_a, source_b""".stripMargin
+    }),
 
     Q("q121_text_vocab_sketch", vocabSketch, Some {
       val nibSum = (1 to 15).map { i =>

@@ -58,6 +58,33 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    // the 100 TB star-join pattern: the fact table is partitioned on the
+    // join key's dimension attribute; a filter that only exists on the DIM
+    // side must still prune fact partitions — Spark inserts a runtime
+    // subquery (DPP) into the scan's partition filters
+    val dir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    graft.Tables(spark, dir, "orders").write
+      .partitionBy("o_orderstatus").mode("overwrite").parquet(tmp)
+    val fact = spark.read.parquet(tmp)
+    // the dim must be a real datasource: an in-memory LocalRelation gets its
+    // filter constant-folded away, and DPP's selective-predicate heuristic
+    // then sees no reason to prune
+    val dimTmp = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    Seq(("O", "open"), ("F", "filled"), ("P", "pending"))
+      .toDF("status", "label").write.mode("overwrite").parquet(dimTmp)
+    val dim = spark.read.parquet(dimTmp).filter($"label" === "open")
+    val joined = fact.join(dim, fact("o_orderstatus") === dim("status"))
+    val s = joined.queryExecution.executedPlan.toString
+    assert(s.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must carry a runtime partition-pruning subquery:\n$s")
+    // semantics: only the surviving partition's rows come back
+    val statuses = joined.select($"o_orderstatus").distinct()
+      .as[String].collect().toSeq
+    assert(statuses == Seq("O"))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // default warehouse dir (static conf); tables dropped in finally
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("id", "va")
