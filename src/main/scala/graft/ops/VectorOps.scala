@@ -931,6 +931,72 @@ object VectorOpsImpl {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** nprobe values the q158 sweep executes. */
+  val NprobeSweep: Seq[Int] = Seq(1, 2, 4)
+
+  /** [[ivfMultiProbeTopKPlan]] generalized to an arbitrary probe count. */
+  private def ivfProbeTopKN(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val cents = centroidVectors(s, dir)
+    def dist2(cv: Array[Double], elem: Int => Column): Column =
+      (1 to Dims).map { i =>
+        val d = elem(i) - lit(cv(i - 1))
+        d * d
+      }.reduce(_ + _)
+    val asg = graft.ops.Memo.getOrCache(assignCache, s, dir, _ => assignAll(s, dir).cache())
+    val probeRank = array_sort(array(cents.map { case (cl, cv) =>
+      struct(dist2(cv, embCol("qe")).as("d"), lit(cl).as("l"))
+    }: _*))
+    val q = (1 to nprobe).foldLeft(
+        asg.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))) {
+      case (df, p) => df.withColumn(s"qc$p", element_at(probeRank, p).getField("l"))
+    }
+    val c = asg.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      col("assigned").as("ncluster"))
+    val probeCond = (1 to nprobe).map(p => col("ncluster") === col(s"qc$p"))
+      .reduce(_ || _)
+    val joined = broadcast(q).join(c,
+        probeCond && col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        expr(s"(${sparkDot("qe", "ce")}) / (sqrt(${sparkDot("qe", "qe")}) * sqrt(${sparkDot("ce", "ce")}))"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    joined.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("rn"), col("neighbor_id"))
+  }
+
+  /** q158: the nprobe SWEEP — the IVF-side twin of the dedup banding sweep
+    * (q155): nprobe ∈ [[NprobeSweep]] executed over the same index and
+    * measured against the exact ground truth, next to the corpus fraction
+    * each probe level touches (nprobe/k — the probe's scan budget). q77
+    * reports the single production point; this panel is the full curve a
+    * user tunes along, and it makes the diminishing-returns shape concrete
+    * (recall rises with nprobe, cost rises linearly).
+    *
+    * Scale shape: each probe level is the audited broadcast-query probe
+    * over the cached assignment view; the ground truth is the memoized
+    * exact top-k (broadcast-sized); the panel is |sweep| rows. */
+  def ivfNprobeSweep(s: SparkSession, dir: String): DataFrame = {
+    val k = centroidVectors(s, dir).size.toLong
+    val exact = cosineTopK(s, dir).filter(col("rn") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val found = NprobeSweep.map { np =>
+      ivfProbeTopKN(s, dir, np)
+        .select(lit(np.toLong).as("nprobe"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ union _)
+    val hits = found
+      .join(broadcast(exact.withColumn("hit", lit(1L))),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("matched"))
+    val tot = exact.agg(count(lit(1)).as("n_exact"))
+    hits.crossJoin(broadcast(tot))
+      .select(col("nprobe"), lit(k).as("k_clusters"), col("matched"), col("n_exact"),
+        (col("matched").cast(DoubleType) / col("n_exact")).as("recall"),
+        (col("nprobe").cast(DoubleType) / lit(k).cast(DoubleType)).as("frac_probed"))
+      .orderBy(col("nprobe"))
+  }
+
   /** Two-stage retrieval: ADC SHORTLIST (top-10 by PQ-approximate distance,
     * scanning only the 8-byte codes) → EXACT re-rank (true cosine on just
     * the shortlist) → top-3. This is the shape a 100 TB deployment actually
@@ -2232,6 +2298,8 @@ object VectorOps {
 
     Q("q64_embed_ivf_multiprobe", ivfMultiProbeTopK, Some(q64Sql)),
 
+    Q("q158_embed_nprobe_sweep", ivfNprobeSweep, Some(q158Sql)),
+
     Q("q62_embed_pq", pqEncode, Some {
       val sums = (1 to Dims).map(i =>
         s"${duckCentComp(i)} / COUNT(*) AS c$i")
@@ -2982,6 +3050,57 @@ object VectorOps {
          |SELECT query_id, rn, neighbor_id, cosine FROM rr WHERE rn <= 3
          |ORDER BY query_id, rn""".stripMargin
     }
+
+  private lazy val q158Sql: String = {
+    val sums = (1 to Dims).map(i =>
+      s"${duckCentComp(i)} / COUNT(*) AS c$i").mkString(", ")
+    val dist = (1 to Dims).map(i =>
+      s"(CAST(e.embedding[$i] AS DOUBLE) - c.c$i) * (CAST(e.embedding[$i] AS DOUBLE) - c.c$i)")
+      .mkString(" + ")
+    val probes = VectorOpsImpl.NprobeSweep.map { np =>
+      s"""p$np AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    (${duckDot("a.embedding", "b.embedding")})
+         |      / (sqrt(${duckDot("a.embedding", "a.embedding")})
+         |         * sqrt(${duckDot("b.embedding", "b.embedding")})) AS cosine
+         |  FROM embeddings a
+         |  JOIN qasg qa ON qa.vec_id = a.vec_id AND qa.rn <= $np
+         |  JOIN asg nb ON nb.assigned = qa.probed AND nb.vec_id <> a.vec_id
+         |  JOIN embeddings b ON b.vec_id = nb.vec_id
+         |  WHERE a.vec_id < 8),
+         |rr$np AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rn FROM p$np),
+         |t$np AS (SELECT CAST($np AS BIGINT) AS nprobe, query_id, neighbor_id
+         |  FROM rr$np WHERE rn <= 3)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = VectorOpsImpl.NprobeSweep
+      .map(np => s"SELECT * FROM t$np").mkString(" UNION ALL ")
+    s"""WITH c AS (SELECT CAST(label AS BIGINT) AS clabel, $sums
+       |  FROM embeddings GROUP BY label),
+       |d AS (SELECT e.vec_id, c.clabel, ($dist) AS dist2 FROM embeddings e, c),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, clabel) AS rn
+       |  FROM d),
+       |asg AS (SELECT vec_id, clabel AS assigned FROM r WHERE rn = 1),
+       |qasg AS (SELECT vec_id, clabel AS probed, rn FROM r),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |$q51Sql
+       |) WHERE rn <= 3),
+       |$probes,
+       |found AS ($unionAll),
+       |hits AS (
+       |  SELECT nprobe,
+       |    CAST(SUM(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched
+       |  FROM found f LEFT JOIN exact e
+       |    ON e.query_id = f.query_id AND e.neighbor_id = f.neighbor_id
+       |  GROUP BY nprobe),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact),
+       |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM c)
+       |SELECT nprobe, k AS k_clusters, matched, n_exact,
+       |  CAST(matched AS DOUBLE) / n_exact AS recall,
+       |  CAST(nprobe AS DOUBLE) / CAST(k AS DOUBLE) AS frac_probed
+       |FROM hits, tot, kk ORDER BY nprobe""".stripMargin
+  }
 
   private lazy val q63Sql: String = {
       val sums = (1 to Dims).map(i =>

@@ -118,7 +118,8 @@ object Registry {
       ops.GraphPersistOps.queries ++
       ops.PcaOps.queries ++
       ops.LrOps.queries ++
-      ops.FertilityOps.queries
+      ops.FertilityOps.queries ++
+      ops.ProfileOps.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
