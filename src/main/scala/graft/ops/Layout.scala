@@ -204,6 +204,86 @@ object LayoutOpsImpl {
       .orderBy(col("layout"))
   }
 
+  /** Bloom bits per file and hash functions for q160. */
+  val BloomBits = 1024
+  val BloomHashes = 2
+  /** Probe-key selector: every o_orderkey divisible by this is probed. */
+  val BloomProbeMod = 997
+
+  /** q160: BLOOM-filter file skipping — the pruning structure min/max
+    * statistics cannot replace: for POINT lookups on a high-cardinality
+    * column laid out in arrival order, every file's [min, max] range is
+    * wide (arrival order ≈ key order here is the best case — real ingest
+    * is worse), while a per-file Bloom filter prunes by membership
+    * regardless of ordering. This is exactly parquet's column Bloom
+    * filter / the lakehouse file-skipping index, built and measured as an
+    * engine operator: per probe key, the files a min/max reader must scan
+    * vs the files a Bloom reader must scan vs the files that truly
+    * contain it (the Bloom excess over truth is its false-positive cost,
+    * visible in the panel).
+    *
+    * Determinism: hash positions are md5-nibble arithmetic (3 nibbles →
+    * 12 bits, folded mod [[BloomBits]]) — the same bits in both engines;
+    * a file "may contain" a key iff ALL [[BloomHashes]] positions are set.
+    *
+    * Scale shape: the per-file Bloom is METADATA — distinct (file, pos)
+    * rows, ≤ files × BloomBits regardless of corpus size — and the probe
+    * join keys on pos (uniform), so probing cost is
+    * O(probe keys × files-per-pos). The corpus is scanned once to build
+    * the index (the real deployment writes it at ingest, inside the same
+    * commit as the file). File assignment reuses the q73 bucket-parallel
+    * rank. */
+  def bloomSkipping(s: SparkSession, dir: String): DataFrame = {
+    // time-ordered ingest: files hold ~37 days of arrivals each, so every
+    // file's o_orderkey [min, max] spans nearly the whole key domain and a
+    // min/max reader prunes NOTHING — the regime Bloom filters exist for
+    val keyed = Tables(s, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("CAST(FLOOR(unix_millis(CAST(o_orderdate AS TIMESTAMP)) / 1000.0 / 86400.0 / 37.0) AS BIGINT)")
+          .as("file"))
+    def posSql(keyExpr: String, h: Int): String = {
+      val off = h * 3
+      def nib(i: Int) =
+        s"(instr('0123456789abcdef', substr(md5('blm:' || CAST($keyExpr AS STRING)), ${off + i}, 1)) - 1)"
+      s"pmod(CAST(${nib(1)} * 256 + ${nib(2)} * 16 + ${nib(3)} AS BIGINT), $BloomBits)"
+    }
+    // per-file bloom: distinct set positions (metadata-sized)
+    val filePos = (0 until BloomHashes).map { h =>
+      keyed.select(col("file"), expr(posSql("o_orderkey", h)).as("pos"))
+    }.reduce(_ union _).distinct()
+    // file min/max stats (what a range reader prunes with)
+    val fileStats = keyed.groupBy(col("file"))
+      .agg(min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"))
+    val filesTotal = fileStats.count()
+    val probes = Tables(s, dir, "orders")
+      .filter(expr(s"o_orderkey % $BloomProbeMod = 0"))
+      .select(col("o_orderkey").as("k")).distinct()
+    val probePos = (0 until BloomHashes).map { h =>
+      probes.select(col("k"), expr(posSql("k", h)).as("pos"))
+    }.reduce(_ union _).distinct()
+    val bloomPass = broadcast(probePos).join(filePos, "pos")
+      .groupBy(col("k"), col("file")).agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === BloomHashes)
+      .groupBy(col("k")).agg(count(lit(1)).as("n_files"))
+      .select(lit("bloom").as("method"), col("k"), col("n_files"))
+    val minmaxPass = broadcast(probes).join(fileStats,
+        col("k") >= col("mn") && col("k") <= col("mx"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_files"))
+      .select(lit("minmax").as("method"), col("k"), col("n_files"))
+    val truePass = broadcast(probes).join(keyed, col("k") === col("o_orderkey"))
+      .select(col("k"), col("file")).distinct()
+      .groupBy(col("k")).agg(count(lit(1)).as("n_files"))
+      .select(lit("true").as("method"), col("k"), col("n_files"))
+    bloomPass.union(minmaxPass).union(truePass)
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("n_files")).as("total_scanned"))
+      .select(col("method"), col("n_keys"), lit(filesTotal).as("files_total"),
+        col("total_scanned"),
+        (col("total_scanned").cast("double") /
+          (col("n_keys") * lit(filesTotal)).cast("double")).as("scan_fraction"))
+      .orderBy(col("method"))
+  }
+
   /** Number of target range partitions the boundary planner emits. */
   val RangeSplits = 16
 
@@ -337,6 +417,48 @@ object LayoutOpsImpl {
          |  UNION ALL
          |  SELECT layout, 'y_band', files_total, ys FROM fl)
          |ORDER BY layout, query""".stripMargin
+    }),
+
+    Q("q160_bloom_skipping", bloomSkipping, Some {
+      def posSql(keyExpr: String, h: Int): String = {
+        val off = h * 3
+        def nib(i: Int) =
+          s"(strpos('0123456789abcdef', substr(md5('blm:' || CAST($keyExpr AS VARCHAR)), ${off + i}, 1)) - 1)"
+        s"(CAST(${nib(1)} * 256 + ${nib(2)} * 16 + ${nib(3)} AS BIGINT) % $BloomBits)"
+      }
+      def posUnion(src: String, idCol: String, outCols: String): String =
+        (0 until BloomHashes).map(h =>
+          s"SELECT $outCols, ${posSql(idCol, h)} AS pos FROM $src")
+          .mkString(" UNION ALL ")
+      s"""WITH keyed AS (
+         |  SELECT o_orderkey,
+         |    CAST(FLOOR(epoch_ms(o_orderdate) / 1000.0 / 86400.0 / 37.0) AS BIGINT) AS file
+         |  FROM orders),
+         |fp AS (SELECT DISTINCT file, pos FROM (
+         |  ${posUnion("keyed", "o_orderkey", "file")}) t),
+         |fs AS (SELECT file, MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx
+         |  FROM keyed GROUP BY file),
+         |ft AS (SELECT CAST(COUNT(*) AS BIGINT) AS files_total FROM fs),
+         |pk AS (SELECT DISTINCT o_orderkey AS k FROM orders
+         |  WHERE o_orderkey % $BloomProbeMod = 0),
+         |pp AS (SELECT DISTINCT k, pos FROM (
+         |  ${posUnion("pk", "k", "k")}) t),
+         |bp AS (SELECT 'bloom' AS method, k, CAST(COUNT(*) AS BIGINT) AS n_files FROM (
+         |    SELECT p.k, f.file, COUNT(*) AS hits
+         |    FROM pp p JOIN fp f USING (pos) GROUP BY p.k, f.file) t
+         |  WHERE hits = $BloomHashes GROUP BY k),
+         |mp AS (SELECT 'minmax' AS method, k, CAST(COUNT(*) AS BIGINT) AS n_files
+         |  FROM pk p JOIN fs f ON p.k >= f.mn AND p.k <= f.mx GROUP BY k),
+         |tp AS (SELECT 'true' AS method, k, CAST(COUNT(*) AS BIGINT) AS n_files FROM (
+         |    SELECT DISTINCT p.k, kk.file FROM pk p JOIN keyed kk ON kk.o_orderkey = p.k) t
+         |  GROUP BY k),
+         |u AS (SELECT * FROM bp UNION ALL SELECT * FROM mp UNION ALL SELECT * FROM tp),
+         |agg AS (SELECT method, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |    CAST(SUM(n_files) AS BIGINT) AS total_scanned
+         |  FROM u GROUP BY method)
+         |SELECT method, n_keys, files_total, total_scanned,
+         |  CAST(total_scanned AS DOUBLE) / CAST(n_keys * files_total AS DOUBLE) AS scan_fraction
+         |FROM agg, ft ORDER BY method""".stripMargin
     }),
 
     Q("q127_zorder_health", zorderHealth, Some(
