@@ -186,4 +186,40 @@ object Cdc {
           seqCol).as("last"),
         max(seqCol).as("last_seq"))
       .filter(col("last.image").isNotNull)
+
+  /** Incremental AGGREGATE view maintenance (IVM) — the grouped-aggregate
+    * sibling of the K1 latest-per-key sink: each CDC envelope carries its
+    * own delta against any COUNT/SUM-family aggregate, so a materialized
+    * `GROUP BY g → (count, sum v)` view updates from the log alone, never
+    * re-reading the base table:
+    *
+    *  - a present newImage contributes (+1, +v) to ITS group,
+    *  - a present oldImage contributes (−1, −v) to ITS group
+    *    (an UPDATE thus moves mass between groups when g changed — both
+    *    rows appear, which is exactly the algebra of the view delta).
+    *
+    * Emits one (group, dcount, dvalue) row per present image. Works on
+    * batch and streaming frames alike — a streaming `groupBy(group).sum`
+    * over this stream IS the live view, and because the delta is a pure
+    * per-row function, a live view and a batch backfill agree bitwise
+    * (CdcIvmSpec; it also proves the invariant that on a CONSISTENT log —
+    * old image = previous new image — the maintained view equals a full
+    * recompute over the replayed final state).
+    *
+    * Scale shape: one narrow pass over the log (the 2-way explode is per
+    * envelope, before any shuffle), then a partial-aggregated shuffle of
+    * group-keyed delta rows — the view update never touches the base
+    * table, which at 100 TB is the entire point of IVM. */
+  def aggDeltas(envelopes: DataFrame, groupOf: Column => Column,
+      valueOf: Column => Column): DataFrame =
+    envelopes
+      .select(explode(array(
+        struct(groupOf(col("image")).as("g"),
+          when(col("image").isNotNull, 1L).otherwise(0L).as("dcount"),
+          valueOf(col("image")).as("dvalue")),
+        struct(groupOf(col("oldImage")).as("g"),
+          when(col("oldImage").isNotNull, -1L).otherwise(0L).as("dcount"),
+          (-valueOf(col("oldImage"))).as("dvalue")))).as("d"))
+      .select(col("d.*"))
+      .filter(col("g").isNotNull)
 }

@@ -111,6 +111,19 @@ object CdcQueriesImpl {
         col("last.image.k").as("k"))
       .orderBy(col("user_id"))
 
+  /** q161: the delta-maintained aggregate view over the synthesized log —
+    * per event_type, live row count and quantized value sum from deltas
+    * alone ([[Cdc.aggDeltas]]). The synth log is deliberately inconsistent
+    * per key (independent envelopes), so this gate pins the DELTA algebra;
+    * CdcIvmSpec proves the IVM invariant (maintained == full recompute over
+    * the replayed state) on a consistent constructed history. */
+  def aggMv(s: SparkSession, dir: String): DataFrame =
+    Cdc.aggDeltas(CdcSynth.fromEvents(s, dir),
+        img => img.getField("event_type"), img => img.getField("value"))
+      .groupBy(col("g").as("event_type"))
+      .agg(sum(col("dcount")).as("n_live"), Det.dsum(col("dvalue")).as("sum_value"))
+      .orderBy(col("event_type"))
+
   def packBySize(s: SparkSession, dir: String): DataFrame = {
     val env = CdcSynth.fromEvents(s, dir)
       .withColumn("shard", pmod(coalesce(col("image.user_id"), col("oldImage.user_id")), lit(4L)))
@@ -211,6 +224,23 @@ object CdcQueries {
          |  MIN(seq) || '-' || MAX(seq) AS message_id, COUNT(*) AS n_records,
          |  CAST(SUM(rec_bytes) AS BIGINT) AS bytes
          |FROM c GROUP BY shard, message_bin ORDER BY shard, message_bin""".stripMargin)),
+
+    Q("q161_cdc_agg_mv", CdcQueriesImpl.aggMv, Some(
+      s"""WITH $synthSql,
+         |d AS (
+         |  SELECT new_event_type AS g,
+         |    CASE WHEN has_new THEN 1 ELSE 0 END AS dcount,
+         |    new_value AS dvalue
+         |  FROM cdc
+         |  UNION ALL
+         |  SELECT old_event_type,
+         |    CASE WHEN has_old THEN -1 ELSE 0 END,
+         |    -old_value
+         |  FROM cdc)
+         |SELECT g AS event_type, CAST(SUM(dcount) AS BIGINT) AS n_live,
+         |  CAST(SUM(CAST(dvalue AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+         |FROM d WHERE g IS NOT NULL
+         |GROUP BY g ORDER BY g""".stripMargin)),
 
     Q("q29_cdc_replay_state", CdcQueriesImpl.replayState, Some(
       s"""WITH $synthSql,

@@ -946,11 +946,16 @@ object VectorOpsImpl {
     val probeRank = array_sort(array(cents.map { case (cl, cv) =>
       struct(dist2(cv, embCol("qe")).as("d"), lit(cl).as("l"))
     }: _*))
+    // the query side is 8 rows behind a k×64-literal array_sort that the
+    // join references nprobe times — CollapseProject re-inlines any alias,
+    // so the tree grows ×nprobe at analysis. localCheckpoint the tiny
+    // frame (the memoPath discipline): consumers see a LogicalRDD leaf.
     val q = (1 to nprobe).foldLeft(
         asg.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))) {
-      case (df, p) => df.withColumn(s"qc$p", element_at(probeRank, p).getField("l"))
-    }
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+          .withColumn("pr", probeRank)) {
+      case (df, p) => df.withColumn(s"qc$p", element_at(col("pr"), p).getField("l"))
+    }.drop("pr").localCheckpoint()
     val c = asg.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
       col("assigned").as("ncluster"))
     val probeCond = (1 to nprobe).map(p => col("ncluster") === col(s"qc$p"))
