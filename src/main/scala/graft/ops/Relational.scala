@@ -348,6 +348,60 @@ object RelationalOps {
       .orderBy(col("event_id"))
   }
 
+  /** RANGE-frame moving aggregate: per user, the sum of `value` over the
+    * trailing hour by EVENT TIME (not row count — q07's ROWS frame is the
+    * other half). A range frame is tie-safe by construction: rows with
+    * equal timestamps are all in or all out together, so the result is
+    * deterministic under any within-tie order. Millisecond epochs on both
+    * engines (the q13 discipline). Scale: user_id-partitioned window —
+    * high-cardinality key, reducer bounded by one user's history. */
+  def movingHourSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ems"))
+      .rangeBetween(-3600000L, 0L)
+    Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ems"),
+        col("value"))
+      .withColumn("moving_sum", dsumOver(col("value"), w))
+      .select(col("event_id"), col("user_id"), col("ems"), col("moving_sum"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Gap-fill RESAMPLING: each user's event history resampled onto an
+    * hourly grid with forward fill — the time-series regularization every
+    * downstream join/model needs (sensors, prices, metrics). Composed
+    * scalably as ONE pass per user: the per-user hourly grid is generated
+    * with `sequence()` (a narrow explode off the per-user min/max — never
+    * a global calendar cross join), grid points union with observations,
+    * and a single ordered window carries the last observed value forward
+    * (the q17 as-of discipline: union + running last_value beats a range
+    * self-join, which would be quadratic per key). Observations sort
+    * before grid points at the same instant, so a grid point ON an
+    * observation picks it up deterministically. */
+  def gapFillHourly(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("ems"), col("value"),
+        col("event_id"))
+    val bounds = ev.groupBy(col("user_id"))
+      .agg(min(col("ems")).as("mn"), max(col("ems")).as("mx"))
+    val grid = bounds.select(col("user_id"),
+        explode(expr("sequence(CAST(ceil(mn / 3600000.0) AS BIGINT) * 3600000, mx, CAST(3600000 AS BIGINT))"))
+          .as("ems"))
+      .withColumn("is_obs", lit(0L))
+      .withColumn("value", lit(null).cast(DoubleType))
+      .withColumn("event_id", lit(null).cast(LongType))
+    val obs = ev.select(col("user_id"), col("ems"), lit(1L).as("is_obs"),
+      col("value"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ems"), col("is_obs").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    obs.unionByName(grid.select(col("user_id"), col("ems"), col("is_obs"),
+        col("value"), col("event_id")))
+      .withColumn("filled", last(col("value"), ignoreNulls = true).over(w))
+      .filter(col("is_obs") === 0L)
+      .select(col("user_id"), col("ems").as("grid_ems"), col("filled"))
+      .orderBy(col("user_id"), col("grid_ems"))
+  }
+
   /** Correlated scalar subquery through the engine's SQL surface — Catalyst
     * decorrelates it into an aggregate + join (no per-row re-execution).
     * Customers with balance above their nation's average. */
@@ -550,6 +604,34 @@ object Relational {
          |  ${dsumSql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS "P"
          |FROM orders GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin)),
+
+    Q("q162_range_frame", RelationalOps.movingHourSum, Some(
+      """SELECT event_id, user_id, ems,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY user_id ORDER BY ems
+        |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
+        |FROM (SELECT event_id, user_id, epoch_ms(ts) AS ems, value FROM events) t
+        |ORDER BY event_id""".stripMargin)),
+
+    Q("q163_gap_fill", RelationalOps.gapFillHourly, Some(
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ems, value, event_id FROM events),
+        |bounds AS (SELECT user_id, MIN(ems) AS mn, MAX(ems) AS mx FROM ev GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(CAST(ceil(mn / 3600000.0) AS BIGINT) * 3600000, mx,
+        |      CAST(3600000 AS BIGINT))) AS ems
+        |  FROM bounds),
+        |u AS (
+        |  SELECT user_id, ems, 1 AS is_obs, value, event_id FROM ev
+        |  UNION ALL
+        |  SELECT user_id, ems, 0, NULL, NULL FROM grid),
+        |f AS (
+        |  SELECT user_id, ems, is_obs,
+        |    last_value(value IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ems, is_obs DESC, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |  FROM u)
+        |SELECT user_id, ems AS grid_ems, filled FROM f WHERE is_obs = 0
+        |ORDER BY user_id, grid_ems""".stripMargin)),
 
     Q("q154_ranking_windows", RelationalOps.rankingWindows, Some(
       """SELECT event_id, event_type, value,
