@@ -402,6 +402,62 @@ object RelationalOps {
       .orderBy(col("user_id"), col("grid_ems"))
   }
 
+  /** FUNNEL analysis: signup → first view AFTER signup → first purchase
+    * AFTER that view, per user, with stage populations and step
+    * conversion. The ordered-sequence constraint is what makes this an
+    * operator rather than three counts: each stage's timestamp must
+    * strictly follow the previous stage's, per user. Composed as chained
+    * per-user conditional mins — each stage is one user-keyed aggregate
+    * joined to the previous stage's (user, t) frame, so the work is three
+    * user-keyed shuffles of stage-event rows; no window over the full
+    * event stream, no self-join fan-out. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ems"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ems")).as("t0"))
+    val vw = ev.filter(col("event_type") === "view")
+      .join(su, "user_id").filter(col("ems") > col("t0"))
+      .groupBy(col("user_id")).agg(min(col("ems")).as("t1"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .join(vw, "user_id").filter(col("ems") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ems")).as("t2"))
+    val counts = Seq(
+      ("1_signup", su), ("2_view_after_signup", vw), ("3_purchase_after_view", pu))
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+      }.reduce(_ union _)
+    val w = Window.orderBy(col("stage")).rowsBetween(-1, -1)
+    counts
+      .withColumn("prev", sum(col("n_users")).over(w))
+      .withColumn("conversion",
+        when(col("prev") > 0L, col("n_users").cast(DoubleType) / col("prev").cast(DoubleType)))
+      .select(col("stage"), col("n_users"), col("conversion"))
+      .orderBy(col("stage"))
+  }
+
+  /** COHORT retention: users grouped by signup week, distinct-user
+    * activity counted per week offset since each user's own signup — the
+    * retention matrix every growth dashboard renders. One signup
+    * aggregate + one user-keyed join back over the event stream + one
+    * (cohort, offset) distinct-count; no per-user windows, no calendar
+    * cross join. Week arithmetic is integer millisecond division on both
+    * engines. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val WeekMs = 604800000L
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ems"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ems")).as("t0"))
+      .withColumn("cohort_week", expr(s"t0 div $WeekMs"))
+    ev.join(su, "user_id")
+      .filter(col("ems") >= col("t0"))
+      .withColumn("week_offset", expr(s"(ems - t0) div $WeekMs"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** Correlated scalar subquery through the engine's SQL surface — Catalyst
     * decorrelates it into an aggregate + join (no per-row re-execution).
     * Customers with balance above their nation's average. */
@@ -604,6 +660,38 @@ object Relational {
          |  ${dsumSql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS "P"
          |FROM orders GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin)),
+
+    Q("q164_funnel", RelationalOps.funnel, Some(
+      """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ems FROM events),
+        |su AS (SELECT user_id, MIN(ems) AS t0 FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+        |vw AS (SELECT e.user_id, MIN(e.ems) AS t1 FROM ev e JOIN su USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.ems > su.t0 GROUP BY e.user_id),
+        |pu AS (SELECT e.user_id, MIN(e.ems) AS t2 FROM ev e JOIN vw USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ems > vw.t1 GROUP BY e.user_id),
+        |c AS (
+        |  SELECT '1_signup' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM su
+        |  UNION ALL
+        |  SELECT '2_view_after_signup', CAST(COUNT(*) AS BIGINT) FROM vw
+        |  UNION ALL
+        |  SELECT '3_purchase_after_view', CAST(COUNT(*) AS BIGINT) FROM pu)
+        |SELECT stage, n_users,
+        |  CASE WHEN prev > 0 THEN CAST(n_users AS DOUBLE) / CAST(prev AS DOUBLE) END AS conversion
+        |FROM (
+        |  SELECT stage, n_users, CAST(SUM(n_users) OVER (ORDER BY stage
+        |    ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING) AS BIGINT) AS prev
+        |  FROM c) t
+        |ORDER BY stage""".stripMargin)),
+
+    Q("q165_cohort_retention", RelationalOps.cohortRetention, Some(
+      """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ems FROM events),
+        |su AS (SELECT user_id, MIN(ems) AS t0, MIN(ems) // 604800000 AS cohort_week
+        |  FROM ev WHERE event_type = 'signup' GROUP BY user_id)
+        |SELECT cohort_week, (e.ems - su.t0) // 604800000 AS week_offset,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+        |FROM ev e JOIN su USING (user_id)
+        |WHERE e.ems >= su.t0
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin)),
 
     Q("q162_range_frame", RelationalOps.movingHourSum, Some(
       """SELECT event_id, user_id, ems,
