@@ -1691,6 +1691,43 @@ object VectorOpsImpl {
       .orderBy(col("vec_id"))
   }
 
+  /** q166: TRIANGLE counting + local clustering coefficients over the
+    * mutual kNN graph — the transitivity read on the corpus's neighborhood
+    * structure (high clustering = tight semantic communities; low = hub
+    * noise), and the standard next graph metric after degree/PageRank.
+    *
+    * Triangles enumerate once each via the ordered-wedge join: edges are
+    * (a < b) pairs, wedges chain e1(a,b) ⋈ e2(b,c) so a < b < c, and the
+    * closing edge (a, c) is a hash-join membership probe. On a kNN graph
+    * the wedge count per center is ≤ degree² ≤ (2k)² — the join never
+    * explodes past edges × k, and the mutual edge list itself is n × k
+    * bounded. Everything downstream is per-node aggregates; coefficients
+    * are single integer→double divisions. */
+  def knnTriangles(s: SparkSession, dir: String): DataFrame = {
+    val e = knnGraphRaw(s, dir).select(col("src"), col("dst"))
+    val mutual = e.join(e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    val tri = mutual.as("e1")
+      .join(mutual.as("e2"), col("e1.b") === col("e2.a"))
+      .join(mutual.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val perNode = tri.select(explode(array(col("x"), col("y"), col("z"))).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("triangles"))
+    val deg = mutual.select(col("a").as("vec_id"))
+      .union(mutual.select(col("b").as("vec_id")))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("degree"))
+    deg.join(perNode, Seq("vec_id"), "left")
+      .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
+      .withColumn("clustering", when(col("degree") >= 2L,
+        (col("triangles") * lit(2L)).cast(DoubleType) /
+          (col("degree") * (col("degree") - lit(1L))).cast(DoubleType)))
+      .select(col("vec_id"), col("degree"), col("triangles"), col("clustering"))
+      .orderBy(col("vec_id"))
+  }
+
   /** GRAPH-expansion ANN search over the kNN graph — the query path that
     * completes build (q93) / cluster (q97) / search: start from the
     * query's own graph out-neighbors, expand [[GraphSearchHops]] hops along
@@ -2605,6 +2642,30 @@ object VectorOps {
          |  k.kth_cosine
          |FROM embeddings e LEFT JOIN k USING (vec_id)
          |ORDER BY e.vec_id""".stripMargin)),
+
+    Q("q166_embed_triangles", knnTriangles, Some(
+      s"""WITH ${knnGraphSqlCtes.stripPrefix("WITH ")},
+         |g AS (SELECT src, dst FROM r WHERE rn <= $KnnK),
+         |m AS (
+         |  SELECT a.src AS a_id, a.dst AS b_id FROM g a
+         |  JOIN g b ON a.src = b.dst AND a.dst = b.src
+         |  WHERE a.src < a.dst),
+         |tri AS (
+         |  SELECT e1.a_id AS x, e1.b_id AS y, e2.b_id AS z
+         |  FROM m e1
+         |  JOIN m e2 ON e2.a_id = e1.b_id
+         |  JOIN m e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id),
+         |pn AS (SELECT id AS vec_id, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+         |    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+         |    UNION ALL SELECT z FROM tri) t GROUP BY id),
+         |deg AS (SELECT id AS vec_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+         |    SELECT a_id AS id FROM m UNION ALL SELECT b_id FROM m) t GROUP BY id)
+         |SELECT d.vec_id, d.degree, COALESCE(p.triangles, 0) AS triangles,
+         |  CASE WHEN d.degree >= 2 THEN
+         |    CAST(COALESCE(p.triangles, 0) * 2 AS DOUBLE)
+         |      / CAST(d.degree * (d.degree - 1) AS DOUBLE) END AS clustering
+         |FROM deg d LEFT JOIN pn p USING (vec_id)
+         |ORDER BY d.vec_id""".stripMargin)),
 
     Q("q97_embed_knn_clusters", knnClusters, Some(
       s"""WITH RECURSIVE ${knnGraphSqlCtes.stripPrefix("WITH ")},
