@@ -25,6 +25,23 @@ object Stateful {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("op"), col("n"))
 
+  /** Event-time SESSION windows — the variable-length window shape the
+    * tumbling q12/windowedOpCounts cannot express: a session closes only
+    * when the gap since its last event exceeds `gap` (the batch sibling is
+    * q13's gaps-and-islands). Spark's native `session_window` keeps one
+    * merging window per (user, open session) in the state store, bounded
+    * by the watermark horizon — sessions whose close falls behind the
+    * watermark emit exactly once and release their state. */
+  def sessionCounts(env: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    env
+      .withColumn("ats", timestamp_millis(col("metadata.stream_arrival_timestamp")))
+      .withWatermark("ats", watermarkDelay)
+      .groupBy(session_window(col("ats"), gap), col("image.user_id").as("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"), col("n_events"))
+
   /** Streaming deduplication: drop records whose sequence number was already
     * seen, with state bounded by the event-time watermark (SURVEY.md §7.4
     * risk 7: never keep unbounded dedup state at 100 TB — the watermark

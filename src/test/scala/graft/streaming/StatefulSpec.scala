@@ -46,6 +46,37 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows merge within the gap, split across it, close at the watermark") {
+    val input = MemoryStream[Env](spark)
+    val sc = Stateful.sessionCounts(input.toDF(),
+      gap = "10 minutes", watermarkDelay = "5 minutes")
+    val q = sc.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    val t0 = 1700000000000L
+    try {
+      // user 10: two events 4 min apart (one session); user 20: one event
+      input.addData(env(1, "INSERT", 10, t0), env(2, "INSERT", 10, t0 + 240000),
+        env(3, "INSERT", 20, t0))
+      q.processAllAvailable()
+      // a far event advances the watermark past the open sessions' ends
+      input.addData(env(4, "INSERT", 10, t0 + 7200000L))
+      q.processAllAvailable()
+      // and one further still closes THAT session too
+      input.addData(env(5, "INSERT", 99, t0 + 36000000L))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .as[(java.sql.Timestamp, java.sql.Timestamp, Long, Long)].collect()
+        .map(r => (r._1.getTime, r._2.getTime, r._3, r._4)).toSeq.sorted
+      val gap = 600000L
+      assert(rows == Seq(
+        (t0, t0 + 240000 + gap, 10L, 2L),            // merged 2-event session
+        (t0, t0 + gap, 20L, 1L),                     // single-event session
+        (t0 + 7200000L, t0 + 7200000L + gap, 10L, 1L) // split: new session after the gap
+      ).sorted, s"unexpected closed sessions: $rows")
+    } finally q.stop()
+  }
+
   test("latest-image state machine emits upserts and deletes per key") {
     val input = MemoryStream[Env](spark)
     val changes = Stateful.latestImageChanges(input.toDF())
