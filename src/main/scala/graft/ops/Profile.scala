@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 import graft.{Q, Tables}
 
@@ -94,8 +95,135 @@ object ProfileOpsImpl {
        |ORDER BY s.col_name""".stripMargin
   }
 
+  /** Join keys the skew report profiles: (tag, table, column). */
+  val SkewKeys: Seq[(String, String, String)] = Seq(
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("events.user_id", "events", "user_id"))
+
+  /** q167: JOIN-KEY SKEW report — the diagnostic a planner (or the person
+    * choosing between plain/salted/AQE-split joins) reads before a big
+    * join: per candidate key, distinct-key count, max and top-1-share of
+    * per-key group sizes, and the exact median group size. A top-share
+    * near 1/partitions means one reducer owns a whole wave; the salting
+    * factor comes straight from max/median.
+    *
+    * Scale shape: per key, one map-side-combined (key → count) aggregate
+    * (the frequency table is distinct-keys-sized), then metadata-scale
+    * stats over it; the median rides the q38 histogram rank over group
+    * SIZES (distinct sizes ≤ distinct keys). Nothing corpus-sized moves
+    * after the first aggregate. */
+  def joinSkewReport(s: SparkSession, dir: String): DataFrame = {
+    val perKey = SkewKeys.map { case (tag, table, column) =>
+      val freq = Tables(s, dir, table)
+        .groupBy(col(column).as("k")).agg(count(lit(1)).as("cnt"))
+      val stats = freq.agg(count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("n_rows"), max(col("cnt")).as("max_group"))
+      val hist = freq.groupBy(col("cnt")).agg(count(lit(1)).as("m"))
+      val wcum = Window.orderBy(col("cnt"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val med = hist
+        .withColumn("cum", sum(col("m")).over(wcum))
+        .withColumn("n", sum(col("m")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .filter(col("cum") >= expr("(n + 1) div 2"))
+        .agg(min(col("cnt")).as("median_group"))
+      stats.crossJoin(broadcast(med))
+        .select(lit(tag).as("join_key"), col("n_keys"), col("n_rows"),
+          col("max_group"), col("median_group"),
+          (col("max_group").cast(DoubleType) / col("n_rows").cast(DoubleType))
+            .as("top_share"),
+          (col("max_group").cast(DoubleType) / col("median_group").cast(DoubleType))
+            .as("skew_factor"))
+    }
+    perKey.reduce(_ union _).orderBy(col("join_key"))
+  }
+
+  private lazy val q167Sql: String = {
+    val per = SkewKeys.map { case (tag, table, column) =>
+      s"""SELECT '$tag' AS join_key, st.n_keys, st.n_rows, st.max_group, md.median_group,
+         |  CAST(st.max_group AS DOUBLE) / CAST(st.n_rows AS DOUBLE) AS top_share,
+         |  CAST(st.max_group AS DOUBLE) / CAST(md.median_group AS DOUBLE) AS skew_factor
+         |FROM (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         |    CAST(MAX(cnt) AS BIGINT) AS max_group
+         |  FROM (SELECT $column, COUNT(*) AS cnt FROM $table GROUP BY $column) f) st, (
+         |  SELECT CAST(MIN(cnt) AS BIGINT) AS median_group FROM (
+         |    SELECT cnt,
+         |      SUM(m) OVER (ORDER BY cnt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |      SUM(m) OVER () AS n
+         |    FROM (SELECT cnt, COUNT(*) AS m FROM (
+         |      SELECT $column, COUNT(*) AS cnt FROM $table GROUP BY $column) f GROUP BY cnt) h) c
+         |  WHERE cum >= (n + 1) // 2) md""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT * FROM (
+       |$per
+       |) u ORDER BY join_key""".stripMargin
+  }
+
+  /** Foreign-key edges the RI audit checks: child (table, col) → parent
+    * (table, col). */
+  val RiEdges: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"))
+
+  /** q168: REFERENTIAL-INTEGRITY audit — orphan counts per foreign-key
+    * edge (child rows whose key has no parent) plus null-key counts: the
+    * data-quality gate every warehouse load runs before trusting joins
+    * (an orphan silently disappears from an inner join — this panel is
+    * how you notice BEFORE the revenue number is wrong).
+    *
+    * Scale shape: per edge, one left-anti join of the child's DISTINCT
+    * keys (map-side combined, keys-sized) against the parent's key set,
+    * then a child-side count of rows carrying an orphan key — the child
+    * table streams once per edge and the orphan-key frame broadcasts. */
+  def riAudit(s: SparkSession, dir: String): DataFrame = {
+    val per = RiEdges.map { case (ct, cc, pt, pc) =>
+      val child = Tables(s, dir, ct)
+      val parent = Tables(s, dir, pt).select(col(pc).as("pk")).distinct()
+      val orphanKeys = child.filter(col(cc).isNotNull)
+        .select(col(cc).as("ck")).distinct()
+        .join(parent, col("ck") === col("pk"), "left_anti")
+      val orphanRows = child.join(broadcast(orphanKeys), col(cc) === col("ck"))
+        .agg(count(lit(1)).as("orphan_rows"))
+      val base = child.agg(count(lit(1)).as("child_rows"),
+        sum(when(col(cc).isNull, 1L).otherwise(0L)).as("null_keys"))
+      base.crossJoin(broadcast(orphanRows))
+        .crossJoin(broadcast(orphanKeys.agg(count(lit(1)).as("orphan_keys"))))
+        .select(lit(s"$ct.$cc -> $pt.$pc").as("fk_edge"), col("child_rows"),
+          col("null_keys"), col("orphan_keys"), col("orphan_rows"))
+    }
+    per.reduce(_ union _).orderBy(col("fk_edge"))
+  }
+
+  private lazy val q168Sql: String = {
+    val per = RiEdges.map { case (ct, cc, pt, pc) =>
+      s"""SELECT '$ct.$cc -> $pt.$pc' AS fk_edge,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $ct) AS child_rows,
+         |  (SELECT CAST(SUM(CASE WHEN $cc IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM $ct) AS null_keys,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+         |    SELECT DISTINCT $cc FROM $ct WHERE $cc IS NOT NULL
+         |      AND $cc NOT IN (SELECT $pc FROM $pt)) o) AS orphan_keys,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $ct c WHERE c.$cc IN (
+         |    SELECT DISTINCT $cc FROM $ct WHERE $cc IS NOT NULL
+         |      AND $cc NOT IN (SELECT $pc FROM $pt))) AS orphan_rows""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT * FROM (
+       |$per
+       |) u ORDER BY fk_edge""".stripMargin
+  }
+
   lazy val queries: Seq[Q] = Seq(
-    Q("q159_profile_columns", columnProfile, Some(q159Sql)))
+    Q("q159_profile_columns", columnProfile, Some(q159Sql)),
+    Q("q167_profile_join_skew", joinSkewReport, Some(q167Sql)),
+    Q("q168_profile_ri_audit", riAudit, Some(q168Sql)))
 }
 
 /** Registry hook. */
