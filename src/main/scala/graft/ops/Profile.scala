@@ -95,6 +95,62 @@ object ProfileOpsImpl {
        |ORDER BY s.col_name""".stripMargin
   }
 
+  /** Percentiles the q169 panel reports. */
+  val QuantilePcts: Seq[Int] = Seq(25, 50, 75, 95, 99)
+
+  /** q169: EXACT multi-quantile panel — p25/p50/p75/p95/p99 per profiled
+    * column, each the smallest value whose cumulative count reaches
+    * ⌈n·pct/100⌉ (pure integer rank arithmetic — no interpolation, no
+    * approx sketch, bitwise identical in any engine). Same scale shape as
+    * the q159 medians: one distinct-(column, value) histogram shuffle,
+    * per-column cumulative windows, and the quantile grid is
+    * columns × percentiles rows — the histogram is built ONCE for all
+    * five percentiles (five approx_percentile calls would scan five
+    * times and still not be deterministic). */
+  def columnQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val hist = li.select(explode(array(ProfileCols.map { c =>
+        struct(lit(c).as("col_name"), col(c).as("v"))
+      }: _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
+    val wcum = Window.partitionBy(col("col_name")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cums = hist
+      .withColumn("cum", sum(col("cnt")).over(wcum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("col_name"))))
+    val pcts = QuantilePcts.map(p => s"SELECT CAST($p AS BIGINT) AS pct")
+      .mkString(" UNION ALL ")
+    cums.crossJoin(broadcast(s.sql(pcts)))
+      .filter(expr("cum * 100 >= n * pct"))
+      .groupBy(col("col_name"), col("pct"))
+      .agg(min(col("v")).as("value"))
+      .orderBy(col("col_name"), col("pct"))
+  }
+
+  private lazy val q169Sql: String = {
+    val histSel = ProfileCols.map(c =>
+      s"SELECT '$c' AS col_name, $c AS v FROM lineitem WHERE $c IS NOT NULL")
+      .mkString(" UNION ALL ")
+    val pcts = QuantilePcts.map(p => s"SELECT CAST($p AS BIGINT) AS pct")
+      .mkString(" UNION ALL ")
+    s"""WITH vals AS ($histSel),
+       |hist AS (SELECT col_name, v, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM vals GROUP BY col_name, v),
+       |cums AS (SELECT col_name, v, cnt,
+       |    CAST(SUM(cnt) OVER (PARTITION BY col_name ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(SUM(cnt) OVER (PARTITION BY col_name) AS BIGINT) AS n
+       |  FROM hist),
+       |pcts AS ($pcts)
+       |SELECT col_name, pct, MIN(v) AS value
+       |FROM cums, pcts
+       |WHERE cum * 100 >= n * pct
+       |GROUP BY col_name, pct
+       |ORDER BY col_name, pct""".stripMargin
+  }
+
   /** Join keys the skew report profiles: (tag, table, column). */
   val SkewKeys: Seq[(String, String, String)] = Seq(
     ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
@@ -223,6 +279,7 @@ object ProfileOpsImpl {
   lazy val queries: Seq[Q] = Seq(
     Q("q159_profile_columns", columnProfile, Some(q159Sql)),
     Q("q167_profile_join_skew", joinSkewReport, Some(q167Sql)),
+    Q("q169_profile_quantiles", columnQuantiles, Some(q169Sql)),
     Q("q168_profile_ri_audit", riAudit, Some(q168Sql)))
 }
 
