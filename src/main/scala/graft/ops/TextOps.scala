@@ -499,6 +499,50 @@ object TextOpsImpl {
       .orderBy(col("source"))
   }
 
+  /** TEMPERATURE-resampled mixture (q170) — the α-sampling rule
+    * multilingual/multi-source training mixes actually use (raise rare
+    * sources, damp dominant ones): target share ∝ share^α with α = 1/2.
+    * α = 1/2 is not just the common choice — it is the libm-FREE one:
+    * share^0.5 is IEEE `sqrt`, correctly rounded in both engines, where a
+    * general `pow` would break bitwise parity. Resampled total = the
+    * corpus size; oversubscribed sources cap at keep_rate 1 (their mass
+    * implicitly redistributes). Selection is the q80 hash-threshold
+    * discipline; Σw accumulates floor-quantized so the normalizer is
+    * order-independent.
+    *
+    * Scale shape: |sources|-row aggregates and broadcasts around ONE
+    * corpus scan whose keep decision is a narrow hash compare — identical
+    * cost envelope to q80. */
+  def temperatureMixture(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables(s, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_avail"))
+    val tot = per.agg(sum(col("n_avail")).as("n_total"))
+    val shares = per.crossJoin(broadcast(tot))
+      .withColumn("share",
+        col("n_avail").cast(DoubleType) / col("n_total").cast(DoubleType))
+      .withColumn("w", sqrt(col("share")))
+    val sumw = shares.agg(
+      expr("CAST(SUM(CAST(FLOOR(w * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12")
+        .as("sumw"))
+    val rates = shares.crossJoin(broadcast(sumw))
+      .withColumn("target_share", col("w") / col("sumw"))
+      .withColumn("keep_rate", least(lit(1.0),
+        col("target_share") * col("n_total").cast(DoubleType)
+          / col("n_avail").cast(DoubleType)))
+      .select(col("source"), col("n_avail"), col("share"), col("target_share"),
+        col("keep_rate"))
+    val hash16 = (1 to 4).map { p =>
+      s"(instr('0123456789abcdef', substr(md5(concat('tmp:', CAST(doc_id AS STRING))), $p, 1)) - 1) * ${1 << (4 * (4 - p))}"
+    }.mkString(" + ")
+    val kept = Tables(s, dir, "documents")
+      .join(broadcast(rates.select(col("source"), col("keep_rate"))), "source")
+      .filter(expr(s"CAST($hash16 AS DOUBLE) / 65536.0") < col("keep_rate"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic LINEAR QUALITY CLASSIFIER — the model-scored upgrade of
     * the rule threshold in [[qualityScore]]: a fixed weight vector over
     * cheap per-doc features (length saturation, stopword ratio, distinct
@@ -1813,6 +1857,34 @@ object TextOps {
          |  array_to_string(list_slice(string_split(text, ' '), 1, $TruncateTokens), ' ') AS truncated,
          |  CAST(length(array_to_string(list_slice(string_split(text, ' '), 1, $TruncateTokens), ' ')) AS BIGINT) AS truncated_chars
          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("q170_text_temperature_mix", temperatureMixture, Some {
+      val hash16 = (1 to 4).map { p =>
+        s"(strpos('0123456789abcdef', substr(md5('tmp:' || CAST(doc_id AS VARCHAR)), $p, 1)) - 1) * ${1 << (4 * (4 - p))}"
+      }.mkString(" + ")
+      s"""WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_avail
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(SUM(n_avail) AS BIGINT) AS n_total FROM per),
+         |sh AS (SELECT source, n_avail,
+         |    CAST(n_avail AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+         |    sqrt(CAST(n_avail AS DOUBLE) / CAST(n_total AS DOUBLE)) AS w,
+         |    n_total
+         |  FROM per, tot),
+         |sw AS (SELECT CAST(SUM(CAST(FLOOR(w * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sumw
+         |  FROM sh),
+         |rates AS (SELECT source, n_avail, share, w / sumw AS target_share,
+         |    LEAST(1.0, (w / sumw) * CAST(n_total AS DOUBLE) / CAST(n_avail AS DOUBLE)) AS keep_rate
+         |  FROM sh, sw),
+         |kept AS (
+         |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+         |  FROM documents d JOIN rates r USING (source)
+         |  WHERE CAST($hash16 AS DOUBLE) / 65536.0 < r.keep_rate
+         |  GROUP BY d.source)
+         |SELECT r.source, r.n_avail, r.share, r.target_share, r.keep_rate,
+         |  COALESCE(k.n_kept, 0) AS n_kept
+         |FROM rates r LEFT JOIN kept k USING (source)
+         |ORDER BY r.source""".stripMargin
+    }),
 
     Q("q80_text_mixture", mixtureSample, Some {
       val hash16 = (1 to 4).map { p =>
