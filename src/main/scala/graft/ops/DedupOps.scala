@@ -680,6 +680,32 @@ object DedupOpsImpl {
       .orderBy(col("bands"))
   }
 
+  /** q171: CROSS-SOURCE duplication matrix — the provenance view of the
+    * verified near-dup pair graph: for every (source_a ≤ source_b) pair,
+    * how many duplicate pairs span them, how many distinct docs on each
+    * side are implicated, and the mean Jaccard. Within-source rows are
+    * boilerplate/templating; CROSS-source rows are syndication, scraping
+    * overlap, or licensing leakage — the table a corpus owner reads to
+    * decide which source to drop. Costs nothing beyond the memoized q41
+    * pair graph it reads: two broadcast-able id→source lookups (the pair
+    * set is metadata-sized) and a |source-pairs|-row aggregate. */
+  def crossSourceDup(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+    val pairs = ngramJaccard(s, dir).select(col("a_id"), col("b_id"), col("jaccard"))
+      .join(src.toDF("a_id", "sa"), "a_id")
+      .join(src.toDF("b_id", "sb"), "b_id")
+      .withColumn("source_a", least(col("sa"), col("sb")))
+      .withColumn("source_b", greatest(col("sa"), col("sb")))
+    pairs.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("a_id")).as("n_docs_a"),
+        countDistinct(col("b_id")).as("n_docs_b"),
+        expr("CAST(SUM(CAST(FLOOR(jaccard * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 / COUNT(*)")
+          .as("mean_jaccard"),
+        sum(when(col("sa") === col("sb"), 1L).otherwise(0L)).as("within_source"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Same signature via the native codegen'd Catalyst expression
     * (graft.expr.SimHashExpr) — one pass per row, no explode/shuffle at all;
     * this is the hot-path form for 100 TB corpora. 48 bits so the DuckDB
@@ -1076,6 +1102,36 @@ object DedupOps {
          |FROM found f LEFT JOIN truth t USING (a_id, b_id)
          |GROUP BY f.method ORDER BY f.method""".stripMargin
     }),
+
+    Q("q171_dedup_source_matrix", crossSourceDup, Some(
+      s"""WITH $shingleSql,
+         |rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= $DfCap),
+         |docsh AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM docsh GROUP BY doc_id),
+         |jp AS (
+         |  SELECT a_id, b_id, CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
+         |  FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |    FROM docsh a JOIN docsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) p
+         |  JOIN sizes na ON na.doc_id = a_id JOIN sizes nb ON nb.doc_id = b_id
+         |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5),
+         |tagged AS (
+         |  SELECT j.a_id, j.b_id, j.jaccard, da.source AS sa, db.source AS sb,
+         |    LEAST(da.source, db.source) AS source_a,
+         |    GREATEST(da.source, db.source) AS source_b
+         |  FROM jp j
+         |  JOIN documents da ON da.doc_id = j.a_id
+         |  JOIN documents db ON db.doc_id = j.b_id)
+         |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(COUNT(DISTINCT a_id) AS BIGINT) AS n_docs_a,
+         |  CAST(COUNT(DISTINCT b_id) AS BIGINT) AS n_docs_b,
+         |  CAST(SUM(CAST(FLOOR(jaccard * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 / COUNT(*)
+         |    AS mean_jaccard,
+         |  CAST(SUM(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS BIGINT) AS within_source
+         |FROM tagged
+         |GROUP BY source_a, source_b
+         |ORDER BY source_a, source_b""".stripMargin)),
 
     Q("q155_dedup_band_sweep", lshBandSweep, Some {
       def rb(id: String) = {
