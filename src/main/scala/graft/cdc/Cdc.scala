@@ -221,5 +221,9 @@ object Cdc {
           when(col("oldImage").isNotNull, -1L).otherwise(0L).as("dcount"),
           (-valueOf(col("oldImage"))).as("dvalue")))).as("d"))
       .select(col("d.*"))
-      .filter(col("g").isNotNull)
+      // keep every PRESENT image's delta (dcount ≠ 0), including ones whose
+      // group value is genuinely NULL — filtering on g IS NOT NULL would
+      // silently drop the NULL group and diverge from a full recompute,
+      // which keeps it. Absent images (dcount = 0) carry no delta.
+      .filter(col("dcount") =!= 0L)
 }

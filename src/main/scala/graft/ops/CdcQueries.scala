@@ -239,7 +239,7 @@ object CdcQueries {
          |  FROM cdc)
          |SELECT g AS event_type, CAST(SUM(dcount) AS BIGINT) AS n_live,
          |  CAST(SUM(CAST(dvalue AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
-         |FROM d WHERE g IS NOT NULL
+         |FROM d WHERE dcount <> 0
          |GROUP BY g ORDER BY g""".stripMargin)),
 
     Q("q29_cdc_replay_state", CdcQueriesImpl.replayState, Some(

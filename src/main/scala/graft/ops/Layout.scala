@@ -233,6 +233,15 @@ object LayoutOpsImpl {
     * the index (the real deployment writes it at ingest, inside the same
     * commit as the file). File assignment reuses the q73 bucket-parallel
     * rank. */
+  /** The Spark-side Bloom hash-position formula (h-th position of a key
+    * expression), exposed for the collision regression spec. */
+  private[graft] def bloomPosSql(keyExpr: String, h: Int): String = {
+    val off = h * 3
+    def nib(i: Int) =
+      s"(instr('0123456789abcdef', substr(md5('blm:' || CAST($keyExpr AS STRING)), ${off + i}, 1)) - 1)"
+    s"pmod(CAST(${nib(1)} * 256 + ${nib(2)} * 16 + ${nib(3)} AS BIGINT), $BloomBits)"
+  }
+
   def bloomSkipping(s: SparkSession, dir: String): DataFrame = {
     // time-ordered ingest: files hold ~37 days of arrivals each, so every
     // file's o_orderkey [min, max] spans nearly the whole key domain and a
@@ -241,29 +250,38 @@ object LayoutOpsImpl {
       .select(col("o_orderkey"),
         expr("CAST(FLOOR(unix_millis(CAST(o_orderdate AS TIMESTAMP)) / 1000.0 / 86400.0 / 37.0) AS BIGINT)")
           .as("file"))
-    def posSql(keyExpr: String, h: Int): String = {
-      val off = h * 3
-      def nib(i: Int) =
-        s"(instr('0123456789abcdef', substr(md5('blm:' || CAST($keyExpr AS STRING)), ${off + i}, 1)) - 1)"
-      s"pmod(CAST(${nib(1)} * 256 + ${nib(2)} * 16 + ${nib(3)} AS BIGINT), $BloomBits)"
-    }
+    val probes = Tables(s, dir, "orders")
+      .filter(expr(s"o_orderkey % $BloomProbeMod = 0"))
+      .select(col("o_orderkey").as("k")).distinct()
+    bloomSkippingKeyed(keyed, probes)
+  }
+
+  /** [[bloomSkipping]]'s core over an explicit (o_orderkey, file)
+    * assignment and probe-key set — split out so the no-false-negative
+    * contract is testable on synthetic frames (incl. hash-collision keys
+    * the sf fixtures may not contain). */
+  private[graft] def bloomSkippingKeyed(keyed: DataFrame,
+      probes: DataFrame): DataFrame = {
     // per-file bloom: distinct set positions (metadata-sized)
     val filePos = (0 until BloomHashes).map { h =>
-      keyed.select(col("file"), expr(posSql("o_orderkey", h)).as("pos"))
+      keyed.select(col("file"), expr(bloomPosSql("o_orderkey", h)).as("pos"))
     }.reduce(_ union _).distinct()
     // file min/max stats (what a range reader prunes with)
     val fileStats = keyed.groupBy(col("file"))
       .agg(min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"))
     val filesTotal = fileStats.count()
-    val probes = Tables(s, dir, "orders")
-      .filter(expr(s"o_orderkey % $BloomProbeMod = 0"))
-      .select(col("o_orderkey").as("k")).distinct()
     val probePos = (0 until BloomHashes).map { h =>
-      probes.select(col("k"), expr(posSql("k", h)).as("pos"))
+      probes.select(col("k"), expr(bloomPosSql("k", h)).as("pos"))
     }.reduce(_ union _).distinct()
+    // A key's two hash positions can collide (prob ~1/BloomBits); its probe
+    // then yields ONE joined row per containing file, so requiring
+    // hits == BloomHashes would produce Bloom false negatives. Compare
+    // against the key's own distinct-position count instead.
+    val keyNPos = probePos.groupBy(col("k")).agg(count(lit(1)).as("n_pos"))
     val bloomPass = broadcast(probePos).join(filePos, "pos")
       .groupBy(col("k"), col("file")).agg(count(lit(1)).as("hits"))
-      .filter(col("hits") === BloomHashes)
+      .join(broadcast(keyNPos), "k")
+      .filter(col("hits") === col("n_pos"))
       .groupBy(col("k")).agg(count(lit(1)).as("n_files"))
       .select(lit("bloom").as("method"), col("k"), col("n_files"))
     val minmaxPass = broadcast(probes).join(fileStats,
@@ -443,10 +461,11 @@ object LayoutOpsImpl {
          |  WHERE o_orderkey % $BloomProbeMod = 0),
          |pp AS (SELECT DISTINCT k, pos FROM (
          |  ${posUnion("pk", "k", "k")}) t),
+         |pn AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pos FROM pp GROUP BY k),
          |bp AS (SELECT 'bloom' AS method, k, CAST(COUNT(*) AS BIGINT) AS n_files FROM (
          |    SELECT p.k, f.file, COUNT(*) AS hits
          |    FROM pp p JOIN fp f USING (pos) GROUP BY p.k, f.file) t
-         |  WHERE hits = $BloomHashes GROUP BY k),
+         |  JOIN pn USING (k) WHERE hits = n_pos GROUP BY k),
          |mp AS (SELECT 'minmax' AS method, k, CAST(COUNT(*) AS BIGINT) AS n_files
          |  FROM pk p JOIN fs f ON p.k >= f.mn AND p.k <= f.mx GROUP BY k),
          |tp AS (SELECT 'true' AS method, k, CAST(COUNT(*) AS BIGINT) AS n_files FROM (

@@ -377,13 +377,25 @@ object RelationalOps {
     * self-join, which would be quadratic per key). Observations sort
     * before grid points at the same instant, so a grid point ON an
     * observation picks it up deterministically. */
-  def gapFillHourly(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(s, dir, "events")
+  def gapFillHourly(s: SparkSession, dir: String): DataFrame =
+    gapFillHourlyFrom(Tables(s, dir, "events")
       .select(col("user_id"), unix_millis(col("ts")).as("ems"), col("value"),
-        col("event_id"))
+        col("event_id")))
+
+  /** [[gapFillHourly]]'s core over an explicit (user_id, ems, value,
+    * event_id) frame — split out so the no-hour-boundary edge case (a
+    * user with a single mid-hour event, which used to crash sequence())
+    * is testable directly. */
+  private[graft] def gapFillHourlyFrom(ev: DataFrame): DataFrame = {
     val bounds = ev.groupBy(col("user_id"))
       .agg(min(col("ems")).as("mn"), max(col("ems")).as("mx"))
-    val grid = bounds.select(col("user_id"),
+    // A user whose span contains no hour boundary (single mid-hour event)
+    // has grid start > mx; Spark's sequence() THROWS there while DuckDB's
+    // generate_series yields an empty list — filter those users out first
+    // (same zero grid rows as the oracle, no crash).
+    val grid = bounds
+      .filter(expr("CAST(ceil(mn / 3600000.0) AS BIGINT) * 3600000 <= mx"))
+      .select(col("user_id"),
         explode(expr("sequence(CAST(ceil(mn / 3600000.0) AS BIGINT) * 3600000, mx, CAST(3600000 AS BIGINT))"))
           .as("ems"))
       .withColumn("is_obs", lit(0L))

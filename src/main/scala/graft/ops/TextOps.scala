@@ -1454,11 +1454,17 @@ object TextOpsImpl {
     * sketch-sized (|sources|² × 2k rows); the exact columns are
     * vocabulary-keyed joins with map-side-combined counts — the same cost
     * class as q96's drift grid. */
-  def kmvSetOps(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-    val v = Tables(s, dir, "documents")
+  def kmvSetOps(s: SparkSession, dir: String): DataFrame =
+    kmvSetOpsFrom(Tables(s, dir, "documents")
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-      .distinct()
+      .distinct())
+
+  /** [[kmvSetOps]]'s core over an explicit distinct (source, tok) frame —
+    * split out so the small-sketch estimator case (a source pair with
+    * fewer than [[KmvK]] distinct hashes, absent from the sf fixtures) is
+    * testable directly. */
+  private[graft] def kmvSetOpsFrom(v: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
     val sigs = v.withColumn("h", md5(col("tok")))
     val bottom = graft.plans.TopK.topKPerKey(
         sigs.select(col("source"), col("h")), KmvK,
@@ -1497,11 +1503,16 @@ object TextOpsImpl {
       .join(exactCounts.toDF("sb", "nb"), "sb")
       .join(exactInter, Seq("sa", "sb"), "left")
       .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+      // Beyer et al. small-set case: the (km−1)/kth_frac estimator is only
+      // valid for a FULL sketch; with km < KmvK the merged sketch already
+      // holds the entire union, so the union IS km exactly.
+      .withColumn("union_est", when(col("km") < KmvK, col("km").cast(DoubleType))
+        .otherwise((col("km") - lit(1L)).cast(DoubleType) / col("kth_frac")))
       .select(col("sa").as("source_a"), col("sb").as("source_b"), col("km").as("k"),
         (col("nboth").cast(DoubleType) / col("km")).as("jaccard_est"),
-        ((col("km") - lit(1L)).cast(DoubleType) / col("kth_frac")).as("union_est"),
-        ((col("nboth").cast(DoubleType) / col("km")) *
-          ((col("km") - lit(1L)).cast(DoubleType) / col("kth_frac"))).as("inter_est"),
+        col("union_est"),
+        ((col("nboth").cast(DoubleType) / col("km")) * col("union_est"))
+          .as("inter_est"),
         (col("exact_inter").cast(DoubleType) /
           (col("na") + col("nb") - col("exact_inter")).cast(DoubleType))
           .as("jaccard_exact"),
@@ -2321,21 +2332,25 @@ object TextOps {
          |ef AS (SELECT sa, sb, km, nboth,
          |    CAST($nibSum AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE) AS kth_frac
          |  FROM est),
+         |eu AS (SELECT sa, sb, km, nboth, kth_frac,
+         |    CASE WHEN km < $KmvK THEN CAST(km AS DOUBLE)
+         |         ELSE CAST(km - 1 AS DOUBLE) / kth_frac END AS union_est
+         |  FROM ef),
          |ec AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY source),
          |ei AS (SELECT p.sa, p.sb, CAST(COUNT(*) AS BIGINT) AS exact_inter
          |  FROM prs p JOIN v a ON a.source = p.sa
          |  JOIN v b ON b.source = p.sb AND b.tok = a.tok
          |  GROUP BY p.sa, p.sb)
-         |SELECT ef.sa AS source_a, ef.sb AS source_b, ef.km AS k,
+         |SELECT eu.sa AS source_a, eu.sb AS source_b, eu.km AS k,
          |  CAST(nboth AS DOUBLE) / km AS jaccard_est,
-         |  CAST(km - 1 AS DOUBLE) / kth_frac AS union_est,
-         |  (CAST(nboth AS DOUBLE) / km) * (CAST(km - 1 AS DOUBLE) / kth_frac) AS inter_est,
+         |  union_est,
+         |  (CAST(nboth AS DOUBLE) / km) * union_est AS inter_est,
          |  CAST(COALESCE(ei.exact_inter, 0) AS DOUBLE)
          |    / CAST(na.n + nb.n - COALESCE(ei.exact_inter, 0) AS DOUBLE) AS jaccard_exact,
          |  CAST(na.n + nb.n - COALESCE(ei.exact_inter, 0) AS BIGINT) AS union_exact,
          |  CAST(COALESCE(ei.exact_inter, 0) AS BIGINT) AS exact_inter
-         |FROM ef JOIN ec na ON na.source = ef.sa JOIN ec nb ON nb.source = ef.sb
-         |LEFT JOIN ei ON ei.sa = ef.sa AND ei.sb = ef.sb
+         |FROM eu JOIN ec na ON na.source = eu.sa JOIN ec nb ON nb.source = eu.sb
+         |LEFT JOIN ei ON ei.sa = eu.sa AND ei.sb = eu.sb
          |ORDER BY source_a, source_b""".stripMargin
     }),
 

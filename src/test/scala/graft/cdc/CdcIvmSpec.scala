@@ -70,6 +70,38 @@ class CdcIvmSpec extends SparkSpec {
     assert(got.map(_._2).sum == 30L - 8L)
   }
 
+  test("a present image with a NULL group keeps its delta (NULL-group view row)") {
+    // image presence keyed on the VALUE field so the group can be NULL on
+    // a present image — the case the old `g IS NOT NULL` filter dropped,
+    // diverging the maintained view from a full recompute.
+    val rows = Seq(
+      IvmE(1L, "INSERT", "00000", None, Some(2.0), None, None), // NULL group
+      IvmE(2L, "INSERT", "00000", Some("a"), Some(3.0), None, None),
+      IvmE(2L, "UPDATE", "00001", None, Some(4.0), Some("a"), Some(3.0)))
+    val env = rows.toDF().select(
+      col("key"), col("seq"),
+      struct(col("op").as("stream_operation_type")).as("metadata"),
+      when(col("vNew").isNotNull,
+        struct(col("gNew").as("event_type"), col("vNew").as("value"))).as("image"),
+      when(col("vOld").isNotNull,
+        struct(col("gOld").as("event_type"), col("vOld").as("value"))).as("oldImage"))
+    val full = maintained(env)
+      .as[(Option[String], Long, Double)].collect().toSeq.sortBy(_._1)
+    // a vacated group legitimately stays as a zero-mass row until the view
+    // compacts it; the recompute-equality contract is on live rows
+    val got = full.filter(_._2 != 0L)
+    val state = Cdc.replayLatest(env, col("key"), col("seq"))
+      .select(col("last.image.event_type").as("g"), col("last.image.value").as("v"))
+    val expected = state.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_live"), Det.dsum(col("v")).as("sum_value"))
+      .as[(Option[String], Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == expected,
+      s"NULL-group deltas must survive to the maintained view\n$got\nvs\n$expected")
+    assert(got.exists(_._1.isEmpty), "the NULL group must appear in the view")
+    // the moved key (a → NULL) must have left group a empty, not lingering
+    assert(!full.exists(r => r._1.contains("a") && r._2 != 0L))
+  }
+
   test("streaming live view over micro-batches equals the batch backfill") {
     val all = history
     val batches = all.grouped((all.size + 2) / 3).toSeq
