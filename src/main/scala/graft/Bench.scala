@@ -64,14 +64,27 @@ object Bench {
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
-    // The driver parses stdout for the JSON line; sbt's default LoggedOutput
-    // strategy wraps forked-run output in "[info] ..." (BENCH_r01/r02 both
-    // recorded parsed:null; r3 still did despite `run / outputStrategy :=
-    // StdoutOutput`). Make the line the LAST stdout act of the process —
-    // after spark.stop()'s shutdown chatter — so a tail-anchored parse
-    // cannot miss it; stderr + the file above are the fallbacks.
+    // The driver keeps only a ~2 KB TAIL of stdout: every BENCH_r01–r06
+    // recorded parsed:null because the full per-query line (~8 KB at 180+
+    // entries) overflows that buffer and gets truncated mid-JSON. So
+    // stdout gets a COMPACT line that fits the tail — total, count, and
+    // the slowest entries up to a strict size budget — while bench_out
+    // .json (committed) carries the complete per-query map for diffing.
+    val compactBudget = 1600
+    val slowestFirst = results.sortBy(-_._2)
+    val kept = new scala.collection.mutable.ListBuffer[String]
+    var used = 0
+    slowestFirst.foreach { case (k, v) =>
+      val item = "\"" + k + "\":" + f"$v%.3f"
+      if (used + item.length + 1 <= compactBudget) { kept += item; used += item.length + 1 }
+    }
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries_full":"bench_out.json","queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+    // Make the line the LAST stdout act of the process — after
+    // spark.stop()'s shutdown chatter — so a tail-anchored parse cannot
+    // miss it; stderr + the file above are the fallbacks.
     spark.stop()
-    println(line)
+    println(compact)
     System.out.flush()
   }
 }

@@ -2386,7 +2386,7 @@ object VectorOps {
     }),
 
     Q("q58_embed_components", embedNearDupComponents, Some(
-      s"""WITH RECURSIVE jp AS (SELECT a_id, b_id FROM ($nearDupPairsSql) q56),
+      s"""WITH RECURSIVE jp AS MATERIALIZED (SELECT a_id, b_id FROM ($nearDupPairsSql) q56),
          |nodes AS MATERIALIZED (SELECT a_id AS id FROM jp UNION SELECT b_id FROM jp),
          |edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM jp
          |          UNION ALL SELECT b_id, a_id FROM jp),
@@ -2719,7 +2719,7 @@ object VectorOps {
 
     Q("q89_embed_keep_best", semanticKeepBest, Some {
       val stopSql = TextOpsImpl.stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
-      s"""WITH RECURSIVE jp AS (SELECT a_id, b_id FROM ($nearDupPairsSql) q56),
+      s"""WITH RECURSIVE jp AS MATERIALIZED (SELECT a_id, b_id FROM ($nearDupPairsSql) q56),
          |nodes AS MATERIALIZED (SELECT a_id AS id FROM jp UNION SELECT b_id FROM jp),
          |edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM jp
          |          UNION ALL SELECT b_id, a_id FROM jp),
@@ -3373,6 +3373,9 @@ object VectorOps {
       s"COALESCE(g.m$i, p.c$i) AS c$i").mkString(",\n    ")
     // MIN-struct argmin instead of a ROW_NUMBER window — same (dist, cid)
     // tie discipline, far cheaper operator (see pqChainsSql note)
+    // Each c_t is referenced TWICE by round t+1 (assignment + coalesce):
+    // un-hinted, DuckDB's CTE inlining re-derives the chain 2^t times —
+    // MATERIALIZED pins each round to one execution (k-row relations).
     val iters = (1 to KmeansIters).map { t =>
       s"""a$t AS (
          |  SELECT e.vec_id,
@@ -3381,7 +3384,7 @@ object VectorOps {
          |g$t AS (SELECT a.assigned AS cid, COUNT(*) AS n,
          |    $means
          |  FROM embeddings e JOIN a$t a ON a.vec_id = e.vec_id GROUP BY a.assigned),
-         |c$t AS (SELECT p.cid, COALESCE(g.n, CAST(0 AS BIGINT)) AS n,
+         |c$t AS MATERIALIZED (SELECT p.cid, COALESCE(g.n, CAST(0 AS BIGINT)) AS n,
          |    $coal
          |  FROM c${t - 1} p LEFT JOIN g$t g USING (cid))""".stripMargin
     }.mkString(",\n")
@@ -3410,11 +3413,11 @@ object VectorOps {
     val bands = (0 until NearDupBands).map(b =>
       s"SELECT vec_id, $b AS band, (sig >> ${b * NearDupBandBits}) & $mask AS bv FROM s")
       .mkString(" UNION ALL ")
-    s"""WITH s AS (
+    s"""WITH s AS MATERIALIZED (
        |  SELECT vec_id,
        |    CAST((${lshSignature(i => s"CAST(embedding[$i] AS DOUBLE)")}) AS BIGINT) AS sig
        |  FROM embeddings),
-       |bands AS ($bands),
+       |bands AS MATERIALIZED ($bands),
        |ok AS (SELECT band, bv FROM bands GROUP BY band, bv HAVING COUNT(*) <= $NearDupBucketCap),
        |bk AS (SELECT b.vec_id, b.band, b.bv FROM bands b JOIN ok USING (band, bv)),
        |cand AS (
@@ -3504,11 +3507,16 @@ object VectorOps {
     val bands = (0 until NearDupBands).map(b =>
       s"SELECT vec_id, $b AS band, (sig >> ${b * NearDupBandBits}) & $mask AS bv FROM s")
       .mkString(" UNION ALL ")
-    s"""WITH s AS (
+    // AS MATERIALIZED: DuckDB otherwise INLINES a CTE at every reference —
+    // the band union reads `s` 16× and every graph consumer re-derives
+    // `r`'s whole all-pairs chain (q166's triangle joins walked it ~8×:
+    // 194 s of the round-6 oracle compare's 630 s total, which overran the
+    // driver's budget and recorded the round's correctness EMPTY).
+    s"""WITH s AS MATERIALIZED (
        |  SELECT vec_id,
        |    CAST((${lshSignature(i => s"CAST(embedding[$i] AS DOUBLE)")}) AS BIGINT) AS sig
        |  FROM embeddings),
-       |bands AS ($bands),
+       |bands AS MATERIALIZED ($bands),
        |ok AS (SELECT band, bv FROM bands GROUP BY band, bv
        |  HAVING COUNT(*) <= $NearDupBucketCap),
        |bk AS (SELECT b.vec_id, b.band, b.bv FROM bands b JOIN ok USING (band, bv)),
@@ -3524,7 +3532,7 @@ object VectorOps {
        |  FROM cand
        |  JOIN embeddings a ON a.vec_id = src
        |  JOIN embeddings b ON b.vec_id = dst),
-       |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY src
+       |r AS MATERIALIZED (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY src
        |    ORDER BY cosine DESC, dst) AS BIGINT) AS rn FROM p)""".stripMargin
   }
 }
