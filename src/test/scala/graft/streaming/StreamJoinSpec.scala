@@ -69,4 +69,55 @@ class StreamJoinSpec extends SparkSpec {
       assert(!got.exists(_._2 == 103L), "late click beyond the watermark must be dropped")
     } finally q.stop()
   }
+
+  test("a window that is not a whole number of seconds keeps its full range") {
+    // windowMs = 1500: the old INTERVAL ${windowMs/1000} SECONDS predicate
+    // truncated to 1 s, silently dropping clicks 1.0–1.5 s before the
+    // purchase. A click 1.2 s before must join; 1.6 s before must not.
+    val wMs = 1500L
+    val purchases = MemoryStream[SjEv](spark)
+    val clicks = MemoryStream[SjEv](spark)
+    val joined = StreamJoin.purchaseClickJoin(
+      purchases.toDF(), clicks.toDF(), wMs, watermark = "1 minute")
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssjoin_subsec").start()
+    try {
+      clicks.addData(ev(200, 10000 - 1200), ev(201, 10000 - 1600))
+      purchases.addData(ev(10, 10000))
+      q.processAllAvailable()
+      val got = spark.table("ssjoin_subsec")
+        .select(col("purchase_id"), col("click_id"))
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(got == Seq((10L, 200L)),
+        s"click 1.2 s before must join, 1.6 s before must not: $got")
+    } finally q.stop()
+  }
+
+  test("left-outer emits exactly one null-click row per unmatched purchase") {
+    val purchases = MemoryStream[SjEv](spark)
+    val clicks = MemoryStream[SjEv](spark)
+    val joined = StreamJoin.purchaseClickJoin(
+      purchases.toDF(), clicks.toDF(), WindowMs, watermark = "1 minute",
+      joinType = "left_outer")
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssjoin_outer").start()
+    try {
+      // purchase 1 has a click in range; purchase 2 has none
+      clicks.addData(ev(100, 0))
+      purchases.addData(ev(1, 240000), ev(2, 1200000))
+      q.processAllAvailable()
+      // advance both watermarks far past purchase 2's horizon so the
+      // engine can CLOSE it and emit the outer null row
+      clicks.addData(ev(199, 7200000))
+      purchases.addData(ev(99, 7200000))
+      q.processAllAvailable()
+      val got = spark.table("ssjoin_outer")
+        .select(col("purchase_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"))
+        .as[(Long, Long)].collect().toSeq
+        .filter(r => r._1 == 1L || r._1 == 2L).sorted
+      assert(got == Seq((1L, 100L), (2L, -1L)),
+        s"matched purchase joins its click; unmatched emits ONE null row: $got")
+    } finally q.stop()
+  }
 }
