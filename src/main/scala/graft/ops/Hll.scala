@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.{Q, Tables}
+
+/** HYPERLOGLOG distinct-count sketches (q172) — the cardinality member of
+  * the engine's mergeable-sketch family (count-min q132 = frequency, KMV
+  * q121/q156 = distinct + set algebra, Bloom q94/q160 = membership). KMV
+  * answers set OPERATIONS between sketch pairs; HLL is what a 100 TB
+  * pipeline actually runs for per-source/overall cardinality monitoring,
+  * because its per-group state is a fixed [[HllM]]-register byte array
+  * whose merge is element-wise MAX — associative, commutative,
+  * idempotent, so partial aggregation (map-side combine) and cross-source
+  * union both come for free.
+  *
+  * Determinism discipline (the repo-wide rule that every gate hashes
+  * bit-identically against DuckDB):
+  *  - the hash is md5-derived (register = first byte, rank input = next
+  *    60 bits), not engine RNG;
+  *  - the rank (leading-zero count) is a generated 60-branch integer CASE
+  *    chain — no log2(), which is libm-dependent;
+  *  - the harmonic-mean denominator Σ 2^(−M_j) is computed EXACTLY as the
+  *    integer Σ 2^(61−M_j) in DECIMAL(38,0) (each term a literal from a
+  *    61-entry CASE — no floating sum-order dependence), with one final
+  *    cast to double shared by both engines;
+  *  - the bias constant α_m is spelled as the same double expression
+  *    `0.7213 / (1.0 + 1.079 / m)` in both engines (identical IEEE ops).
+  *
+  * The raw estimator is reported without the small-range linear-counting
+  * branch: that correction needs ln(), which breaks bitwise cross-engine
+  * parity (the q35/q112 rational-idf rationale), and every profiled
+  * source sits far above the 2.5·m validity floor where raw HLL IS the
+  * standard estimate. `registers_used` is emitted so a reader can verify
+  * the regime per row.
+  *
+  * Scale shape: one narrow corpus pass → (source, register)-keyed MAX
+  * aggregate (map-side combined, ≤ sources × [[HllM]] rows) → per-source
+  * [[HllM]]-row reduce. The `__ALL__` row re-aggregates the REGISTERS
+  * (MAX across sources), proving the merge property in-gate: the global
+  * sketch is the register-wise max of the per-source sketches, never a
+  * second corpus scan. The exact COUNT(DISTINCT) columns are the gate's
+  * truth reference — a production run at 100 TB omits them (that exact
+  * distinct is the very shuffle HLL exists to avoid).
+  */
+object HllOpsImpl {
+
+  /** Register-index bits (m = 2^p registers). */
+  val HllP = 8
+  val HllM: Int = 1 << HllP
+
+  /** Nibble extractor: `f` is the position-of-char function (Spark
+    * `instr`, DuckDB `strpos`). */
+  private def nib(f: String, md5Expr: String, i: Int): String =
+    s"(CAST($f('0123456789abcdef', substr($md5Expr, $i, 1)) AS BIGINT) - 1)"
+
+  /** Register index from the first 2 hex nibbles (8 bits → 0..255). */
+  private def regSql(f: String, md5Expr: String): String =
+    s"(${nib(f, md5Expr, 1)} * 16 + ${nib(f, md5Expr, 2)})"
+
+  /** 60-bit rank input from nibbles 3..17. */
+  private def vSql(f: String, md5Expr: String): String =
+    (3 to 17).map { i =>
+      val pow = java.math.BigInteger.valueOf(16L).pow(17 - i)
+      s"${nib(f, md5Expr, i)} * $pow"
+    }.mkString("(", " + ", ")")
+
+  /** Leading-zero rank ρ ∈ 1..61 over the 60-bit value as a pure integer
+    * CASE chain (v ≥ 2^(60−r) → ρ = r; v = 0 → 61). */
+  private def rhoSql(vCol: String): String = {
+    val branches = (1 to 60)
+      .map(r => s"WHEN $vCol >= ${1L << (60 - r)} THEN $r")
+      .mkString(" ")
+    s"(CASE $branches ELSE 61 END)"
+  }
+
+  /** Exact per-register term 2^(61−ρ) as a 61-entry literal CASE (avoids
+    * engine-specific shift operators; bare literals — Spark types
+    * out-of-int-range ones as BIGINT, DuckDB has no `L` suffix). */
+  private def termSql(rhoCol: String): String = {
+    val branches = (1 to 61)
+      .map(r => s"WHEN $rhoCol = $r THEN CAST(${1L << (61 - r)} AS BIGINT)")
+      .mkString(" ")
+    s"(CASE $branches END)"
+  }
+
+  /** α_m · m² · 2^61 — the numerator of the integer-denominator estimator
+    * form, computed ONCE in JVM double arithmetic and injected as a
+    * string-cast literal: a bare `0.7213` parses as DECIMAL in one engine
+    * and DOUBLE in the other (the q80 literal-typing pitfall), and
+    * Double.toString round-trips exactly through both engines' strtod. */
+  private val estNum: Double =
+    0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM * 2305843009213693952.0
+  private def estNumSql: String = s"CAST('$estNum' AS DOUBLE)"
+
+  /** Estimate from the exact integer denominator: registers with no
+    * observation contribute the full 2^61 (ρ = 0 ⇒ 2^(61−0)). */
+  private def estSql(sumCol: String, usedCol: String): String =
+    s"$estNumSql / (CAST($sumCol AS DOUBLE) + " +
+      s"CAST(($HllM - $usedCol) AS DOUBLE) * CAST(2305843009213693952 AS DOUBLE))"
+
+  /** Test hooks: the generated SQL fragments, for the independent-md5
+    * property lock in SketchSamplingSpec. */
+  private[graft] def testRegSql(f: String, e: String): String = regSql(f, e)
+  private[graft] def testVSql(f: String, e: String): String = vSql(f, e)
+  private[graft] def testRhoSql(v: String): String = rhoSql(v)
+
+  /** Per-token (source, tok, reg, rho) projection — pure per-row math,
+    * batch and streaming frames alike; expects (source, text). */
+  private[graft] def tokenized(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("h", md5(concat(lit("hll:"), col("tok"))))
+      .withColumn("reg", expr(regSql("instr", "h")))
+      .withColumn("v", expr(vSql("instr", "h")))
+      .withColumn("rho", expr(rhoSql("v")))
+
+  /** The register table (source, reg, m_reg) — the sketch itself. On a
+    * STREAMING frame this is the incrementally-maintained form: MAX is
+    * idempotent/commutative, so the keyed state is exactly the ≤
+    * sources × [[HllM]] register rows and each arriving document folds in
+    * without replay ([[graft.streaming.StreamHll]]). */
+  private[graft] def registerRows(docs: DataFrame): DataFrame =
+    tokenized(docs).groupBy(col("source"), col("reg"))
+      .agg(max(col("rho")).as("m_reg"))
+
+  /** Per-source + `__ALL__` HLL cardinality vs exact distinct. */
+  def hllCardinality(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val toks = tokenized(docs)
+    // the sketch: sources × ≤256 rows, map-side-combined MAX
+    val regs = registerRows(docs)
+    // register-wise MAX across sources IS the merged global sketch
+    val merged = regs.groupBy(col("reg")).agg(max(col("m_reg")).as("m_reg"))
+      .withColumn("source", lit("__ALL__"))
+      .select(col("source"), col("reg"), col("m_reg"))
+    val sketches = regs.unionByName(merged)
+      .withColumn("term", expr(termSql("m_reg")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("registers_used"),
+        sum(col("term").cast("decimal(38,0)")).as("sum_scaled"))
+    val exact = toks.groupBy(col("source"))
+      .agg(countDistinct(col("tok")).as("n_exact"))
+      .unionByName(toks.agg(countDistinct(col("tok")).as("n_exact"))
+        .withColumn("source", lit("__ALL__"))
+        .select(lit("__ALL__").as("source"), col("n_exact")))
+    sketches.join(exact, "source")
+      .withColumn("hll_est", expr(estSql("sum_scaled", "registers_used")))
+      .select(col("source"), lit(HllM.toLong).as("m_registers"),
+        col("registers_used"), col("n_exact"), col("hll_est"),
+        ((col("hll_est") - col("n_exact").cast(DoubleType)) /
+          col("n_exact").cast(DoubleType)).as("rel_err"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val q172Sql: String = {
+    val md5E = "md5('hll:' || tok)"
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT source, tok, ${regSql("strpos", md5E)} AS reg,
+       |    ${rhoSql(vSql("strpos", md5E))} AS rho
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents) t
+       |  WHERE tok <> ''),
+       |regs AS MATERIALIZED (
+       |  SELECT source, reg, MAX(rho) AS m_reg FROM toks GROUP BY source, reg),
+       |allregs AS (
+       |  SELECT source, reg, m_reg FROM regs
+       |  UNION ALL
+       |  SELECT '__ALL__', reg, MAX(m_reg) FROM regs GROUP BY reg),
+       |sk AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS registers_used,
+       |    SUM(CAST(${termSql("m_reg")} AS DECIMAL(38,0))) AS sum_scaled
+       |  FROM allregs GROUP BY source),
+       |ex AS (
+       |  SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_exact
+       |  FROM toks GROUP BY source
+       |  UNION ALL
+       |  SELECT '__ALL__', CAST(COUNT(DISTINCT tok) AS BIGINT) FROM toks),
+       |est AS (
+       |  SELECT sk.source, CAST($HllM AS BIGINT) AS m_registers,
+       |    registers_used, n_exact,
+       |    ${estSql("sum_scaled", "registers_used")} AS hll_est
+       |  FROM sk JOIN ex USING (source))
+       |SELECT source, m_registers, registers_used, n_exact, hll_est,
+       |  (hll_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
+       |FROM est ORDER BY source""".stripMargin
+  }
+
+  lazy val queries: Seq[Q] = Seq(
+    Q("q172_hll_cardinality", hllCardinality, Some(q172Sql), headline = true))
+}
+
+object HllOps {
+  lazy val queries: Seq[Q] = HllOpsImpl.queries
+}

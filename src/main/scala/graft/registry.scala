@@ -119,7 +119,10 @@ object Registry {
       ops.PcaOps.queries ++
       ops.LrOps.queries ++
       ops.FertilityOps.queries ++
-      ops.ProfileOps.queries
+      ops.ProfileOps.queries ++
+      ops.HllOps.queries ++
+      ops.SamplingOps.queries ++
+      ops.MonitorOps.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
