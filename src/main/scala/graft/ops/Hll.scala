@@ -107,16 +107,20 @@ object HllOpsImpl {
   private[graft] def testVSql(f: String, e: String): String = vSql(f, e)
   private[graft] def testRhoSql(v: String): String = rhoSql(v)
 
-  /** Per-token (source, tok, reg, rho) projection — pure per-row math,
-    * batch and streaming frames alike; expects (source, text). */
-  private[graft] def tokenized(docs: DataFrame): DataFrame =
-    docs
-      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-      .filter(col("tok") =!= "")
+  /** Add (reg, rho) to any (source, tok) frame — pure per-row math. */
+  private[graft] def hashed(toks: DataFrame): DataFrame =
+    toks
       .withColumn("h", md5(concat(lit("hll:"), col("tok"))))
       .withColumn("reg", expr(regSql("instr", "h")))
       .withColumn("v", expr(vSql("instr", "h")))
       .withColumn("rho", expr(rhoSql("v")))
+
+  /** Per-token (source, tok, reg, rho) projection — pure per-row math,
+    * batch and streaming frames alike; expects (source, text). */
+  private[graft] def tokenized(docs: DataFrame): DataFrame =
+    hashed(docs
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= ""))
 
   /** The register table (source, reg, m_reg) — the sketch itself. On a
     * STREAMING frame this is the incrementally-maintained form: MAX is
@@ -126,6 +130,22 @@ object HllOpsImpl {
   private[graft] def registerRows(docs: DataFrame): DataFrame =
     tokenized(docs).groupBy(col("source"), col("reg"))
       .agg(max(col("rho")).as("m_reg"))
+
+  /** Sketch assembly: (source, reg, m_reg) registers + per-source exact
+    * distinct → the estimate panel row per source. */
+  private def assemble(regs: DataFrame, exact: DataFrame): DataFrame =
+    regs
+      .withColumn("term", expr(termSql("m_reg")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("registers_used"),
+        sum(col("term").cast("decimal(38,0)")).as("sum_scaled"))
+      .join(exact, "source")
+      .withColumn("hll_est", expr(estSql("sum_scaled", "registers_used")))
+      .select(col("source"), lit(HllM.toLong).as("m_registers"),
+        col("registers_used"), col("n_exact"), col("hll_est"),
+        ((col("hll_est") - col("n_exact").cast(DoubleType)) /
+          col("n_exact").cast(DoubleType)).as("rel_err"))
+      .orderBy(col("source"))
 
   /** Per-source + `__ALL__` HLL cardinality vs exact distinct. */
   def hllCardinality(s: SparkSession, dir: String): DataFrame = {
@@ -137,23 +157,76 @@ object HllOpsImpl {
     val merged = regs.groupBy(col("reg")).agg(max(col("m_reg")).as("m_reg"))
       .withColumn("source", lit("__ALL__"))
       .select(col("source"), col("reg"), col("m_reg"))
-    val sketches = regs.unionByName(merged)
-      .withColumn("term", expr(termSql("m_reg")))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("registers_used"),
-        sum(col("term").cast("decimal(38,0)")).as("sum_scaled"))
     val exact = toks.groupBy(col("source"))
       .agg(countDistinct(col("tok")).as("n_exact"))
       .unionByName(toks.agg(countDistinct(col("tok")).as("n_exact"))
         .withColumn("source", lit("__ALL__"))
         .select(lit("__ALL__").as("source"), col("n_exact")))
-    sketches.join(exact, "source")
-      .withColumn("hll_est", expr(estSql("sum_scaled", "registers_used")))
-      .select(col("source"), lit(HllM.toLong).as("m_registers"),
-        col("registers_used"), col("n_exact"), col("hll_est"),
-        ((col("hll_est") - col("n_exact").cast(DoubleType)) /
-          col("n_exact").cast(DoubleType)).as("rel_err"))
-      .orderBy(col("source"))
+    assemble(regs.unionByName(merged), exact)
+  }
+
+  /** Canonical 2-dp integer form of a profiled double column: identical
+    * rounding expression in both engines, injective on the fixtures'
+    * cent-grained values, and its BIGINT→string render (the hash input)
+    * is formatting-stable cross-engine where a raw double's is not. */
+  private def canonSql(c: String): String =
+    s"CAST(FLOOR($c * 100.0 + 0.5) AS BIGINT)"
+
+  /** q175: the SKETCHED column profiler — q159's exact distinct counts
+    * replaced by the HLL estimate, column by column, with the exact count
+    * kept alongside as the gate's truth reference. This is the profiler a
+    * 100 TB deployment actually runs: q159's COUNT(DISTINCT) is one
+    * shuffle of distinct values PER COLUMN, while the sketch form is a
+    * single narrow pass emitting ≤ columns × [[HllM]] register rows — the
+    * profile cost stops depending on column cardinality entirely. */
+  def profileHll(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val vals = li.select(explode(array(ProfileOpsImpl.ProfileCols.map { c =>
+        struct(lit(c).as("source"), expr(canonSql(c)).as("k"))
+      }: _*)).as("p"))
+      .select(col("p.source").as("source"), col("p.k").as("k"))
+      .filter(col("k").isNotNull)
+      .select(col("source"), col("k").cast("string").as("tok"))
+    val regs = hashed(vals).groupBy(col("source"), col("reg"))
+      .agg(max(col("rho")).as("m_reg"))
+    val exact = vals.groupBy(col("source"))
+      .agg(countDistinct(col("tok")).as("n_exact"))
+    assemble(regs, exact)
+      .withColumnRenamed("source", "col_name")
+  }
+
+  /** Oracle tail shared by q172/q175: expects a CTE `toks(source, tok,
+    * reg, rho)`; `withAll` adds the register-merged `__ALL__` row. */
+  private def oracleTailSql(withAll: Boolean, outKey: String): String = {
+    val allRegs = if (withAll)
+      s"""allregs AS (
+         |  SELECT source, reg, m_reg FROM regs
+         |  UNION ALL
+         |  SELECT '__ALL__', reg, MAX(m_reg) FROM regs GROUP BY reg)"""
+        .stripMargin
+    else "allregs AS (SELECT source, reg, m_reg FROM regs)"
+    val allEx = if (withAll)
+      "UNION ALL\n  SELECT '__ALL__', CAST(COUNT(DISTINCT tok) AS BIGINT) FROM toks"
+    else ""
+    s"""regs AS MATERIALIZED (
+       |  SELECT source, reg, MAX(rho) AS m_reg FROM toks GROUP BY source, reg),
+       |$allRegs,
+       |sk AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS registers_used,
+       |    SUM(CAST(${termSql("m_reg")} AS DECIMAL(38,0))) AS sum_scaled
+       |  FROM allregs GROUP BY source),
+       |ex AS (
+       |  SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_exact
+       |  FROM toks GROUP BY source
+       |  $allEx),
+       |est AS (
+       |  SELECT sk.source, CAST($HllM AS BIGINT) AS m_registers,
+       |    registers_used, n_exact,
+       |    ${estSql("sum_scaled", "registers_used")} AS hll_est
+       |  FROM sk JOIN ex USING (source))
+       |SELECT source AS $outKey, m_registers, registers_used, n_exact, hll_est,
+       |  (hll_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
+       |FROM est ORDER BY $outKey""".stripMargin
   }
 
   private lazy val q172Sql: String = {
@@ -164,33 +237,25 @@ object HllOpsImpl {
        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
        |        FROM documents) t
        |  WHERE tok <> ''),
-       |regs AS MATERIALIZED (
-       |  SELECT source, reg, MAX(rho) AS m_reg FROM toks GROUP BY source, reg),
-       |allregs AS (
-       |  SELECT source, reg, m_reg FROM regs
-       |  UNION ALL
-       |  SELECT '__ALL__', reg, MAX(m_reg) FROM regs GROUP BY reg),
-       |sk AS (
-       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS registers_used,
-       |    SUM(CAST(${termSql("m_reg")} AS DECIMAL(38,0))) AS sum_scaled
-       |  FROM allregs GROUP BY source),
-       |ex AS (
-       |  SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_exact
-       |  FROM toks GROUP BY source
-       |  UNION ALL
-       |  SELECT '__ALL__', CAST(COUNT(DISTINCT tok) AS BIGINT) FROM toks),
-       |est AS (
-       |  SELECT sk.source, CAST($HllM AS BIGINT) AS m_registers,
-       |    registers_used, n_exact,
-       |    ${estSql("sum_scaled", "registers_used")} AS hll_est
-       |  FROM sk JOIN ex USING (source))
-       |SELECT source, m_registers, registers_used, n_exact, hll_est,
-       |  (hll_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
-       |FROM est ORDER BY source""".stripMargin
+       |${oracleTailSql(withAll = true, outKey = "source")}""".stripMargin
+  }
+
+  private lazy val q175Sql: String = {
+    val md5E = "md5('hll:' || tok)"
+    val branches = ProfileOpsImpl.ProfileCols.map(c =>
+      s"SELECT '$c' AS source, ${canonSql(c)} AS k FROM lineitem WHERE $c IS NOT NULL")
+      .mkString("\n    UNION ALL\n    ")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT source, tok, ${regSql("strpos", md5E)} AS reg,
+       |    ${rhoSql(vSql("strpos", md5E))} AS rho
+       |  FROM (SELECT source, CAST(k AS VARCHAR) AS tok FROM (
+       |    $branches) v) t),
+       |${oracleTailSql(withAll = false, outKey = "col_name")}""".stripMargin
   }
 
   lazy val queries: Seq[Q] = Seq(
-    Q("q172_hll_cardinality", hllCardinality, Some(q172Sql), headline = true))
+    Q("q172_hll_cardinality", hllCardinality, Some(q172Sql), headline = true),
+    Q("q175_profile_hll", profileHll, Some(q175Sql), headline = true))
 }
 
 object HllOps {

@@ -122,7 +122,9 @@ object Registry {
       ops.ProfileOps.queries ++
       ops.HllOps.queries ++
       ops.SamplingOps.queries ++
-      ops.MonitorOps.queries
+      ops.MonitorOps.queries ++
+      ops.AssociationOps.queries ++
+      ops.AffinityOps.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

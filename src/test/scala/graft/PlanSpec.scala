@@ -527,4 +527,38 @@ class PlanSpec extends SparkSpec {
       s"explode must apply to the aggregated single row, not the corpus:\n$s")
     assert("HashAggregate".r.findAllIn(s).size >= 2, "expect partial+final agg")
   }
+
+  test("q172 HLL registers partial-aggregate before the shuffle; no sort-merge") {
+    val s = plan(ops.HllOpsImpl.hllCardinality(spark, dir))
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      "register MAX must map-side combine (partial + final agg)")
+    assert(!s.contains("SortMergeJoin"),
+      s"sketch/exact joins are sketch-sized and must broadcast: $s")
+  }
+
+  test("q173 PPS prefix sum is bucket-partitioned; offsets broadcast") {
+    val s = plan(ops.SamplingOpsImpl.ppsSample(spark, dir))
+    val cumWindows = "windowspecdefinition\\(([^,]*), doc_id#"
+      .r.findAllMatchIn(s).map(_.group(1)).toSeq
+    assert(cumWindows.nonEmpty && cumWindows.forall(_.contains("bucket")),
+      s"running weight sums must partition by bucket: $cumWindows")
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"),
+      "bucket offsets and the total must broadcast")
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("q176 chi2 ranks through the bounded TopKPerKey heap, not a full sort") {
+    val s = plan(ops.AssociationOpsImpl.sourceChi2Tokens(spark, dir))
+    assert(s.contains("TopKPerKey"), "per-source top-k must use the heap operator")
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"),
+      "source sizes and the doc total must broadcast")
+  }
+
+  test("q177 affinity's pairwise matrix broadcasts the centroid frame") {
+    val s = plan(ops.AffinityOpsImpl.sourceAffinity(spark, dir))
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      "sources² pairing works on a broadcast metadata frame")
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      "centroid sums must map-side combine")
+  }
 }
