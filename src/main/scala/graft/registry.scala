@@ -124,7 +124,8 @@ object Registry {
       ops.SamplingOps.queries ++
       ops.MonitorOps.queries ++
       ops.AssociationOps.queries ++
-      ops.AffinityOps.queries
+      ops.AffinityOps.queries ++
+      ops.QuantileSketchOps.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -74,6 +74,37 @@ class SketchSamplingSpec extends SparkSpec {
       s"doc $id heavier than one stride must be drawn"))
   }
 
+  test("quantile sketch: est/exact in [1,2), bin = bit_length of the exact value") {
+    val rows = QuantileSketchOpsImpl.quantileSketch(spark, sf)
+      .select(col("col_name"), col("pct"), col("bin"), col("est"), col("exact"))
+      .as[(String, Long, Int, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (c, p, bin, est, exact) =>
+      val k = math.floor(exact * 100.0 + 0.5).toLong
+      if (k > 0) {
+        val ratio = est / exact
+        assert(ratio >= 1.0 - 1e-12 && ratio < 2.0,
+          s"$c p$p: est $est / exact $exact = $ratio outside [1,2)")
+        assert(bin == 64 - java.lang.Long.numberOfLeadingZeros(k),
+          s"$c p$p: bin $bin != bit_length($k)")
+      } else assert(bin == 0, s"$c p$p: zero value must land in bin 0")
+    }
+  }
+
+  test("quantile sketch bins are mergeable: halves sum to the whole") {
+    val li = graft.Tables(spark, sf, "lineitem")
+      .select(col("l_quantity").as("v"), (crc32(concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"))) % 2).as("half"))
+      .withColumn("k", expr("CAST(FLOOR(v * 100.0 + 0.5) AS BIGINT)"))
+      .withColumn("bin", expr(QuantileSketchOpsImpl.binSql("k")))
+    val whole = li.groupBy("bin").count()
+      .as[(Int, Long)].collect().toMap
+    val merged = li.groupBy("half", "bin").count()
+      .groupBy("bin").agg(sum("count").as("count"))
+      .as[(Int, Long)].collect().toMap
+    assert(whole == merged, "summed half-sketches must equal the full sketch")
+  }
+
   test("burst z-scores equal a brute-force trailing-window recompute") {
     val got = MonitorOpsImpl.eventBursts(spark, sf)
       .select(col("hour"), col("n_events"), col("n_prev"), col("z"))
