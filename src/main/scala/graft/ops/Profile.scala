@@ -30,6 +30,41 @@ object ProfileOpsImpl {
   val ProfileCols: Seq[String] =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
+  /** Exact cumulative counts over a (col_name, v, cnt) value histogram,
+    * bucket-parallel (the q73/q115 two-pass prefix-sum discipline): a
+    * naive `SUM OVER (PARTITION BY col_name ORDER BY v)` funnels each
+    * column's whole distinct-value histogram through ONE reducer
+    * (parallelism = #columns). Here each value buckets into its
+    * power-of-2 bin (bit_length of the 2-dp canonical integer — monotone
+    * in v, so ranks decompose by bin); pass 1 sums counts per
+    * (column, bin) — ≤ 62 metadata rows per column — and a window over
+    * that tiny frame yields each bin's offset plus the column total,
+    * broadcast back; pass 2 runs the within-bin cumulative window, so
+    * parallelism is columns × bins. `cum`/`n` are bit-identical to the
+    * naive window, which is why the DuckDB oracles keep the plain
+    * single-window form. */
+  private[ops] def cumOverHist(hist: DataFrame): DataFrame = {
+    val binned = hist
+      .withColumn("b_k", expr("CAST(FLOOR(v * 100.0 + 0.5) AS BIGINT)"))
+      .withColumn("b_bin", expr(QuantileSketchOpsImpl.binSql("b_k")))
+      .drop("b_k")
+    val offs = binned.groupBy(col("col_name"), col("b_bin"))
+      .agg(sum(col("cnt")).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(Window.partitionBy(col("col_name"))
+          .orderBy(col("b_bin")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("col_name"))))
+      .select(col("col_name"), col("b_bin"), col("off"), col("n"))
+    binned
+      .withColumn("wcum", sum(col("cnt")).over(
+        Window.partitionBy(col("col_name"), col("b_bin")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(offs), Seq("col_name", "b_bin"))
+      .withColumn("cum", col("off") + col("wcum"))
+      .drop("b_bin", "wcum", "off")
+  }
+
   def columnProfile(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem")
     val aggs = count(lit(1)).as("n_rows") +: ProfileCols.flatMap { c =>
@@ -55,11 +90,7 @@ object ProfileOpsImpl {
       .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
       .filter(col("v").isNotNull)
       .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
-    val wcum = Window.partitionBy(col("col_name")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val medians = hist
-      .withColumn("cum", sum(col("cnt")).over(wcum))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("col_name"))))
+    val medians = cumOverHist(hist)
       .filter(col("cum") >= expr("(n + 1) div 2"))
       .groupBy(col("col_name")).agg(min(col("v")).as("median_v"))
     unfolded.join(medians, Seq("col_name"), "left")
@@ -115,11 +146,7 @@ object ProfileOpsImpl {
       .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
       .filter(col("v").isNotNull)
       .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
-    val wcum = Window.partitionBy(col("col_name")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val cums = hist
-      .withColumn("cum", sum(col("cnt")).over(wcum))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("col_name"))))
+    val cums = cumOverHist(hist)
     val pcts = QuantilePcts.map(p => s"SELECT CAST($p AS BIGINT) AS pct")
       .mkString(" UNION ALL ")
     cums.crossJoin(broadcast(s.sql(pcts)))

@@ -73,13 +73,13 @@ object QuantileSketchOpsImpl {
       .groupBy(col("col_name"), col("pct"))
       .agg(min(col("bin")).as("bin"))
       .withColumn("est", expr(edgeSql("bin")))
-    // exact reference: the q169 histogram rank over distinct VALUES
+    // exact reference: the q169 histogram rank over distinct VALUES,
+    // through the same bucket-parallel two-pass as q159/q169 (the extra
+    // ×100 inside cumOverHist keeps binning monotone on the already-
+    // canonical integers — bins are internal, only cum/n are semantic)
     val vhist = vals.groupBy(col("col_name"), col("k")).agg(count(lit(1)).as("cnt"))
-    val vcum = vhist
-      .withColumn("cum", sum(col("cnt")).over(
-        Window.partitionBy(col("col_name")).orderBy(col("k"))
-          .rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("col_name"))))
+    val vcum = ProfileOpsImpl.cumOverHist(vhist.withColumnRenamed("k", "v"))
+      .withColumnRenamed("v", "k")
     val exact = vcum.crossJoin(broadcast(s.sql(pcts)))
       .filter(expr("cum * 100 >= n * pct"))
       .groupBy(col("col_name"), col("pct"))

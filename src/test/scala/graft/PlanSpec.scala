@@ -46,6 +46,23 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q159/q169 value-histogram windows are bucket-parallel, never per-column") {
+    // a Window partitioned by col_name alone funnels each column's whole
+    // distinct-value histogram through one reducer (parallelism = 4); the
+    // q73 two-pass decomposition partitions the big window by
+    // (col_name, b_bin) and keeps the per-column window on the <= 62-row
+    // bin frame only
+    val perColumnOverValues = """\], \[col_name#\d+\], \[v#\d+""".r
+    Seq(ops.ProfileOpsImpl.columnProfile(spark, dir),
+        ops.ProfileOpsImpl.columnQuantiles(spark, dir),
+        ops.QuantileSketchOpsImpl.quantileSketch(spark, dir)).foreach { df =>
+      val s = plan(df)
+      assert(s.contains("b_bin"), s"bucketed decomposition missing:\n$s")
+      assert(perColumnOverValues.findFirstIn(s).isEmpty,
+        s"value window must not partition by col_name alone:\n$s")
+    }
+  }
+
   test("exact dedup is a single hash-aggregate, no sort before grouping") {
     val s = plan(ops.DedupOpsImpl.exact(spark, dir))
     assert("HashAggregate".r.findAllIn(s).size >= 2, "expect partial+final hash agg")
