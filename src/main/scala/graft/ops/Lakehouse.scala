@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.cdc.{Cdc, CdcSynth}
+
+/** MERGE INTO for a parquet-backed materialized table — the production
+  * shape of the K1 latest-per-key sink (reference:
+  * KeyspacesViewTargetMapper.java applies the same latest-wins upsert/
+  * delete per CDC record, row-at-a-time against Keyspaces; a lakehouse
+  * deployment instead folds a CDC batch into a bucketed parquet table).
+  * Two layers:
+  *
+  *  - [[mergeLatest]]: the pure MERGE algebra. `base` is the current
+  *    table state (one row per key, carrying its version `last_seq`),
+  *    `updates` is the latest-per-key reduction of the incoming batch
+  *    (tombstones included). An update wins iff its sequence beats the
+  *    base version (late/duplicate redelivery is a no-op — the merge is
+  *    idempotent); a winning tombstone deletes the key; keys without
+  *    updates pass through untouched. MATCHED/NOT-MATCHED emerge from
+  *    one full-outer join on the key — at scale both sides hash-partition
+  *    on the key, and with a bucketed base the join is co-located.
+  *
+  *  - [[cowMerge]]: copy-on-write against a `bucket=N/` partitioned
+  *    parquet table. Only buckets containing update keys are READ
+  *    (partition pruning on the bucket column) and only those buckets are
+  *    REWRITTEN (dynamic partition overwrite); untouched bucket files are
+  *    never opened — at 100 TB a merge costs O(touched buckets), not a
+  *    table rewrite. A touched bucket whose keys all died is deleted
+  *    outright (dynamic overwrite only replaces partitions present in the
+  *    output, so an all-tombstone bucket would otherwise go stale —
+  *    LakehouseSpec pins this case).
+  *
+  * The q179 gate proves the algebra against the ground truth: Spark
+  * builds the table from the log's first half, MERGEs the second half,
+  * and must hash-match DuckDB's single-shot replay of the FULL log — the
+  * same maintained-view-equals-recompute discipline as q161's IVM gate,
+  * with `from_base` marking rows the merge never touched.
+  */
+object LakehouseOpsImpl {
+
+  /** Latest-per-key reduction of raw envelopes, tombstones KEPT (unlike
+    * Cdc.replayLatest, which drops them — a merge needs the deletes). */
+  def latestUpdates(env: DataFrame, keyCol: Column, seqCol: Column): DataFrame =
+    env.groupBy(keyCol.as("user_id"))
+      .agg(
+        max_by(struct(col("metadata.stream_operation_type").as("op"), col("image")),
+          seqCol).as("ulast"),
+        max(seqCol).as("u_seq"))
+
+  /** Pure MERGE: fold `updates` (from [[latestUpdates]]) into `base`
+    * (columns user_id, last_op, last_seq, event_type, value, k).
+    * Emits the new table state plus `from_base` (row untouched). */
+  def mergeLatest(base: DataFrame, updates: DataFrame): DataFrame = {
+    val joined = base.join(updates, Seq("user_id"), "full_outer")
+    val useUpdate = col("u_seq").isNotNull &&
+      (col("last_seq").isNull || col("u_seq") > col("last_seq"))
+    joined
+      .filter(!(useUpdate && col("ulast.image").isNull)) // winning tombstone deletes
+      .select(
+        col("user_id"),
+        when(useUpdate, col("ulast.op")).otherwise(col("last_op")).as("last_op"),
+        when(useUpdate, col("u_seq")).otherwise(col("last_seq")).as("last_seq"),
+        when(useUpdate, col("ulast.image.event_type")).otherwise(col("event_type")).as("event_type"),
+        when(useUpdate, col("ulast.image.value")).otherwise(col("value")).as("value"),
+        when(useUpdate, col("ulast.image.k")).otherwise(col("k")).as("k"),
+        (!useUpdate).as("from_base"))
+  }
+
+  private def keyOf = coalesce(col("image.user_id"), col("oldImage.user_id"))
+  private def seqOf = col("metadata.stream_sequence_number")
+
+  /** Project the replayed state into the table schema. */
+  private def asTable(replayed: DataFrame): DataFrame =
+    replayed.select(col("key").as("user_id"), col("last.op").as("last_op"),
+      col("last_seq"), col("last.image.event_type").as("event_type"),
+      col("last.image.value").as("value"), col("last.image.k").as("k"))
+
+  /** q179: build the MV from the log's first half, MERGE the second half.
+    * Must equal DuckDB's one-shot full replay. */
+  def mergeReplay(s: SparkSession, dir: String): DataFrame = {
+    val env = CdcSynth.fromEvents(s, dir)
+    val mid = Tables(s, dir, "events")
+      .agg(expr("max(event_id) div 2").as("mid"))
+    val withMid = env.crossJoin(broadcast(mid))
+    val base = asTable(Cdc.replayLatest(
+      withMid.filter(col("event_id") < col("mid")), keyOf, seqOf))
+    val tail = withMid.filter(col("event_id") >= col("mid"))
+    mergeLatest(base, latestUpdates(tail, keyOf, seqOf))
+      .orderBy(col("user_id"))
+  }
+
+  /** Copy-on-write MERGE of an envelope batch into a `bucket=`-partitioned
+    * parquet table at `basePath`. Returns the touched bucket ids. */
+  def cowMerge(s: SparkSession, basePath: String, env: DataFrame,
+      nBuckets: Int): Seq[Long] = {
+    val updates = latestUpdates(env, keyOf, seqOf)
+      .withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
+    val touched = updates.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted // <= nBuckets rows: metadata
+    if (touched.isEmpty) return touched
+    val base = s.read.parquet(basePath)
+      .filter(col("bucket").isin(touched: _*)) // partition-pruned read
+      .drop("bucket")
+    val merged = mergeLatest(base, updates.drop("bucket"))
+      .drop("from_base")
+      .withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
+    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy("bucket").parquet(basePath)
+    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    // a touched bucket with no survivors is absent from the output, so
+    // dynamic overwrite left its old files: delete it explicitly
+    val survived = merged.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val fs = new Path(basePath).getFileSystem(s.sparkContext.hadoopConfiguration)
+    touched.filterNot(survived).foreach { b =>
+      fs.delete(new Path(s"$basePath/bucket=$b"), true)
+    }
+    touched
+  }
+
+  /** Write a table state as the bucketed base for [[cowMerge]]. */
+  def writeBucketed(df: DataFrame, basePath: String, nBuckets: Int): Unit =
+    df.withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(basePath)
+
+  private lazy val q179Sql: String =
+    s"""WITH ${CdcSynth.synthSql},
+       |mid AS (SELECT max(event_id) // 2 AS mid FROM events),
+       |full_latest AS (
+       |  SELECT COALESCE(new_user_id, old_user_id) AS user_id,
+       |    max_by(op, seq) AS last_op,
+       |    max(seq) AS last_seq,
+       |    max_by(has_new, seq) AS has_new,
+       |    max_by(new_event_type, seq) AS event_type,
+       |    max_by(new_value, seq) AS value,
+       |    max_by(new_k, seq) AS k
+       |  FROM cdc GROUP BY 1),
+       |touched AS (
+       |  SELECT DISTINCT COALESCE(new_user_id, old_user_id) AS user_id
+       |  FROM cdc, mid WHERE event_id >= mid)
+       |SELECT f.user_id, f.last_op, f.last_seq, f.event_type, f.value, f.k,
+       |  t.user_id IS NULL AS from_base
+       |FROM full_latest f LEFT JOIN touched t USING (user_id)
+       |WHERE f.has_new ORDER BY f.user_id""".stripMargin
+
+  lazy val queries: Seq[Q] = Seq(
+    Q("q179_cdc_merge_cow", mergeReplay, Some(q179Sql), headline = true))
+}
+
+/** Registry hook. */
+object LakehouseOps {
+  lazy val queries: Seq[Q] = LakehouseOpsImpl.queries
+}

@@ -125,7 +125,8 @@ object Registry {
       ops.MonitorOps.queries ++
       ops.AssociationOps.queries ++
       ops.AffinityOps.queries ++
-      ops.QuantileSketchOps.queries
+      ops.QuantileSketchOps.queries ++
+      ops.LakehouseOps.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

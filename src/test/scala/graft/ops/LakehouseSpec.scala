@@ -1,0 +1,126 @@
+package graft.ops
+
+import java.io.File
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.cdc.CdcSynth
+
+/** Copy-on-write MERGE mechanics that the q179 gate (pure algebra) cannot
+  * see: only touched buckets are read (partition pruning) and rewritten
+  * (untouched files stay byte-identical on disk), an all-tombstone bucket
+  * is deleted rather than left stale, and re-merging the same batch is a
+  * no-op (idempotent redelivery).
+  */
+class LakehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val NB = 8
+
+  /** Synthesized envelope for one (event_id, user_id) — op derives from
+    * event_id % 8 exactly like CdcSynth (m=0 INSERT, m=2 DELETE, ...). */
+  private def env(rows: Seq[(Long, Long)]): DataFrame =
+    CdcSynth.envelope(rows.toDF("event_id", "user_id")
+      .withColumn("event_type", concat(lit("t"), pmod(col("user_id"), lit(3L))))
+      .withColumn("value", col("event_id").cast("double") / 4.0)
+      .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("event_id") * 1000L))
+      .withColumn("props", concat(lit("{\"k\":"), col("user_id") * 7L, lit("}"))))
+
+  private def table(path: String): DataFrame =
+    spark.read.parquet(path).select("user_id", "last_op", "last_seq",
+      "event_type", "value", "k").orderBy("user_id")
+
+  private def rows(df: DataFrame): Seq[(Long, String, String, String, Double, Long)] =
+    df.as[(Long, String, String, String, Double, Long)].collect().toSeq
+
+  private def fileState(path: String): Map[String, Long] = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new File(path)).filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+  }
+
+  // INSERTs (m=0) for users 0..15, one per user: event_id = 8*u keeps m=0
+  private def baseEnv = env((0L until 16L).map(u => (8L * u, u)))
+
+  test("cowMerge rewrites only touched buckets; untouched files stay on disk") {
+    val tmp = java.nio.file.Files.createTempDirectory("cow1").toString
+    LakehouseOpsImpl.writeBucketed(
+      LakehouseOpsImpl.mergeLatest(
+        LakehouseOpsImpl.latestUpdates(baseEnv,
+          coalesce(col("image.user_id"), col("oldImage.user_id")),
+          col("metadata.stream_sequence_number"))
+          .select(col("user_id"), col("ulast.op").as("last_op"),
+            col("u_seq").as("last_seq"),
+            col("ulast.image.event_type").as("event_type"),
+            col("ulast.image.value").as("value"), col("ulast.image.k").as("k"))
+          .limit(0), // empty base: build purely from...
+        LakehouseOpsImpl.latestUpdates(baseEnv,
+          coalesce(col("image.user_id"), col("oldImage.user_id")),
+          col("metadata.stream_sequence_number"))).drop("from_base"),
+      tmp, NB)
+    val before = fileState(tmp)
+    // updates touch users 1 and 9 only -> bucket 1 alone
+    val up = env(Seq((8L * 100, 1L), (8L * 101, 9L))) // m=0 INSERTs, higher seq
+    val touched = LakehouseOpsImpl.cowMerge(spark, tmp, up, NB)
+    assert(touched == Seq(1L), s"exactly bucket 1 touched: $touched")
+    val after = fileState(tmp)
+    val untouchedBefore = before.filterNot(_._1.contains("bucket=1"))
+    val untouchedAfter = after.filterNot(_._1.contains("bucket=1"))
+    assert(untouchedBefore == untouchedAfter,
+      "untouched bucket files must remain the same paths and mtimes")
+    // merged state: users 1 and 9 carry the new seq/value, others original
+    val got = rows(table(tmp))
+    assert(got.size == 16)
+    val u1 = got.find(_._1 == 1L).get
+    assert(u1._3 == "%020d".format(800L) && u1._5 == 200.0, s"user 1 updated: $u1")
+    val u0 = got.find(_._1 == 0L).get
+    assert(u0._3 == "%020d".format(0L), s"user 0 untouched: $u0")
+  }
+
+  test("cowMerge applies tombstones, deletes an all-dead bucket, and is idempotent") {
+    val tmp = java.nio.file.Files.createTempDirectory("cow2").toString
+    LakehouseOpsImpl.writeBucketed(
+      LakehouseOpsImpl.mergeLatest(
+        spark.emptyDataFrame.select(lit(0L).as("user_id"), lit("").as("last_op"),
+          lit("").as("last_seq"), lit("").as("event_type"),
+          lit(0.0).as("value"), lit(0L).as("k")).limit(0),
+        LakehouseOpsImpl.latestUpdates(baseEnv,
+          coalesce(col("image.user_id"), col("oldImage.user_id")),
+          col("metadata.stream_sequence_number"))).drop("from_base"),
+      tmp, NB)
+    // DELETE (m=2) both residents of bucket 2 (users 2 and 10), update user 3
+    val up = env(Seq((8L * 200 + 2, 2L), (8L * 201 + 2, 10L), (8L * 202, 3L)))
+    val touched = LakehouseOpsImpl.cowMerge(spark, tmp, up, NB)
+    assert(touched == Seq(2L, 3L))
+    assert(!new File(s"$tmp/bucket=2").exists(),
+      "bucket with every key tombstoned must be deleted, not left stale")
+    val got1 = rows(table(tmp))
+    assert(got1.size == 14 && !got1.exists(r => r._1 == 2L || r._1 == 10L))
+    // idempotence: same batch again -> byte-identical table state
+    LakehouseOpsImpl.cowMerge(spark, tmp, up, NB)
+    assert(rows(table(tmp)) == got1, "re-merging the same batch must be a no-op")
+  }
+
+  test("cowMerge read is partition-pruned to the touched buckets") {
+    val tmp = java.nio.file.Files.createTempDirectory("cow3").toString
+    LakehouseOpsImpl.writeBucketed(
+      LakehouseOpsImpl.mergeLatest(
+        spark.emptyDataFrame.select(lit(0L).as("user_id"), lit("").as("last_op"),
+          lit("").as("last_seq"), lit("").as("event_type"),
+          lit(0.0).as("value"), lit(0L).as("k")).limit(0),
+        LakehouseOpsImpl.latestUpdates(baseEnv,
+          coalesce(col("image.user_id"), col("oldImage.user_id")),
+          col("metadata.stream_sequence_number"))).drop("from_base"),
+      tmp, NB)
+    val pruned = spark.read.parquet(tmp).filter(col("bucket").isin(1L))
+    val s = pruned.queryExecution.executedPlan.toString
+    assert(s.contains("PartitionFilters: [isnotnull(bucket") ||
+      s.contains("PartitionFilters: [bucket"),
+      s"bucket filter must prune partitions, not scan+filter:\n$s")
+    assert(pruned.inputFiles.forall(_.contains("bucket=1")),
+      "only bucket=1 files may be listed as inputs")
+  }
+}
