@@ -94,7 +94,18 @@ object LakehouseOpsImpl {
   }
 
   /** Copy-on-write MERGE of an envelope batch into a `bucket=`-partitioned
-    * parquet table at `basePath`. Returns the touched bucket ids. */
+    * parquet table at `basePath`. Returns the touched bucket ids.
+    *
+    * Commit protocol (stage-then-swap): the merged output is written ONCE
+    * to a dot-prefixed staging dir inside the table (Spark's file listing
+    * skips `.`/`_` paths, so concurrent readers never see it). The lazy
+    * merge plan — which reads the CURRENT base files — fully executes
+    * during that staging write, strictly before any base file is deleted;
+    * only then are touched bucket dirs swapped out via filesystem renames.
+    * A touched bucket absent from the staging output (every resident key
+    * tombstoned) is simply deleted. One data write, no plan ever
+    * re-executes against removed files, and untouched buckets are never
+    * opened: a merge costs O(touched buckets) at any table size. */
   def cowMerge(s: SparkSession, basePath: String, env: DataFrame,
       nBuckets: Int): Seq[Long] = {
     val updates = latestUpdates(env, keyOf, seqOf)
@@ -102,25 +113,61 @@ object LakehouseOpsImpl {
     val touched = updates.select(col("bucket")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted // <= nBuckets rows: metadata
     if (touched.isEmpty) return touched
-    val base = s.read.parquet(basePath)
-      .filter(col("bucket").isin(touched: _*)) // partition-pruned read
-      .drop("bucket")
+    val base = readBase(s, basePath, touched)
     val merged = mergeLatest(base, updates.drop("bucket"))
       .drop("from_base")
       .withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
-    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.write.mode("overwrite").partitionBy("bucket").parquet(basePath)
-    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    // a touched bucket with no survivors is absent from the output, so
-    // dynamic overwrite left its old files: delete it explicitly
-    val survived = merged.select(col("bucket")).distinct()
-      .collect().map(_.getLong(0)).toSet
     val fs = new Path(basePath).getFileSystem(s.sparkContext.hadoopConfiguration)
-    touched.filterNot(survived).foreach { b =>
-      fs.delete(new Path(s"$basePath/bucket=$b"), true)
-    }
+    val staging = new Path(basePath,
+      s".cow_staging_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    try {
+      // materializes the merge (base files still intact) in one pass
+      merged.write.mode("overwrite").partitionBy("bucket")
+        .parquet(staging.toString)
+      val survived = fs.listStatus(staging)
+        .map(_.getPath.getName).filter(_.startsWith("bucket="))
+        .map(_.stripPrefix("bucket=").toLong).toSet
+      touched.foreach { b => // swap: old files out, staged files in
+        fs.delete(new Path(s"$basePath/bucket=$b"), true)
+        if (survived(b))
+          fs.rename(new Path(staging, s"bucket=$b"),
+            new Path(s"$basePath/bucket=$b"))
+      }
+    } finally fs.delete(staging, true)
     touched
+  }
+
+  /** Table schema of the bucketed base (bucket column excluded). */
+  val tableSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("last_op",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("last_seq",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+
+  /** Partition-pruned read of the touched buckets; an absent/empty table
+    * (first micro-batch of a stream bootstrapping the store) reads as the
+    * empty state so MERGE doubles as CREATE. */
+  private def readBase(s: SparkSession, basePath: String,
+      touched: Seq[Long]): DataFrame = {
+    val p = new Path(basePath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("bucket="))
+    if (!hasData)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        tableSchema)
+    else s.read.parquet(basePath)
+      .filter(col("bucket").isin(touched: _*)) // partition-pruned read
+      .drop("bucket")
   }
 
   /** Write a table state as the bucketed base for [[cowMerge]]. */

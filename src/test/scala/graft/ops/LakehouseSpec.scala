@@ -120,7 +120,15 @@ class LakehouseSpec extends SparkSpec {
     assert(s.contains("PartitionFilters: [isnotnull(bucket") ||
       s.contains("PartitionFilters: [bucket"),
       s"bucket filter must prune partitions, not scan+filter:\n$s")
-    assert(pruned.inputFiles.forall(_.contains("bucket=1")),
-      "only bucket=1 files may be listed as inputs")
+    // inputFiles reports the relation pre-pruning; the executed scan's
+    // numFiles metric shows what was actually opened
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("expected a FileSourceScanExec leaf"))
+    val bucket1Files = fileState(tmp).keys.count(_.contains("bucket=1"))
+    assert(scan.metrics("numFiles").value == bucket1Files,
+      s"scan must open only bucket=1's $bucket1Files file(s), " +
+        s"opened ${scan.metrics("numFiles").value}")
   }
 }

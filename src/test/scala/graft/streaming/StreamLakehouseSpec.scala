@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.cdc.CdcSynth
+import graft.ops.LakehouseOpsImpl
+
+/** Fixture row in the events schema (top-level for Spark encoders). */
+final case class LkEvent(event_id: Long, user_id: Long, event_type: String,
+    value: Double, ts: Timestamp, props: String)
+
+/** The streaming-lakehouse contract: CDC envelopes drained through
+  * [[LakehouseSink.cowSink]] over several micro-batches — with a
+  * kill/restart from checkpoint in the middle and an idle no-op re-run at
+  * the end — must leave the bucketed parquet table row-equal to the
+  * one-shot MERGE replay of the full envelope log (the q179 algebra).
+  */
+class StreamLakehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val NB = 8
+
+  /** event_id % 8 drives the op type (CdcSynth): the id range 0..n mixes
+    * INSERTs, UPDATEs, DELETEs, replicated ops, TTL and UNKNOWN, and
+    * user_id = id % 17 makes later events update/delete earlier keys. */
+  private def events(ids: Range): Seq[LkEvent] = ids.map { i =>
+    LkEvent(i.toLong, (i % 17).toLong, s"t${i % 3}", i / 4.0,
+      new Timestamp(1700000000000L + i * 1000L), s"""{"k":${(i % 17) * 7}}""")
+  }
+
+  private def emptyBase: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      LakehouseOpsImpl.tableSchema)
+
+  /** One-shot ground truth: MERGE the whole log into an empty table. */
+  private def expected(rows: Seq[LkEvent]): Seq[(Long, String, String, String, Double, Long)] =
+    LakehouseOpsImpl.mergeLatest(emptyBase,
+      LakehouseOpsImpl.latestUpdates(CdcSynth.envelope(rows.toDF()),
+        coalesce(col("image.user_id"), col("oldImage.user_id")),
+        col("metadata.stream_sequence_number")))
+      .select(col("user_id"), col("last_op"), col("last_seq"),
+        col("event_type"), col("value"), col("k"))
+      .as[(Long, String, String, String, Double, Long)].collect().toSeq.sorted
+
+  private def table(path: String): Seq[(Long, String, String, String, Double, Long)] =
+    spark.read.parquet(path)
+      .select(col("user_id"), col("last_op"), col("last_seq"),
+        col("event_type"), col("value"), col("k"))
+      .as[(Long, String, String, String, Double, Long)].collect().toSeq.sorted
+
+  test("streamed COW merges equal the one-shot replay, survive restart, idle re-run is a no-op") {
+    val all = events(0 until 170)
+    val batches = Seq(all.slice(0, 60), all.slice(60, 110), all.slice(110, 170))
+    val tableDir = Files.createTempDirectory("graft_slake").toString
+    val ckptDir = Files.createTempDirectory("graft_slake_ckpt").toString
+
+    def drain(input: MemoryStream[LkEvent]): Unit =
+      LakehouseSink.cowSink(CdcSynth.envelope(input.toDF()),
+        tableDir, ckptDir, NB).awaitTermination()
+
+    // micro-batch 1 bootstraps the table, then the query STOPS (kill)
+    val input = MemoryStream[LkEvent](spark)
+    input.addData(batches(0): _*)
+    drain(input)
+    assert(table(tableDir) == expected(batches(0)),
+      "mid-stream table must equal the replay of the envelopes seen so far")
+
+    // cold restart from the SAME checkpoint: remaining batches drain
+    input.addData(batches(1): _*)
+    input.addData(batches(2): _*)
+    drain(input)
+    val end = table(tableDir)
+    assert(end == expected(all),
+      "restarted stream must converge to the one-shot full-log replay")
+
+    // an idle re-run merges nothing and changes nothing (exactly-once state)
+    drain(input)
+    assert(table(tableDir) == end, "idle re-run must be a no-op")
+
+    // the table really is bucketed (the COW layout, not a flat dump)
+    val bucketDirs = new java.io.File(tableDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).map(_.getName)
+    assert(bucketDirs.length > 1, s"expected multiple bucket dirs: ${bucketDirs.toSeq}")
+  }
+}
