@@ -117,13 +117,23 @@ object LakehouseOpsImpl {
     val merged = mergeLatest(base, updates.drop("bucket"))
       .drop("from_base")
       .withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
+    stageSwap(s, basePath, merged, touched)
+    touched
+  }
+
+  /** Stage-then-swap commit shared by [[cowMerge]] and [[compactBuckets]]:
+    * write `df` (carrying the `bucket` column) ONCE to a dot-prefixed
+    * staging dir — which fully executes any lazy plan over the current base
+    * files before anything is deleted — then swap each touched bucket dir
+    * in via rename; a touched bucket absent from the staging output is
+    * deleted outright. */
+  private def stageSwap(s: SparkSession, basePath: String, df: DataFrame,
+      touched: Seq[Long]): Unit = {
     val fs = new Path(basePath).getFileSystem(s.sparkContext.hadoopConfiguration)
     val staging = new Path(basePath,
       s".cow_staging_${java.util.UUID.randomUUID().toString.replace("-", "")}")
     try {
-      // materializes the merge (base files still intact) in one pass
-      merged.write.mode("overwrite").partitionBy("bucket")
-        .parquet(staging.toString)
+      df.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
       val survived = fs.listStatus(staging)
         .map(_.getPath.getName).filter(_.startsWith("bucket="))
         .map(_.stripPrefix("bucket=").toLong).toSet
@@ -134,7 +144,39 @@ object LakehouseOpsImpl {
             new Path(s"$basePath/bucket=$b"))
       }
     } finally fs.delete(staging, true)
-    touched
+  }
+
+  /** Parquet file count per bucket id — driver-side metadata listing. */
+  def bucketFileCounts(s: SparkSession, basePath: String): Map[Long, Int] = {
+    val p = new Path(basePath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(p)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+      .map(st => st.getPath.getName.stripPrefix("bucket=").toLong ->
+        fs.listStatus(st.getPath).count(_.getPath.getName.endsWith(".parquet")))
+      .toMap
+  }
+
+  /** Compact buckets holding more than `maxFiles` parquet files — the
+    * classic lakehouse small-files problem: each [[cowMerge]] writes one
+    * new file per touched bucket, so after K merges a hot bucket holds K
+    * small files and every read pays K footer fetches. Rewrite is
+    * bucket-scoped and deterministic: only over-threshold buckets are read
+    * (partition pruning) and each lands as ONE file
+    * (`repartition(n, bucket)` puts a bucket's rows in a single task).
+    * Pure layout change — row content is untouched, which the q180 gate
+    * proves by hash-matching the compacted table against the DuckDB
+    * full-log replay. Returns the compacted bucket ids. */
+  def compactBuckets(s: SparkSession, basePath: String,
+      maxFiles: Int): Seq[Long] = {
+    val over = bucketFileCounts(s, basePath)
+      .filter(_._2 > maxFiles).keys.toSeq.sorted
+    if (over.isEmpty) return over
+    val df = s.read.parquet(basePath)
+      .filter(col("bucket").isin(over: _*)) // partition-pruned read
+      .repartition(over.length, col("bucket"))
+    stageSwap(s, basePath, df, over)
+    over
   }
 
   /** Table schema of the bucketed base (bucket column excluded). */
@@ -176,6 +218,70 @@ object LakehouseOpsImpl {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(basePath)
 
+  // ------------------------------------------------------------ q180 gate
+  /** One COW table per (session, corpus dir), built the way production
+    * would: three successive [[cowMerge]] batches (thirds of the event log
+    * by event_id — each touched bucket accretes up to three files), then
+    * [[compactBuckets]] down to one file per bucket. The build REQUIREs
+    * that compaction actually had work to do and actually did it, so the
+    * gate fails loudly if the small-files condition ever stops being
+    * exercised. */
+  private val cowRoots = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  def clearCaches(): Unit = cowRoots.clear()
+
+  private def ensureCompactedTable(s: SparkSession, dir: String): String =
+    Memo.getOrCacheAny(cowRoots, s, dir, { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft_cow_table").toString
+      val env = CdcSynth.fromEvents(s, dir)
+      val maxId = Tables(s, dir, "events")
+        .agg(max(col("event_id"))).head().getLong(0) // single-row metadata
+      val (t1, t2) = (maxId / 3, 2 * maxId / 3)
+      // cap records per file during the merges: at cluster scale every
+      // write task drops its own file into each bucket dir, but local
+      // test data AQE-coalesces to one task — the cap recreates the
+      // many-small-files layout compaction exists for, deterministically
+      val prev = s.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+      s.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+      try {
+        cowMerge(s, root, env.filter(col("event_id") <= t1), 8)
+        cowMerge(s, root, env.filter(col("event_id") > t1 && col("event_id") <= t2), 8)
+        cowMerge(s, root, env.filter(col("event_id") > t2), 8)
+      } finally s.conf.set("spark.sql.files.maxRecordsPerFile", prev)
+      val pre = bucketFileCounts(s, root)
+      require(pre.values.exists(_ > 1),
+        s"small-files precondition lost: every bucket already compact ($pre)")
+      compactBuckets(s, root, maxFiles = 1)
+      val post = bucketFileCounts(s, root)
+      require(post.values.forall(_ == 1) && post.keySet == pre.keySet,
+        s"compaction must leave one file per bucket, same buckets: $pre -> $post")
+      root
+    })
+
+  /** q180: the compacted COW table read back — must hash-equal DuckDB's
+    * one-shot replay of the full log (compaction is a pure layout change;
+    * incremental merges converge to the batch answer). */
+  def compactedTable(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(ensureCompactedTable(s, dir))
+      .select(col("user_id"), col("last_op"), col("last_seq"),
+        col("event_type"), col("value"), col("k"))
+      .orderBy(col("user_id"))
+
+  private lazy val q180Sql: String =
+    s"""WITH ${CdcSynth.synthSql},
+       |latest AS (
+       |  SELECT COALESCE(new_user_id, old_user_id) AS user_id,
+       |    max_by(op, seq) AS last_op,
+       |    max(seq) AS last_seq,
+       |    max_by(has_new, seq) AS has_new,
+       |    max_by(new_event_type, seq) AS event_type,
+       |    max_by(new_value, seq) AS value,
+       |    max_by(new_k, seq) AS k
+       |  FROM cdc GROUP BY 1)
+       |SELECT user_id, last_op, last_seq, event_type, value, k
+       |FROM latest WHERE has_new ORDER BY user_id""".stripMargin
+
   private lazy val q179Sql: String =
     s"""WITH ${CdcSynth.synthSql},
        |mid AS (SELECT max(event_id) // 2 AS mid FROM events),
@@ -197,7 +303,8 @@ object LakehouseOpsImpl {
        |WHERE f.has_new ORDER BY f.user_id""".stripMargin
 
   lazy val queries: Seq[Q] = Seq(
-    Q("q179_cdc_merge_cow", mergeReplay, Some(q179Sql), headline = true))
+    Q("q179_cdc_merge_cow", mergeReplay, Some(q179Sql), headline = true),
+    Q("q180_cdc_compact", compactedTable, Some(q180Sql)))
 }
 
 /** Registry hook. */

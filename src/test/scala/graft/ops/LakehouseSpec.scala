@@ -104,6 +104,34 @@ class LakehouseSpec extends SparkSpec {
     assert(rows(table(tmp)) == got1, "re-merging the same batch must be a no-op")
   }
 
+  test("compactBuckets collapses multi-file buckets, preserves rows, skips compact buckets") {
+    val tmp = java.nio.file.Files.createTempDirectory("cow4").toString
+    // one record per file during the bootstrap merge: each bucket holds two
+    // users -> two files (the layout parallel write tasks produce at scale)
+    val prevConf = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+    try LakehouseOpsImpl.cowMerge(spark, tmp, baseEnv, NB)
+    finally spark.conf.set("spark.sql.files.maxRecordsPerFile", prevConf)
+    // bucket 1 re-merged at normal file size -> back to a single file
+    LakehouseOpsImpl.cowMerge(spark, tmp, env(Seq((8L * 100, 1L), (8L * 101, 9L))), NB)
+    val pre = LakehouseOpsImpl.bucketFileCounts(spark, tmp)
+    assert(pre(0L) == 2 && pre(1L) == 1, s"bucket 0 split, bucket 1 compact: $pre")
+    val before = rows(table(tmp))
+    val untouchedBefore = fileState(tmp).filter(_._1.contains("bucket=1"))
+
+    val compacted = LakehouseOpsImpl.compactBuckets(spark, tmp, maxFiles = 1)
+    assert(compacted == (0L until NB.toLong).filter(_ != 1L),
+      s"every multi-file bucket compacts, the single-file one is skipped: $compacted")
+    val post = LakehouseOpsImpl.bucketFileCounts(spark, tmp)
+    assert(post.values.forall(_ == 1) && post.keySet == pre.keySet,
+      s"one file per bucket after compaction, no bucket lost: $pre -> $post")
+    assert(rows(table(tmp)) == before, "compaction must not change row content")
+    assert(fileState(tmp).filter(_._1.contains("bucket=1")) == untouchedBefore,
+      "buckets under the threshold must keep their files byte-identical")
+    // already-compact table: a second pass is a no-op
+    assert(LakehouseOpsImpl.compactBuckets(spark, tmp, maxFiles = 1).isEmpty)
+  }
+
   test("cowMerge read is partition-pruned to the touched buckets") {
     val tmp = java.nio.file.Files.createTempDirectory("cow3").toString
     LakehouseOpsImpl.writeBucketed(
