@@ -52,22 +52,43 @@ object LakehouseOpsImpl {
         max(seqCol).as("u_seq"))
 
   /** Pure MERGE: fold `updates` (from [[latestUpdates]]) into `base`
-    * (columns user_id, last_op, last_seq, event_type, value, k).
-    * Emits the new table state plus `from_base` (row untouched). */
+    * (columns user_id, last_op, last_seq, then payload columns).
+    * Emits the new table state plus `from_base` (row untouched).
+    *
+    * Schema EVOLUTION is handled here, not by a migration job: the output
+    * payload is the UNION of the base's payload columns and the update
+    * image's fields (reference parity — the Avro converter re-infers its
+    * schema from each batch, AbstractAvroConverter.java:339-394, so a CDC
+    * stream can grow columns mid-flight). A column the other side lacks
+    * null-fills: base rows predate the new column; an update image is a
+    * FULL row image, so a field it no longer carries reads as null. */
   def mergeLatest(base: DataFrame, updates: DataFrame): DataFrame = {
+    val meta = Set("user_id", "last_op", "last_seq")
+    val basePayload = base.columns.filterNot(meta.contains).toSeq
+    val imgType = updates.schema("ulast").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("image").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val upPayload = imgType.fieldNames.toSeq.filterNot(_ == "user_id")
+    val payload = basePayload ++ upPayload.filterNot(basePayload.contains)
     val joined = base.join(updates, Seq("user_id"), "full_outer")
     val useUpdate = col("u_seq").isNotNull &&
       (col("last_seq").isNull || col("u_seq") > col("last_seq"))
+    val payloadCols = payload.map { f =>
+      val fromUpdate =
+        if (upPayload.contains(f)) col(s"ulast.image.$f")
+        else lit(null).cast(base.schema(f).dataType)
+      val fromBase =
+        if (basePayload.contains(f)) col(f)
+        else lit(null).cast(imgType(f).dataType)
+      when(useUpdate, fromUpdate).otherwise(fromBase).as(f)
+    }
     joined
       .filter(!(useUpdate && col("ulast.image").isNull)) // winning tombstone deletes
       .select(
-        col("user_id"),
-        when(useUpdate, col("ulast.op")).otherwise(col("last_op")).as("last_op"),
-        when(useUpdate, col("u_seq")).otherwise(col("last_seq")).as("last_seq"),
-        when(useUpdate, col("ulast.image.event_type")).otherwise(col("event_type")).as("event_type"),
-        when(useUpdate, col("ulast.image.value")).otherwise(col("value")).as("value"),
-        when(useUpdate, col("ulast.image.k")).otherwise(col("k")).as("k"),
-        (!useUpdate).as("from_base"))
+        Seq(col("user_id"),
+          when(useUpdate, col("ulast.op")).otherwise(col("last_op")).as("last_op"),
+          when(useUpdate, col("u_seq")).otherwise(col("last_seq")).as("last_seq")) ++
+        payloadCols :+ (!useUpdate).as("from_base"): _*)
   }
 
   private def keyOf = coalesce(col("image.user_id"), col("oldImage.user_id"))
@@ -172,7 +193,7 @@ object LakehouseOpsImpl {
     val over = bucketFileCounts(s, basePath)
       .filter(_._2 > maxFiles).keys.toSeq.sorted
     if (over.isEmpty) return over
-    val df = s.read.parquet(basePath)
+    val df = s.read.option("mergeSchema", "true").parquet(basePath)
       .filter(col("bucket").isin(over: _*)) // partition-pruned read
       .repartition(over.length, col("bucket"))
     stageSwap(s, basePath, df, over)
@@ -207,10 +228,15 @@ object LakehouseOpsImpl {
     if (!hasData)
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         tableSchema)
-    else s.read.parquet(basePath)
+    else s.read.option("mergeSchema", "true").parquet(basePath)
       .filter(col("bucket").isin(touched: _*)) // partition-pruned read
       .drop("bucket")
   }
+
+  /** Read the COW table under its UNION schema: buckets written before a
+    * column arrived null-fill it (parquet schema merge). */
+  def readTable(s: SparkSession, basePath: String): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(basePath)
 
   /** Write a table state as the bucketed base for [[cowMerge]]. */
   def writeBucketed(df: DataFrame, basePath: String, nBuckets: Int): Unit =

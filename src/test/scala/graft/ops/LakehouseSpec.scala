@@ -132,6 +132,35 @@ class LakehouseSpec extends SparkSpec {
     assert(LakehouseOpsImpl.compactBuckets(spark, tmp, maxFiles = 1).isEmpty)
   }
 
+  test("cowMerge evolves the table schema when a batch's image grows a column") {
+    val tmp = java.nio.file.Files.createTempDirectory("cow5").toString
+    LakehouseOpsImpl.cowMerge(spark, tmp, baseEnv, NB) // bootstrap, 6-col schema
+    // the next batch's CDC image carries a NEW field: an image URL column
+    // (the multimodal case — old rows must null-fill it)
+    val grown = env(Seq((8L * 100, 1L), (8L * 104, 17L)))
+      .withColumn("image", when(col("image").isNotNull,
+        col("image").withField("img_url",
+          concat(lit("s3://img/"), col("image.user_id")))))
+    LakehouseOpsImpl.cowMerge(spark, tmp, grown, NB)
+    val t = LakehouseOpsImpl.readTable(spark, tmp)
+    assert(t.columns.contains("img_url"), s"union schema: ${t.columns.toSeq}")
+    val byUser = t.select(col("user_id"), col("img_url"), col("value"))
+      .as[(Long, Option[String], Double)].collect().map(r => r._1 -> r).toMap
+    assert(byUser.size == 17, "16 original users + inserted user 17")
+    assert(byUser(1L)._2.contains("s3://img/1") && byUser(1L)._3 == 200.0,
+      s"updated row carries the new column: ${byUser(1L)}")
+    assert(byUser(17L)._2.contains("s3://img/17"), "new-schema insert")
+    assert(byUser(0L)._2.isEmpty, "pre-evolution row null-fills the new column")
+    // a third OLD-schema batch merges cleanly into the evolved table and
+    // null-fills the column it does not carry (full-image semantics)
+    LakehouseOpsImpl.cowMerge(spark, tmp, env(Seq((8L * 105, 1L))), NB)
+    val afterOld = LakehouseOpsImpl.readTable(spark, tmp)
+      .filter(col("user_id") === 1L).select(col("img_url"), col("value"))
+      .as[(Option[String], Double)].head()
+    assert(afterOld._1.isEmpty && afterOld._2 == 210.0,
+      s"old-schema full image overwrites -> img_url null: $afterOld")
+  }
+
   test("cowMerge read is partition-pruned to the touched buckets") {
     val tmp = java.nio.file.Files.createTempDirectory("cow3").toString
     LakehouseOpsImpl.writeBucketed(
