@@ -29,12 +29,14 @@ import graft.{Q, Tables}
   *  - the bias constant α_m is spelled as the same double expression
   *    `0.7213 / (1.0 + 1.079 / m)` in both engines (identical IEEE ops).
   *
-  * The raw estimator is reported without the small-range linear-counting
-  * branch: that correction needs ln(), which breaks bitwise cross-engine
-  * parity (the q35/q112 rational-idf rationale), and every profiled
-  * source sits far above the 2.5·m validity floor where raw HLL IS the
-  * standard estimate. `registers_used` is emitted so a reader can verify
-  * the regime per row.
+  * The small-range regime (raw estimate ≤ 2.5·m with empty registers —
+  * where the paper switches to linear counting) GUARDS instead of
+  * correcting: `hll_est`/`rel_err` come out NULL and `small_range` true,
+  * because the ln() the correction needs breaks bitwise cross-engine
+  * parity (the q35/q112 rational-idf rationale) and a source that small
+  * should be counted exactly. q175's low-cardinality lineitem columns
+  * (l_discount, l_tax) exercise the guard inside the gate; HllGuardSpec
+  * pins both regimes.
   *
   * Scale shape: one narrow corpus pass → (source, register)-keyed MAX
   * aggregate (map-side combined, ≤ sources × [[HllM]] rows) → per-source
@@ -95,11 +97,28 @@ object HllOpsImpl {
     0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM * 2305843009213693952.0
   private def estNumSql: String = s"CAST('$estNum' AS DOUBLE)"
 
-  /** Estimate from the exact integer denominator: registers with no
+  /** Raw estimate from the exact integer denominator: registers with no
     * observation contribute the full 2^61 (ρ = 0 ⇒ 2^(61−0)). */
-  private def estSql(sumCol: String, usedCol: String): String =
+  private def rawEstSql(sumCol: String, usedCol: String): String =
     s"$estNumSql / (CAST($sumCol AS DOUBLE) + " +
       s"CAST(($HllM - $usedCol) AS DOUBLE) * CAST(2305843009213693952 AS DOUBLE))"
+
+  /** Small-range regime check (Flajolet et al.: raw HLL is biased below
+    * ~2.5·m when registers remain empty — the branch where the paper
+    * switches to linear counting). Both conjuncts are bitwise
+    * cross-engine-stable: the raw estimate is the same IEEE expression on
+    * both sides, and the threshold literal round-trips through strtod. */
+  private def smallRangeSql(sumCol: String, usedCol: String): String =
+    s"(${rawEstSql(sumCol, usedCol)} <= CAST('${2.5 * HllM}' AS DOUBLE) " +
+      s"AND $usedCol < $HllM)"
+
+  /** Guarded estimate: NULL in the small-range regime rather than a
+    * silently biased number — linear counting needs ln(), which would
+    * break bitwise cross-engine parity (the q35/q112 rationale), and a
+    * monitored source this small should be counted exactly anyway. */
+  private def estSql(sumCol: String, usedCol: String): String =
+    s"CASE WHEN ${smallRangeSql(sumCol, usedCol)} THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE ${rawEstSql(sumCol, usedCol)} END"
 
   /** Test hooks: the generated SQL fragments, for the independent-md5
     * property lock in SketchSamplingSpec. */
@@ -133,7 +152,7 @@ object HllOpsImpl {
 
   /** Sketch assembly: (source, reg, m_reg) registers + per-source exact
     * distinct → the estimate panel row per source. */
-  private def assemble(regs: DataFrame, exact: DataFrame): DataFrame =
+  private[graft] def assemble(regs: DataFrame, exact: DataFrame): DataFrame =
     regs
       .withColumn("term", expr(termSql("m_reg")))
       .groupBy(col("source"))
@@ -141,10 +160,12 @@ object HllOpsImpl {
         sum(col("term").cast("decimal(38,0)")).as("sum_scaled"))
       .join(exact, "source")
       .withColumn("hll_est", expr(estSql("sum_scaled", "registers_used")))
+      .withColumn("small_range", expr(smallRangeSql("sum_scaled", "registers_used")))
       .select(col("source"), lit(HllM.toLong).as("m_registers"),
         col("registers_used"), col("n_exact"), col("hll_est"),
         ((col("hll_est") - col("n_exact").cast(DoubleType)) /
-          col("n_exact").cast(DoubleType)).as("rel_err"))
+          col("n_exact").cast(DoubleType)).as("rel_err"),
+        col("small_range"))
       .orderBy(col("source"))
 
   /** Per-source + `__ALL__` HLL cardinality vs exact distinct. */
@@ -222,10 +243,12 @@ object HllOpsImpl {
        |est AS (
        |  SELECT sk.source, CAST($HllM AS BIGINT) AS m_registers,
        |    registers_used, n_exact,
-       |    ${estSql("sum_scaled", "registers_used")} AS hll_est
+       |    ${estSql("sum_scaled", "registers_used")} AS hll_est,
+       |    ${smallRangeSql("sum_scaled", "registers_used")} AS small_range
        |  FROM sk JOIN ex USING (source))
        |SELECT source AS $outKey, m_registers, registers_used, n_exact, hll_est,
-       |  (hll_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
+       |  (hll_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err,
+       |  small_range
        |FROM est ORDER BY $outKey""".stripMargin
   }
 
