@@ -51,16 +51,20 @@ object QuantileSketchOpsImpl {
   private def canonSql(c: String): String =
     s"CAST(FLOOR($c * 100.0 + 0.5) AS BIGINT)"
 
-  def quantileSketch(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables(s, dir, "lineitem")
-    val vals = li.select(explode(array(ProfileOpsImpl.ProfileCols.map { c =>
-        struct(lit(c).as("col_name"), expr(canonSql(c)).as("k"))
-      }: _*)).as("p"))
-      .select(col("p.col_name").as("col_name"), col("p.k").as("k"))
-      .filter(col("k").isNotNull)
-    // the sketch: ≤ 61 bins per column, SUM-mergeable, map-side combined
-    val bins = vals.withColumn("bin", expr(binSql("k")))
+  /** The sketch itself: (col_name, bin, cnt), ≤ 61 bins per column,
+    * SUM-mergeable, map-side combined. On a STREAMING frame this is the
+    * incrementally-maintained form: COUNT folds per arriving row into the
+    * (col_name, bin)-keyed state — bounded forever, no watermark needed —
+    * and the stream-built table equals the batch sketch at every
+    * micro-batch boundary ([[graft.streaming.StreamQuantile]]). */
+  private[graft] def binRows(vals: DataFrame): DataFrame =
+    vals.withColumn("bin", expr(binSql("k")))
       .groupBy(col("col_name"), col("bin")).agg(count(lit(1)).as("cnt"))
+
+  /** Percentile readoff from a bin table (stream-built or batch-built —
+    * StreamQuantileSpec asserts the caller can't tell): first bin whose
+    * cumulative count covers rank n·pct/100; estimate = bin upper edge. */
+  private[graft] def estFromBins(s: SparkSession, bins: DataFrame): DataFrame = {
     val wcum = Window.partitionBy(col("col_name")).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val cums = bins
@@ -68,11 +72,21 @@ object QuantileSketchOpsImpl {
       .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("col_name"))))
     val pcts = ProfileOpsImpl.QuantilePcts
       .map(p => s"SELECT CAST($p AS BIGINT) AS pct").mkString(" UNION ALL ")
-    val est = cums.crossJoin(broadcast(s.sql(pcts)))
+    cums.crossJoin(broadcast(s.sql(pcts)))
       .filter(expr("cum * 100 >= n * pct"))
       .groupBy(col("col_name"), col("pct"))
       .agg(min(col("bin")).as("bin"))
       .withColumn("est", expr(edgeSql("bin")))
+  }
+
+  def quantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val vals = li.select(explode(array(ProfileOpsImpl.ProfileCols.map { c =>
+        struct(lit(c).as("col_name"), expr(canonSql(c)).as("k"))
+      }: _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.k").as("k"))
+      .filter(col("k").isNotNull)
+    val est = estFromBins(s, binRows(vals))
     // exact reference: the q169 histogram rank over distinct VALUES,
     // through the same bucket-parallel two-pass as q159/q169 (the extra
     // ×100 inside cumOverHist keeps binning monotone on the already-
@@ -80,6 +94,8 @@ object QuantileSketchOpsImpl {
     val vhist = vals.groupBy(col("col_name"), col("k")).agg(count(lit(1)).as("cnt"))
     val vcum = ProfileOpsImpl.cumOverHist(vhist.withColumnRenamed("k", "v"))
       .withColumnRenamed("v", "k")
+    val pcts = ProfileOpsImpl.QuantilePcts
+      .map(p => s"SELECT CAST($p AS BIGINT) AS pct").mkString(" UNION ALL ")
     val exact = vcum.crossJoin(broadcast(s.sql(pcts)))
       .filter(expr("cum * 100 >= n * pct"))
       .groupBy(col("col_name"), col("pct"))
