@@ -3346,7 +3346,7 @@ object VectorOps {
          |ORDER BY query_id, rn""".stripMargin
     }
 
-  private lazy val q51Sql: String = {
+  private[graft] lazy val q51Sql: String = {
     s"""WITH p AS (
          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          |    (${duckDot("a.embedding", "b.embedding")})

@@ -126,7 +126,8 @@ object Registry {
       ops.AssociationOps.queries ++
       ops.AffinityOps.queries ++
       ops.QuantileSketchOps.queries ++
-      ops.LakehouseOps.queries
+      ops.LakehouseOps.queries ++
+      ops.AnnPersistOps.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
