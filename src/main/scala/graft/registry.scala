@@ -127,7 +127,8 @@ object Registry {
       ops.AffinityOps.queries ++
       ops.QuantileSketchOps.queries ++
       ops.LakehouseOps.queries ++
-      ops.AnnPersistOps.queries
+      ops.AnnPersistOps.queries ++
+      ops.VersionedTableOps.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
