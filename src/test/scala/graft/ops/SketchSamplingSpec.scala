@@ -44,12 +44,18 @@ class SketchSamplingSpec extends SparkSpec {
 
   test("HLL estimate is within the expected error band of exact distinct") {
     val rows = HllOpsImpl.hllCardinality(spark, sf)
-      .select(col("source"), col("n_exact"), col("hll_est"), col("rel_err"))
-      .as[(String, Long, Double, Double)].collect()
+      .select(col("source"), col("n_exact"), col("hll_est"), col("rel_err"),
+        col("small_range"))
+      .as[(String, Long, Option[Double], Option[Double], Boolean)].collect()
     assert(rows.exists(_._1 == "__ALL__"), "merged __ALL__ row must exist")
-    rows.filter(_._2 >= 1000).foreach { case (src, n, est, rel) =>
-      // theoretical σ ≈ 1.04/√256 = 6.5%; 4σ is a generous but real bound
-      assert(math.abs(rel) < 0.26, s"$src: est $est vs exact $n (rel $rel)")
+    rows.foreach { case (src, n, est, rel, small) =>
+      // the small-range guard: NULL estimate exactly when flagged
+      assert(est.isEmpty == small && rel.isEmpty == small,
+        s"$src: estimate must be NULL iff small_range ($est, $small)")
+      if (n >= 1000 && !small) {
+        // theoretical σ ≈ 1.04/√256 = 6.5%; 4σ is a generous but real bound
+        assert(math.abs(rel.get) < 0.26, s"$src: est $est vs exact $n (rel $rel)")
+      }
     }
   }
 
