@@ -3500,6 +3500,26 @@ object VectorOps {
        |WHERE rn = 1 ORDER BY cluster""".stripMargin
   }
 
+  /** DuckDB CTE chain ending in `cl(vec_id, cluster)` — the mutual-kNN
+    * community map, shared by the q184 clustering-quality oracle (same
+    * chain as q97/q135/q140's oracles, exposed once). */
+  private[graft] lazy val clustersSqlCtes: String =
+    s"""WITH RECURSIVE ${knnGraphSqlCtes.stripPrefix("WITH ")},
+       |g AS MATERIALIZED (SELECT src, dst FROM r WHERE rn <= $KnnK),
+       |m AS (
+       |  SELECT a.src AS a_id, a.dst AS b_id FROM g a
+       |  JOIN g b ON a.src = b.dst AND a.dst = b.src
+       |  WHERE a.src < a.dst),
+       |nodes AS MATERIALIZED (SELECT a_id AS id FROM m UNION SELECT b_id FROM m),
+       |edgs AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM m
+       |          UNION ALL SELECT b_id, a_id FROM m),
+       |reach(id, rr) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.src, reach.rr FROM edgs e JOIN reach ON e.dst = reach.id),
+       |cl AS MATERIALIZED (SELECT id AS vec_id, MIN(rr) AS cluster
+       |  FROM reach GROUP BY id)""".stripMargin
+
   /** DuckDB mirror of the kNN-graph build (shared by q93 and the q97
     * clustering wrap): CTEs ending in `r` = the ranked directed graph. */
   private lazy val knnGraphSqlCtes: String = {

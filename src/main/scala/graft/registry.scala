@@ -128,7 +128,8 @@ object Registry {
       ops.QuantileSketchOps.queries ++
       ops.LakehouseOps.queries ++
       ops.AnnPersistOps.queries ++
-      ops.VersionedTableOps.queries
+      ops.VersionedTableOps.queries ++
+      ops.ClusterEvalOps.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
