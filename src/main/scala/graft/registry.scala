@@ -129,7 +129,8 @@ object Registry {
       ops.LakehouseOps.queries ++
       ops.AnnPersistOps.queries ++
       ops.VersionedTableOps.queries ++
-      ops.ClusterEvalOps.queries
+      ops.ClusterEvalOps.queries ++
+      ops.DriftOps.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
