@@ -148,12 +148,17 @@ object VersionedTableImpl {
     newV
   }
 
-  /** Per-key INSERT/UPDATE/DELETE feed between two committed versions. */
+  /** Per-key INSERT/UPDATE/DELETE feed between two committed versions.
+    * Carries before/after images of the payload columns consumers index
+    * on (value, event_type) — enough to maintain a derived structure
+    * without reading either full state again ([[maintainedTypeIndex]]). */
   def changeFeed(s: SparkSession, root: String, v1: Int, v2: Int): DataFrame = {
     val a = readVersion(s, root, v1).select(col("user_id"),
-      col("last_seq").as("seq_before"), col("value").as("value_before"))
+      col("last_seq").as("seq_before"), col("value").as("value_before"),
+      col("event_type").as("type_before"))
     val b = readVersion(s, root, v2).select(col("user_id"),
-      col("last_seq").as("seq_after"), col("value").as("value_after"))
+      col("last_seq").as("seq_after"), col("value").as("value_after"),
+      col("event_type").as("type_after"))
     a.join(b, Seq("user_id"), "full_outer")
       .withColumn("change_op",
         when(col("seq_before").isNull, "INSERT")
@@ -162,7 +167,8 @@ object VersionedTableImpl {
       .filter(col("change_op").isNotNull) // seq equality = untouched
       .select(col("user_id"), col("change_op"),
         col("seq_before"), col("seq_after"),
-        col("value_before"), col("value_after"))
+        col("value_before"), col("value_after"),
+        col("type_before"), col("type_after"))
       .orderBy(col("user_id"))
   }
 
@@ -220,6 +226,31 @@ object VersionedTableImpl {
   def versionDiff(s: SparkSession, dir: String): DataFrame =
     changeFeed(s, ensureVersioned(s, dir), 1, 2)
 
+  /** q186: a SECONDARY INDEX (event_type → keys) maintained from the
+    * change feed alone — the derived-structure pattern every consumer of
+    * a CDC table repeats (inverted indexes, caches, aggregates): build
+    * the index once at v1, then apply only the v1→v2 feed — DELETE/UPDATE
+    * retract the before-image entry, INSERT/UPDATE add the after-image
+    * entry — and the result must hash-match the index rebuilt from the
+    * full v2 state. Cost is O(|feed|) + the v1 index, never a v2 scan:
+    * the same maintained-view-equals-recompute discipline as q161's IVM,
+    * driven by the versioned table's own feed. An UPDATE whose indexed
+    * column did not change retracts and re-adds the same entry (anti-join
+    * then union), so the path is insensitive to over-reporting. */
+  def maintainedTypeIndex(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureVersioned(s, dir)
+    val idx1 = readVersion(s, root, 1)
+      .select(col("event_type"), col("user_id"))
+    val feed = changeFeed(s, root, 1, 2)
+    val retracted = feed.filter(col("change_op").isin("DELETE", "UPDATE"))
+      .select(col("type_before").as("event_type"), col("user_id"))
+    val added = feed.filter(col("change_op").isin("INSERT", "UPDATE"))
+      .select(col("type_after").as("event_type"), col("user_id"))
+    idx1.join(retracted, Seq("event_type", "user_id"), "left_anti")
+      .unionByName(added)
+      .orderBy(col("event_type"), col("user_id"))
+  }
+
   private lazy val q182Sql: String =
     s"""WITH ${CdcSynth.synthSql},
        |mid AS (SELECT max(event_id) // 2 AS mid FROM events),
@@ -240,31 +271,47 @@ object VersionedTableImpl {
        |v1 AS (
        |  SELECT COALESCE(new_user_id, old_user_id) AS user_id,
        |    max(seq) AS last_seq, max_by(has_new, seq) AS has_new,
-       |    max_by(new_value, seq) AS value
+       |    max_by(new_value, seq) AS value,
+       |    max_by(new_event_type, seq) AS event_type
        |  FROM cdc, mid WHERE event_id < mid GROUP BY 1),
        |v2 AS (
        |  SELECT COALESCE(new_user_id, old_user_id) AS user_id,
        |    max(seq) AS last_seq, max_by(has_new, seq) AS has_new,
-       |    max_by(new_value, seq) AS value
+       |    max_by(new_value, seq) AS value,
+       |    max_by(new_event_type, seq) AS event_type
        |  FROM cdc GROUP BY 1),
-       |a AS (SELECT user_id, last_seq AS seq_before, value AS value_before
+       |a AS (SELECT user_id, last_seq AS seq_before, value AS value_before,
+       |        event_type AS type_before
        |      FROM v1 WHERE has_new),
-       |b AS (SELECT user_id, last_seq AS seq_after, value AS value_after
+       |b AS (SELECT user_id, last_seq AS seq_after, value AS value_after,
+       |        event_type AS type_after
        |      FROM v2 WHERE has_new),
        |j AS (
        |  SELECT COALESCE(a.user_id, b.user_id) AS user_id,
        |    CASE WHEN a.user_id IS NULL THEN 'INSERT'
        |         WHEN b.user_id IS NULL THEN 'DELETE'
        |         WHEN seq_before <> seq_after THEN 'UPDATE' END AS change_op,
-       |    seq_before, seq_after, value_before, value_after
+       |    seq_before, seq_after, value_before, value_after,
+       |    type_before, type_after
        |  FROM a FULL OUTER JOIN b ON a.user_id = b.user_id)
        |SELECT user_id, change_op, seq_before, seq_after,
-       |  value_before, value_after
+       |  value_before, value_after, type_before, type_after
        |FROM j WHERE change_op IS NOT NULL ORDER BY user_id""".stripMargin
+
+  private lazy val q186Sql: String =
+    s"""WITH ${CdcSynth.synthSql},
+       |latest AS (
+       |  SELECT COALESCE(new_user_id, old_user_id) AS user_id,
+       |    max(seq) AS seq, max_by(has_new, seq) AS has_new,
+       |    max_by(new_event_type, seq) AS event_type
+       |  FROM cdc GROUP BY 1)
+       |SELECT event_type, user_id FROM latest WHERE has_new
+       |ORDER BY event_type, user_id""".stripMargin
 
   lazy val queries: Seq[Q] = Seq(
     Q("q182_time_travel", timeTravel, Some(q182Sql)),
-    Q("q183_change_feed", versionDiff, Some(q183Sql)))
+    Q("q183_change_feed", versionDiff, Some(q183Sql)),
+    Q("q186_maintained_index", maintainedTypeIndex, Some(q186Sql)))
 }
 
 object VersionedTableOps {
