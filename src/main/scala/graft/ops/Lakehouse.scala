@@ -261,15 +261,20 @@ object LakehouseOpsImpl {
     Memo.getOrCacheAny(cowRoots, s, dir, { _ =>
       val root = java.nio.file.Files.createTempDirectory("graft_cow_table").toString
       val env = CdcSynth.fromEvents(s, dir)
-      val maxId = Tables(s, dir, "events")
-        .agg(max(col("event_id"))).head().getLong(0) // single-row metadata
+      val ids = Tables(s, dir, "events")
+        .agg(max(col("event_id")).as("mx"),
+          countDistinct(col("user_id")).as("nu")).head() // single-row metadata
+      val (maxId, nUsers) = (ids.getLong(0), ids.getLong(1))
       val (t1, t2) = (maxId / 3, 2 * maxId / 3)
       // cap records per file during the merges: at cluster scale every
       // write task drops its own file into each bucket dir, but local
       // test data AQE-coalesces to one task — the cap recreates the
-      // many-small-files layout compaction exists for, deterministically
+      // many-small-files layout compaction exists for, deterministically.
+      // Sized to ~4 files per bucket so the build cost stays flat in SF
+      // (a fixed cap of 1 wrote |users| files per merge at sf0.1).
+      val cap = math.max(1L, nUsers / 32)
       val prev = s.conf.get("spark.sql.files.maxRecordsPerFile", "0")
-      s.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+      s.conf.set("spark.sql.files.maxRecordsPerFile", cap.toString)
       try {
         cowMerge(s, root, env.filter(col("event_id") <= t1), 8)
         cowMerge(s, root, env.filter(col("event_id") > t1 && col("event_id") <= t2), 8)
