@@ -130,7 +130,8 @@ object Registry {
       ops.AnnPersistOps.queries ++
       ops.VersionedTableOps.queries ++
       ops.ClusterEvalOps.queries ++
-      ops.DriftOps.queries
+      ops.DriftOps.queries ++
+      ops.CurationPanelsOps.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
