@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.{Q, Tables}
+
+/** MIXTURE-faithful training ORDER (q189) — q170's temperature weights
+  * decide HOW MUCH of each source to train on; this decides WHEN: a
+  * deterministic stride schedule (the classic lottery/stride-scheduling
+  * rule) where source s's k-th document lands at virtual time k / w_s, so
+  * any prefix of the schedule realizes the target mixture proportions —
+  * no RNG, no "shuffle and hope", reproducible across runs and engines.
+  *
+  * The gate emits the first 100 steps. Scale shape: a doc can appear at
+  * step ≤ N only with per-source rank ≤ N, so the global interleave
+  * window runs over a ≤ sources × N row frame — the corpus-wide ordering
+  * is never materialized (the full schedule would compose the same key
+  * with q73's bucket-parallel rank instead of one window). Per-source
+  * ranks hash-partition by source; weights are a broadcast sources-row
+  * frame.
+  *
+  * Determinism: token sums are exact BIGINTs; the only doubles are
+  * √share and the stride key, identical expression text in both engines;
+  * ties break on (key, source, doc_id) — a total order.
+  */
+object ScheduleOpsImpl {
+
+  private val Steps = 100L
+
+  def mixtureSchedule(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("source"), col("doc_id"),
+      expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"))
+    val tok = d.groupBy(col("source")).agg(sum(col("n_tok")).cast(LongType).as("toks"))
+    val tot = tok.agg(sum(col("toks")).cast(LongType).as("tt"))
+    val w = tok.crossJoin(broadcast(tot))
+      .select(col("source"),
+        sqrt(col("toks").cast("double") / col("tt").cast("double")).as("wraw"))
+    // Σwraw through the floor-1e12 decimal accumulator: a plain double
+    // SUM is summation-order-dependent and diverged from the oracle in
+    // the last ulp (the q170 lesson)
+    val wsum = w.agg(expr(
+      "CAST(SUM(CAST(FLOOR(wraw * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12")
+      .as("ws"))
+    val wgt = w.crossJoin(broadcast(wsum))
+      .select(col("source"), (col("wraw") / col("ws")).as("wgt"))
+    val ranked = d
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))).cast(LongType))
+      .filter(col("rk") <= Steps) // rank > N can never reach step <= N
+    ranked.join(broadcast(wgt), "source")
+      .withColumn("vkey", col("rk").cast("double") / col("wgt"))
+      .withColumn("step", row_number().over(
+        Window.orderBy(col("vkey"), col("source"), col("doc_id"))).cast(LongType))
+      .filter(col("step") <= Steps)
+      .select(col("step"), col("source"), col("doc_id"), col("rk"),
+        col("wgt"), col("vkey"))
+      .orderBy(col("step"))
+  }
+
+  private lazy val q189Sql: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |tok AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS toks FROM d GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS tt FROM tok),
+       |w AS (SELECT source, sqrt(CAST(toks AS DOUBLE) / CAST(tt AS DOUBLE)) AS wraw
+       |      FROM tok CROSS JOIN tot),
+       |ws AS (SELECT CAST(SUM(CAST(FLOOR(wraw * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS ws FROM w),
+       |wgt AS (SELECT source, wraw / ws AS wgt FROM w CROSS JOIN ws),
+       |ranked AS (
+       |  SELECT source, doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rk
+       |  FROM d),
+       |keyed AS (
+       |  SELECT r.source, r.doc_id, r.rk, g.wgt,
+       |    CAST(r.rk AS DOUBLE) / g.wgt AS vkey
+       |  FROM ranked r JOIN wgt g ON g.source = r.source
+       |  WHERE r.rk <= $Steps),
+       |stepped AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY vkey, source, doc_id) AS BIGINT) AS step
+       |  FROM keyed)
+       |SELECT step, source, doc_id, rk, wgt, vkey
+       |FROM stepped WHERE step <= $Steps ORDER BY step""".stripMargin
+
+  lazy val queries: Seq[Q] = Seq(
+    Q("q189_mixture_schedule", mixtureSchedule, Some(q189Sql)))
+}
+
+object ScheduleOps {
+  lazy val queries: Seq[Q] = ScheduleOpsImpl.queries
+}

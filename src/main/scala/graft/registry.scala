@@ -131,7 +131,8 @@ object Registry {
       ops.VersionedTableOps.queries ++
       ops.ClusterEvalOps.queries ++
       ops.DriftOps.queries ++
-      ops.CurationPanelsOps.queries
+      ops.CurationPanelsOps.queries ++
+      ops.ScheduleOps.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
