@@ -578,4 +578,53 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(s).size >= 2,
       "centroid sums must map-side combine")
   }
+
+  test("q185 drift: one corpus join, era centroids map-side combine, halves broadcast") {
+    val s = plan(ops.DriftOpsImpl.sourceDrift(spark, dir))
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      "per-(source, era) centroid sums must map-side combine")
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"),
+      "the early/late per-source frames must broadcast, not sort-merge")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("q187/q188 sweep panels aggregate before the grid; no corpus-wide window") {
+    Seq(ops.CurationPanelsImpl.qualitySweep(spark, dir),
+        ops.CurationPanelsImpl.truncationSweep(spark, dir)).foreach { df =>
+      val s = plan(df)
+      assert(s.contains("BroadcastNestedLoopJoin"),
+        "the threshold/length grid must broadcast")
+      assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"), s)
+      assert(!s.contains("Window"), "panels are aggregate-only, no window over data")
+    }
+  }
+
+  test("q189 schedule: interleave window runs over the rank-bounded frame only") {
+    val df = ops.ScheduleOpsImpl.mixtureSchedule(spark, dir)
+    val s = plan(df)
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"),
+      "weights must broadcast into the ranked frame")
+    // the global (unpartitioned) interleave window must sit ABOVE the
+    // rk <= N filter: locked by checking the filter exists in the plan
+    assert(s.contains("rk"), s)
+    assert("Filter .*\\(rk#\\d+L? <= 100\\)".r.findFirstIn(s.replace("\n", " ")).isDefined
+      || s.contains("(rk"), "per-source rank bound must prune before the global window")
+  }
+
+  test("q181 truth refresh scores only the delta: queries broadcast, no cartesian") {
+    graft.expr.DotF64.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding").as("qe"))
+    val old = ops.VectorOpsImpl.cosineTopK(spark, dir)
+    val delta = e.filter(org.apache.spark.sql.functions.col("vec_id") >= 400)
+    val s = plan(ops.AnnPersistImpl.refreshTruth(old, q, delta))
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      "the query side must broadcast into the delta scan")
+    assert(!s.contains("CartesianProduct"), s)
+    val reads = "PushedFilters: [^\n]*".r.findAllIn(s).toSeq
+    assert(reads.exists(_.contains("GreaterThanOrEqual(vec_id,400)")),
+      s"the delta filter must push into the scan: $reads")
+  }
 }
