@@ -78,6 +78,84 @@ object CurationPanelsImpl {
       .orderBy(col("max_len"))
   }
 
+  /** Percent-of-vocabulary cuts: absolute sizes would not discriminate
+    * across corpora (the synthetic corpus has a 31-token vocabulary;
+    * a web crawl has millions), percentages always do. */
+  private val VocabPcts = Seq(5L, 10L, 25L, 50L, 75L)
+
+  /** q190: OOV share vs vocabulary size — "how big must the tokenizer
+    * vocab be" as a measured curve. Keeping the top-V tokens by frequency
+    * covers a token mass computable EXACTLY from the frequency-CLASS
+    * histogram (freq → how many distinct tokens, how much mass): classes
+    * are taken whole in descending frequency order and the boundary class
+    * contributes (V − tokens_above) · freq — no vocabulary-wide ranking
+    * sort, just a window over the ≤ |distinct frequencies| class frame
+    * (O(√corpus) rows by Zipf/Heaps, metadata at any scale). Ties need no
+    * tie-break: every token in a class has the same frequency, so the
+    * covered mass is tie-order-invariant. All selection math is integer;
+    * the only double is the final share. */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("freq").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val freqs = Tables(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val classes = freqs.groupBy(col("freq"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("freq")).as("mass"))
+      .withColumn("toks_above", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+    val grid = s.sql(VocabPcts
+      .map(v => s"SELECT CAST($v AS BIGINT) AS vocab_pct").mkString(" UNION ALL "))
+    val tot = freqs.agg(sum(col("freq")).cast(LongType).as("total_mass"),
+      count(lit(1)).cast(LongType).as("total_toks"))
+    broadcast(grid).crossJoin(classes).crossJoin(broadcast(tot))
+      .withColumn("vocab_v", expr("(total_toks * vocab_pct + 99) DIV 100"))
+      .filter(col("toks_above") < col("vocab_v")) // class reaches the cut
+      .withColumn("take", least(col("n_toks"), col("vocab_v") - col("toks_above")))
+      .groupBy(col("vocab_pct"), col("vocab_v"), col("total_mass"), col("total_toks"))
+      .agg(sum(col("take")).cast(LongType).as("kept_toks"),
+        sum(col("take") * col("freq")).cast(LongType).as("kept_mass"))
+      .select(col("vocab_pct"), col("vocab_v"), col("kept_toks"), col("total_toks"),
+        col("kept_mass"), col("total_mass"),
+        (lit(1.0) - col("kept_mass").cast("double") /
+          col("total_mass").cast("double")).as("oov_share"))
+      .orderBy(col("vocab_pct"))
+  }
+
+  private lazy val q190Sql: String = {
+    val grid = VocabPcts.map(v => s"SELECT CAST($v AS BIGINT) AS vocab_pct")
+      .mkString(" UNION ALL ")
+    s"""WITH f AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+       |  WHERE tok <> '' GROUP BY 1),
+       |cls AS (
+       |  SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_toks,
+       |    CAST(SUM(freq) AS BIGINT) AS mass
+       |  FROM f GROUP BY 1),
+       |cum AS (
+       |  SELECT freq, n_toks, mass,
+       |    CAST(COALESCE(SUM(n_toks) OVER (ORDER BY freq DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS toks_above
+       |  FROM cls),
+       |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total_mass,
+       |    CAST(COUNT(*) AS BIGINT) AS total_toks FROM f),
+       |grid AS ($grid),
+       |cuts AS (SELECT vocab_pct, (total_toks * vocab_pct + 99) // 100 AS vocab_v,
+       |    total_mass, total_toks
+       |  FROM grid CROSS JOIN tot)
+       |SELECT vocab_pct, vocab_v,
+       |  CAST(SUM(least(n_toks, vocab_v - toks_above)) AS BIGINT) AS kept_toks,
+       |  total_toks,
+       |  CAST(SUM(least(n_toks, vocab_v - toks_above) * freq) AS BIGINT) AS kept_mass,
+       |  total_mass,
+       |  1.0 - CAST(SUM(least(n_toks, vocab_v - toks_above) * freq) AS DOUBLE)
+       |    / CAST(total_mass AS DOUBLE) AS oov_share
+       |FROM cuts CROSS JOIN cum
+       |WHERE toks_above < vocab_v
+       |GROUP BY vocab_pct, vocab_v, total_mass, total_toks ORDER BY vocab_pct""".stripMargin
+  }
+
   private lazy val q187Sql: String = {
     val stop = TextOpsImpl.stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
     val thr = (0 to 10).map(t => s"SELECT CAST($t AS BIGINT) AS thr")
@@ -127,7 +205,8 @@ object CurationPanelsImpl {
 
   lazy val queries: Seq[Q] = Seq(
     Q("q187_quality_sweep", qualitySweep, Some(q187Sql)),
-    Q("q188_truncation_sweep", truncationSweep, Some(q188Sql)))
+    Q("q188_truncation_sweep", truncationSweep, Some(q188Sql)),
+    Q("q190_vocab_coverage", vocabCoverage, Some(q190Sql)))
 }
 
 object CurationPanelsOps {
