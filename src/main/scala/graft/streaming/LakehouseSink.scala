@@ -42,4 +42,32 @@ object LakehouseSink {
         ()
       }
       .start()
+
+  /** VERSIONED form: each micro-batch commits as a new table version
+    * ([[graft.ops.VersionedTableImpl.commitMerge]]), so the stream leaves
+    * a time-travelable history and a per-batch change feed behind instead
+    * of only the final state. Version history is made exactly-once with a
+    * per-batch marker: the seq-gated merge already makes REPLAYED rows a
+    * state no-op, but without the marker a replay would still append a
+    * redundant (state-identical) version; the marker is written after the
+    * commit, so a crash between the two re-commits once — state stays
+    * correct, and at most one no-op version can ever exist per crash. */
+  def versionedSink(envStream: DataFrame, root: String, checkpointDir: String,
+      nBuckets: Int): StreamingQuery =
+    envStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(root, s"_commits/batch-$id")
+        if (!fs.exists(marker)) {
+          graft.ops.VersionedTableImpl.commitMerge(s, root, batch, nBuckets)
+          fs.mkdirs(marker.getParent)
+          fs.create(marker).close()
+        }
+        ()
+      }
+      .start()
 }

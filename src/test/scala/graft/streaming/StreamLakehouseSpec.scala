@@ -88,4 +88,47 @@ class StreamLakehouseSpec extends SparkSpec {
       .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).map(_.getName)
     assert(bucketDirs.length > 1, s"expected multiple bucket dirs: ${bucketDirs.toSeq}")
   }
+
+  test("versioned sink leaves a time-travelable history; replay appends no version") {
+    import graft.ops.VersionedTableImpl
+    val all = events(0 until 170)
+    val batches = Seq(all.slice(0, 60), all.slice(60, 110), all.slice(110, 170))
+    val root = Files.createTempDirectory("graft_slake_v").toString
+    val ckptDir = Files.createTempDirectory("graft_slake_v_ckpt").toString
+
+    def drain(input: MemoryStream[LkEvent]): Unit =
+      LakehouseSink.versionedSink(CdcSynth.envelope(input.toDF()),
+        root, ckptDir, NB).awaitTermination()
+
+    val input = MemoryStream[LkEvent](spark)
+    input.addData(batches(0): _*)
+    drain(input)
+    val v1 = VersionedTableImpl.currentVersion(spark, root)
+    assert(v1 == 1, s"first drain commits one version: $v1")
+
+    input.addData(batches(1): _*)
+    input.addData(batches(2): _*)
+    drain(input) // restart from checkpoint: both batches drain (one commit each
+                 // or one combined — AvailableNow decides; history only grows)
+    val vEnd = VersionedTableImpl.currentVersion(spark, root)
+    assert(vEnd > v1, s"later drains append versions: $vEnd")
+
+    // final state equals the one-shot replay; v1 is still the old state
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("last_op"), col("last_seq"),
+        col("event_type"), col("value"), col("k"))
+        .as[(Long, String, String, String, Double, Long)].collect().toSeq.sorted
+    assert(rows(VersionedTableImpl.readVersion(spark, root, vEnd)) == expected(all))
+    assert(rows(VersionedTableImpl.readVersion(spark, root, 1)) ==
+      expected(batches(0)), "history is immutable under later streamed commits")
+
+    // idle re-run: no new version (batch markers make history exactly-once)
+    drain(input)
+    assert(VersionedTableImpl.currentVersion(spark, root) == vEnd,
+      "an idle drain must not append versions")
+
+    // the stream's own change feed: v1 -> vEnd classifies the tail's effect
+    val feed = VersionedTableImpl.changeFeed(spark, root, 1, vEnd)
+    assert(feed.filter(col("change_op") === "UPDATE").count() > 0)
+  }
 }
