@@ -189,13 +189,30 @@ object LakehouseOpsImpl {
     * proves by hash-matching the compacted table against the DuckDB
     * full-log replay. Returns the compacted bucket ids. */
   def compactBuckets(s: SparkSession, basePath: String,
-      maxFiles: Int): Seq[Long] = {
+      maxFiles: Int): Seq[Long] =
+    compactBuckets(s, basePath, maxFiles, Nil)
+
+  /** Compaction with CLUSTERING: rows sort by `sortCols` within each
+    * bucket during the rewrite, so when a bucket lands as several files
+    * (row-count/size caps at scale) their per-file min/max column ranges
+    * are DISJOINT — parquet footer stats then skip whole files for
+    * predicates on the sort prefix, the same win the q126/q151 layout
+    * panels measure for Z-order/Hilbert scans, applied to the COW table's
+    * maintenance path. Sorting is within partitions only (each bucket is
+    * one task after the repartition) — no global shuffle beyond the
+    * bucket routing, and a pure layout change: the q191 gate hash-matches
+    * the clustered table against the full-log replay. */
+  def compactBuckets(s: SparkSession, basePath: String, maxFiles: Int,
+      sortCols: Seq[String]): Seq[Long] = {
     val over = bucketFileCounts(s, basePath)
       .filter(_._2 > maxFiles).keys.toSeq.sorted
     if (over.isEmpty) return over
-    val df = s.read.option("mergeSchema", "true").parquet(basePath)
+    val base = s.read.option("mergeSchema", "true").parquet(basePath)
       .filter(col("bucket").isin(over: _*)) // partition-pruned read
       .repartition(over.length, col("bucket"))
+    val df =
+      if (sortCols.isEmpty) base
+      else base.sortWithinPartitions(col("bucket") +: sortCols.map(col): _*)
     stageSwap(s, basePath, df, over)
     over
   }
@@ -255,7 +272,7 @@ object LakehouseOpsImpl {
   private val cowRoots = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
 
-  def clearCaches(): Unit = cowRoots.clear()
+  def clearCaches(): Unit = { cowRoots.clear(); clusteredRoots.clear() }
 
   private def ensureCompactedTable(s: SparkSession, dir: String): String =
     Memo.getOrCacheAny(cowRoots, s, dir, { _ =>
@@ -299,6 +316,37 @@ object LakehouseOpsImpl {
         col("event_type"), col("value"), col("k"))
       .orderBy(col("user_id"))
 
+  /** One CLUSTERED table per (session, dir): the q180 build re-compacted
+    * with a (event_type, user_id) sort and a record cap that forces each
+    * bucket into several files — whose event_type ranges are then
+    * disjoint (LakehouseSpec pins the min/max stats). */
+  private val clusteredRoots = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def ensureClusteredTable(s: SparkSession, dir: String): String =
+    Memo.getOrCacheAny(clusteredRoots, s, dir, { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft_cow_clustered").toString
+      val env = CdcSynth.fromEvents(s, dir)
+      cowMerge(s, root, env, 8)
+      val nUsers = s.read.parquet(root).count() // table rows, metadata agg
+      val cap = math.max(1L, nUsers / 32)
+      val prev = s.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+      s.conf.set("spark.sql.files.maxRecordsPerFile", cap.toString)
+      try compactBuckets(s, root, maxFiles = 0,
+        sortCols = Seq("event_type", "user_id"))
+      finally s.conf.set("spark.sql.files.maxRecordsPerFile", prev)
+      root
+    })
+
+  /** q191: the CLUSTERED table read back — rows hash-equal the replay
+    * (clustering is pure layout), while the per-file sort gives each
+    * bucket's files disjoint event_type ranges for footer skipping. */
+  def clusteredTable(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(ensureClusteredTable(s, dir))
+      .select(col("user_id"), col("last_op"), col("last_seq"),
+        col("event_type"), col("value"), col("k"))
+      .orderBy(col("user_id"))
+
   private lazy val q180Sql: String =
     s"""WITH ${CdcSynth.synthSql},
        |latest AS (
@@ -335,7 +383,9 @@ object LakehouseOpsImpl {
 
   lazy val queries: Seq[Q] = Seq(
     Q("q179_cdc_merge_cow", mergeReplay, Some(q179Sql), headline = true),
-    Q("q180_cdc_compact", compactedTable, Some(q180Sql)))
+    Q("q180_cdc_compact", compactedTable, Some(q180Sql)),
+    // same oracle as q180 on purpose: clustering is a pure layout change
+    Q("q191_cdc_clustered_compact", clusteredTable, Some(q180Sql)))
 }
 
 /** Registry hook. */

@@ -132,6 +132,42 @@ class LakehouseSpec extends SparkSpec {
     assert(LakehouseOpsImpl.compactBuckets(spark, tmp, maxFiles = 1).isEmpty)
   }
 
+  test("clustered compaction yields files with disjoint sort-column ranges") {
+    val tmp = java.nio.file.Files.createTempDirectory("cow6").toString
+    // two buckets, eight users each; 4-record file cap -> 2 files/bucket
+    LakehouseOpsImpl.cowMerge(spark, tmp, baseEnv, 2)
+    val prevConf = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "4")
+    try LakehouseOpsImpl.compactBuckets(spark, tmp, maxFiles = 0,
+      sortCols = Seq("event_type", "user_id"))
+    finally spark.conf.set("spark.sql.files.maxRecordsPerFile", prevConf)
+    val counts = LakehouseOpsImpl.bucketFileCounts(spark, tmp)
+    assert(counts.values.forall(_ == 2), s"two files per bucket: $counts")
+    (0L until 2L).foreach { b =>
+      val files = new File(s"$tmp/bucket=$b").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      val ranges = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col("event_type")), max(col("event_type")),
+            min(col("user_id")), max(col("user_id"))).head()
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+      }.sortBy(r => (r._1, r._3))
+      // within-bucket sort => consecutive files cover ordered event_type
+      // ranges (overlap at most at the boundary value): a predicate on a
+      // type below file 2's min or above file 1's max skips a whole file
+      ranges.sliding(2).foreach {
+        case Array(lo, hi) =>
+          assert(lo._2 <= hi._1,
+            s"bucket $b file ranges must be ordered on the sort prefix: ${ranges.toSeq}")
+        case _ =>
+      }
+      assert(ranges.head._1 < ranges.last._2,
+        s"bucket $b files must not all span the full range: ${ranges.toSeq}")
+    }
+    // clustering is a pure layout change
+    assert(rows(table(tmp)).map(_._1).sorted == (0L until 16L))
+  }
+
   test("cowMerge evolves the table schema when a batch's image grows a column") {
     val tmp = java.nio.file.Files.createTempDirectory("cow5").toString
     LakehouseOpsImpl.cowMerge(spark, tmp, baseEnv, NB) // bootstrap, 6-col schema
