@@ -1449,7 +1449,7 @@ object VectorOpsImpl {
   private val knnGraphCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def knnGraphRaw(s: SparkSession, dir: String): DataFrame =
+  private[graft] def knnGraphRaw(s: SparkSession, dir: String): DataFrame =
     graft.ops.Memo.getOrCache(knnGraphCache, s, dir, { _ =>
       knnGraphOf(Tables(s, dir, "embeddings")).cache()
     })
@@ -3522,7 +3522,7 @@ object VectorOps {
 
   /** DuckDB mirror of the kNN-graph build (shared by q93 and the q97
     * clustering wrap): CTEs ending in `r` = the ranked directed graph. */
-  private lazy val knnGraphSqlCtes: String = {
+  private[graft] lazy val knnGraphSqlCtes: String = {
     val mask = (1L << NearDupBandBits) - 1
     val bands = (0 until NearDupBands).map(b =>
       s"SELECT vec_id, $b AS band, (sig >> ${b * NearDupBandBits}) & $mask AS bv FROM s")

@@ -132,7 +132,8 @@ object Registry {
       ops.ClusterEvalOps.queries ++
       ops.DriftOps.queries ++
       ops.CurationPanelsOps.queries ++
-      ops.ScheduleOps.queries
+      ops.ScheduleOps.queries ++
+      ops.GraphReachOps.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
