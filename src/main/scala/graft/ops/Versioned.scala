@@ -195,7 +195,7 @@ object VersionedTableImpl {
   private val roots = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
 
-  def clearCaches(): Unit = roots.clear()
+  def clearCaches(): Unit = { roots.clear(); quarterRoots.clear() }
 
   private def ensureVersioned(s: SparkSession, dir: String): String =
     Memo.getOrCacheAny(roots, s, dir, { _ =>
@@ -298,6 +298,94 @@ object VersionedTableImpl {
        |  value_before, value_after, type_before, type_after
        |FROM j WHERE change_op IS NOT NULL ORDER BY user_id""".stripMargin
 
+  // -------------------------------------------------------------- q193
+  /** Quartered build for the POINT-IN-TIME join: three commits at the
+    * event_id quarter boundaries (q, 2q, 3q with q = max div 4). */
+  private val quarterRoots = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def ensureQuartered(s: SparkSession, dir: String): String =
+    Memo.getOrCacheAny(quarterRoots, s, dir, { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft_vtable_q").toString
+      val env = CdcSynth.fromEvents(s, dir)
+      val q = Tables(s, dir, "events")
+        .agg(expr("max(event_id) div 4").as("q"))
+      val withQ = env.crossJoin(broadcast(q))
+      commitMerge(s, root, withQ.filter(col("event_id") < col("q")), 8)
+      commitMerge(s, root, withQ.filter(
+        col("event_id") >= col("q") && col("event_id") < col("q") * 2), 8)
+      commitMerge(s, root, withQ.filter(
+        col("event_id") >= col("q") * 2 && col("event_id") < col("q") * 3), 8)
+      root
+    })
+
+  /** q193: POINT-IN-TIME join — each event reads the table state as of
+    * the LAST VERSION COMMITTED BEFORE it (feature-store train-time
+    * correctness: the feature an example may see is the one that existed
+    * when the example happened; joining today's state onto yesterday's
+    * examples is label leakage). An event in quarter k joins version k
+    * (built from events before boundary k); first-quarter events predate
+    * every commit and read NULL. Implementation: the three version
+    * states union under a `version` tag and the join is a plain hash
+    * equi-join on (version, user_id) — at scale the tagged union reads
+    * each version's manifest file list (deltas share files, so the cost
+    * is the distinct-file set, not versions × table), and the join
+    * co-partitions on the key. Oracle: DuckDB recomputes each event's
+    * as-of state directly from the log (latest same-user row before the
+    * event's version boundary) — the maintained-history-equals-recompute
+    * discipline, applied per event. */
+  def pitJoin(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureQuartered(s, dir)
+    val states = (1 to 3).map(k =>
+      readVersion(s, root, k).select(lit(k.toLong).as("version"),
+        col("user_id"), col("last_seq").as("pit_seq"),
+        col("value").as("pit_value"))).reduce(_ unionByName _)
+    val q = Tables(s, dir, "events")
+      .agg(expr("max(event_id) div 4").as("q"))
+    val ev = Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"))
+      .crossJoin(broadcast(q))
+      .withColumn("version",
+        when(col("event_id") < col("q"), 0L)
+          .when(col("event_id") < col("q") * 2, 1L)
+          .when(col("event_id") < col("q") * 3, 2L)
+          .otherwise(3L))
+      .drop("q")
+    ev.join(states, Seq("version", "user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("version"),
+        col("pit_seq"), col("pit_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private lazy val q193Sql: String =
+    s"""WITH ${CdcSynth.synthSql},
+       |qq AS (SELECT max(event_id) // 4 AS q FROM events),
+       |ev AS (
+       |  SELECT e.event_id, e.user_id,
+       |    CASE WHEN e.event_id < q THEN 0
+       |         WHEN e.event_id < q * 2 THEN 1
+       |         WHEN e.event_id < q * 3 THEN 2
+       |         ELSE 3 END AS version,
+       |    CASE WHEN e.event_id < q THEN NULL
+       |         WHEN e.event_id < q * 2 THEN q
+       |         WHEN e.event_id < q * 3 THEN q * 2
+       |         ELSE q * 3 END AS bnd
+       |  FROM events e CROSS JOIN qq),
+       |pitst AS (
+       |  SELECT ev.event_id,
+       |    max_by(c.has_new, c.seq) AS has_new,
+       |    max(c.seq) AS seq,
+       |    max_by(c.new_value, c.seq) AS value
+       |  FROM ev JOIN cdc c
+       |    ON COALESCE(c.new_user_id, c.old_user_id) = ev.user_id
+       |    AND c.event_id < ev.bnd
+       |  GROUP BY ev.event_id)
+       |SELECT ev.event_id, ev.user_id, CAST(ev.version AS BIGINT) AS version,
+       |  CASE WHEN a.has_new THEN a.seq END AS pit_seq,
+       |  CASE WHEN a.has_new THEN a.value END AS pit_value
+       |FROM ev LEFT JOIN pitst a ON a.event_id = ev.event_id
+       |ORDER BY ev.event_id""".stripMargin
+
   private lazy val q186Sql: String =
     s"""WITH ${CdcSynth.synthSql},
        |latest AS (
@@ -311,7 +399,8 @@ object VersionedTableImpl {
   lazy val queries: Seq[Q] = Seq(
     Q("q182_time_travel", timeTravel, Some(q182Sql)),
     Q("q183_change_feed", versionDiff, Some(q183Sql)),
-    Q("q186_maintained_index", maintainedTypeIndex, Some(q186Sql)))
+    Q("q186_maintained_index", maintainedTypeIndex, Some(q186Sql)),
+    Q("q193_pit_join", pitJoin, Some(q193Sql)))
 }
 
 object VersionedTableOps {
