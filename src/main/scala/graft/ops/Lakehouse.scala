@@ -255,6 +255,46 @@ object LakehouseOpsImpl {
   def readTable(s: SparkSession, basePath: String): DataFrame =
     s.read.option("mergeSchema", "true").parquet(basePath)
 
+  /** POINT LOOKUPS on the bucketed table — the serving-path read: each
+    * key's bucket derives from the key itself (the same pmod that routed
+    * the write), so the scan partition-prunes to ≤ |keys| bucket dirs
+    * before any row is read; within them the key predicate pushes to the
+    * parquet footers (and rides q191's clustered min/max when present).
+    * At 100 TB a k-key lookup therefore opens O(k) buckets' files, never
+    * the table. */
+  def lookup(s: SparkSession, basePath: String, keys: Seq[Long],
+      nBuckets: Int): DataFrame = {
+    val buckets = keys.map(k => math.floorMod(k, nBuckets).toLong).distinct.sorted
+    readTable(s, basePath)
+      .filter(col("bucket").isin(buckets: _*) && col("user_id").isin(keys: _*))
+  }
+
+  /** q194: a 20-key lookup against the compacted q180 table — must
+    * hash-match DuckDB replaying the log for just those keys. */
+  def pointLookups(s: SparkSession, dir: String): DataFrame = {
+    val keys = (0L until 20L).map(_ * 7L)
+    lookup(s, ensureCompactedTable(s, dir), keys, 8)
+      .select(col("user_id"), col("last_op"), col("last_seq"),
+        col("event_type"), col("value"), col("k"))
+      .orderBy(col("user_id"))
+  }
+
+  private lazy val q194Sql: String = {
+    val keys = (0L until 20L).map(_ * 7L).mkString("(", ", ", ")")
+    s"""WITH ${CdcSynth.synthSql},
+       |latest AS (
+       |  SELECT COALESCE(new_user_id, old_user_id) AS user_id,
+       |    max_by(op, seq) AS last_op, max(seq) AS last_seq,
+       |    max_by(has_new, seq) AS has_new,
+       |    max_by(new_event_type, seq) AS event_type,
+       |    max_by(new_value, seq) AS value,
+       |    max_by(new_k, seq) AS k
+       |  FROM cdc GROUP BY 1)
+       |SELECT user_id, last_op, last_seq, event_type, value, k
+       |FROM latest WHERE has_new AND user_id IN $keys
+       |ORDER BY user_id""".stripMargin
+  }
+
   /** Write a table state as the bucketed base for [[cowMerge]]. */
   def writeBucketed(df: DataFrame, basePath: String, nBuckets: Int): Unit =
     df.withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
@@ -385,7 +425,8 @@ object LakehouseOpsImpl {
     Q("q179_cdc_merge_cow", mergeReplay, Some(q179Sql), headline = true),
     Q("q180_cdc_compact", compactedTable, Some(q180Sql)),
     // same oracle as q180 on purpose: clustering is a pure layout change
-    Q("q191_cdc_clustered_compact", clusteredTable, Some(q180Sql)))
+    Q("q191_cdc_clustered_compact", clusteredTable, Some(q180Sql)),
+    Q("q194_cdc_point_lookup", pointLookups, Some(q194Sql)))
 }
 
 /** Registry hook. */

@@ -197,6 +197,24 @@ class LakehouseSpec extends SparkSpec {
       s"old-schema full image overwrites -> img_url null: $afterOld")
   }
 
+  test("point lookup prunes to the keys' buckets and pushes the key predicate") {
+    val tmp = java.nio.file.Files.createTempDirectory("cow7").toString
+    LakehouseOpsImpl.cowMerge(spark, tmp, baseEnv, NB)
+    // keys 3 and 11 both live in bucket 3 -> exactly one bucket scanned
+    val got = LakehouseOpsImpl.lookup(spark, tmp, Seq(3L, 11L), NB)
+    got.collect()
+    val scan = got.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("expected a FileSourceScanExec leaf"))
+    val bucket3Files = fileState(tmp).keys.count(_.contains("bucket=3"))
+    assert(scan.metrics("numFiles").value == bucket3Files,
+      s"lookup must open only bucket 3's files: ${scan.metrics("numFiles").value}")
+    val pushed = scan.toString
+    assert(pushed.contains("In(user_id"),
+      s"key predicate must push to the parquet footers:\n$pushed")
+    assert(got.count() == 2)
+  }
+
   test("cowMerge read is partition-pruned to the touched buckets") {
     val tmp = java.nio.file.Files.createTempDirectory("cow3").toString
     LakehouseOpsImpl.writeBucketed(
