@@ -58,6 +58,97 @@ object DriftOpsImpl {
       .orderBy(col("source"))
   }
 
+  /** q195: STRUCTURAL drift — the two-sample χ² between a source's early
+    * and late token-length distributions (power-of-2 length bins, the
+    * q178 binning trick on plain integers). q185 answers "did the
+    * MEANING move" (embedding centroids); this answers "did the SHAPE
+    * move" (a template change, a scraper truncating, boilerplate
+    * injection — all of which shift length structure before they shift
+    * semantics). χ² = Σ (observed − expected)²/expected over both eras'
+    * bins with expected from the pooled distribution; bin counts are
+    * exact BIGINTs, each bin's χ² term is floor-1e9-quantized and summed
+    * as DECIMAL so the cross-engine sum is order-independent (the q189
+    * lesson applied to a sum of doubles).
+    *
+    * Scale shape: one narrow corpus pass → (source, era, bin) counts
+    * (map-side combined, ≤ sources × 2 × 61 rows) → per-source joins on
+    * that metadata frame. */
+  def lengthDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val mid = d.agg(expr("max(doc_id) div 2").as("mid"))
+    val binned = d.crossJoin(broadcast(mid))
+      .select(col("source"),
+        when(col("doc_id") < col("mid"), "early").otherwise("late").as("era"),
+        expr(s"CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"))
+      .withColumn("bin", expr(QuantileSketchOpsImpl.binSql("n_tok")))
+    val cnt = binned.groupBy(col("source"), col("era"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("source"), col("era"))
+      .agg(sum(col("c")).cast(LongType).as("n_era"))
+    val pooled = cnt.groupBy(col("source"), col("bin"))
+      .agg(sum(col("c")).cast(LongType).as("c_bin"))
+    val nsrc = tot.groupBy(col("source"))
+      .agg(sum(col("n_era")).cast(LongType).as("n_src"))
+    // densify to the full (source, bin) × era grid: a bin one era never
+    // produced still contributes its (0 − E)²/E term
+    val eras = s.sql("SELECT 'early' AS era UNION ALL SELECT 'late' AS era")
+    val terms = pooled.crossJoin(broadcast(eras))
+      .join(tot, Seq("source", "era"))
+      .join(nsrc, Seq("source"))
+      .join(cnt, Seq("source", "era", "bin"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      // expected = n_era * c_bin / n_src; term = (c - E)^2 / E
+      .withColumn("e", expr(
+        "CAST(n_era AS DOUBLE) * CAST(c_bin AS DOUBLE) / CAST(n_src AS DOUBLE)"))
+      .withColumn("term", expr("(CAST(c AS DOUBLE) - e) * (CAST(c AS DOUBLE) - e) / e"))
+    terms.groupBy(col("source"))
+      .agg(
+        max(when(col("era") === "early", col("n_era"))).as("n_early"),
+        max(when(col("era") === "late", col("n_era"))).as("n_late"),
+        countDistinct(col("bin")).as("n_bins"),
+        expr("CAST(SUM(CAST(FLOOR(term * 1e9) AS DECIMAL(38,0))) AS DOUBLE) / 1e9")
+          .as("chi2"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val q195Sql: String =
+    s"""WITH mid AS (SELECT max(doc_id) // 2 AS mid FROM documents),
+       |b AS (
+       |  SELECT source,
+       |    CASE WHEN doc_id < mid THEN 'early' ELSE 'late' END AS era,
+       |    ${QuantileSketchOpsImpl.binSql(
+              "CAST(len(string_split(text, ' ')) AS BIGINT)")} AS bin
+       |  FROM documents, mid),
+       |cnt AS (SELECT source, era, bin, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM b GROUP BY 1, 2, 3),
+       |tot AS (SELECT source, era, CAST(SUM(c) AS BIGINT) AS n_era
+       |  FROM cnt GROUP BY 1, 2),
+       |pooled AS (SELECT source, bin, CAST(SUM(c) AS BIGINT) AS c_bin
+       |  FROM cnt GROUP BY 1, 2),
+       |nsrc AS (SELECT source, CAST(SUM(n_era) AS BIGINT) AS n_src
+       |  FROM tot GROUP BY 1),
+       |eras AS (SELECT 'early' AS era UNION ALL SELECT 'late'),
+       |grid AS (
+       |  SELECT pooled.source, eras.era, pooled.bin, pooled.c_bin,
+       |    tot.n_era, nsrc.n_src, COALESCE(cnt.c, 0) AS c
+       |  FROM pooled CROSS JOIN eras
+       |  JOIN tot ON tot.source = pooled.source AND tot.era = eras.era
+       |  JOIN nsrc ON nsrc.source = pooled.source
+       |  LEFT JOIN cnt ON cnt.source = pooled.source AND cnt.era = eras.era
+       |    AND cnt.bin = pooled.bin),
+       |t2 AS (SELECT source, era, bin, c, n_era,
+       |    CAST(n_era AS DOUBLE) * CAST(c_bin AS DOUBLE) / CAST(n_src AS DOUBLE) AS e
+       |  FROM grid),
+       |t3 AS (SELECT source, era, bin, n_era,
+       |    (CAST(c AS DOUBLE) - e) * (CAST(c AS DOUBLE) - e) / e AS term
+       |  FROM t2)
+       |SELECT source,
+       |  CAST(MAX(CASE WHEN era = 'early' THEN n_era END) AS BIGINT) AS n_early,
+       |  CAST(MAX(CASE WHEN era = 'late' THEN n_era END) AS BIGINT) AS n_late,
+       |  CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_bins,
+       |  CAST(SUM(CAST(FLOOR(term * 1e9) AS DECIMAL(38,0))) AS DOUBLE) / 1e9 AS chi2
+       |FROM t3 GROUP BY source ORDER BY source""".stripMargin
+
   private lazy val q185Sql: String = {
     val comps = (1 to Dims).map(i =>
       s"${VectorOpsImpl.duckCentComp(i)} / COUNT(*) AS c$i").mkString(",\n    ")
@@ -83,7 +174,8 @@ object DriftOpsImpl {
   }
 
   lazy val queries: Seq[Q] = Seq(
-    Q("q185_source_drift", sourceDrift, Some(q185Sql)))
+    Q("q185_source_drift", sourceDrift, Some(q185Sql)),
+    Q("q195_length_drift", lengthDrift, Some(q195Sql)))
 }
 
 object DriftOps {
