@@ -689,6 +689,27 @@ object DedupOpsImpl {
     * decide which source to drop. Costs nothing beyond the memoized q41
     * pair graph it reads: two broadcast-able id→source lookups (the pair
     * set is metadata-sized) and a |source-pairs|-row aggregate. */
+  /** q196: CLOSE THE TUNER LOOP over the q155 panel — pick the banding
+    * geometry maximizing `recall − 0.01 · candidates/truth` (recall paid
+    * for by verifier volume; the λ prices one exact-Jaccard verification
+    * against a point of recall). Measurement → selection → production
+    * config as one queryable artifact: re-run it after a corpus shift and
+    * the chosen row IS the new config, no human in the loop. Ties break
+    * (score, then fewer bands = cheaper) — a total order. Costs one
+    * |geometries|-row window over the memoized panel. */
+  def bandSelect(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("bands"))
+    lshBandSweep(s, dir)
+      .withColumn("score", expr(
+        "recall - 0.01 * (CAST(found_pairs AS DOUBLE) / CAST(truth_pairs AS DOUBLE))"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("bands"), col("rows_per_band"), col("truth_pairs"),
+        col("found_pairs"), col("true_found"), col("recall"),
+        col("precision"), col("score"))
+  }
+
   def crossSourceDup(s: SparkSession, dir: String): DataFrame = {
     val src = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
     val pairs = ngramJaccard(s, dir).select(col("a_id"), col("b_id"), col("jaccard"))
@@ -735,6 +756,56 @@ object DedupOps {
       |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]),
       |    x -> x IS NOT NULL))) AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))""".stripMargin
+
+  /** DuckDB mirror of the banding sweep — shared by q155 (the panel)
+    * and q196 (the argmax selection over it). */
+  private[graft] lazy val bandSweepOracle: String = {
+      def rb(id: String) = {
+        def nib(i: Int) =
+          s"(strpos('0123456789abcdef', substr(md5('rcl:' || CAST($id AS VARCHAR)), $i, 1)) - 1)"
+        s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})" +
+          s" * (SELECT COUNT(*) FROM documents) < ${RecallSampleTarget * 65536L}"
+      }
+      val geoms = BandGeometries.zipWithIndex.map { case ((b, r), g) =>
+        val bandsSel = (0 until b).map(bi =>
+          s"SELECT doc_id, $bi AS band, md5(${(0 until r).map(ri => s"h${bi * r + ri}").mkString(" || ")}) AS bh FROM sig")
+          .mkString(" UNION ALL ")
+        s"""bands$g AS ($bandsSel),
+           |ok$g AS (SELECT band, bh FROM bands$g GROUP BY band, bh HAVING COUNT(*) <= $BucketCap),
+           |bk$g AS (SELECT b.doc_id, b.band, b.bh FROM bands$g b JOIN ok$g USING (band, bh)),
+           |f$g AS (
+           |  SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band, a_id, b_id
+           |  FROM (
+           |    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |    FROM bk$g a JOIN bk$g b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id) c
+           |  WHERE ${rb("a_id")} AND ${rb("b_id")})""".stripMargin
+      }.mkString(",\n")
+      val unionAll = BandGeometries.indices
+        .map(g => s"SELECT * FROM f$g").mkString(" UNION ALL ")
+      s"""WITH $shingleSql,
+         |ssh AS (SELECT doc_id, sh.sh FROM sh WHERE ${rb("doc_id")}),
+         |tsizes AS (SELECT doc_id, COUNT(*) AS n FROM ssh GROUP BY doc_id),
+         |truth AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |    FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) p
+         |  JOIN tsizes na ON na.doc_id = a_id JOIN tsizes nb ON nb.doc_id = b_id
+         |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5),
+         |sig AS (SELECT doc_id, $laneSql FROM sh GROUP BY doc_id),
+         |$geoms,
+         |found AS ($unionAll),
+         |hits AS (
+         |  SELECT bands, rows_per_band, CAST(COUNT(*) AS BIGINT) AS found_pairs,
+         |    CAST(SUM(CASE WHEN t.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS true_found
+         |  FROM found f LEFT JOIN truth t ON t.a_id = f.a_id AND t.b_id = f.b_id
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS truth_pairs FROM truth)
+         |SELECT bands, rows_per_band, truth_pairs, found_pairs, true_found,
+         |  CAST(true_found AS DOUBLE) / truth_pairs AS recall,
+         |  CAST(true_found AS DOUBLE) / found_pairs AS precision
+         |FROM hits, tot ORDER BY bands""".stripMargin
+  }
 
   def queries: Seq[Q] = Seq(
     Q("q40_dedup_exact", exact, Some(
@@ -1133,53 +1204,19 @@ object DedupOps {
          |GROUP BY source_a, source_b
          |ORDER BY source_a, source_b""".stripMargin)),
 
-    Q("q155_dedup_band_sweep", lshBandSweep, Some {
-      def rb(id: String) = {
-        def nib(i: Int) =
-          s"(strpos('0123456789abcdef', substr(md5('rcl:' || CAST($id AS VARCHAR)), $i, 1)) - 1)"
-        s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})" +
-          s" * (SELECT COUNT(*) FROM documents) < ${RecallSampleTarget * 65536L}"
-      }
-      val geoms = BandGeometries.zipWithIndex.map { case ((b, r), g) =>
-        val bandsSel = (0 until b).map(bi =>
-          s"SELECT doc_id, $bi AS band, md5(${(0 until r).map(ri => s"h${bi * r + ri}").mkString(" || ")}) AS bh FROM sig")
-          .mkString(" UNION ALL ")
-        s"""bands$g AS ($bandsSel),
-           |ok$g AS (SELECT band, bh FROM bands$g GROUP BY band, bh HAVING COUNT(*) <= $BucketCap),
-           |bk$g AS (SELECT b.doc_id, b.band, b.bh FROM bands$g b JOIN ok$g USING (band, bh)),
-           |f$g AS (
-           |  SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band, a_id, b_id
-           |  FROM (
-           |    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |    FROM bk$g a JOIN bk$g b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id) c
-           |  WHERE ${rb("a_id")} AND ${rb("b_id")})""".stripMargin
-      }.mkString(",\n")
-      val unionAll = BandGeometries.indices
-        .map(g => s"SELECT * FROM f$g").mkString(" UNION ALL ")
-      s"""WITH $shingleSql,
-         |ssh AS (SELECT doc_id, sh.sh FROM sh WHERE ${rb("doc_id")}),
-         |tsizes AS (SELECT doc_id, COUNT(*) AS n FROM ssh GROUP BY doc_id),
-         |truth AS (
-         |  SELECT a_id, b_id FROM (
-         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
-         |    FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |    GROUP BY 1, 2) p
-         |  JOIN tsizes na ON na.doc_id = a_id JOIN tsizes nb ON nb.doc_id = b_id
-         |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5),
-         |sig AS (SELECT doc_id, $laneSql FROM sh GROUP BY doc_id),
-         |$geoms,
-         |found AS ($unionAll),
-         |hits AS (
-         |  SELECT bands, rows_per_band, CAST(COUNT(*) AS BIGINT) AS found_pairs,
-         |    CAST(SUM(CASE WHEN t.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS true_found
-         |  FROM found f LEFT JOIN truth t ON t.a_id = f.a_id AND t.b_id = f.b_id
-         |  GROUP BY 1, 2),
-         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS truth_pairs FROM truth)
-         |SELECT bands, rows_per_band, truth_pairs, found_pairs, true_found,
-         |  CAST(true_found AS DOUBLE) / truth_pairs AS recall,
-         |  CAST(true_found AS DOUBLE) / found_pairs AS precision
-         |FROM hits, tot ORDER BY bands""".stripMargin
-    }),
+    Q("q155_dedup_band_sweep", lshBandSweep, Some(bandSweepOracle)),
+
+    Q("q196_dedup_band_select", DedupOpsImpl.bandSelect, Some(
+      s"""SELECT bands, rows_per_band, truth_pairs, found_pairs, true_found,
+         |  recall, precision, score
+         |FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, bands)
+         |      AS BIGINT) AS rn
+         |  FROM (
+         |    SELECT *, recall - 0.01 *
+         |      (CAST(found_pairs AS DOUBLE) / CAST(truth_pairs AS DOUBLE)) AS score
+         |    FROM ($bandSweepOracle) panel) scored) ranked
+         |WHERE rn = 1""".stripMargin)),
 
     Q("q123_dedup_scurve", lshScurve, Some {
       def rb(id: String) =
