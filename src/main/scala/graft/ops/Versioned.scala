@@ -148,6 +148,37 @@ object VersionedTableImpl {
     newV
   }
 
+  /** WRITE-AUDIT-PUBLISH: merge `env` as a STAGED version, run `audit`
+    * against the would-be new state, and only then publish. The manifest
+    * write is already the commit point, so WAP needs no new machinery —
+    * the staged manifest lands under `_versions/.pending-v{N}.parquet`
+    * (dot-prefixed: [[currentVersion]] never sees it), the audit reads
+    * the staged state through it, and PUBLISH is one atomic manifest
+    * rename. A failing audit deletes the pending manifest and leaves the
+    * table at version N−1 — its data files are unreferenced and the next
+    * [[vacuum]] sweeps them. Returns Right(newVersion) on publish,
+    * Left(reason) on an audit reject. */
+  def commitMergeAudited(s: SparkSession, root: String, env: DataFrame,
+      nBuckets: Int)(audit: DataFrame => Option[String]): Either[String, Int] = {
+    val before = currentVersion(s, root)
+    val newV = commitMerge(s, root, env, nBuckets)
+    if (newV == before) return Right(before) // empty batch: nothing to audit
+    val fs = fsOf(s, root)
+    val visible = new Path(s"$root/_versions/v$newV.parquet")
+    val pending = new Path(s"$root/_versions/.pending-v$newV.parquet")
+    fs.rename(visible, pending) // stage: invisible to version resolution
+    val staged = s.read.parquet(pending.toString)
+    val files = staged.select(col("file")).collect().map(_.getString(0)).toSeq
+    val state =
+      if (files.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[Row], LakehouseOpsImpl.tableSchema)
+      else s.read.option("mergeSchema", "true").parquet(files: _*)
+    audit(state) match {
+      case None => fs.rename(pending, visible); Right(newV)
+      case Some(reason) => fs.delete(pending, true); Left(reason)
+    }
+  }
+
   /** Per-key INSERT/UPDATE/DELETE feed between two committed versions.
     * Carries before/after images of the payload columns consumers index
     * on (value, event_type) — enough to maintain a derived structure

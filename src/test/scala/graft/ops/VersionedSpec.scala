@@ -93,4 +93,37 @@ class VersionedSpec extends SparkSpec {
     assert(remaining == v3Files.map(_.stripPrefix("file:")),
       "exactly the kept manifest's files remain")
   }
+
+  test("write-audit-publish: a failing audit leaves no visible version; a passing one publishes") {
+    val root = java.nio.file.Files.createTempDirectory("vtab_wap").toString
+    val v1 = VersionedTableImpl.commitMerge(spark, root,
+      env((0L until 8L).map(u => (8L * u, u))), NB)
+    assert(v1 == 1)
+    val before = users(VersionedTableImpl.readVersion(spark, root, 1))
+
+    // audit rejects: the batch would write value 250.0 (>= 100 cap)
+    val bad = VersionedTableImpl.commitMergeAudited(spark, root,
+      env(Seq((8L * 125, 1L))), NB) { state =>
+      val mx = state.agg(max(col("value"))).head().getDouble(0)
+      if (mx >= 100.0) Some(s"value cap exceeded: $mx") else None
+    }
+    assert(bad.isLeft, s"audit must reject: $bad")
+    assert(VersionedTableImpl.currentVersion(spark, root) == 1,
+      "rejected commit must leave the version unchanged")
+    assert(users(VersionedTableImpl.readVersion(spark, root, 1)) == before,
+      "rejected commit must leave the state unchanged")
+    // the rejected files are unreferenced; vacuum sweeps them
+    assert(VersionedTableImpl.vacuum(spark, root, keepFrom = 1).nonEmpty,
+      "rejected commit's data files must be vacuumable orphans")
+
+    // audit passes: a small-value update publishes as v2
+    val good = VersionedTableImpl.commitMergeAudited(spark, root,
+      env(Seq((8L * 30, 1L))), NB) { state =>
+      val mx = state.agg(max(col("value"))).head().getDouble(0)
+      if (mx >= 100.0) Some(s"value cap exceeded: $mx") else None
+    }
+    assert(good == Right(2), s"audit must publish: $good")
+    val after = users(VersionedTableImpl.readVersion(spark, root, 2))
+    assert(after(1L)._2 == 60.0, s"published state carries the update: $after")
+  }
 }
