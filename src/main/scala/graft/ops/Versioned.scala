@@ -417,6 +417,64 @@ object VersionedTableImpl {
        |FROM ev LEFT JOIN pitst a ON a.event_id = ev.event_id
        |ORDER BY ev.event_id""".stripMargin
 
+  /** q197: VERSION-CHURN panel — per commit transition of the quartered
+    * history, how many keys were inserted / updated / deleted and the
+    * churn rate against the destination state. This is the table-health
+    * dial a pipeline owner watches per merge: a sudden churn spike means
+    * an upstream re-send, a backfill, or a key-mapping bug — caught at
+    * the version boundary, before consumers read it. Costs |feed| per
+    * transition over the already-materialized version states. */
+  def versionChurn(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureQuartered(s, dir)
+    val rows = (1 to 2).map { v =>
+      val feed = changeFeed(s, root, v, v + 1)
+        .groupBy().agg(
+          sum(when(col("change_op") === "INSERT", 1L).otherwise(0L)).as("n_insert"),
+          sum(when(col("change_op") === "UPDATE", 1L).otherwise(0L)).as("n_update"),
+          sum(when(col("change_op") === "DELETE", 1L).otherwise(0L)).as("n_delete"))
+      val nTo = readVersion(s, root, v + 1)
+        .agg(count(lit(1)).as("n_state_to"))
+      feed.crossJoin(broadcast(nTo))
+        .select(lit(v.toLong).as("from_version"), lit((v + 1).toLong).as("to_version"),
+          col("n_insert"), col("n_update"), col("n_delete"), col("n_state_to"),
+          expr("CAST(n_insert + n_update + n_delete AS DOUBLE) " +
+            "/ CAST(n_state_to AS DOUBLE)").as("churn"))
+    }
+    rows.reduce(_ unionByName _).orderBy(col("from_version"))
+  }
+
+  private lazy val q197Sql: String = {
+    def st(alias: String, bound: String) =
+      s"""$alias AS (
+         |  SELECT user_id, seq, value FROM (
+         |    SELECT COALESCE(new_user_id, old_user_id) AS user_id,
+         |      max(seq) AS seq, max_by(has_new, seq) AS has_new,
+         |      max_by(new_value, seq) AS value
+         |    FROM cdc, qq WHERE event_id < $bound GROUP BY 1) t
+         |  WHERE has_new)""".stripMargin
+    def trans(v: Int, a: String, b: String) =
+      s"""SELECT CAST($v AS BIGINT) AS from_version, CAST(${v + 1} AS BIGINT) AS to_version,
+         |  CAST(SUM(CASE WHEN x.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+         |  CAST(SUM(CASE WHEN x.user_id IS NOT NULL AND y.user_id IS NOT NULL
+         |    AND x.seq <> y.seq THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+         |  CAST(SUM(CASE WHEN y.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $b) AS n_state_to,
+         |  CAST(SUM(CASE WHEN x.user_id IS NULL OR y.user_id IS NULL
+         |      OR x.seq <> y.seq THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / (SELECT CAST(COUNT(*) AS DOUBLE) FROM $b) AS churn
+         |FROM $a x FULL OUTER JOIN $b y ON x.user_id = y.user_id""".stripMargin
+    s"""WITH ${CdcSynth.synthSql},
+       |qq AS (SELECT max(event_id) // 4 AS q FROM events),
+       |${st("s1", "q")},
+       |${st("s2", "q * 2")},
+       |${st("s3", "q * 3")}
+       |SELECT * FROM (
+       |${trans(1, "s1", "s2")}
+       |UNION ALL
+       |${trans(2, "s2", "s3")}) u
+       |ORDER BY from_version""".stripMargin
+  }
+
   private lazy val q186Sql: String =
     s"""WITH ${CdcSynth.synthSql},
        |latest AS (
@@ -431,7 +489,8 @@ object VersionedTableImpl {
     Q("q182_time_travel", timeTravel, Some(q182Sql)),
     Q("q183_change_feed", versionDiff, Some(q183Sql)),
     Q("q186_maintained_index", maintainedTypeIndex, Some(q186Sql)),
-    Q("q193_pit_join", pitJoin, Some(q193Sql)))
+    Q("q193_pit_join", pitJoin, Some(q193Sql)),
+    Q("q197_version_churn", versionChurn, Some(q197Sql)))
 }
 
 object VersionedTableOps {
