@@ -133,7 +133,8 @@ object Registry {
       ops.DriftOps.queries ++
       ops.CurationPanelsOps.queries ++
       ops.ScheduleOps.queries ++
-      ops.GraphReachOps.queries
+      ops.GraphReachOps.queries ++
+      ops.JoinEstimateOps.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
