@@ -656,7 +656,17 @@ object DedupOpsImpl {
     * Scale shape: three band joins, each the audited capped-bucket
     * generator; the truth set is the memoized sample-bounded enumeration
     * (broadcast-sized), and the panel is |geometries| rows. */
-  def lshBandSweep(s: SparkSession, dir: String): DataFrame = {
+  /** Memoized: the panel is |geometries| rows behind three band joins,
+    * and q196's selection re-reads it — without the memo the sweep ran
+    * twice per session (4.3 s each at sf0.1). */
+  def lshBandSweep(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Memo.getOrCache(bandSweepCache, s, dir, _ =>
+      lshBandSweepPlan(s, dir).localCheckpoint())
+
+  private val bandSweepCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def lshBandSweepPlan(s: SparkSession, dir: String): DataFrame = {
     val n = docCount(s, dir)
     val truth = recallTruthPairs(s, dir).filter(col("j") >= 0.5)
       .select(col("a_id"), col("b_id"))
