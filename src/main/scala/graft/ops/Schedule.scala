@@ -86,8 +86,34 @@ object ScheduleOpsImpl {
        |SELECT step, source, doc_id, rk, wgt, vkey
        |FROM stepped WHERE step <= $Steps ORDER BY step""".stripMargin
 
+  /** q199: the schedule AUDITED — per source, the target weight vs the
+    * share realized in the N-step prefix and the absolute gap. The stride
+    * rule's whole point is that any prefix approximates the mixture;
+    * this gate MEASURES that claim on the same frame q189 emits (gap ≤
+    * one slot ≈ 1/N per source by the stride construction), so a
+    * scheduler regression shows up as a widening gap, not a silent
+    * mixture skew in some later training run. */
+  def scheduleMix(s: SparkSession, dir: String): DataFrame =
+    mixtureSchedule(s, dir)
+      .groupBy(col("source"), col("wgt"))
+      .agg(count(lit(1)).as("n_steps"))
+      .select(col("source"), col("wgt").as("target_share"),
+        col("n_steps"),
+        (col("n_steps").cast("double") / Steps.toDouble).as("realized_share"),
+        abs(col("n_steps").cast("double") / Steps.toDouble - col("wgt")).as("gap"))
+      .orderBy(col("source"))
+
+  private lazy val q199Sql: String =
+    s"""SELECT source, wgt AS target_share,
+       |  CAST(COUNT(*) AS BIGINT) AS n_steps,
+       |  CAST(COUNT(*) AS DOUBLE) / ${Steps}.0 AS realized_share,
+       |  abs(CAST(COUNT(*) AS DOUBLE) / ${Steps}.0 - wgt) AS gap
+       |FROM ($q189Sql) sched
+       |GROUP BY source, wgt ORDER BY source""".stripMargin
+
   lazy val queries: Seq[Q] = Seq(
-    Q("q189_mixture_schedule", mixtureSchedule, Some(q189Sql)))
+    Q("q189_mixture_schedule", mixtureSchedule, Some(q189Sql)),
+    Q("q199_schedule_mix", scheduleMix, Some(q199Sql)))
 }
 
 object ScheduleOps {
