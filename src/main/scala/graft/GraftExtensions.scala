@@ -52,6 +52,14 @@ object GraftExtensions {
           "simhash(tokens array<string>[, bits int literal])")
       }),
 
+    (new FunctionIdentifier("minhash8"),
+      new ExpressionInfo(classOf[graft.expr.MinHashExpr].getName, "minhash8"),
+      (args: Seq[Expression]) => args match {
+        case Seq(shingles) => graft.expr.MinHashExpr(shingles)
+        case _ => throw new IllegalArgumentException(
+          "minhash8(shingles array<string>)")
+      }),
+
     (new FunctionIdentifier("dhash64"),
       new ExpressionInfo(classOf[graft.expr.DHashExpr].getName, "dhash64"),
       (args: Seq[Expression]) => args match {

@@ -737,6 +737,28 @@ object DedupOpsImpl {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** q200: the 8-lane MinHash signature via the native codegen'd
+    * expression (graft.expr.MinHashExpr) — one pass over each row's
+    * shingle array, no explode and no doc-keyed aggregate (the relational
+    * form shuffles corpus × shingles rows into a group-MIN). The eight
+    * element_at projections CSE into a single evaluation under
+    * whole-stage codegen's subexpression elimination. Same DuckDB oracle
+    * as the relational lanes: native == relational, bitwise. */
+  def minhash8Native(s: SparkSession, dir: String): DataFrame = {
+    val arr = Tables(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("shs", expr(
+        """array_distinct(filter(transform(sequence(1, size(toks)),
+          |  i -> concat(try_element_at(toks, i), ' ', try_element_at(toks, i + 1),
+          |              ' ', try_element_at(toks, i + 2))),
+          |  x -> x IS NOT NULL))""".stripMargin))
+      .filter(size(col("shs")) > 0) // a shingle-less doc has no signature
+      .withColumn("mh", graft.expr.MinHashFunctions.minhash8(col("shs")))
+    arr.select(col("doc_id") +: (0 until 8).map(i =>
+        element_at(col("mh"), i + 1).as(s"h$i")): _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** Same signature via the native codegen'd Catalyst expression
     * (graft.expr.SimHashExpr) — one pass per row, no explode/shuffle at all;
     * this is the hot-path form for 100 TB corpora. 48 bits so the DuckDB
@@ -1215,6 +1237,11 @@ object DedupOps {
          |ORDER BY source_a, source_b""".stripMargin)),
 
     Q("q155_dedup_band_sweep", lshBandSweep, Some(bandSweepOracle)),
+
+    Q("q200_dedup_minhash_native", DedupOpsImpl.minhash8Native, Some(
+      s"""WITH $shingleSql
+         |SELECT doc_id, $laneSql
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     Q("q196_dedup_band_select", DedupOpsImpl.bandSelect, Some(
       s"""SELECT bands, rows_per_band, truth_pairs, found_pairs, true_found,

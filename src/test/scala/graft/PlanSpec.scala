@@ -611,6 +611,19 @@ class PlanSpec extends SparkSpec {
       || s.contains("(rk"), "per-source rank bound must prune before the global window")
   }
 
+  test("q200 native minhash: no explode, no aggregate, stays in whole-stage codegen") {
+    val df = ops.DedupOpsImpl.minhash8Native(spark, dir)
+    val s = plan(df)
+    assert(!s.contains("Generate"), "native lanes must not explode shingles")
+    assert(!s.contains("HashAggregate") && !s.contains("SortAggregate"),
+      "native lanes need no doc-keyed group-MIN")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val noAqe = plan(ops.DedupOpsImpl.minhash8Native(spark, dir))
+      assert(noAqe.contains("*("), "signature projection must be codegen'd")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q181 truth refresh scores only the delta: queries broadcast, no cartesian") {
     graft.expr.DotF64.register(spark)
     val e = Tables(spark, dir, "embeddings")
