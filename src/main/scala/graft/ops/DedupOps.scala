@@ -182,6 +182,30 @@ object DedupOpsImpl {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** q201: the FULL LSH candidate generator driven by the native
+    * signature — q200's one-pass minhash8 feeds the same 4-band × capped-
+    * bucket pair join as q42, and the pair set must equal q42's exactly
+    * (same oracle). This is the hot-path composition a 100 TB dedup run
+    * ships: the only corpus-sized shuffle left is the band-bucket join;
+    * the signature stage is a codegen'd projection. */
+  def minhashLshNative(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhash8Native(s, dir)
+    val bands = sig.withColumn("bands", array(
+        (0 until 4).map(b => struct(lit(b).as("band"),
+          md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh"))): _*))
+      .select(col("doc_id"), explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val okBuckets = bands.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
+      .filter(col("n") <= BucketCap).select("band", "bh")
+    val bucketed = bands.join(okBuckets, Seq("band", "bh"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** 16-bit SimHash over distinct tokens; bit j comes from nibble j/4 of the
     * token's md5 (nibble decoded portably via strpos on the hex alphabet).
     * Memoized cached (doc_id, simhash) view — q43 and the q100 panel's
@@ -1242,6 +1266,21 @@ object DedupOps {
       s"""WITH $shingleSql
          |SELECT doc_id, $laneSql
          |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // identical oracle to q42 on purpose: the native-signature LSH must
+    // produce exactly the relational pipeline's candidate set
+    Q("q201_dedup_lsh_native", DedupOpsImpl.minhashLshNative, Some {
+      val bands = (0 until 4).map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bh FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH $shingleSql,
+         |sig AS (SELECT doc_id, $laneSql FROM sh GROUP BY doc_id),
+         |bands AS ($bands),
+         |ok AS (SELECT band, bh FROM bands GROUP BY band, bh HAVING COUNT(*) <= $BucketCap),
+         |bk AS (SELECT b.doc_id, b.band, b.bh FROM bands b JOIN ok USING (band, bh))
+         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |FROM bk a JOIN bk b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |ORDER BY a_id, b_id""".stripMargin
+    }),
 
     Q("q196_dedup_band_select", DedupOpsImpl.bandSelect, Some(
       s"""SELECT bands, rows_per_band, truth_pairs, found_pairs, true_found,
