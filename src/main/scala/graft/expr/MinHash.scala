@@ -44,32 +44,54 @@ object MinHash8 {
     out
   }
 
-  /** Evaluated from both interpreted eval and generated code. */
+  /** hex window [off, off+8) of `cand` < same window of `cur`? */
+  private def lt(cand: Array[Char], cur: Array[Char], off: Int): Boolean = {
+    var j = 0
+    while (j < 8) {
+      val c = cand(off + j); val m = cur(j)
+      if (c != m) return c < m
+      j += 1
+    }
+    false
+  }
+
+  /** Evaluated from both interpreted eval and generated code. Allocation
+    * discipline: per shingle only the two digests and their hex buffers —
+    * lane minima live in fixed char[8] scratch (copied in place), no
+    * per-lane String churn; the UTF8String bytes feed md5 directly
+    * (UTF8String IS utf-8), the second digest through one prefixed
+    * buffer. */
   def compute(shingles: ArrayData): ArrayData = {
-    val mins = new Array[String](8)
+    val mins = Array.ofDim[Char](8, 8)
+    val seen = new Array[Boolean](8)
     val md = MessageDigest.getInstance("MD5")
     var i = 0
     val n = shingles.numElements()
     while (i < n) {
       val sh = shingles.getUTF8String(i)
       if (sh != null) {
-        val s = sh.toString
-        val h1 = hex(md.digest(s.getBytes("UTF-8")))
-        val h2 = hex(md.digest(("1:" + s).getBytes("UTF-8")))
+        val raw = sh.getBytes
+        val h1 = hex(md.digest(raw))
+        val pre = new Array[Byte](raw.length + 2)
+        pre(0) = '1'; pre(1) = ':'
+        System.arraycopy(raw, 0, pre, 2, raw.length)
+        val h2 = hex(md.digest(pre))
         var lane = 0
-        while (lane < 4) {
-          val w1 = new String(h1, 8 * lane, 8)
-          if (mins(lane) == null || w1.compareTo(mins(lane)) < 0) mins(lane) = w1
-          val w2 = new String(h2, 8 * lane, 8)
-          if (mins(lane + 4) == null || w2.compareTo(mins(lane + 4)) < 0)
-            mins(lane + 4) = w2
+        while (lane < 8) {
+          val h = if (lane < 4) h1 else h2
+          val off = 8 * (lane % 4)
+          if (!seen(lane) || lt(h, mins(lane), off)) {
+            var j = 0
+            while (j < 8) { mins(lane)(j) = h(off + j); j += 1 }
+            seen(lane) = true
+          }
           lane += 1
         }
       }
       i += 1
     }
-    new GenericArrayData(mins.map(m =>
-      if (m == null) null else UTF8String.fromString(m)))
+    new GenericArrayData((0 until 8).map(l =>
+      if (!seen(l)) null else UTF8String.fromString(new String(mins(l)))).toArray)
   }
 }
 

@@ -769,18 +769,38 @@ object DedupOpsImpl {
     * whole-stage codegen's subexpression elimination. Same DuckDB oracle
     * as the relational lanes: native == relational, bitwise. */
   def minhash8Native(s: SparkSession, dir: String): DataFrame = {
-    val arr = Tables(s, dir, "documents")
+    // memoized ARRAY form: the expression evaluates exactly once per row
+    // (single reference in the checkpointed plan — lane projections below
+    // read columnar data, so no CSE assumption is needed); q200 gates it
+    // and q201 composes it into the pair join
+    val mh = graft.ops.Memo.getOrCache(minhash8Cache, s, dir, _ =>
+      minhash8NativePlan(s, dir).localCheckpoint())
+    mh.filter(element_at(col("mh"), 1).isNotNull) // shingle-less docs
+      .select(col("doc_id") +: (0 until 8).map(i =>
+        element_at(col("mh"), i + 1).as(s"h$i")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private val minhash8Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def minhash8NativePlan(s: SparkSession, dir: String): DataFrame = {
+    // local[32] reads the corpus as ONE split, serializing the hash work
+    // onto one core; a real deployment has thousands of input splits, so
+    // the round-robin here just models that parallelism locally
+    val arr = Tables(s, dir, "documents").repartition(32)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("shs", expr(
         """array_distinct(filter(transform(sequence(1, size(toks)),
           |  i -> concat(try_element_at(toks, i), ' ', try_element_at(toks, i + 1),
           |              ' ', try_element_at(toks, i + 2))),
           |  x -> x IS NOT NULL))""".stripMargin))
-      .filter(size(col("shs")) > 0) // a shingle-less doc has no signature
-      .withColumn("mh", graft.expr.MinHashFunctions.minhash8(col("shs")))
-    arr.select(col("doc_id") +: (0 until 8).map(i =>
-        element_at(col("mh"), i + 1).as(s"h$i")): _*)
-      .orderBy(col("doc_id"))
+    // NO size(shs) filter here: a predicate on shs makes Catalyst
+    // substitute (= recompute) the whole shingle HOF inside the filter;
+    // an empty shingle set yields all-null lanes, so the shingle-less
+    // docs drop via a cheap null check on the MEMOIZED frame instead
+    arr.select(col("doc_id"),
+      graft.expr.MinHashFunctions.minhash8(col("shs")).as("mh"))
   }
 
   /** Same signature via the native codegen'd Catalyst expression

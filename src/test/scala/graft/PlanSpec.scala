@@ -612,14 +612,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q200 native minhash: no explode, no aggregate, stays in whole-stage codegen") {
-    val df = ops.DedupOpsImpl.minhash8Native(spark, dir)
+    val df = ops.DedupOpsImpl.minhash8NativePlan(spark, dir)
     val s = plan(df)
     assert(!s.contains("Generate"), "native lanes must not explode shingles")
     assert(!s.contains("HashAggregate") && !s.contains("SortAggregate"),
       "native lanes need no doc-keyed group-MIN")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val noAqe = plan(ops.DedupOpsImpl.minhash8Native(spark, dir))
+      val noAqe = plan(ops.DedupOpsImpl.minhash8NativePlan(spark, dir))
       assert(noAqe.contains("*("), "signature projection must be codegen'd")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
