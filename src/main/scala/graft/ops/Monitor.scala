@@ -32,10 +32,18 @@ object MonitorOpsImpl {
   val BurstZ = 3.0
   val BurstMinPrev = 12
 
-  def eventBursts(s: SparkSession, dir: String): DataFrame = {
-    val hours = Tables(s, dir, "events")
-      .select(expr("unix_millis(ts) div 3600000").as("hour"))
+  /** The per-hour arrival counts — on a STREAMING frame this is the
+    * incrementally-maintained form: COUNT folds per arriving event into
+    * the hour-keyed state (calendar-bounded — one row per observed hour),
+    * and the stream-built table row-equals this batch aggregate at every
+    * micro-batch boundary ([[graft.streaming.StreamBurst]]). */
+  private[graft] def hourCounts(events: DataFrame): DataFrame =
+    events.select(expr("unix_millis(ts) div 3600000").as("hour"))
       .groupBy(col("hour")).agg(count(lit(1)).as("c"))
+
+  /** z-score readoff over an hour-count table (stream-built or batch —
+    * StreamBurstSpec asserts the caller can't tell). */
+  private[graft] def burstsFromHours(hours: DataFrame): DataFrame = {
     val w = Window.orderBy(col("hour")).rangeBetween(-24L, -1L)
     hours
       .withColumn("n_prev", count(col("c")).over(w))
@@ -53,6 +61,9 @@ object MonitorOpsImpl {
         col("mean_prev"), col("z"), col("is_burst"))
       .orderBy(col("hour"))
   }
+
+  def eventBursts(s: SparkSession, dir: String): DataFrame =
+    burstsFromHours(hourCounts(Tables(s, dir, "events")))
 
   private lazy val q174Sql: String =
     s"""WITH h AS (
