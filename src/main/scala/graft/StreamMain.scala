@@ -133,6 +133,17 @@ object StreamMain {
         embeddingField = conf.get(s"${GraftConfig.Root}.connector.embedding-field", "event_type"),
         dims = conf.getInt(s"${GraftConfig.Root}.connector.dimensions", 256),
         metadataFields = listConf("metadata-fields")))
+      // lakehouse target: each micro-batch MERGEs into the bucketed COW
+      // parquet table (the K1 latest-wins semantics against a table a
+      // warehouse can read, instead of a keyed store) — idempotent under
+      // replay via the sequence gate, so at-least-once delivery still
+      // yields exactly-once table state
+      .register("lakehouse", (batch, _) => {
+        ops.LakehouseOpsImpl.cowMerge(batch.sparkSession, s"$outDir/table",
+          batch,
+          conf.getInt(s"${GraftConfig.Root}.connector.lakehouse-buckets", 8))
+        ()
+      })
 
     val sink =
       if (sinkNames.size == 1) registry(sinkNames.head)
@@ -163,6 +174,9 @@ object StreamMain {
           s"${sqsClient.sent.size} SendMessageBatch calls, ${msgs.size} messages"
         case "mv" => s"${mvTable.data.size} materialized rows"
         case "vector" => s"${vecIndex.vectors.size} vectors"
+        case "lakehouse" =>
+          s"${spark.read.parquet(s"$outDir/table").count()} table rows in " +
+            s"${ops.LakehouseOpsImpl.bucketFileCounts(spark, s"$outDir/table").size} buckets"
         case _ => "console output"
       })
     }.toMap

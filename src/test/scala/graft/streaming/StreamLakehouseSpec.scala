@@ -29,7 +29,7 @@ class StreamLakehouseSpec extends SparkSpec {
   /** event_id % 8 drives the op type (CdcSynth): the id range 0..n mixes
     * INSERTs, UPDATEs, DELETEs, replicated ops, TTL and UNKNOWN, and
     * user_id = id % 17 makes later events update/delete earlier keys. */
-  private def events(ids: Range): Seq[LkEvent] = ids.map { i =>
+  private def events(ids: Seq[Int]): Seq[LkEvent] = ids.map { i =>
     LkEvent(i.toLong, (i % 17).toLong, s"t${i % 3}", i / 4.0,
       new Timestamp(1700000000000L + i * 1000L), s"""{"k":${(i % 17) * 7}}""")
   }
@@ -87,6 +87,52 @@ class StreamLakehouseSpec extends SparkSpec {
     val bucketDirs = new java.io.File(tableDir).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).map(_.getName)
     assert(bucketDirs.length > 1, s"expected multiple bucket dirs: ${bucketDirs.toSeq}")
+  }
+
+  test("config-driven lakehouse sink: COW table state equals the MV sink's, restart included") {
+    val tmp = Files.createTempDirectory("graft_lake_cli").toString
+    val (logDir, outDir, confPath) = (s"$tmp/log", s"$tmp/out", s"$tmp/conf.hocon")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(confPath),
+      """keyspaces-cdc-streams.stream {
+        |  source = shardlog
+        |  connector {
+        |    sink = "lakehouse,mv"
+        |    record-format = full
+        |    fields-to-include = "user_id,event_type,value,k"
+        |    partition-keys = "user_id"
+        |    lakehouse-buckets = 8
+        |  }
+        |}""".stripMargin)
+    // the MV sink rejects op UNKNOWN (id % 8 == 7), as the reference does
+    val env = CdcSynth.envelope(
+      events((0 until 160).filter(_ % 8 != 7).take(120)).toDF())
+    val shard = pmod(coalesce(col("image.user_id"), col("oldImage.user_id")), lit(4L))
+
+    def tableState(): Map[Long, Double] =
+      spark.read.parquet(s"$outDir/table")
+        .select(col("user_id"), col("value"))
+        .as[(Long, Double)].collect().toMap
+    def mvState(r: graft.StreamMain.RunResult): Map[Long, Double] =
+      r.mv.data.map { case (k, v) =>
+        k.head.asInstanceOf[Long] -> v("value").asInstanceOf[Double] }.toMap
+
+    graft.sources.ShardLog.record(env.filter(col("event_id") < 60), logDir, shard)
+    val r1 = graft.StreamMain.run(spark, confPath, logDir, outDir)
+    assert(tableState() == mvState(r1) && tableState().nonEmpty,
+      "lakehouse table must carry the same latest-wins state as the MV sink")
+
+    // more records land; a fresh run resumes from the checkpoint and the
+    // table converges to the full-log replay (the fresh run's MV table
+    // only sees the delta, so it must agree on every key it holds)
+    graft.sources.ShardLog.record(env, logDir, shard)
+    val r2 = graft.StreamMain.run(spark, confPath, logDir, outDir)
+    val full = expected(events((0 until 160).filter(_ % 8 != 7).take(120)))
+      .map(t => t._1 -> t._5).toMap
+    assert(tableState() == full,
+      "after restart + catch-up the table must equal the full-log replay")
+    mvState(r2).foreach { case (k, v) =>
+      assert(tableState()(k) == v, s"delta-run MV and table must agree on $k")
+    }
   }
 
   test("versioned sink leaves a time-travelable history; replay appends no version") {
