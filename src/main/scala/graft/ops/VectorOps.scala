@@ -485,12 +485,16 @@ object VectorOpsImpl {
             array_min(candidates).getField("l").as(s"a$m")
           }: _*).cache()
         try {
-          books = (0 until PqM).map { m =>
+          // The 8 per-subspace aggregations are independent k-row jobs over
+          // the same cached assignment view — submit them concurrently
+          // (Par.map keeps subspace order, so `books` stays deterministic).
+          val prev = books
+          books = graft.ops.Par.map(0 until PqM) { m =>
             val sums = count(lit(1)).as("n") +:
               (1 to PqSub).map(j => expr(sparkCentComp(m * PqSub + j)).as(s"s$j"))
             val byId = assigned.groupBy(col(s"a$m")).agg(sums.head, sums.tail: _*)
               .collect().map(r => r.getLong(0) -> r).toMap
-            books(m).map { case (cid, old) =>
+            prev(m).map { case (cid, old) =>
               byId.get(cid) match {
                 case Some(r) =>
                   val n = r.getLong(1)
@@ -498,7 +502,7 @@ object VectorOpsImpl {
                 case None => (cid, old)
               }
             }
-          }
+          }.toIndexedSeq
         } finally assigned.unpersist()
       }
       books
@@ -656,12 +660,15 @@ object VectorOpsImpl {
             array_min(candidates).getField("l").as(s"a$m")
           }: _*).cache()
         try {
-          books = (0 until PqM).map { m =>
+          // Same concurrent-submission shape as [[pqKmeansCodebooks]]: 8
+          // independent k-row aggregations over one cached view.
+          val prev = books
+          books = graft.ops.Par.map(0 until PqM) { m =>
             val sums = count(lit(1)).as("n") +:
               (1 to PqSub).map(j => expr(resCentComp(m * PqSub + j)).as(s"s$j"))
             val byId = assigned.groupBy(col(s"a$m")).agg(sums.head, sums.tail: _*)
               .collect().map(rr => rr.getLong(0) -> rr).toMap
-            books(m).map { case (cid, old) =>
+            prev(m).map { case (cid, old) =>
               byId.get(cid) match {
                 case Some(rr) =>
                   val n = rr.getLong(1)
@@ -669,7 +676,7 @@ object VectorOpsImpl {
                 case None => (cid, old)
               }
             }
-          }
+          }.toIndexedSeq
         } finally assigned.unpersist()
       }
       books
@@ -1935,17 +1942,17 @@ object VectorOpsImpl {
     * broadcast-sized exact top-k. */
   /** Every approximate ANN path, tagged — the measurement panel shared by
     * q77 (recall) and q113 (rank metrics). */
-  private def annPaths(s: SparkSession, dir: String): Seq[(String, DataFrame)] = Seq(
-    "adc_rerank" -> pqAdcRerank(s, dir),
-    "graph_search" -> graphSearch(s, dir),
-    "ivf" -> ivfTopK(s, dir),
-    "ivf_multiprobe" -> ivfMultiProbeTopK(s, dir),
-    "ivfpq" -> ivfPqTopK(s, dir),
-    "jl_rerank" -> jlRerank(s, dir),
-    "kmeans_ivf" -> kmeansIvfTopK(s, dir),
-    "kmeans_ivfpq" -> kmeansIvfPqTopK(s, dir),
-    "pq_adc" -> pqAdcTopK(s, dir),
-    "rivfpq" -> residualIvfPqTopK(s, dir))
+  private def annPaths(s: SparkSession, dir: String): Seq[(String, () => DataFrame)] = Seq(
+    "adc_rerank" -> (() => pqAdcRerank(s, dir)),
+    "graph_search" -> (() => graphSearch(s, dir)),
+    "ivf" -> (() => ivfTopK(s, dir)),
+    "ivf_multiprobe" -> (() => ivfMultiProbeTopK(s, dir)),
+    "ivfpq" -> (() => ivfPqTopK(s, dir)),
+    "jl_rerank" -> (() => jlRerank(s, dir)),
+    "kmeans_ivf" -> (() => kmeansIvfTopK(s, dir)),
+    "kmeans_ivfpq" -> (() => kmeansIvfPqTopK(s, dir)),
+    "pq_adc" -> (() => pqAdcTopK(s, dir)),
+    "rivfpq" -> (() => residualIvfPqTopK(s, dir)))
 
   /** The tagged (path, query_id, rn, neighbor_id) union of every
     * approximate path's top-3 — memoized CACHED view shared by q77 and
@@ -1954,7 +1961,7 @@ object VectorOpsImpl {
     * re-ran the full panel (r4 bench: q77 32 s + q113 36 s; one
     * materialization serves both). */
   private[graft] def annPanel(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Memo.getOrCache(annPanelCache, s, dir, _ =>
+    graft.ops.Memo.getOrCache(annPanelCache, s, dir, { _ =>
       // localCheckpoint PER PATH, not .cache() on the union: a cached union
       // keeps the nine probe plans as lineage, and analyzing that composite
       // tree (windows + joins + k×64 baked-literal arrays per path) cost
@@ -1962,10 +1969,21 @@ object VectorOpsImpl {
       // ~30 s with a fully warm cache. Checkpointing each path's (queries×3)-row
       // result truncates lineage, so the panel's consumers analyze a
       // nine-way union of tiny LogicalRDDs instead.
-      annPaths(s, dir).map { case (p, df) =>
-        df.select(lit(p).as("path"), col("query_id"), col("rn"), col("neighbor_id"))
+      //
+      // Paths materialize CONCURRENTLY: each probe is a few-partition job
+      // (queries × k output) that cannot fill the cluster alone, and most
+      // of a path's wall time is driver-side analysis of its literal-heavy
+      // plan — both overlap safely across threads. Submitting all ten from
+      // a driver pool makes the panel cost ~max(path) instead of sum(path).
+      // Shared upstream memos (kmeans/PQ models) are ConcurrentHashMap
+      // computeIfAbsent-guarded, so a model builds once and late arrivals
+      // block on it. The union keeps the deterministic Seq order — futures
+      // are awaited in declaration order.
+      graft.ops.Par.map(annPaths(s, dir)) { case (p, mk) =>
+        mk().select(lit(p).as("path"), col("query_id"), col("rn"), col("neighbor_id"))
           .localCheckpoint()
-      }.reduce(_ union _))
+      }.reduce(_ union _)
+    })
 
   private val annPanelCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
