@@ -203,10 +203,104 @@ object CurationPanelsImpl {
        |FROM agg ORDER BY max_len""".stripMargin
   }
 
+  /** Candidate context lengths for the PADDING sweep — sized to straddle
+    * the fixtures' 10–100-token document lengths (the q188 grid starts at
+    * 128, above every doc, so its truncation trade is what varies there;
+    * here the PADDING trade is the subject and the grid must cut through
+    * the length distribution to show it). In production the grid is the
+    * model's candidate max_seq_len values. */
+  private val PadLens = Seq(16L, 32L, 64L, 128L)
+
+  /** q204: the PADDING-POLICY sweep — q188 prices truncation assuming
+    * PERFECT packing; this prices the batching policies a trainer can
+    * actually run, per candidate context length L:
+    *
+    *  - `pad_fixed`: one doc per sequence, padded to L — the naive
+    *    collator; waste = Σ (L − min(n_tok, L)).
+    *  - `pad_bucket`: length bucketing — each doc pads only to the next
+    *    power-of-two bucket ≤ L (the standard bucketed-batching
+    *    compromise: kernel-friendly shapes without per-batch repacking).
+    *  - `pad_packed`: q37-style full packing — only the final partial
+    *    sequence pads; the floor every policy is measured against.
+    *
+    * The three waste shares side by side per L are the table that decides
+    * whether packing infrastructure is worth building at all (at L=16 on
+    * this corpus fixed-pad wastes little; at L=128 it wastes most of the
+    * batch — the panel quantifies exactly where the crossover sits).
+    *
+    * Determinism: every padded length is integer CASE/LEAST arithmetic on
+    * BIGINTs (the pow-2 ceiling is a 4-arm CASE chain, no logarithm);
+    * waste shares are one double division each with denominators ≥ corpus
+    * tokens > 0. Scale shape: identical to q188 — one narrow corpus scan
+    * fanned against a broadcast |grid|-row frame, map-side-combined into
+    * |grid| rows; no shuffle beyond the grid aggregate. */
+  def paddingSweep(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(
+      expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"))
+    val grid = s.sql(PadLens
+      .map(l => s"SELECT CAST($l AS BIGINT) AS max_len").mkString(" UNION ALL "))
+    d.crossJoin(broadcast(grid))
+      .withColumn("kept", least(col("n_tok"), col("max_len")))
+      .withColumn("bucket_len", expr(
+        """LEAST(CASE WHEN kept <= 16 THEN CAST(16 AS BIGINT)
+          |           WHEN kept <= 32 THEN CAST(32 AS BIGINT)
+          |           WHEN kept <= 64 THEN CAST(64 AS BIGINT)
+          |           ELSE CAST(128 AS BIGINT) END, max_len)""".stripMargin))
+      .groupBy(col("max_len"))
+      .agg(
+        sum(col("kept")).cast(LongType).as("tokens_kept"),
+        sum(col("max_len") - col("kept")).cast(LongType).as("pad_fixed"),
+        sum(col("bucket_len") - col("kept")).cast(LongType).as("pad_bucket"))
+      .withColumn("n_packed_seqs",
+        expr("(tokens_kept + max_len - 1) DIV max_len"))
+      .withColumn("pad_packed", col("n_packed_seqs") * col("max_len") - col("tokens_kept"))
+      .select(col("max_len"), col("tokens_kept"),
+        col("pad_fixed"), col("pad_bucket"), col("pad_packed"),
+        (col("pad_fixed").cast("double") /
+          (col("pad_fixed") + col("tokens_kept")).cast("double")).as("waste_fixed"),
+        (col("pad_bucket").cast("double") /
+          (col("pad_bucket") + col("tokens_kept")).cast("double")).as("waste_bucket"),
+        (col("pad_packed").cast("double") /
+          (col("pad_packed") + col("tokens_kept")).cast("double")).as("waste_packed"))
+      .orderBy(col("max_len"))
+  }
+
+  private lazy val q204Sql: String = {
+    val grid = PadLens.map(l => s"SELECT CAST($l AS BIGINT) AS max_len")
+      .mkString(" UNION ALL ")
+    s"""WITH d AS (
+       |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |grid AS ($grid),
+       |k AS (
+       |  SELECT max_len, least(n_tok, max_len) AS kept,
+       |    LEAST(CASE WHEN least(n_tok, max_len) <= 16 THEN CAST(16 AS BIGINT)
+       |               WHEN least(n_tok, max_len) <= 32 THEN CAST(32 AS BIGINT)
+       |               WHEN least(n_tok, max_len) <= 64 THEN CAST(64 AS BIGINT)
+       |               ELSE CAST(128 AS BIGINT) END, max_len) AS bucket_len
+       |  FROM d CROSS JOIN grid),
+       |agg AS (
+       |  SELECT max_len,
+       |    CAST(SUM(kept) AS BIGINT) AS tokens_kept,
+       |    CAST(SUM(max_len - kept) AS BIGINT) AS pad_fixed,
+       |    CAST(SUM(bucket_len - kept) AS BIGINT) AS pad_bucket
+       |  FROM k GROUP BY 1),
+       |p AS (
+       |  SELECT *, ((tokens_kept + max_len - 1) // max_len) * max_len - tokens_kept
+       |    AS pad_packed
+       |  FROM agg)
+       |SELECT max_len, tokens_kept, pad_fixed, pad_bucket, pad_packed,
+       |  CAST(pad_fixed AS DOUBLE) / CAST(pad_fixed + tokens_kept AS DOUBLE) AS waste_fixed,
+       |  CAST(pad_bucket AS DOUBLE) / CAST(pad_bucket + tokens_kept AS DOUBLE) AS waste_bucket,
+       |  CAST(pad_packed AS DOUBLE) / CAST(pad_packed + tokens_kept AS DOUBLE) AS waste_packed
+       |FROM p ORDER BY max_len""".stripMargin
+  }
+
   lazy val queries: Seq[Q] = Seq(
     Q("q187_quality_sweep", qualitySweep, Some(q187Sql)),
     Q("q188_truncation_sweep", truncationSweep, Some(q188Sql)),
-    Q("q190_vocab_coverage", vocabCoverage, Some(q190Sql)))
+    Q("q190_vocab_coverage", vocabCoverage, Some(q190Sql)),
+    Q("q204_padding_sweep", paddingSweep, Some(q204Sql)))
 }
 
 object CurationPanelsOps {

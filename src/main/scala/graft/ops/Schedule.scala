@@ -111,9 +111,86 @@ object ScheduleOpsImpl {
        |FROM ($q189Sql) sched
        |GROUP BY source, wgt ORDER BY source""".stripMargin
 
+  /** Token budget as a multiple of the unique corpus: 2× forces some
+    * sources past one epoch, so the plan actually exercises the repeat
+    * logic on the fixtures (a ≤1× budget would trivially need no repeats). */
+  private val BudgetMult = 2L
+
+  /** Epochs beyond which repeated data stops helping — the ~4-epoch
+    * "repeats are nearly as good as new data, then decay" knee measured by
+    * Muennighoff et al., Scaling Data-Constrained Language Models (2023),
+    * arXiv:2305.16264. Targets above the cap are flagged and truncated. */
+  private val EpochCap = 4L
+
+  /** q202: the EPOCH/REPEAT PLAN — q170/q189 decide the target mixture;
+    * this decides what the mixture COSTS in repeats: for a token budget B
+    * (= [[BudgetMult]] × unique corpus tokens) and the q189 temperature
+    * weights, each source's target token count implies an epoch count
+    * (target / unique). Sources whose target exceeds [[EpochCap]] epochs
+    * are flagged and capped, and the capped deficit is reported — the
+    * table a data-constrained training run reads to decide whether to
+    * re-weight, crawl more of a source, or accept the diminishing-returns
+    * repeats.
+    *
+    * Determinism: token sums are exact BIGINTs; weights are the q189
+    * √share expressions (identical text both engines, Σ through the
+    * floor-1e12 decimal accumulator); the target floors weight × budget
+    * into a BIGINT, after which epochs is one double division and the
+    * cap/deficit columns are pure BIGINT arithmetic. Scale shape: one
+    * narrow corpus scan into a sources-row aggregate; everything after is
+    * a broadcast of a sources-row frame — no second corpus pass, no
+    * shuffle beyond the per-source token sum. */
+  def epochPlan(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("source"),
+      expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"))
+    val tok = d.groupBy(col("source")).agg(sum(col("n_tok")).cast(LongType).as("toks"))
+    val tot = tok.agg(sum(col("toks")).cast(LongType).as("tt"))
+    val w = tok.crossJoin(broadcast(tot))
+      .select(col("source"), col("toks"), col("tt"),
+        sqrt(col("toks").cast("double") / col("tt").cast("double")).as("wraw"))
+    val wsum = w.agg(expr(
+      "CAST(SUM(CAST(FLOOR(wraw * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12")
+      .as("ws"))
+    w.crossJoin(broadcast(wsum))
+      .withColumn("weight", col("wraw") / col("ws"))
+      .withColumn("target_toks",
+        expr(s"CAST(FLOOR(weight * CAST($BudgetMult * tt AS DOUBLE)) AS BIGINT)"))
+      .withColumn("epochs",
+        col("target_toks").cast("double") / col("toks").cast("double"))
+      .withColumn("capped_toks", least(col("target_toks"), col("toks") * EpochCap))
+      .select(col("source"), col("toks").as("unique_toks"), col("weight"),
+        col("target_toks"), col("epochs"), col("capped_toks"),
+        (col("target_toks") - col("capped_toks")).as("deficit"),
+        expr(s"CAST(CASE WHEN target_toks > toks * $EpochCap THEN 1 ELSE 0 END AS BIGINT)")
+          .as("over_cap"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val q202Sql: String =
+    s"""WITH d AS (
+       |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |tok AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS toks FROM d GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS tt FROM tok),
+       |w AS (SELECT source, toks, tt,
+       |        sqrt(CAST(toks AS DOUBLE) / CAST(tt AS DOUBLE)) AS wraw
+       |      FROM tok CROSS JOIN tot),
+       |ws AS (SELECT CAST(SUM(CAST(FLOOR(wraw * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS ws FROM w),
+       |p AS (
+       |  SELECT source, toks, wraw / ws AS weight,
+       |    CAST(FLOOR((wraw / ws) * CAST($BudgetMult * tt AS DOUBLE)) AS BIGINT) AS target_toks
+       |  FROM w CROSS JOIN ws)
+       |SELECT source, toks AS unique_toks, weight, target_toks,
+       |  CAST(target_toks AS DOUBLE) / CAST(toks AS DOUBLE) AS epochs,
+       |  least(target_toks, toks * $EpochCap) AS capped_toks,
+       |  target_toks - least(target_toks, toks * $EpochCap) AS deficit,
+       |  CAST(CASE WHEN target_toks > toks * $EpochCap THEN 1 ELSE 0 END AS BIGINT) AS over_cap
+       |FROM p ORDER BY source""".stripMargin
+
   lazy val queries: Seq[Q] = Seq(
     Q("q189_mixture_schedule", mixtureSchedule, Some(q189Sql)),
-    Q("q199_schedule_mix", scheduleMix, Some(q199Sql)))
+    Q("q199_schedule_mix", scheduleMix, Some(q199Sql)),
+    Q("q202_epoch_plan", epochPlan, Some(q202Sql)))
 }
 
 object ScheduleOps {
