@@ -120,19 +120,25 @@ object StreamMain {
     val sqsClient = new Sinks.InMemorySqsClient()
     val mvTable = new Sinks.InMemoryKeyedTable()
     val vecIndex = new Sinks.InMemoryVectorIndex()
+    // opt-in epoch ledger for the non-idempotent network sinks (SQS sends,
+    // vector puts): replayed micro-batches become no-ops (Sinks.idempotent)
+    val ledgered: String => Sinks.BatchSink => Sinks.BatchSink = name =>
+      if (conf.getBoolean(s"${GraftConfig.Root}.connector.exactly-once-ledger", false))
+        Sinks.idempotent(s"$outDir/_ledger/$name") // per-sink: fanout shares epoch ids
+      else identity
     registry
-      .register("sqs", Sinks.sqsSink(sqsClient,
+      .register("sqs", ledgered("sqs")(Sinks.sqsSink(sqsClient,
         delaySeconds = conf.getInt(s"${GraftConfig.Root}.connector.delay-seconds", 0),
         maxMessageSize = settings.maxMessageSize,
-        maxRecordsPerMessage = settings.maxRecordsPerMessage))
+        maxRecordsPerMessage = settings.maxRecordsPerMessage)))
       .register("mv", Sinks.mvSink(mvTable,
         keyFields = listConf("partition-keys") ++ listConf("clustering-keys"),
         valueFields = settings.fieldsToInclude))
-      .register("vector", Sinks.vectorSink(vecIndex, Sinks.HashEmbedder,
+      .register("vector", ledgered("vector")(Sinks.vectorSink(vecIndex, Sinks.HashEmbedder,
         keyField = conf.get(s"${GraftConfig.Root}.connector.key-field", "user_id"),
         embeddingField = conf.get(s"${GraftConfig.Root}.connector.embedding-field", "event_type"),
         dims = conf.getInt(s"${GraftConfig.Root}.connector.dimensions", 256),
-        metadataFields = listConf("metadata-fields")))
+        metadataFields = listConf("metadata-fields"))))
       // lakehouse target: each micro-batch MERGEs into the bucketed COW
       // parquet table (the K1 latest-wins semantics against a table a
       // warehouse can read, instead of a keyed store) — idempotent under
@@ -175,7 +181,12 @@ object StreamMain {
         case "mv" => s"${mvTable.data.size} materialized rows"
         case "vector" => s"${vecIndex.vectors.size} vectors"
         case "lakehouse" =>
-          s"${spark.read.parquet(s"$outDir/table").count()} table rows in " +
+          // a drained stream with zero committed micro-batches never creates
+          // the table dir — report the empty table instead of throwing
+          val tablePath = new org.apache.hadoop.fs.Path(s"$outDir/table")
+          val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(tablePath)) "0 table rows in 0 buckets"
+          else s"${spark.read.parquet(s"$outDir/table").count()} table rows in " +
             s"${ops.LakehouseOpsImpl.bucketFileCounts(spark, s"$outDir/table").size} buckets"
         case _ => "console output"
       })

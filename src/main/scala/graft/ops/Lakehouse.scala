@@ -145,9 +145,18 @@ object LakehouseOpsImpl {
   /** Stage-then-swap commit shared by [[cowMerge]] and [[compactBuckets]]:
     * write `df` (carrying the `bucket` column) ONCE to a dot-prefixed
     * staging dir — which fully executes any lazy plan over the current base
-    * files before anything is deleted — then swap each touched bucket dir
-    * in via rename; a touched bucket absent from the staging output is
-    * deleted outright. */
+    * files before anything is deleted — then swap each touched bucket dir.
+    *
+    * Each bucket transition is two RENAMES, not a recursive delete then a
+    * rename: the old dir moves aside into the (dot-prefixed, listing-
+    * invisible) staging dir, the staged dir moves in, and the aside copies
+    * are deleted only after every bucket has swapped. A reader listing the
+    * table mid-swap can still observe a touched bucket absent for the
+    * instant between the two renames (and a scan planned before the swap
+    * still loses its old files — flat COW has no snapshot isolation; the
+    * versioned table's manifests exist for readers that need it), but the
+    * window is two metadata ops per bucket instead of an unbounded
+    * recursive delete. */
   private def stageSwap(s: SparkSession, basePath: String, df: DataFrame,
       touched: Seq[Long]): Unit = {
     val fs = new Path(basePath).getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -158,13 +167,13 @@ object LakehouseOpsImpl {
       val survived = fs.listStatus(staging)
         .map(_.getPath.getName).filter(_.startsWith("bucket="))
         .map(_.stripPrefix("bucket=").toLong).toSet
-      touched.foreach { b => // swap: old files out, staged files in
-        fs.delete(new Path(s"$basePath/bucket=$b"), true)
-        if (survived(b))
-          fs.rename(new Path(staging, s"bucket=$b"),
-            new Path(s"$basePath/bucket=$b"))
+      touched.foreach { b => // swap: old aside, staged in — renames only
+        val live = new Path(s"$basePath/bucket=$b")
+        if (fs.exists(live))
+          fs.rename(live, new Path(staging, s"old_bucket=$b"))
+        if (survived(b)) fs.rename(new Path(staging, s"bucket=$b"), live)
       }
-    } finally fs.delete(staging, true)
+    } finally fs.delete(staging, true) // asides + leftovers go in one sweep
   }
 
   /** Parquet file count per bucket id — driver-side metadata listing. */

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.{Q, Tables}
 import graft.cdc.CdcSynth
@@ -20,32 +21,82 @@ import graft.cdc.CdcSynth
   *  - [[commitMerge]]: MERGE a CDC envelope batch as version V+1. New
   *    files are written for touched buckets only and MOVED into the data
   *    dirs; nothing is ever overwritten or deleted at commit time. The
-  *    manifest (a bucket → files parquet, metadata-sized) is written
-  *    LAST: a crash before it leaves only unreferenced files that the
-  *    next vacuum sweeps — readers never see a partial commit.
-  *  - [[readVersion]]: the table exactly as of version v — scan precisely
-  *    the files manifest v lists (manifest-based pruning: the file list
-  *    IS the partition filter).
+  *    COMMIT POINT is an atomic claim-marker create followed by one
+  *    manifest rename (see the concurrency section below); a crash before
+  *    it leaves only unreferenced files that the next vacuum sweeps —
+  *    readers never see a partial commit.
+  *  - [[readVersion]]: the table exactly as of version v. The manifest
+  *    stays a DATAFRAME end-to-end: the scan reads the data directory and
+  *    keeps exactly the rows whose `_metadata.file_name` the manifest
+  *    lists (a semi-join on the file name — unique, version-scoped part
+  *    names). No full file list is ever collected to the driver, so a
+  *    version of millions of files plans in O(1) driver memory; the cost
+  *    is that unvacuumed orphan/old-era files are opened and their rows
+  *    dropped by the semi-join, which the vacuum cadence bounds.
+  *    Bucket-scoped reads ([[commitMerge]]'s own base read) still prune
+  *    buckets FIRST and pass the (O(touched)-sized) explicit file list.
   *  - [[changeFeed]]: the per-key diff between two versions from their
   *    states' full-outer join on the key — INSERT/UPDATE/DELETE derived
   *    from seq presence/inequality (merges are seq-monotone, so
   *    last_seq equality ⇔ untouched; no column-wise compare needed).
+  *    The payload columns are DYNAMIC — every non-meta column of either
+  *    version is carried as `{col}_before`/`{col}_after`, so the feed
+  *    survives schema evolution (a column one era lacks reads null).
   *  - [[vacuum]]: delete data files referenced by NO manifest ≥
   *    keepFrom — time travel's storage cost is reclaimed explicitly,
-  *    never implicitly.
+  *    never implicitly. The live set includes PENDING (staged WAP) and
+  *    in-flight tmp manifests, and `graceMs` protects files younger than
+  *    the retention window from a vacuum racing a commit that has moved
+  *    files but not yet written its manifest.
+  *
+  * CONCURRENT WRITERS (optimistic concurrency, Iceberg-style): every
+  * committer does its work against the version it read, then tries to
+  * claim the next version number with an atomic create-no-overwrite of
+  * `_versions/v{N}.claim`. Exactly one create succeeds; the winner then
+  * renames its staged manifest to the visible (or WAP-pending) path — the
+  * only writer of that path, so the rename is conflict-free. A loser
+  * deletes its staged manifest, waits for the winner's manifest to appear
+  * (or the claim to be released by a rejected WAP audit), RE-MERGES
+  * against the new current state, and retries — bounded by
+  * `maxAttempts`; its first attempt's already-moved data files are
+  * unreferenced and vacuum-eligible immediately. A claimant that crashes
+  * between claim and manifest rename leaves a stale claim; any later
+  * committer breaks a claim older than `staleClaimMs` with no manifest
+  * behind it (takeover). This is the engine's analogue of the reference's
+  * DynamoDB lease coordination (KCLScheduler.java:105) — arbitration
+  * through an atomic store primitive, here the filesystem's atomic
+  * create.
+  *
+  * SCHEMA EVOLUTION flows through the commit path with no migration job:
+  * [[LakehouseOpsImpl.mergeLatest]] emits the UNION of the base payload
+  * and the batch image's fields (reference parity — the Avro converter
+  * re-infers its schema per batch, AbstractAvroConverter.java:339-394),
+  * each version's files keep their own era's schema, and reads
+  * null-fill (`mergeSchema`). The q205 gate commits a batch carrying a
+  * NEW column and hash-matches the mixed-era state against the oracle.
   *
   * Scale shape: a commit costs O(touched buckets) like [[LakehouseOpsImpl
-  * .cowMerge]] plus one metadata-sized manifest write; time-travel reads
-  * prune by file list; the change feed joins two bucket-aligned states
-  * (hash-partitioned on the key); vacuum is a driver-side metadata diff
-  * over manifests plus unlink calls.
+  * .cowMerge]] plus one metadata-sized manifest write (the carried file
+  * rows are copied manifest→manifest as a DataFrame, never through the
+  * driver); time-travel reads prune rows by manifest semi-join; the
+  * change feed joins two bucket-aligned states (hash-partitioned on the
+  * key); vacuum is a driver-side metadata diff over manifests plus unlink
+  * calls.
   */
 object VersionedTableImpl {
 
   private def fsOf(s: SparkSession, root: String) =
     new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** Highest committed version (0 = empty table: no manifests yet). */
+  private def visiblePath(root: String, v: Int) =
+    new Path(root, s"_versions/v$v.parquet")
+  private def pendingPath(root: String, v: Int) =
+    new Path(root, s"_versions/.pending-v$v.parquet")
+  private def claimPath(root: String, v: Int) =
+    new Path(root, s"_versions/v$v.claim")
+
+  /** Highest committed version (0 = empty table: no manifests yet).
+    * Pending (WAP-staged), tmp and claim artifacts are invisible. */
   def currentVersion(s: SparkSession, root: String): Int = {
     val fs = fsOf(s, root)
     val dir = new Path(root, "_versions")
@@ -59,14 +110,13 @@ object VersionedTableImpl {
   /** (bucket, file) rows of manifest v — empty frame at v = 0. */
   private def manifest(s: SparkSession, root: String, v: Int): DataFrame =
     if (v == 0)
-      s.createDataFrame(s.sparkContext.emptyRDD[Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("bucket",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("file",
-            org.apache.spark.sql.types.StringType))))
-    else s.read.parquet(s"$root/_versions/v$v.parquet")
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField("bucket", LongType), StructField("file", StringType))))
+    else s.read.parquet(visiblePath(root, v).toString)
 
+  /** Bucket-pruned explicit file list — ONLY for bucket-scoped reads
+    * (O(touched buckets) paths) and the driver-side vacuum diff. Full
+    * version reads go through [[readManifest]] instead. */
   private def filesOf(s: SparkSession, root: String, v: Int,
       buckets: Option[Seq[Long]]): Seq[String] = {
     val m = buckets.fold(manifest(s, root, v))(bs =>
@@ -74,150 +124,347 @@ object VersionedTableImpl {
     m.select(col("file")).collect().map(_.getString(0)).toSeq // metadata
   }
 
+  /** The rows of exactly the files `manifestDf` lists, WITHOUT collecting
+    * the file list: scan the whole data dir (union schema across eras)
+    * and semi-join on the `bucket=N/<file>` path suffix — identity within
+    * one table (part names repeat ACROSS bucket dirs: one write task
+    * serves several dynamic partitions under the same task/job uuid, so
+    * the bare file name is NOT unique). The manifest side stays a scan in
+    * the plan (VersionedSpec pins this). */
+  private def readManifest(s: SparkSession, root: String,
+      manifestDf: DataFrame, emptySchema: StructType): DataFrame = {
+    val fs = fsOf(s, root)
+    val dataDir = new Path(root, "data")
+    if (!fs.exists(dataDir) || fs.listStatus(dataDir).isEmpty)
+      return s.createDataFrame(s.sparkContext.emptyRDD[Row], emptySchema)
+    val suffix = "[^/]+/[^/]+$"
+    val names = manifestDf
+      .select(regexp_extract(col("file"), suffix, 0).as("__file_key"))
+    s.read.option("mergeSchema", "true").parquet(dataDir.toString)
+      .withColumn("__file_key",
+        regexp_extract(col("_metadata.file_path"), suffix, 0))
+      .join(names, Seq("__file_key"), "left_semi")
+      .drop("__file_key", "bucket")
+  }
+
   /** The table as of version v (empty-typed frame when v = 0 or nothing
-    * survived). Union schema across files of different commit eras. */
-  def readVersion(s: SparkSession, root: String, v: Int): DataFrame = {
-    val files = filesOf(s, root, v, None)
-    if (files.isEmpty)
+    * survived). Union schema across files of different commit eras:
+    * columns a version's own era lacked read as null. */
+  def readVersion(s: SparkSession, root: String, v: Int): DataFrame =
+    if (v == 0)
       s.createDataFrame(s.sparkContext.emptyRDD[Row],
         LakehouseOpsImpl.tableSchema)
-    else s.read.option("mergeSchema", "true").parquet(files: _*)
-  }
+    else readManifest(s, root, manifest(s, root, v),
+      LakehouseOpsImpl.tableSchema)
 
   private def readBuckets(s: SparkSession, root: String, v: Int,
-      buckets: Seq[Long]): DataFrame = {
+      buckets: Seq[Long], emptySchema: StructType): DataFrame = {
     val files = filesOf(s, root, v, Some(buckets))
     if (files.isEmpty)
-      s.createDataFrame(s.sparkContext.emptyRDD[Row],
-        LakehouseOpsImpl.tableSchema)
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], emptySchema)
     else s.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
-  /** MERGE `env` into the table as version current+1. Returns the new
-    * version (current, unchanged, when the batch touches nothing). */
+  /** Empty base state matching the incoming batch's image payload —
+    * derived from the updates, not a fixed schema, so the commit path
+    * works for any keyed payload (q206 versions an embedding corpus). */
+  private def emptyStateFor(s: SparkSession, updates: DataFrame): StructType = {
+    val imgType = updates.schema("ulast").dataType
+      .asInstanceOf[StructType]("image").dataType.asInstanceOf[StructType]
+    StructType(
+      StructField("user_id", LongType) +:
+      StructField("last_op", StringType) +:
+      StructField("last_seq", StringType) +:
+      imgType.fields.toSeq.filterNot(_.name == "user_id"))
+  }
+
+  /** Atomically claim version v. Exactly one concurrent caller wins the
+    * create-no-overwrite; a stale claim (older than `staleClaimMs`, no
+    * visible or pending manifest behind it) is broken and re-claimed. */
+  private def claimVersion(s: SparkSession, root: String, v: Int,
+      staleClaimMs: Long): Boolean = {
+    val fs = fsOf(s, root)
+    val claim = claimPath(root, v)
+    fs.mkdirs(claim.getParent)
+    def tryCreate(): Boolean =
+      try { fs.create(claim, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (tryCreate()) return true
+    val published = fs.exists(visiblePath(root, v)) || fs.exists(pendingPath(root, v))
+    if (!published && fs.exists(claim) &&
+        System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime > staleClaimMs) {
+      fs.delete(claim, false) // takeover: claimant died pre-publish
+      tryCreate()
+    } else false
+  }
+
+  /** After losing a claim on v: wait for the winner's VISIBLE manifest to
+    * appear (then the retry re-merges against it), for the claim to be
+    * released (rejected WAP audit — v is up for grabs again), or for the
+    * claim to go stale with nothing behind it (dead claimant — takeover
+    * candidate). A PENDING manifest keeps the wait alive: the version
+    * number is reserved until its audit publishes or rejects. Bounded by
+    * the staleness window plus slack. */
+  private def awaitOutcome(s: SparkSession, root: String, v: Int,
+      staleClaimMs: Long): Unit = {
+    val fs = fsOf(s, root)
+    val deadline = System.currentTimeMillis() + staleClaimMs + 10000L
+    while (System.currentTimeMillis() < deadline) {
+      if (fs.exists(visiblePath(root, v)) || !fs.exists(claimPath(root, v))) return
+      val pendingAudit = fs.exists(pendingPath(root, v))
+      val stale = !pendingAudit &&
+        System.currentTimeMillis() - fs.getFileStatus(claimPath(root, v)).getModificationTime > staleClaimMs
+      if (stale) return
+      Thread.sleep(25L)
+    }
+  }
+
+  /** MERGE `env` into the table as version current+1 (see the object doc
+    * for the concurrency protocol). Returns the new version (current,
+    * unchanged, when the batch touches nothing). When `pendingStage` is
+    * set the manifest lands at the dot-prefixed PENDING path — never
+    * visible to [[currentVersion]] — for write-audit-publish. */
   def commitMerge(s: SparkSession, root: String, env: DataFrame,
-      nBuckets: Int): Int = {
+      nBuckets: Int, maxAttempts: Int = 5,
+      staleClaimMs: Long = 60000L, pendingStage: Boolean = false): Int = {
     val keyOf = coalesce(col("image.user_id"), col("oldImage.user_id"))
     val seqOf = col("metadata.stream_sequence_number")
     val updates = LakehouseOpsImpl.latestUpdates(env, keyOf, seqOf)
       .withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
     val touched = updates.select(col("bucket")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted // <= nBuckets rows
-    val v = currentVersion(s, root)
-    if (touched.isEmpty) return v
-    val base = readBuckets(s, root, v, touched)
-    val merged = LakehouseOpsImpl.mergeLatest(base, updates.drop("bucket"))
-      .drop("from_base")
-      .withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
+    if (touched.isEmpty) return currentVersion(s, root)
     val fs = fsOf(s, root)
-    val newV = v + 1
-    val staging = new Path(root,
-      s".v_staging_${java.util.UUID.randomUUID().toString.replace("-", "")}")
-    val newFiles: Map[Long, Seq[String]] =
-      try {
-        merged.write.mode("overwrite").partitionBy("bucket")
-          .parquet(staging.toString)
-        fs.listStatus(staging).filter(_.getPath.getName.startsWith("bucket="))
-          .map { st =>
-            val b = st.getPath.getName.stripPrefix("bucket=").toLong
-            val dest = new Path(s"$root/data/bucket=$b")
-            fs.mkdirs(dest)
-            val moved = fs.listStatus(st.getPath)
-              .filter(_.getPath.getName.endsWith(".parquet"))
-              .map { f => // immutable: publish under a version-scoped name
-                val to = new Path(dest, s"v$newV-${f.getPath.getName}")
-                fs.rename(f.getPath, to)
-                // store the QUALIFIED uri: vacuum compares against
-                // listStatus output, which is always scheme-qualified
-                fs.makeQualified(to).toString
-              }
-            b -> moved.toSeq
-          }.toMap
-      } finally fs.delete(staging, true)
-    // manifest = carried-forward untouched buckets + the new files; the
-    // write below is the COMMIT POINT (readers resolve versions from
-    // manifests alone, so everything before it is invisible)
-    import s.implicits._
-    val carried = manifest(s, root, v)
-      .filter(!col("bucket").isin(touched: _*))
-      .as[(Long, String)].collect().toSeq
-    val rows = carried ++ touched.flatMap(b =>
-      newFiles.getOrElse(b, Seq.empty).map(f => (b, f)))
-    rows.toDF("bucket", "file").coalesce(1)
-      .write.mode("errorifexists").parquet(s"$root/_versions/v$newV.parquet")
-    newV
+    val emptySchema = emptyStateFor(s, updates)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val v = currentVersion(s, root)
+      val newV = v + 1
+      val base = readBuckets(s, root, v, touched, emptySchema)
+      val merged = LakehouseOpsImpl.mergeLatest(base, updates.drop("bucket"))
+        .drop("from_base")
+        .withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
+      val staging = new Path(root,
+        s".v_staging_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+      val newFiles: Map[Long, Seq[String]] =
+        try {
+          merged.write.mode("overwrite").partitionBy("bucket")
+            .parquet(staging.toString)
+          fs.listStatus(staging).filter(_.getPath.getName.startsWith("bucket="))
+            .map { st =>
+              val b = st.getPath.getName.stripPrefix("bucket=").toLong
+              val dest = new Path(s"$root/data/bucket=$b")
+              fs.mkdirs(dest)
+              val moved = fs.listStatus(st.getPath)
+                .filter(_.getPath.getName.endsWith(".parquet"))
+                .map { f => // immutable: publish under a version-scoped name
+                  val to = new Path(dest, s"v$newV-${f.getPath.getName}")
+                  fs.rename(f.getPath, to)
+                  // store the QUALIFIED uri: vacuum compares against
+                  // listStatus output, which is always scheme-qualified
+                  fs.makeQualified(to).toString
+                }
+              b -> moved.toSeq
+            }.toMap
+        } finally fs.delete(staging, true)
+      // manifest = carried-forward untouched buckets (copied manifest →
+      // manifest as a DATAFRAME — never through the driver) + new files
+      import s.implicits._
+      val manifestDf = manifest(s, root, v)
+        .filter(!col("bucket").isin(touched: _*))
+        .unionByName(touched.flatMap(b =>
+          newFiles.getOrElse(b, Seq.empty).map(f => (b, f)))
+          .toDF("bucket", "file"))
+      val tmp = new Path(root,
+        s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
+      manifestDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      // COMMIT POINT: atomic claim, then the single manifest rename
+      if (claimVersion(s, root, newV, staleClaimMs)) {
+        val dest = if (pendingStage) pendingPath(root, newV)
+                   else visiblePath(root, newV)
+        fs.rename(tmp, dest)
+        return newV
+      }
+      // lost the race: staged manifest dies now, this attempt's data
+      // files are unreferenced (vacuum-eligible); re-merge and retry
+      fs.delete(tmp, true)
+      if (attempt >= maxAttempts)
+        throw new IllegalStateException(
+          s"commitMerge lost $maxAttempts optimistic attempts at $root (last target v$newV)")
+      awaitOutcome(s, root, newV, staleClaimMs)
+    }
+    -1 // unreachable
   }
 
   /** WRITE-AUDIT-PUBLISH: merge `env` as a STAGED version, run `audit`
-    * against the would-be new state, and only then publish. The manifest
-    * write is already the commit point, so WAP needs no new machinery —
-    * the staged manifest lands under `_versions/.pending-v{N}.parquet`
-    * (dot-prefixed: [[currentVersion]] never sees it), the audit reads
-    * the staged state through it, and PUBLISH is one atomic manifest
-    * rename. A failing audit deletes the pending manifest and leaves the
-    * table at version N−1 — its data files are unreferenced and the next
-    * [[vacuum]] sweeps them. Returns Right(newVersion) on publish,
+    * against the would-be new state, and only then publish. The staged
+    * manifest is written DIRECTLY to `_versions/.pending-v{N}.parquet`
+    * (dot-prefixed: [[currentVersion]] never resolves it — there is no
+    * instant where an unaudited manifest sits at the visible path), the
+    * audit reads the staged state through it, and PUBLISH is one atomic
+    * manifest rename. A failing audit deletes the pending manifest AND
+    * releases the version claim — the table stays at N−1, version N is
+    * up for grabs again, and the rejected data files are unreferenced
+    * until the next [[vacuum]]. Returns Right(newVersion) on publish,
     * Left(reason) on an audit reject. */
   def commitMergeAudited(s: SparkSession, root: String, env: DataFrame,
       nBuckets: Int)(audit: DataFrame => Option[String]): Either[String, Int] = {
     val before = currentVersion(s, root)
-    val newV = commitMerge(s, root, env, nBuckets)
+    val newV = commitMerge(s, root, env, nBuckets, pendingStage = true)
     if (newV == before) return Right(before) // empty batch: nothing to audit
     val fs = fsOf(s, root)
-    val visible = new Path(s"$root/_versions/v$newV.parquet")
-    val pending = new Path(s"$root/_versions/.pending-v$newV.parquet")
-    fs.rename(visible, pending) // stage: invisible to version resolution
-    val staged = s.read.parquet(pending.toString)
-    val files = staged.select(col("file")).collect().map(_.getString(0)).toSeq
-    val state =
-      if (files.isEmpty)
-        s.createDataFrame(s.sparkContext.emptyRDD[Row], LakehouseOpsImpl.tableSchema)
-      else s.read.option("mergeSchema", "true").parquet(files: _*)
-    audit(state) match {
-      case None => fs.rename(pending, visible); Right(newV)
-      case Some(reason) => fs.delete(pending, true); Left(reason)
+    val pending = pendingPath(root, newV)
+    val staged = readManifest(s, root, s.read.parquet(pending.toString),
+      LakehouseOpsImpl.tableSchema)
+    audit(staged) match {
+      case None =>
+        fs.rename(pending, visiblePath(root, newV)); Right(newV)
+      case Some(reason) =>
+        fs.delete(pending, true)
+        fs.delete(claimPath(root, newV), false) // release N for the next commit
+        Left(reason)
     }
   }
 
   /** Per-key INSERT/UPDATE/DELETE feed between two committed versions.
-    * Carries before/after images of the payload columns consumers index
-    * on (value, event_type) — enough to maintain a derived structure
-    * without reading either full state again ([[maintainedTypeIndex]]). */
+    * Payload columns are DYNAMIC: every non-meta column either version
+    * carries appears as `{col}_before`/`{col}_after` (a column the other
+    * era lacks reads null) — enough to maintain a derived structure
+    * without reading either full state again ([[maintainedTypeIndex]],
+    * [[AnnFeedRefreshImpl]]), across schema evolution. */
   def changeFeed(s: SparkSession, root: String, v1: Int, v2: Int): DataFrame = {
-    val a = readVersion(s, root, v1).select(col("user_id"),
-      col("last_seq").as("seq_before"), col("value").as("value_before"),
-      col("event_type").as("type_before"))
-    val b = readVersion(s, root, v2).select(col("user_id"),
-      col("last_seq").as("seq_after"), col("value").as("value_after"),
-      col("event_type").as("type_after"))
-    a.join(b, Seq("user_id"), "full_outer")
+    val meta = Set("user_id", "last_op", "last_seq")
+    val sa = readVersion(s, root, v1)
+    val sb = readVersion(s, root, v2)
+    val payload =
+      (sa.columns ++ sb.columns.filterNot(sa.columns.contains))
+        .filterNot(meta.contains).toSeq
+    def side(df: DataFrame, tag: String) = df.select(
+      col("user_id") +: col("last_seq").as(s"seq_$tag") +:
+        payload.map { c =>
+          (if (df.columns.contains(c)) col(c)
+           else lit(null).cast(
+             (if (sa.columns.contains(c)) sa else sb).schema(c).dataType))
+            .as(s"${c}_$tag")
+        }: _*)
+    side(sa, "before").join(side(sb, "after"), Seq("user_id"), "full_outer")
       .withColumn("change_op",
         when(col("seq_before").isNull, "INSERT")
           .when(col("seq_after").isNull, "DELETE")
           .when(col("seq_before") =!= col("seq_after"), "UPDATE"))
       .filter(col("change_op").isNotNull) // seq equality = untouched
-      .select(col("user_id"), col("change_op"),
-        col("seq_before"), col("seq_after"),
-        col("value_before"), col("value_after"),
-        col("type_before"), col("type_after"))
+      .select(
+        Seq(col("user_id"), col("change_op"),
+          col("seq_before"), col("seq_after")) ++
+        payload.flatMap(c => Seq(col(s"${c}_before"), col(s"${c}_after"))): _*)
       .orderBy(col("user_id"))
   }
 
-  /** Delete data files referenced by no manifest in [keepFrom, current];
-    * versions below keepFrom become unreadable. Returns deleted paths. */
-  def vacuum(s: SparkSession, root: String, keepFrom: Int): Seq[String] = {
+  /** Delete data files referenced by no manifest in [keepFrom, current],
+    * no PENDING (WAP-staged) manifest, and no in-flight tmp manifest;
+    * versions below keepFrom become unreadable. Files younger than
+    * `graceMs` are never touched — the retention window that protects a
+    * commit which has moved its data files but not yet written its
+    * manifest (production sets hours; tests pass 0 for determinism).
+    * Returns deleted paths. */
+  def vacuum(s: SparkSession, root: String, keepFrom: Int,
+      graceMs: Long = 0L): Seq[String] = {
     val fs = fsOf(s, root)
     val cur = currentVersion(s, root)
-    val live = (keepFrom to cur)
-      .flatMap(v => filesOf(s, root, v, None)).toSet
+    val vDir = new Path(root, "_versions")
+    val inFlight: Seq[String] =
+      if (!fs.exists(vDir)) Seq.empty
+      else fs.listStatus(vDir).map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          (n.startsWith(".pending-v") || n.startsWith(".tmp-")) &&
+            n.endsWith(".parquet")
+        }
+        .flatMap(p => scala.util.Try( // a tmp manifest may be mid-write;
+          // its files are younger than any sane graceMs anyway
+          s.read.parquet(p.toString)
+            .select(col("file")).collect().map(_.getString(0)).toSeq)
+          .getOrElse(Seq.empty)).toSeq
+    val live = ((keepFrom to cur)
+      .flatMap(v => filesOf(s, root, v, None)) ++ inFlight).toSet
     val dataDir = new Path(root, "data")
     if (!fs.exists(dataDir)) return Seq.empty
+    val now = System.currentTimeMillis()
     val all = fs.listStatus(dataDir).filter(_.isDirectory).flatMap(d =>
-      fs.listStatus(d.getPath).map(_.getPath))
-      .filter(_.getName.endsWith(".parquet"))
-    val dead = all.filterNot(p => live(p.toString))
+      fs.listStatus(d.getPath))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    val dead = all
+      .filter(st => now - st.getModificationTime >= graceMs)
+      .map(_.getPath).filterNot(p => live(p.toString))
     dead.foreach(p => fs.delete(p, false))
     dead.map(_.toString).toSeq
+  }
+
+  /** COMPACT the current version's over-fragmented buckets into a NEW
+    * version with identical state — the versioned table's small-files
+    * maintenance: every [[commitMerge]] adds one file per touched bucket
+    * (history keeps the old ones), so a hot bucket's LIVE file count
+    * grows with the commit rate. The rewrite reads only over-threshold
+    * buckets (explicit pruned file list), lands each as one file per
+    * bucket, and commits through the same claim protocol — old versions
+    * still reference the old files, so time travel is untouched and
+    * vacuum reclaims them when their versions expire. Pure layout: the
+    * new version's state hash-equals its predecessor
+    * (StreamLakehouseSpec pins this). Returns Some(newVersion) or None
+    * when nothing is over threshold. */
+  def compactVersion(s: SparkSession, root: String, maxFiles: Int,
+      nBuckets: Int, staleClaimMs: Long = 60000L): Option[Int] = {
+    val v = currentVersion(s, root)
+    if (v == 0) return None
+    import s.implicits._
+    val counts = manifest(s, root, v).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxFiles)
+      .select(col("bucket")).as[Long].collect().toSeq.sorted // <= nBuckets
+    if (counts.isEmpty) return None
+    val fs = fsOf(s, root)
+    val newV = v + 1
+    if (!claimVersion(s, root, newV, staleClaimMs)) return None // writer racing: skip this cycle
+    val rows = readBuckets(s, root, v, counts, LakehouseOpsImpl.tableSchema)
+      .withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
+      .repartition(counts.length, col("bucket"))
+    val staging = new Path(root,
+      s".v_staging_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    // one file per bucket is the whole point of the rewrite: suspend any
+    // session-level record cap (which is what fragmented the merges) for
+    // the compaction write, or the rewrite re-splits and never converges
+    val prevCap = s.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    s.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+    val newFiles: Map[Long, Seq[String]] =
+      try {
+        rows.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
+        fs.listStatus(staging).filter(_.getPath.getName.startsWith("bucket="))
+          .map { st =>
+            val b = st.getPath.getName.stripPrefix("bucket=").toLong
+            val dest = new Path(s"$root/data/bucket=$b")
+            fs.mkdirs(dest)
+            b -> fs.listStatus(st.getPath)
+              .filter(_.getPath.getName.endsWith(".parquet"))
+              .map { f =>
+                val to = new Path(dest, s"v$newV-${f.getPath.getName}")
+                fs.rename(f.getPath, to)
+                fs.makeQualified(to).toString
+              }.toSeq
+          }.toMap
+      } finally {
+        s.conf.set("spark.sql.files.maxRecordsPerFile", prevCap)
+        fs.delete(staging, true)
+      }
+    val manifestDf = manifest(s, root, v)
+      .filter(!col("bucket").isin(counts: _*))
+      .unionByName(counts.flatMap(b =>
+        newFiles.getOrElse(b, Seq.empty).map(f => (b, f)))
+        .toDF("bucket", "file"))
+    val tmp = new Path(root,
+      s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
+    manifestDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.rename(tmp, visiblePath(root, newV)) // claim already held
+    Some(newV)
   }
 
   // ------------------------------------------------------------ q182/q183
@@ -226,7 +473,7 @@ object VersionedTableImpl {
   private val roots = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
 
-  def clearCaches(): Unit = { roots.clear(); quarterRoots.clear() }
+  def clearCaches(): Unit = { roots.clear(); quarterRoots.clear(); evoRoots.clear() }
 
   private def ensureVersioned(s: SparkSession, dir: String): String =
     Memo.getOrCacheAny(roots, s, dir, { _ =>
@@ -274,9 +521,9 @@ object VersionedTableImpl {
       .select(col("event_type"), col("user_id"))
     val feed = changeFeed(s, root, 1, 2)
     val retracted = feed.filter(col("change_op").isin("DELETE", "UPDATE"))
-      .select(col("type_before").as("event_type"), col("user_id"))
+      .select(col("event_type_before").as("event_type"), col("user_id"))
     val added = feed.filter(col("change_op").isin("INSERT", "UPDATE"))
-      .select(col("type_after").as("event_type"), col("user_id"))
+      .select(col("event_type_after").as("event_type"), col("user_id"))
     idx1.join(retracted, Seq("event_type", "user_id"), "left_anti")
       .unionByName(added)
       .orderBy(col("event_type"), col("user_id"))
@@ -302,31 +549,36 @@ object VersionedTableImpl {
        |v1 AS (
        |  SELECT COALESCE(new_user_id, old_user_id) AS user_id,
        |    max(seq) AS last_seq, max_by(has_new, seq) AS has_new,
+       |    max_by(new_event_type, seq) AS event_type,
        |    max_by(new_value, seq) AS value,
-       |    max_by(new_event_type, seq) AS event_type
+       |    max_by(new_k, seq) AS k
        |  FROM cdc, mid WHERE event_id < mid GROUP BY 1),
        |v2 AS (
        |  SELECT COALESCE(new_user_id, old_user_id) AS user_id,
        |    max(seq) AS last_seq, max_by(has_new, seq) AS has_new,
+       |    max_by(new_event_type, seq) AS event_type,
        |    max_by(new_value, seq) AS value,
-       |    max_by(new_event_type, seq) AS event_type
+       |    max_by(new_k, seq) AS k
        |  FROM cdc GROUP BY 1),
-       |a AS (SELECT user_id, last_seq AS seq_before, value AS value_before,
-       |        event_type AS type_before
+       |a AS (SELECT user_id, last_seq AS seq_before,
+       |        event_type AS event_type_before, value AS value_before,
+       |        k AS k_before
        |      FROM v1 WHERE has_new),
-       |b AS (SELECT user_id, last_seq AS seq_after, value AS value_after,
-       |        event_type AS type_after
+       |b AS (SELECT user_id, last_seq AS seq_after,
+       |        event_type AS event_type_after, value AS value_after,
+       |        k AS k_after
        |      FROM v2 WHERE has_new),
        |j AS (
        |  SELECT COALESCE(a.user_id, b.user_id) AS user_id,
        |    CASE WHEN a.user_id IS NULL THEN 'INSERT'
        |         WHEN b.user_id IS NULL THEN 'DELETE'
        |         WHEN seq_before <> seq_after THEN 'UPDATE' END AS change_op,
-       |    seq_before, seq_after, value_before, value_after,
-       |    type_before, type_after
+       |    seq_before, seq_after, event_type_before, event_type_after,
+       |    value_before, value_after, k_before, k_after
        |  FROM a FULL OUTER JOIN b ON a.user_id = b.user_id)
        |SELECT user_id, change_op, seq_before, seq_after,
-       |  value_before, value_after, type_before, type_after
+       |  event_type_before, event_type_after,
+       |  value_before, value_after, k_before, k_after
        |FROM j WHERE change_op IS NOT NULL ORDER BY user_id""".stripMargin
 
   // -------------------------------------------------------------- q193
@@ -485,12 +737,67 @@ object VersionedTableImpl {
        |SELECT event_type, user_id FROM latest WHERE has_new
        |ORDER BY event_type, user_id""".stripMargin
 
+  // -------------------------------------------------------------- q205
+  /** SCHEMA EVOLUTION through the versioned commit path: v1 carries the
+    * standard envelope, v2's images GROW a `src` column mid-stream
+    * (reference parity: the Avro converter re-infers its schema per
+    * batch, AbstractAvroConverter.java:339-394). Nothing is migrated —
+    * v2's files carry the new column, v1-era files don't, and the read
+    * null-fills. */
+  private val evoRoots = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def ensureEvolved(s: SparkSession, dir: String): String =
+    Memo.getOrCacheAny(evoRoots, s, dir, { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft_vtable_evo").toString
+      val env = CdcSynth.fromEvents(s, dir)
+      val mid = Tables(s, dir, "events")
+        .agg(expr("max(event_id) div 2").as("mid"))
+      val withMid = env.crossJoin(broadcast(mid))
+      commitMerge(s, root, withMid.filter(col("event_id") < col("mid")), 8)
+      // the second half's images carry the NEW column (null image — a
+      // tombstone — stays null: withField on a null struct yields null)
+      val evolved = withMid.filter(col("event_id") >= col("mid"))
+        .withColumn("image", col("image").withField("src",
+          concat(lit("s"), pmod(col("event_id"), lit(5L)).cast(StringType))))
+      commitMerge(s, root, evolved, 8)
+      root
+    })
+
+  /** q205: the mixed-era state at v2 — keys whose winning image predates
+    * the column read `src` as null; keys last touched by the evolved
+    * batch carry its value. Must hash-match DuckDB's full-log replay
+    * with the same era-conditional column. */
+  def evolvedState(s: SparkSession, dir: String): DataFrame =
+    readVersion(s, ensureEvolved(s, dir), 2)
+      .select(col("user_id"), col("last_op"), col("last_seq"),
+        col("event_type"), col("value"), col("k"), col("src"))
+      .orderBy(col("user_id"))
+
+  private lazy val q205Sql: String =
+    s"""WITH ${CdcSynth.synthSql},
+       |mid AS (SELECT max(event_id) // 2 AS mid FROM events),
+       |latest AS (
+       |  SELECT COALESCE(new_user_id, old_user_id) AS user_id,
+       |    max_by(op, seq) AS last_op, max(seq) AS last_seq,
+       |    max_by(has_new, seq) AS has_new,
+       |    max_by(new_event_type, seq) AS event_type,
+       |    max_by(new_value, seq) AS value,
+       |    max_by(new_k, seq) AS k,
+       |    max_by(CASE WHEN event_id >= mid AND has_new
+       |             THEN 's' || CAST(event_id % 5 AS VARCHAR) END,
+       |           seq) AS src
+       |  FROM cdc, mid GROUP BY 1)
+       |SELECT user_id, last_op, last_seq, event_type, value, k, src
+       |FROM latest WHERE has_new ORDER BY user_id""".stripMargin
+
   lazy val queries: Seq[Q] = Seq(
     Q("q182_time_travel", timeTravel, Some(q182Sql)),
     Q("q183_change_feed", versionDiff, Some(q183Sql)),
     Q("q186_maintained_index", maintainedTypeIndex, Some(q186Sql)),
     Q("q193_pit_join", pitJoin, Some(q193Sql)),
-    Q("q197_version_churn", versionChurn, Some(q197Sql)))
+    Q("q197_version_churn", versionChurn, Some(q197Sql)),
+    Q("q205_schema_evolution", evolvedState, Some(q205Sql)))
 }
 
 object VersionedTableOps {

@@ -51,9 +51,21 @@ object LakehouseSink {
     * state no-op, but without the marker a replay would still append a
     * redundant (state-identical) version; the marker is written after the
     * commit, so a crash between the two re-commits once — state stays
-    * correct, and at most one no-op version can ever exist per crash. */
+    * correct, and at most one no-op version can ever exist per crash.
+    *
+    * MAINTENANCE rides the same hook: every merge appends one file per
+    * touched bucket to the LIVE file set (history keeps the old ones), so
+    * a hot bucket's read cost grows one parquet footer per epoch — the
+    * streaming small-files curve. With `compactOver = Some(t)`, each
+    * commit is followed by [[graft.ops.VersionedTableImpl.compactVersion]]
+    * which, when any bucket's live file count exceeds t, rewrites just
+    * those buckets as a NEW state-identical version (stage-then-swap, the
+    * claim protocol, old versions untouched). The check is pure metadata;
+    * a replayed batch re-runs it harmlessly (counts already below the
+    * threshold ⇒ no-op), so compaction is exactly-once-in-effect across
+    * restarts without its own marker. */
   def versionedSink(envStream: DataFrame, root: String, checkpointDir: String,
-      nBuckets: Int): StreamingQuery =
+      nBuckets: Int, compactOver: Option[Int] = None): StreamingQuery =
     envStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -67,6 +79,8 @@ object LakehouseSink {
           fs.mkdirs(marker.getParent)
           fs.create(marker).close()
         }
+        compactOver.foreach(t =>
+          graft.ops.VersionedTableImpl.compactVersion(s, root, t, nBuckets))
         ()
       }
       .start()

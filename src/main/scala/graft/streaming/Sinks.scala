@@ -33,6 +33,33 @@ object Sinks {
   def payloadColumns(df: DataFrame): Seq[Column] =
     df.columns.filterNot(_ == RoutingMeta).map(col).toSeq
 
+  /** EXACTLY-ONCE epoch ledger for side-effecting sinks: Structured
+    * Streaming replays a micro-batch whose foreachBatch ran but whose
+    * checkpoint commit did not land (at-least-once — the reference has
+    * the same window, KeyspacesRecordProcessor.java:41-60, and answers it
+    * with "consumers must be idempotent", sqs-connector README). The
+    * ledger upgrades a non-idempotent sink (SQS send, vector put): a
+    * marker file per epoch id is written AFTER the sink body, so a
+    * replayed epoch whose marker exists is a no-op — the same trick the
+    * versioned lakehouse sink uses for its history. The residual window
+    * is a crash BETWEEN the send and the marker write: that one epoch
+    * re-sends once (at-most-one duplicate burst per crash, vs one per
+    * replayed epoch without the ledger); closing it entirely needs a
+    * transactional target, which SQS/vector stores don't offer.
+    *
+    * Scale shape: one `exists` + one empty-file create per epoch against
+    * the checkpoint filesystem — the same metadata cadence as the
+    * checkpoint itself. */
+  def idempotent(ledgerDir: String)(inner: BatchSink): BatchSink = (batch, id) => {
+    val path = new org.apache.hadoop.fs.Path(ledgerDir, s"epoch-$id")
+    val fs = path.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) {
+      inner(batch, id)
+      fs.mkdirs(path.getParent)
+      fs.create(path, false).close()
+    }
+  }
+
   /** Registry keyed by sink name — the Spark analogue of the reference's
     * reflective `getTargetMapper` instantiation (KeyspacesConfig.java:407-420). */
   final class SinkRegistry {

@@ -125,5 +125,102 @@ class VersionedSpec extends SparkSpec {
     assert(good == Right(2), s"audit must publish: $good")
     val after = users(VersionedTableImpl.readVersion(spark, root, 2))
     assert(after(1L)._2 == 60.0, s"published state carries the update: $after")
+
+    // an unaudited manifest is NEVER visible pre-publish: while staged, the
+    // only artifacts under _versions are dot-prefixed pending/tmp + claims
+    // (pinned structurally: a throwing audit leaves no visible v3)
+    val boom = intercept[RuntimeException] {
+      VersionedTableImpl.commitMergeAudited(spark, root,
+        env(Seq((8L * 31, 2L))), NB)(_ => throw new RuntimeException("audit died"))
+    }
+    assert(boom.getMessage == "audit died")
+    assert(VersionedTableImpl.currentVersion(spark, root) == 2,
+      "a crashed audit must leave no visible version (manifest staged at " +
+        "the pending path, never the visible one)")
+  }
+
+  test("concurrent committers serialize through the claim protocol; every batch lands") {
+    val root = java.nio.file.Files.createTempDirectory("vtab_cc").toString
+    VersionedTableImpl.commitMerge(spark, root,
+      env((0L until 16L).map(u => (8L * u, u))), NB)
+    // four writers race from version 1; disjoint keys so the final state
+    // must carry ALL updates regardless of commit order
+    val results = graft.ops.Par.map(Seq(0L, 1L, 2L, 3L)) { w =>
+      VersionedTableImpl.commitMerge(spark, root,
+        env(Seq((8L * (50 + w), 4L * w), (8L * (60 + w), 4L * w + 1))), NB)
+    }
+    assert(results.toSet == Set(2, 3, 4, 5),
+      s"each racing writer must land its own serialized version: $results")
+    assert(VersionedTableImpl.currentVersion(spark, root) == 5)
+    val s5 = users(VersionedTableImpl.readVersion(spark, root, 5))
+    (0L until 4L).foreach { w =>
+      assert(s5(4L * w)._1 == "%020d".format(8L * (50 + w)),
+        s"writer $w's first update must survive the race")
+      assert(s5(4L * w + 1)._1 == "%020d".format(8L * (60 + w)),
+        s"writer $w's second update must survive the race")
+    }
+    // losers' first-attempt files (if any conflicts happened) are orphans;
+    // vacuum leaves every kept version readable
+    VersionedTableImpl.vacuum(spark, root, keepFrom = 1)
+    assert(users(VersionedTableImpl.readVersion(spark, root, 5)) == s5)
+    assert(users(VersionedTableImpl.readVersion(spark, root, 1)).size == 16,
+      "history must survive the race and the vacuum")
+  }
+
+  test("a stale claim from a dead committer is broken (takeover)") {
+    val root = java.nio.file.Files.createTempDirectory("vtab_stale").toString
+    VersionedTableImpl.commitMerge(spark, root,
+      env((0L until 4L).map(u => (8L * u, u))), NB)
+    // simulate a committer that died between claim and manifest rename
+    val claim = new File(s"$root/_versions/v2.claim")
+    claim.createNewFile()
+    Thread.sleep(10)
+    val v2 = VersionedTableImpl.commitMerge(spark, root,
+      env(Seq((8L * 90, 1L))), NB, staleClaimMs = 1L)
+    assert(v2 == 2, "a stale claim with no manifest behind it must be broken")
+    assert(users(VersionedTableImpl.readVersion(spark, root, 2))(1L)._1 ==
+      "%020d".format(720L))
+  }
+
+  test("schema evolution flows through commit, read, and feed; old eras null-fill") {
+    val root = java.nio.file.Files.createTempDirectory("vtab_evo").toString
+    VersionedTableImpl.commitMerge(spark, root,
+      env((0L until 8L).map(u => (8L * u, u))), NB)
+    // v2's images GROW a column; only users 1 and 2 are touched
+    val evolved = env(Seq((8L * 70, 1L), (8L * 71, 2L)))
+      .withColumn("image", col("image").withField("src", lit("batch2")))
+    VersionedTableImpl.commitMerge(spark, root, evolved, NB)
+
+    val s2 = VersionedTableImpl.readVersion(spark, root, 2)
+      .select(col("user_id"), col("src")).as[(Long, Option[String])]
+      .collect().toMap
+    assert(s2(1L).contains("batch2") && s2(2L).contains("batch2"),
+      s"evolved rows carry the new column: $s2")
+    assert((s2.keySet -- Set(1L, 2L)).forall(s2(_).isEmpty),
+      s"pre-evolution rows null-fill the new column: $s2")
+
+    // the feed carries the union schema: src_before is null (the column
+    // postdates v1), src_after is set for the touched keys
+    val feed = VersionedTableImpl.changeFeed(spark, root, 1, 2)
+      .select(col("user_id"), col("change_op"),
+        col("src_before"), col("src_after"))
+      .as[(Long, String, Option[String], Option[String])].collect().toSeq.sorted
+    assert(feed == Seq(
+      (1L, "UPDATE", None, Some("batch2")),
+      (2L, "UPDATE", None, Some("batch2"))), s"feed: $feed")
+  }
+
+  test("full-version reads keep the manifest in a scan — no driver-side file list") {
+    val root = java.nio.file.Files.createTempDirectory("vtab_scan").toString
+    VersionedTableImpl.commitMerge(spark, root,
+      env((0L until 16L).map(u => (8L * u, u))), NB)
+    VersionedTableImpl.commitMerge(spark, root, env(Seq((8L * 40, 1L))), NB)
+    val qe = VersionedTableImpl.readVersion(spark, root, 2).queryExecution
+    assert(qe.optimizedPlan.toString.contains("LeftSemi"),
+      s"readVersion must filter files via a semi-join, not a collected list:\n${qe.optimizedPlan}")
+    // the manifest is one of the plan's FILE SCANS (executedPlan prints
+    // scan locations), i.e. manifest rows never pass through the driver
+    assert(qe.executedPlan.toString.contains("_versions"),
+      s"the manifest must appear as a SCAN in the read plan:\n${qe.executedPlan}")
   }
 }

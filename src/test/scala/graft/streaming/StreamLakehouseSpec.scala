@@ -177,4 +177,64 @@ class StreamLakehouseSpec extends SparkSpec {
     val feed = VersionedTableImpl.changeFeed(spark, root, 1, vEnd)
     assert(feed.filter(col("change_op") === "UPDATE").count() > 0)
   }
+
+  test("streaming compaction maintenance bounds live file counts, preserves state and history") {
+    import graft.ops.VersionedTableImpl
+    val all = events(0 until 170)
+    // five batches all touching the same 17 keys: without maintenance a hot
+    // bucket's LIVE file count grows one per epoch
+    val batches = Seq(all.slice(0, 40), all.slice(40, 75), all.slice(75, 110),
+      all.slice(110, 140), all.slice(140, 170))
+    val root = Files.createTempDirectory("graft_slake_c").toString
+    val ckptDir = Files.createTempDirectory("graft_slake_c_ckpt").toString
+
+    def drain(input: MemoryStream[LkEvent]): Unit =
+      LakehouseSink.versionedSink(CdcSynth.envelope(input.toDF()),
+        root, ckptDir, NB, compactOver = Some(1)).awaitTermination()
+
+    def liveCounts(): Map[Long, Long] = {
+      val v = VersionedTableImpl.currentVersion(spark, root)
+      spark.read.parquet(s"$root/_versions/v$v.parquet")
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+    }
+
+    // a small record cap splits each merge's bucket rewrite into several
+    // files — the multi-file-per-commit layout a wide cluster write
+    // produces naturally (one file per task per bucket)
+    val prevCap = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+    val input = MemoryStream[LkEvent](spark)
+    try batches.foreach { b => input.addData(b: _*); drain(input) }
+    finally spark.conf.set("spark.sql.files.maxRecordsPerFile", prevCap)
+
+    // the fragmentation was real: the last MERGE commit (the version just
+    // below the final compaction) carried multi-file buckets
+    val vEnd0 = VersionedTableImpl.currentVersion(spark, root)
+    val preCompact = spark.read.parquet(s"$root/_versions/v${vEnd0 - 1}.parquet")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(preCompact.values.exists(_ > 1),
+      s"precondition lost: merges no longer fragment buckets: $preCompact")
+    assert(liveCounts().values.forall(_ <= 1),
+      s"maintenance must hold every bucket at <= 1 live file: ${liveCounts()}")
+
+    // compaction is pure layout: current state equals the one-shot replay
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("last_op"), col("last_seq"),
+        col("event_type"), col("value"), col("k"))
+        .as[(Long, String, String, String, Double, Long)].collect().toSeq.sorted
+    val vEnd = VersionedTableImpl.currentVersion(spark, root)
+    assert(rows(VersionedTableImpl.readVersion(spark, root, vEnd)) == expected(all),
+      "compacted state must equal the full-log replay")
+
+    // time travel still resolves pre-compaction versions (old files kept)
+    assert(rows(VersionedTableImpl.readVersion(spark, root, 1)) ==
+      expected(batches(0)), "history survives compaction commits")
+
+    // restart-idempotent: an idle drain neither merges nor compacts
+    drain(input)
+    assert(VersionedTableImpl.currentVersion(spark, root) == vEnd,
+      "an idle drain must append neither merge nor compaction versions")
+  }
 }
