@@ -694,17 +694,23 @@ object DedupOpsImpl {
     val n = docCount(s, dir)
     val truth = recallTruthPairs(s, dir).filter(col("j") >= 0.5)
       .select(col("a_id"), col("b_id"))
-    val found = BandGeometries.map { case (b, r) =>
+    val truthB = broadcast(truth.withColumn("hit", lit(1L)))
+    // the three geometries are INDEPENDENT band joins over the memoized
+    // signature view — submit them concurrently from the driver (Par, the
+    // ANN-panel pattern): each reduces to a one-row aggregate, results
+    // fold in declaration order, values identical to the sequential union
+    val perGeom = graft.ops.Par.map(BandGeometries) { case (b, r) =>
       bandPairsGeom(s, dir, b, r)
         .filter(inRecallSample("a_id", n) && inRecallSample("b_id", n))
+        .join(truthB, Seq("a_id", "b_id"), "left")
+        .agg(count(lit(1)).as("found_pairs"),
+          sum(coalesce(col("hit"), lit(0L))).as("true_found"))
         .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
-          col("a_id"), col("b_id"))
-    }.reduce(_ union _)
-    val hits = found
-      .join(broadcast(truth.withColumn("hit", lit(1L))), Seq("a_id", "b_id"), "left")
-      .groupBy(col("bands"), col("rows_per_band"))
-      .agg(count(lit(1)).as("found_pairs"),
-        sum(coalesce(col("hit"), lit(0L))).as("true_found"))
+          col("found_pairs"), col("true_found"))
+        .localCheckpoint()
+    }
+    val hits = perGeom.reduce(_ unionByName _)
+      .filter(col("found_pairs") > 0) // groupBy parity: empty geometry = no row
     val tot = truth.agg(count(lit(1)).as("truth_pairs"))
     hits.crossJoin(broadcast(tot))
       .select(col("bands"), col("rows_per_band"), col("truth_pairs"),

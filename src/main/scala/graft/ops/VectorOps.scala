@@ -992,15 +992,21 @@ object VectorOpsImpl {
     val k = centroidVectors(s, dir).size.toLong
     val exact = cosineTopK(s, dir).filter(col("rn") <= 3)
       .select(col("query_id"), col("neighbor_id"))
-    val found = NprobeSweep.map { np =>
+    val exactB = broadcast(exact.withColumn("hit", lit(1L)))
+    // the probe levels are INDEPENDENT probes over the cached assignment
+    // view, each behind an eager localCheckpoint of its literal-heavy
+    // query side — submit them concurrently (Par, the ANN-panel pattern);
+    // per-level one-row aggregates fold in declaration order
+    val perProbe = graft.ops.Par.map(NprobeSweep) { np =>
       ivfProbeTopKN(s, dir, np)
-        .select(lit(np.toLong).as("nprobe"), col("query_id"), col("neighbor_id"))
-    }.reduce(_ union _)
-    val hits = found
-      .join(broadcast(exact.withColumn("hit", lit(1L))),
-        Seq("query_id", "neighbor_id"), "left")
-      .groupBy(col("nprobe"))
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("matched"))
+        .join(exactB, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_found"),
+          sum(coalesce(col("hit"), lit(0L))).as("matched"))
+        .select(lit(np.toLong).as("nprobe"), col("n_found"), col("matched"))
+        .localCheckpoint()
+    }
+    val hits = perProbe.reduce(_ unionByName _)
+      .filter(col("n_found") > 0).drop("n_found") // groupBy parity
     val tot = exact.agg(count(lit(1)).as("n_exact"))
     hits.crossJoin(broadcast(tot))
       .select(col("nprobe"), lit(k).as("k_clusters"), col("matched"), col("n_exact"),

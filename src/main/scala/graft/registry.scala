@@ -128,6 +128,7 @@ object Registry {
       ops.QuantileSketchOps.queries ++
       ops.LakehouseOps.queries ++
       ops.AnnPersistOps.queries ++
+      ops.AnnFeedRefreshOps.queries ++
       ops.VersionedTableOps.queries ++
       ops.ClusterEvalOps.queries ++
       ops.DriftOps.queries ++
