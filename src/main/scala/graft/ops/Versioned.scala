@@ -414,7 +414,8 @@ object VersionedTableImpl {
     * (StreamLakehouseSpec pins this). Returns Some(newVersion) or None
     * when nothing is over threshold. */
   def compactVersion(s: SparkSession, root: String, maxFiles: Int,
-      nBuckets: Int, staleClaimMs: Long = 60000L): Option[Int] = {
+      nBuckets: Int, staleClaimMs: Long = 60000L,
+      sortCols: Seq[String] = Nil): Option[Int] = {
     val v = currentVersion(s, root)
     if (v == 0) return None
     import s.implicits._
@@ -425,9 +426,15 @@ object VersionedTableImpl {
     val fs = fsOf(s, root)
     val newV = v + 1
     if (!claimVersion(s, root, newV, staleClaimMs)) return None // writer racing: skip this cycle
-    val rows = readBuckets(s, root, v, counts, LakehouseOpsImpl.tableSchema)
+    val bucketed = readBuckets(s, root, v, counts, LakehouseOpsImpl.tableSchema)
       .withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
       .repartition(counts.length, col("bucket"))
+    // optional CLUSTERING during the rewrite (the q191 trick on the
+    // versioned maintenance path): within-bucket sort so multi-file
+    // buckets at scale get disjoint per-file ranges on the sort prefix
+    val rows =
+      if (sortCols.isEmpty) bucketed
+      else bucketed.sortWithinPartitions(col("bucket") +: sortCols.map(col): _*)
     val staging = new Path(root,
       s".v_staging_${java.util.UUID.randomUUID().toString.replace("-", "")}")
     // one file per bucket is the whole point of the rewrite: suspend any

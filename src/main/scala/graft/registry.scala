@@ -129,6 +129,7 @@ object Registry {
       ops.LakehouseOps.queries ++
       ops.AnnPersistOps.queries ++
       ops.AnnFeedRefreshOps.queries ++
+      ops.DedupFeedIndexOps.queries ++
       ops.VersionedTableOps.queries ++
       ops.ClusterEvalOps.queries ++
       ops.DriftOps.queries ++
