@@ -210,6 +210,23 @@ class VersionedSpec extends SparkSpec {
       (2L, "UPDATE", None, Some("batch2"))), s"feed: $feed")
   }
 
+  test("snapshot isolation: a plan built before later commits and a vacuum still reads its version") {
+    val root = java.nio.file.Files.createTempDirectory("vtab_snap").toString
+    VersionedTableImpl.commitMerge(spark, root,
+      env((0L until 12L).map(u => (8L * u, u))), NB)
+    val planned = VersionedTableImpl.readVersion(spark, root, 1) // plan now...
+    val before = users(planned)
+    // ...then the table moves on: two commits and a history-keeping vacuum
+    VersionedTableImpl.commitMerge(spark, root, env(Seq((8L * 80, 3L))), NB)
+    VersionedTableImpl.commitMerge(spark, root,
+      env(Seq((8L * 81 + 2, 4L))), NB) // delete user 4
+    VersionedTableImpl.vacuum(spark, root, keepFrom = 1)
+    assert(users(planned) == before,
+      "a reader's plan must execute unchanged across commits + vacuum " +
+        "(version files are immutable while their manifest is retained)")
+    assert(before.contains(4L) && before.size == 12)
+  }
+
   test("full-version reads keep the manifest in a scan — no driver-side file list") {
     val root = java.nio.file.Files.createTempDirectory("vtab_scan").toString
     VersionedTableImpl.commitMerge(spark, root,
