@@ -150,6 +150,27 @@ object StreamMain {
           conf.getInt(s"${GraftConfig.Root}.connector.lakehouse-buckets", 8))
         ()
       })
+      // versioned lakehouse target: per-batch COMMIT into a time-travelable
+      // history (marker-gated, exactly-once versions under replay) with the
+      // optional compaction maintenance hook — the config-driven form of
+      // streaming/LakehouseSink.versionedSink
+      .register("lakehouse-versioned", (batch, id) => {
+        val s = batch.sparkSession
+        val root = s"$outDir/vtable"
+        val nBuckets = conf.getInt(s"${GraftConfig.Root}.connector.lakehouse-buckets", 8)
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(root, s"_commits/batch-$id")
+        if (!fs.exists(marker)) {
+          ops.VersionedTableImpl.commitMerge(s, root, batch, nBuckets)
+          fs.mkdirs(marker.getParent)
+          fs.create(marker).close()
+        }
+        val compactOver = conf.getInt(s"${GraftConfig.Root}.connector.compact-over-files", 0)
+        if (compactOver > 0)
+          ops.VersionedTableImpl.compactVersion(s, root, compactOver, nBuckets)
+        ()
+      })
 
     val sink =
       if (sinkNames.size == 1) registry(sinkNames.head)
@@ -188,6 +209,11 @@ object StreamMain {
           if (!fs.exists(tablePath)) "0 table rows in 0 buckets"
           else s"${spark.read.parquet(s"$outDir/table").count()} table rows in " +
             s"${ops.LakehouseOpsImpl.bucketFileCounts(spark, s"$outDir/table").size} buckets"
+        case "lakehouse-versioned" =>
+          val v = ops.VersionedTableImpl.currentVersion(spark, s"$outDir/vtable")
+          if (v == 0) "0 table rows at version 0"
+          else s"${ops.VersionedTableImpl.readVersion(spark, s"$outDir/vtable", v).count()} " +
+            s"table rows at version $v"
         case _ => "console output"
       })
     }.toMap

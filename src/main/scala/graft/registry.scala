@@ -130,6 +130,7 @@ object Registry {
       ops.AnnPersistOps.queries ++
       ops.AnnFeedRefreshOps.queries ++
       ops.DedupFeedIndexOps.queries ++
+      ops.VariantOps.queries ++
       ops.VersionedTableOps.queries ++
       ops.ClusterEvalOps.queries ++
       ops.DriftOps.queries ++
