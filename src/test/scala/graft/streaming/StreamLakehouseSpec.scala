@@ -178,6 +178,49 @@ class StreamLakehouseSpec extends SparkSpec {
     assert(feed.filter(col("change_op") === "UPDATE").count() > 0)
   }
 
+  test("config-driven versioned sink: history-keeping table, exactly-once versions across re-runs") {
+    import graft.ops.VersionedTableImpl
+    val tmp = Files.createTempDirectory("graft_vlake_cli").toString
+    val (logDir, outDir, confPath) = (s"$tmp/log", s"$tmp/out", s"$tmp/conf.hocon")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(confPath),
+      """keyspaces-cdc-streams.stream {
+        |  source = shardlog
+        |  connector {
+        |    sink = "lakehouse-versioned"
+        |    record-format = full
+        |    fields-to-include = "user_id,event_type,value,k"
+        |    partition-keys = "user_id"
+        |    lakehouse-buckets = 8
+        |    compact-over-files = 4
+        |  }
+        |}""".stripMargin)
+    val rows = events(0 until 120)
+    val env = CdcSynth.envelope(rows.toDF())
+    val shard = pmod(coalesce(col("image.user_id"), col("oldImage.user_id")), lit(4L))
+    val root = s"$outDir/vtable"
+
+    graft.sources.ShardLog.record(env.filter(col("event_id") < 60), logDir, shard)
+    graft.StreamMain.run(spark, confPath, logDir, outDir)
+    val v1 = VersionedTableImpl.currentVersion(spark, root)
+    assert(v1 >= 1, s"first run commits: $v1")
+
+    graft.sources.ShardLog.record(env, logDir, shard)
+    graft.StreamMain.run(spark, confPath, logDir, outDir)
+    val vEnd = VersionedTableImpl.currentVersion(spark, root)
+    assert(vEnd > v1, "the catch-up run appends versions")
+    def state(v: Int) = VersionedTableImpl.readVersion(spark, root, v)
+      .select(col("user_id"), col("last_op"), col("last_seq"),
+        col("event_type"), col("value"), col("k"))
+      .as[(Long, String, String, String, Double, Long)].collect().toSeq.sorted
+    assert(state(vEnd) == expected(rows),
+      "the current version must equal the one-shot replay")
+
+    // idle re-run: no new versions (markers + below-threshold compaction)
+    graft.StreamMain.run(spark, confPath, logDir, outDir)
+    assert(VersionedTableImpl.currentVersion(spark, root) == vEnd,
+      "an idle re-run must append no versions")
+  }
+
   test("streaming compaction maintenance bounds live file counts, preserves state and history") {
     import graft.ops.VersionedTableImpl
     val all = events(0 until 170)
