@@ -333,10 +333,22 @@ object VersionedTableImpl {
     * era lacks reads null) — enough to maintain a derived structure
     * without reading either full state again ([[maintainedTypeIndex]],
     * [[AnnFeedRefreshImpl]]), across schema evolution. */
-  def changeFeed(s: SparkSession, root: String, v1: Int, v2: Int): DataFrame = {
+  def changeFeed(s: SparkSession, root: String, v1: Int, v2: Int): DataFrame =
+    feedOf(readVersion(s, root, v1), readVersion(s, root, v2))
+
+  /** [[changeFeed]] restricted to the given buckets — for the per-commit
+    * feed emission, where the committer KNOWS which buckets it touched:
+    * untouched keys cannot differ, so diffing only the touched buckets'
+    * states yields the identical feed at O(touched) read cost instead of
+    * two full-table scans per commit. */
+  def changeFeedBuckets(s: SparkSession, root: String, v1: Int, v2: Int,
+      buckets: Seq[Long]): DataFrame =
+    feedOf(
+      readBuckets(s, root, v1, buckets, LakehouseOpsImpl.tableSchema),
+      readBuckets(s, root, v2, buckets, LakehouseOpsImpl.tableSchema))
+
+  private def feedOf(sa: DataFrame, sb: DataFrame): DataFrame = {
     val meta = Set("user_id", "last_op", "last_seq")
-    val sa = readVersion(s, root, v1)
-    val sb = readVersion(s, root, v2)
     val payload =
       (sa.columns ++ sb.columns.filterNot(sa.columns.contains))
         .filterNot(meta.contains).toSeq
@@ -360,6 +372,20 @@ object VersionedTableImpl {
         payload.flatMap(c => Seq(col(s"${c}_before"), col(s"${c}_after"))): _*)
       .orderBy(col("user_id"))
   }
+
+  /** Materialize the v−1→v feed under `_feed/v{v}.parquet` — CHANGE DATA
+    * FILES beside the table (the Delta-CDF shape): any downstream job
+    * streams the table's history with a plain parquet `readStream` on the
+    * `_feed` dir (standard file source: checkpointed, exactly-once, no
+    * custom source needed) — the lakehouse itself becomes a CDC source,
+    * closing the loop with the engine's own CDC ingestion. Overwrite per
+    * version path = idempotent under crash-replay. Maintenance
+    * (compaction) versions are state-identical and emit nothing. */
+  def emitFeed(s: SparkSession, root: String, v: Int,
+      buckets: Seq[Long]): Unit =
+    changeFeedBuckets(s, root, v - 1, v, buckets)
+      .withColumn("version", lit(v.toLong))
+      .write.mode("overwrite").parquet(s"$root/_feed/v$v.parquet")
 
   /** Delete data files referenced by no manifest in [keepFrom, current],
     * no PENDING (WAP-staged) manifest, and no in-flight tmp manifest;

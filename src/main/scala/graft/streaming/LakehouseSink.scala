@@ -64,18 +64,36 @@ object LakehouseSink {
     * a replayed batch re-runs it harmlessly (counts already below the
     * threshold ⇒ no-op), so compaction is exactly-once-in-effect across
     * restarts without its own marker. */
+  /** With `emitFeed = true` (default) each merge commit also materializes
+    * its CHANGE DATA FILES under `root/_feed/v{N}.parquet`
+    * ([[graft.ops.VersionedTableImpl.emitFeed]]): downstream consumers
+    * stream the table's own history with a plain parquet `readStream` on
+    * that dir — the lakehouse doubles as a CDC source. The feed diff reads
+    * only the touched buckets, so emission costs O(touched) like the merge
+    * itself; the per-version overwrite is idempotent under crash-replay;
+    * compaction versions are state-identical and emit nothing. */
   def versionedSink(envStream: DataFrame, root: String, checkpointDir: String,
-      nBuckets: Int, compactOver: Option[Int] = None): StreamingQuery =
+      nBuckets: Int, compactOver: Option[Int] = None,
+      emitFeed: Boolean = true): StreamingQuery =
     envStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        import org.apache.spark.sql.functions._
         val s = batch.sparkSession
         val fs = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         val marker = new org.apache.hadoop.fs.Path(root, s"_commits/batch-$id")
         if (!fs.exists(marker)) {
-          graft.ops.VersionedTableImpl.commitMerge(s, root, batch, nBuckets)
+          val before = graft.ops.VersionedTableImpl.currentVersion(s, root)
+          val v = graft.ops.VersionedTableImpl.commitMerge(s, root, batch, nBuckets)
+          if (emitFeed && v > before) {
+            val touched = batch
+              .select(pmod(coalesce(col("image.user_id"), col("oldImage.user_id")),
+                lit(nBuckets.toLong)).as("bucket"))
+              .distinct().collect().map(_.getLong(0)).toSeq // <= nBuckets rows
+            graft.ops.VersionedTableImpl.emitFeed(s, root, v, touched)
+          }
           fs.mkdirs(marker.getParent)
           fs.create(marker).close()
         }

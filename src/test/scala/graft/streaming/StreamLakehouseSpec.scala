@@ -178,6 +178,54 @@ class StreamLakehouseSpec extends SparkSpec {
     assert(feed.filter(col("change_op") === "UPDATE").count() > 0)
   }
 
+  test("change data files: per-commit feeds match the batch diff and stream back exactly-once") {
+    import graft.ops.VersionedTableImpl
+    val all = events(0 until 150)
+    val batches = Seq(all.slice(0, 60), all.slice(60, 100), all.slice(100, 150))
+    val root = Files.createTempDirectory("graft_slake_f").toString
+    val ckptDir = Files.createTempDirectory("graft_slake_f_ckpt").toString
+
+    def drain(input: MemoryStream[LkEvent]): Unit =
+      LakehouseSink.versionedSink(CdcSynth.envelope(input.toDF()),
+        root, ckptDir, NB).awaitTermination()
+
+    val input = MemoryStream[LkEvent](spark)
+    batches.foreach { b => input.addData(b: _*); drain(input) }
+    val vEnd = VersionedTableImpl.currentVersion(spark, root)
+    assert(vEnd >= 3)
+
+    // every merge version emitted change data files equal to the diff of
+    // its own two states (the _feed files ARE the changeFeed, per version)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("change_op"),
+        col("seq_before"), col("seq_after"))
+        .as[(Long, String, Option[String], Option[String])].collect().toSeq.sorted
+    (1 to vEnd).foreach { v =>
+      val stored = spark.read.parquet(s"$root/_feed/v$v.parquet")
+      assert(stored.select(col("version")).distinct().as[Long].collect().toSeq == Seq(v.toLong))
+      assert(rows(stored) == rows(VersionedTableImpl.changeFeed(spark, root, v - 1, v)),
+        s"stored feed v$v must equal the recomputed diff")
+    }
+
+    // a downstream consumer streams the history with a PLAIN parquet
+    // readStream over _feed — standard file source, checkpointed
+    val feedSchema = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/_feed").schema
+    val streamed = spark.readStream.schema(feedSchema)
+      .option("recursiveFileLookup", "true").parquet(s"$root/_feed")
+    val got = scala.collection.mutable.Buffer[(Long, String, Option[String], Option[String])]()
+    val query = streamed.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= rows(b); () }
+      .start()
+    query.awaitTermination()
+    val batchAll = rows(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/_feed"))
+    assert(got.toSeq.sorted == batchAll,
+      "the streamed feed must carry exactly the change data files' rows")
+  }
+
   test("config-driven versioned sink: history-keeping table, exactly-once versions across re-runs") {
     import graft.ops.VersionedTableImpl
     val tmp = Files.createTempDirectory("graft_vlake_cli").toString
