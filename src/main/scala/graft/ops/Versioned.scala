@@ -506,7 +506,9 @@ object VersionedTableImpl {
   private val roots = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
 
-  def clearCaches(): Unit = { roots.clear(); quarterRoots.clear(); evoRoots.clear() }
+  def clearCaches(): Unit = {
+    roots.clear(); quarterRoots.clear(); evoRoots.clear(); feedRoots.clear()
+  }
 
   private def ensureVersioned(s: SparkSession, dir: String): String =
     Memo.getOrCacheAny(roots, s, dir, { _ =>
@@ -824,13 +826,73 @@ object VersionedTableImpl {
        |SELECT user_id, last_op, last_seq, event_type, value, k, src
        |FROM latest WHERE has_new ORDER BY user_id""".stripMargin
 
+  // -------------------------------------------------------------- q209
+  /** Versioned table built in thirds WITH change data files emitted per
+    * commit — the [[emitFeed]] lifecycle under the gate. */
+  private val feedRoots = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def ensureFeedReplay(s: SparkSession, dir: String): String =
+    Memo.getOrCacheAny(feedRoots, s, dir, { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft_vtable_f").toString
+      val env = CdcSynth.fromEvents(s, dir)
+      val mx = Tables(s, dir, "events")
+        .agg(expr("max(event_id) div 3").as("t1"),
+          expr("2 * (max(event_id) div 3)").as("t2"))
+      val withT = env.crossJoin(broadcast(mx))
+      Seq(
+        withT.filter(col("event_id") < col("t1")),
+        withT.filter(col("event_id") >= col("t1") && col("event_id") < col("t2")),
+        withT.filter(col("event_id") >= col("t2"))
+      ).foreach { batch =>
+        val v = commitMerge(s, root, batch, 8)
+        emitFeed(s, root, v, 0L until 8L) // gate path: all buckets (correct,
+        // unpruned); the streaming sink passes its actual touched set
+      }
+      root
+    })
+
+  /** q209: the final state RECONSTRUCTED from the change data files alone —
+    * per key, the after-image of its latest feed row (DELETE drops it).
+    * Must hash-match the full-log replay: the per-commit feeds COMPOSE —
+    * the property every downstream maintained structure (q186, q206, q207)
+    * silently depends on, here gated directly against the oracle. Costs
+    * one scan of the (churn-proportional) feed files, never the table. */
+  def feedReconstruction(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureFeedReplay(s, dir)
+    s.read.option("recursiveFileLookup", "true").parquet(s"$root/_feed")
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("change_op"), col("seq_after"),
+        col("event_type_after"), col("value_after"), col("k_after")),
+        col("version")).as("last"))
+      .filter(col("last.change_op") =!= "DELETE")
+      .select(col("user_id"), col("last.seq_after").as("last_seq"),
+        col("last.event_type_after").as("event_type"),
+        col("last.value_after").as("value"), col("last.k_after").as("k"))
+      .orderBy(col("user_id"))
+  }
+
+  private lazy val q209Sql: String =
+    s"""WITH ${CdcSynth.synthSql},
+       |latest AS (
+       |  SELECT COALESCE(new_user_id, old_user_id) AS user_id,
+       |    max(seq) AS last_seq,
+       |    max_by(has_new, seq) AS has_new,
+       |    max_by(new_event_type, seq) AS event_type,
+       |    max_by(new_value, seq) AS value,
+       |    max_by(new_k, seq) AS k
+       |  FROM cdc GROUP BY 1)
+       |SELECT user_id, last_seq, event_type, value, k
+       |FROM latest WHERE has_new ORDER BY user_id""".stripMargin
+
   lazy val queries: Seq[Q] = Seq(
     Q("q182_time_travel", timeTravel, Some(q182Sql)),
     Q("q183_change_feed", versionDiff, Some(q183Sql)),
     Q("q186_maintained_index", maintainedTypeIndex, Some(q186Sql)),
     Q("q193_pit_join", pitJoin, Some(q193Sql)),
     Q("q197_version_churn", versionChurn, Some(q197Sql)),
-    Q("q205_schema_evolution", evolvedState, Some(q205Sql)))
+    Q("q205_schema_evolution", evolvedState, Some(q205Sql)),
+    Q("q209_feed_reconstruction", feedReconstruction, Some(q209Sql)))
 }
 
 object VersionedTableOps {
