@@ -131,6 +131,7 @@ object Registry {
       ops.AnnFeedRefreshOps.queries ++
       ops.DedupFeedIndexOps.queries ++
       ops.VariantOps.queries ++
+      ops.NormalizeOps.queries ++
       ops.VersionedTableOps.queries ++
       ops.ClusterEvalOps.queries ++
       ops.DriftOps.queries ++
