@@ -226,6 +226,54 @@ class StreamLakehouseSpec extends SparkSpec {
       "the streamed feed must carry exactly the change data files' rows")
   }
 
+  test("CDC loop closes: a stream over the change data files maintains state equal to the table") {
+    import graft.ops.VersionedTableImpl
+    val all = events(0 until 140)
+    val batches = Seq(all.slice(0, 50), all.slice(50, 95), all.slice(95, 140))
+    val root = Files.createTempDirectory("graft_slake_loop").toString
+    val ckptDir = Files.createTempDirectory("graft_slake_loop_ckpt").toString
+    val input = MemoryStream[LkEvent](spark)
+    batches.foreach { b =>
+      input.addData(b: _*)
+      LakehouseSink.versionedSink(CdcSynth.envelope(input.toDF()),
+        root, ckptDir, NB).awaitTermination()
+    }
+    val vEnd = VersionedTableImpl.currentVersion(spark, root)
+
+    // downstream consumer: plain parquet readStream over _feed, folding
+    // each micro-batch into a keyed state store (last-writer-wins by feed
+    // version — the q209 algebra, applied incrementally)
+    val state = scala.collection.mutable.Map[Long, (Long, String, Option[Double])]()
+    val feedSchema = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/_feed").schema
+    val q = spark.readStream.schema(feedSchema)
+      .option("recursiveFileLookup", "true").parquet(s"$root/_feed")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select(col("user_id"), col("version"), col("change_op"),
+            col("value_after")).collect() // test-scale fold; prod = MERGE
+          .sortBy(r => r.getLong(1))
+          .foreach { r =>
+            val (k, v, op) = (r.getLong(0), r.getLong(1), r.getString(2))
+            if (state.get(k).forall(_._1 <= v))
+              if (op == "DELETE") state.remove(k)
+              else state(k) = (v, op, if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+          }
+        ()
+      }.start()
+    q.awaitTermination()
+
+    val table = VersionedTableImpl.readVersion(spark, root, vEnd)
+      .select(col("user_id"), col("value")).as[(Long, Option[Double])]
+      .collect().toMap
+    assert(state.keySet == table.keySet,
+      s"streamed state keys must equal the table's: ${state.keySet} vs ${table.keySet}")
+    state.foreach { case (k, (_, _, v)) =>
+      assert(v == table(k), s"streamed value for $k must match the table")
+    }
+  }
+
   test("config-driven versioned sink: history-keeping table, exactly-once versions across re-runs") {
     import graft.ops.VersionedTableImpl
     val tmp = Files.createTempDirectory("graft_vlake_cli").toString
