@@ -500,6 +500,41 @@ object VersionedTableImpl {
     Some(newV)
   }
 
+  /** RESTORE: commit a NEW version whose state is exactly version `v` —
+    * the undo button for a bad merge (Delta's RESTORE, Iceberg's
+    * rollback), as a forward-moving commit: history is append-only, so
+    * the bad version stays inspectable (and feed-diffable — the restore's
+    * change feed is the bad commit's feed reversed) while readers of
+    * `currentVersion` see the old state again. Pure METADATA: the new
+    * manifest is a copy of manifest v (the data files are immutable and
+    * still on disk — that is what vacuum's keepFrom protects), so restore
+    * costs one manifest write regardless of table size. Claimed through
+    * the same protocol as any commit. Returns the new version. */
+  def restore(s: SparkSession, root: String, v: Int,
+      staleClaimMs: Long = 60000L, maxAttempts: Int = 5): Int = {
+    val fs = fsOf(s, root)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = currentVersion(s, root)
+      require(v >= 1 && v <= cur, s"restore target v$v outside [1, $cur]")
+      val newV = cur + 1
+      val tmp = new Path(root,
+        s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
+      manifest(s, root, v).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      if (claimVersion(s, root, newV, staleClaimMs)) {
+        fs.rename(tmp, visiblePath(root, newV))
+        return newV
+      }
+      fs.delete(tmp, true)
+      if (attempt >= maxAttempts)
+        throw new IllegalStateException(
+          s"restore lost $maxAttempts optimistic attempts at $root")
+      awaitOutcome(s, root, newV, staleClaimMs)
+    }
+    -1 // unreachable
+  }
+
   // ------------------------------------------------------------ q182/q183
   /** One versioned table per (session, dir): v1 = first half of the event
     * log by id, v2 = the rest — the q179 split, committed as two versions. */
@@ -508,6 +543,7 @@ object VersionedTableImpl {
 
   def clearCaches(): Unit = {
     roots.clear(); quarterRoots.clear(); evoRoots.clear(); feedRoots.clear()
+    restoreRoots.clear()
   }
 
   private def ensureVersioned(s: SparkSession, dir: String): String =
@@ -872,6 +908,49 @@ object VersionedTableImpl {
       .orderBy(col("user_id"))
   }
 
+  /** q212: RESTORE under the gate — a private quartered build (3 commits,
+    * the [[ensureQuartered]] recipe) rolled back to version 2: the
+    * restored HEAD must equal the two-thirds-log replay exactly, while
+    * the rolled-back version stays readable underneath. */
+  def restoredState(s: SparkSession, dir: String): DataFrame = {
+    val root = Memo.getOrCacheAny(restoreRoots, s, dir, { _ =>
+      val r = java.nio.file.Files.createTempDirectory("graft_vtable_r").toString
+      val env = CdcSynth.fromEvents(s, dir)
+      val q = Tables(s, dir, "events")
+        .agg(expr("max(event_id) div 4").as("q"))
+      val withQ = env.crossJoin(broadcast(q))
+      commitMerge(s, r, withQ.filter(col("event_id") < col("q")), 8)
+      commitMerge(s, r, withQ.filter(
+        col("event_id") >= col("q") && col("event_id") < col("q") * 2), 8)
+      commitMerge(s, r, withQ.filter(
+        col("event_id") >= col("q") * 2 && col("event_id") < col("q") * 3), 8)
+      val v4 = restore(s, r, 2)
+      require(v4 == 4, s"restore commits forward: $v4")
+      r
+    })
+    readVersion(s, root, currentVersion(s, root))
+      .select(col("user_id"), col("last_op"), col("last_seq"),
+        col("event_type"), col("value"), col("k"))
+      .orderBy(col("user_id"))
+  }
+
+  private val restoreRoots = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private lazy val q212Sql: String =
+    s"""WITH ${CdcSynth.synthSql},
+       |qq AS (SELECT max(event_id) // 4 AS q FROM events),
+       |latest AS (
+       |  SELECT COALESCE(new_user_id, old_user_id) AS user_id,
+       |    max_by(op, seq) AS last_op, max(seq) AS last_seq,
+       |    max_by(has_new, seq) AS has_new,
+       |    max_by(new_event_type, seq) AS event_type,
+       |    max_by(new_value, seq) AS value,
+       |    max_by(new_k, seq) AS k
+       |  FROM cdc, qq WHERE event_id < q * 2 GROUP BY 1)
+       |SELECT user_id, last_op, last_seq, event_type, value, k
+       |FROM latest WHERE has_new ORDER BY user_id""".stripMargin
+
   private lazy val q209Sql: String =
     s"""WITH ${CdcSynth.synthSql},
        |latest AS (
@@ -892,7 +971,8 @@ object VersionedTableImpl {
     Q("q193_pit_join", pitJoin, Some(q193Sql)),
     Q("q197_version_churn", versionChurn, Some(q197Sql)),
     Q("q205_schema_evolution", evolvedState, Some(q205Sql)),
-    Q("q209_feed_reconstruction", feedReconstruction, Some(q209Sql)))
+    Q("q209_feed_reconstruction", feedReconstruction, Some(q209Sql)),
+    Q("q212_restore", restoredState, Some(q212Sql)))
 }
 
 object VersionedTableOps {
