@@ -67,6 +67,16 @@ import graft.cdc.CdcSynth
   * through an atomic store primitive, here the filesystem's atomic
   * create.
   *
+  * Confluence contract: concurrent UPSERTS of the same key serialize to
+  * the same state in any commit order (higher seq wins; VersionedSpec's
+  * racing-writers property pins it). DELETES require the delivery
+  * contract the reference also relies on — all events of one key flow
+  * through ONE ordered writer (per-shard key ownership): an applied
+  * tombstone carries no version, so a racing lower-seq upsert committing
+  * AFTER the delete would resurrect the key (the documented
+  * MergePropertySpec non-claim; fixing it would take versioned tombstone
+  * rows retained until a reorder-grace horizon).
+  *
   * SCHEMA EVOLUTION flows through the commit path with no migration job:
   * [[LakehouseOpsImpl.mergeLatest]] emits the UNION of the base payload
   * and the batch image's fields (reference parity — the Avro converter

@@ -167,6 +167,41 @@ class VersionedSpec extends SparkSpec {
       "history must survive the race and the vacuum")
   }
 
+  test("property: racing writers with overlapping keys serialize to the one-shot replay") {
+    // latest-wins merges of UPSERTS are confluent: whatever order the
+    // claim protocol serializes the writers into, the final state must
+    // equal replaying the UNION of all batches in one shot — overlapping
+    // keys exercise the conflict re-merge path; seeded for repro.
+    // DELETES are only confluent per the delivery contract (same-key
+    // events through one ordered writer, like the reference's per-shard
+    // key ownership): a tombstone carries no version once applied, so a
+    // racing LOWER-seq upsert committing after it would resurrect the key
+    // (the documented MergePropertySpec non-claim) — hence each writer
+    // deletes only from its own key range here.
+    val rng = new scala.util.Random(20260814L)
+    val root = java.nio.file.Files.createTempDirectory("vtab_prop").toString
+    VersionedTableImpl.commitMerge(spark, root,
+      env((0L until 20L).map(u => (8L * u, u))), NB)
+    val batches = (0 until 6).map { w =>
+      val shared = (0 until 4).map { i =>
+        val m = Seq(0L, 1L)(rng.nextInt(2)) // INSERT/UPDATE on shared keys
+        (8L * (30 + 10 * w + i) + m, rng.nextInt(20).toLong)
+      }
+      // one DELETE per writer on a key only this writer ever touches
+      shared :+ (8L * (30 + 10 * w + 4) + 2L, (100 + w).toLong)
+    }
+    // maxAttempts must cover the worst writer losing every race: ≥ writers
+    val results = graft.ops.Par.map(batches)(b =>
+      VersionedTableImpl.commitMerge(spark, root, env(b), NB, maxAttempts = 12))
+    assert(results.sorted == (2 to 7).toList, s"serialized versions: $results")
+    val oneShot = env((0L until 20L).map(u => (8L * u, u)) ++ batches.flatten)
+    val expectedRoot = java.nio.file.Files.createTempDirectory("vtab_prop_e").toString
+    VersionedTableImpl.commitMerge(spark, expectedRoot, oneShot, NB)
+    assert(users(VersionedTableImpl.readVersion(spark, root, 7)) ==
+      users(VersionedTableImpl.readVersion(spark, expectedRoot, 1)),
+      "racing writers must converge to the one-shot replay of all batches")
+  }
+
   test("a stale claim from a dead committer is broken (takeover)") {
     val root = java.nio.file.Files.createTempDirectory("vtab_stale").toString
     VersionedTableImpl.commitMerge(spark, root,
