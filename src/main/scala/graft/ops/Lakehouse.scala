@@ -62,7 +62,25 @@ object LakehouseOpsImpl {
     * stream can grow columns mid-flight). A column the other side lacks
     * null-fills: base rows predate the new column; an update image is a
     * FULL row image, so a field it no longer carries reads as null. */
-  def mergeLatest(base: DataFrame, updates: DataFrame): DataFrame = {
+  def mergeLatest(base: DataFrame, updates: DataFrame): DataFrame =
+    // winning tombstone deletes (physical removal): delete-family ops are
+    // exactly the no-new-image envelopes (StreamHelpers op derivation)
+    mergeLatestKeepTombstones(base, updates)
+      .filter(!(col("last_op").isin(DeleteOps: _*) && !col("from_base")))
+
+  /** Operation types whose winning row is a TOMBSTONE (no new image). */
+  val DeleteOps: Seq[String] = Seq("DELETE", "REPLICATED_DELETE", "TTL")
+
+  /** [[mergeLatest]] with LOGICAL deletes: a winning tombstone stays in
+    * the output as a row carrying its op and SEQUENCE with null payload,
+    * instead of vanishing. This is what makes latest-wins merges
+    * confluent for deletes under out-of-order (concurrent-writer)
+    * delivery: a later-committing lower-seq upsert still LOSES against
+    * the retained tombstone version, where physical removal would let it
+    * resurrect the key. The versioned table commits through this variant
+    * and filters tombstones at its read surface; the flat COW path keeps
+    * physical deletes (its streams are per-key ordered by contract). */
+  def mergeLatestKeepTombstones(base: DataFrame, updates: DataFrame): DataFrame = {
     val meta = Set("user_id", "last_op", "last_seq")
     val basePayload = base.columns.filterNot(meta.contains).toSeq
     val imgType = updates.schema("ulast").dataType
@@ -82,13 +100,11 @@ object LakehouseOpsImpl {
         else lit(null).cast(imgType(f).dataType)
       when(useUpdate, fromUpdate).otherwise(fromBase).as(f)
     }
-    joined
-      .filter(!(useUpdate && col("ulast.image").isNull)) // winning tombstone deletes
-      .select(
-        Seq(col("user_id"),
-          when(useUpdate, col("ulast.op")).otherwise(col("last_op")).as("last_op"),
-          when(useUpdate, col("u_seq")).otherwise(col("last_seq")).as("last_seq")) ++
-        payloadCols :+ (!useUpdate).as("from_base"): _*)
+    joined.select(
+      Seq(col("user_id"),
+        when(useUpdate, col("ulast.op")).otherwise(col("last_op")).as("last_op"),
+        when(useUpdate, col("u_seq")).otherwise(col("last_seq")).as("last_seq")) ++
+      payloadCols :+ (!useUpdate).as("from_base"): _*)
   }
 
   private def keyOf = coalesce(col("image.user_id"), col("oldImage.user_id"))

@@ -67,15 +67,20 @@ import graft.cdc.CdcSynth
   * through an atomic store primitive, here the filesystem's atomic
   * create.
   *
-  * Confluence contract: concurrent UPSERTS of the same key serialize to
-  * the same state in any commit order (higher seq wins; VersionedSpec's
-  * racing-writers property pins it). DELETES require the delivery
-  * contract the reference also relies on — all events of one key flow
-  * through ONE ordered writer (per-shard key ownership): an applied
-  * tombstone carries no version, so a racing lower-seq upsert committing
-  * AFTER the delete would resurrect the key (the documented
-  * MergePropertySpec non-claim; fixing it would take versioned tombstone
-  * rows retained until a reorder-grace horizon).
+  * Confluence contract: concurrent writers of the same key serialize to
+  * the same state in ANY commit order — upserts because the higher seq
+  * wins, and DELETES because the versioned table retains winning
+  * tombstones as VERSIONED ROWS ([[LakehouseOpsImpl
+  * .mergeLatestKeepTombstones]]): a later-committing lower-seq upsert
+  * loses against the tombstone's seq instead of resurrecting the key.
+  * The read surface ([[readVersion]]) filters tombstones; the feed
+  * classifies DELETE from them. VersionedSpec's racing-writers property
+  * pins confluence with overlapping upserts AND deletes. (The flat COW
+  * path keeps physical deletes and the per-key ordered-delivery
+  * contract — the MergePropertySpec non-claim — as its streams own their
+  * keys, reference-style.) Tombstones accumulate until [[vacuum]]-era
+  * maintenance; at scale a compaction horizon would purge tombstones
+  * older than the maximum possible writer reorder.
   *
   * SCHEMA EVOLUTION flows through the commit path with no migration job:
   * [[LakehouseOpsImpl.mergeLatest]] emits the UNION of the base payload
@@ -159,8 +164,17 @@ object VersionedTableImpl {
 
   /** The table as of version v (empty-typed frame when v = 0 or nothing
     * survived). Union schema across files of different commit eras:
-    * columns a version's own era lacked read as null. */
+    * columns a version's own era lacked read as null. TOMBSTONE rows
+    * (retained for delete-confluence) are filtered here — the read
+    * surface shows live keys only. */
   def readVersion(s: SparkSession, root: String, v: Int): DataFrame =
+    readVersionRaw(s, root, v)
+      .filter(!col("last_op").isin(LakehouseOpsImpl.DeleteOps: _*))
+
+  /** [[readVersion]] WITHOUT the tombstone filter — internal surface for
+    * the feed (which classifies deletes FROM the tombstones) and for
+    * maintenance rewrites (which must carry them forward). */
+  private def readVersionRaw(s: SparkSession, root: String, v: Int): DataFrame =
     if (v == 0)
       s.createDataFrame(s.sparkContext.emptyRDD[Row],
         LakehouseOpsImpl.tableSchema)
@@ -252,7 +266,11 @@ object VersionedTableImpl {
       val v = currentVersion(s, root)
       val newV = v + 1
       val base = readBuckets(s, root, v, touched, emptySchema)
-      val merged = LakehouseOpsImpl.mergeLatest(base, updates.drop("bucket"))
+      // LOGICAL deletes: winning tombstones stay as versioned rows, so a
+      // later-committing lower-seq upsert cannot resurrect a deleted key
+      // (delete-confluence under concurrent writers; see the object doc)
+      val merged = LakehouseOpsImpl
+        .mergeLatestKeepTombstones(base, updates.drop("bucket"))
         .drop("from_base")
         .withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
       val staging = new Path(root,
@@ -327,6 +345,7 @@ object VersionedTableImpl {
     val pending = pendingPath(root, newV)
     val staged = readManifest(s, root, s.read.parquet(pending.toString),
       LakehouseOpsImpl.tableSchema)
+      .filter(!col("last_op").isin(LakehouseOpsImpl.DeleteOps: _*)) // live state
     audit(staged) match {
       case None =>
         fs.rename(pending, visiblePath(root, newV)); Right(newV)
@@ -344,7 +363,7 @@ object VersionedTableImpl {
     * without reading either full state again ([[maintainedTypeIndex]],
     * [[AnnFeedRefreshImpl]]), across schema evolution. */
   def changeFeed(s: SparkSession, root: String, v1: Int, v2: Int): DataFrame =
-    feedOf(readVersion(s, root, v1), readVersion(s, root, v2))
+    feedOf(readVersionRaw(s, root, v1), readVersionRaw(s, root, v2))
 
   /** [[changeFeed]] restricted to the given buckets — for the per-commit
     * feed emission, where the committer KNOWS which buckets it touched:
@@ -357,28 +376,39 @@ object VersionedTableImpl {
       readBuckets(s, root, v1, buckets, LakehouseOpsImpl.tableSchema),
       readBuckets(s, root, v2, buckets, LakehouseOpsImpl.tableSchema))
 
+  /** Feed classification over RAW (tombstone-inclusive) states. A key is
+    * LIVE when its row's op is not a delete; tombstones classify DELETE
+    * transitions and otherwise read as absence (a key deleted on both
+    * sides is untouched even if the tombstone was re-applied at a higher
+    * seq). The emitted contract is unchanged: DELETE rows carry a null
+    * seq_after and null after-payload. */
   private def feedOf(sa: DataFrame, sb: DataFrame): DataFrame = {
     val meta = Set("user_id", "last_op", "last_seq")
     val payload =
       (sa.columns ++ sb.columns.filterNot(sa.columns.contains))
         .filterNot(meta.contains).toSeq
     def side(df: DataFrame, tag: String) = df.select(
-      col("user_id") +: col("last_seq").as(s"seq_$tag") +:
+      col("user_id") +: col("last_seq").as(s"rawseq_$tag") +:
+        (!col("last_op").isin(LakehouseOpsImpl.DeleteOps: _*)).as(s"live_$tag") +:
         payload.map { c =>
           (if (df.columns.contains(c)) col(c)
            else lit(null).cast(
              (if (sa.columns.contains(c)) sa else sb).schema(c).dataType))
             .as(s"${c}_$tag")
         }: _*)
+    val liveB = coalesce(col("live_before"), lit(false))
+    val liveA = coalesce(col("live_after"), lit(false))
     side(sa, "before").join(side(sb, "after"), Seq("user_id"), "full_outer")
       .withColumn("change_op",
-        when(col("seq_before").isNull, "INSERT")
-          .when(col("seq_after").isNull, "DELETE")
-          .when(col("seq_before") =!= col("seq_after"), "UPDATE"))
-      .filter(col("change_op").isNotNull) // seq equality = untouched
+        when(!liveB && liveA, "INSERT")
+          .when(liveB && !liveA, "DELETE")
+          .when(liveB && liveA &&
+            col("rawseq_before") =!= col("rawseq_after"), "UPDATE"))
+      .filter(col("change_op").isNotNull) // untouched (incl. dead-on-both-sides)
       .select(
         Seq(col("user_id"), col("change_op"),
-          col("seq_before"), col("seq_after")) ++
+          when(liveB, col("rawseq_before")).as("seq_before"),
+          when(liveA, col("rawseq_after")).as("seq_after")) ++
         payload.flatMap(c => Seq(col(s"${c}_before"), col(s"${c}_after"))): _*)
       .orderBy(col("user_id"))
   }

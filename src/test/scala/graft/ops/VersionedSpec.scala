@@ -168,27 +168,22 @@ class VersionedSpec extends SparkSpec {
   }
 
   test("property: racing writers with overlapping keys serialize to the one-shot replay") {
-    // latest-wins merges of UPSERTS are confluent: whatever order the
-    // claim protocol serializes the writers into, the final state must
-    // equal replaying the UNION of all batches in one shot — overlapping
-    // keys exercise the conflict re-merge path; seeded for repro.
-    // DELETES are only confluent per the delivery contract (same-key
-    // events through one ordered writer, like the reference's per-shard
-    // key ownership): a tombstone carries no version once applied, so a
-    // racing LOWER-seq upsert committing after it would resurrect the key
-    // (the documented MergePropertySpec non-claim) — hence each writer
-    // deletes only from its own key range here.
+    // latest-wins merges are confluent under the claim protocol: whatever
+    // order the writers serialize into, the final state must equal
+    // replaying the UNION of all batches in one shot. DELETES included:
+    // the versioned table retains winning tombstones as versioned rows,
+    // so a later-committing lower-seq upsert of the same key LOSES
+    // against the tombstone instead of resurrecting it (the flat-path
+    // MergePropertySpec non-claim, closed here). Seeded for repro.
     val rng = new scala.util.Random(20260814L)
     val root = java.nio.file.Files.createTempDirectory("vtab_prop").toString
     VersionedTableImpl.commitMerge(spark, root,
       env((0L until 20L).map(u => (8L * u, u))), NB)
     val batches = (0 until 6).map { w =>
-      val shared = (0 until 4).map { i =>
-        val m = Seq(0L, 1L)(rng.nextInt(2)) // INSERT/UPDATE on shared keys
+      (0 until 5).map { i =>
+        val m = Seq(0L, 1L, 2L)(rng.nextInt(3)) // INSERT/UPDATE/DELETE, shared keys
         (8L * (30 + 10 * w + i) + m, rng.nextInt(20).toLong)
       }
-      // one DELETE per writer on a key only this writer ever touches
-      shared :+ (8L * (30 + 10 * w + 4) + 2L, (100 + w).toLong)
     }
     // maxAttempts must cover the worst writer losing every race: ≥ writers
     val results = graft.ops.Par.map(batches)(b =>
