@@ -1,0 +1,105 @@
+package graft.ops
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.ops.Det.dsum
+
+/** BUCKETED (pre-partitioned) tables: the shuffle-elimination technique a
+  * 100 TB deployment leans on hardest. Writing both fact tables bucketed
+  * by the join key (`DataFrameWriter.bucketBy` — hash-partitioned into a
+  * fixed bucket count, recorded in the catalog) lets every later
+  * key-aligned join and aggregation reuse the on-disk partitioning:
+  * Catalyst sees matching `HashPartitioning` on both scans and plans a
+  * sort-merge join with ZERO Exchange operators, and a `GROUP BY` whose
+  * keys contain the bucket key runs map-side only. At cluster scale this
+  * converts the nightly fact-fact join from "shuffle 100 TB twice" into
+  * "stream co-located buckets" — the same trade the reference's
+  * shard-keyed Kinesis layout makes for its per-shard ordered consumption
+  * (each worker owns a shard's keys; no cross-worker exchange —
+  * architecture/ARCHITECTURE.md:52-64), applied to batch analytics.
+  *
+  * Bucket count: 16 here (sf0.01 test data); at 100 TB you would size
+  * buckets to O(executor-memory) partitions (thousands) — the count is a
+  * write-time constant, so it is a config knob, not a code change. The
+  * tables are memoized per (session, dir) and registered in the session
+  * catalog backed by a temp-dir warehouse; a real deployment points the
+  * same writer at its lake path with a Hive/Glue catalog.
+  *
+  * One row per input task lands in each bucket file-pair: the writer
+  * repartitions by the bucket expression first, so each bucket is ONE
+  * file and the scan also reports the per-bucket sort order
+  * (`sortBy`), letting the merge join skip its Sort when possible.
+  */
+object BucketedOpsImpl {
+
+  private val built =
+    new ConcurrentHashMap[(SparkSession, String), (String, String)]()
+
+  def clearCaches(): Unit = built.clear()
+
+  val NumBuckets = 16
+
+  /** Ensure bucketed copies of lineitem/orders exist in the session
+    * catalog; returns (lineitemTable, ordersTable) names. */
+  def ensureTables(s: SparkSession, dir: String): (String, String) =
+    Memo.getOrCacheAny(built, s, dir, { d =>
+      val tag = java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)
+      val wh = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+      val li = s"graft_bkt_lineitem_$tag"
+      val ord = s"graft_bkt_orders_$tag"
+      if (!s.catalog.tableExists(li)) {
+        Tables(s, d, "lineitem")
+          .repartition(NumBuckets, col("l_orderkey"))
+          .write.bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$wh/$li").mode("overwrite").saveAsTable(li)
+      }
+      if (!s.catalog.tableExists(ord)) {
+        Tables(s, d, "orders")
+          .repartition(NumBuckets, col("o_orderkey"))
+          .write.bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$wh/$ord").mode("overwrite").saveAsTable(ord)
+      }
+      (li, ord)
+    })
+
+  /** The co-located join + aggregate WITHOUT the final presentation sort:
+    * this plan must contain no ShuffleExchange at all (BucketedSpec locks
+    * it) — scan co-located buckets, merge-join, partial+final aggregate on
+    * the same partitioning. */
+  def colocatedRevenue(s: SparkSession, dir: String): DataFrame = {
+    val (liName, ordName) = ensureTables(s, dir)
+    val li = s.table(liName)
+    val o = s.table(ordName)
+    li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** q213: the q03-shaped fact-fact join answered from the bucketed
+    * layout — identical results to the shuffle plan, zero exchanges before
+    * the presentation sort. */
+  def bucketedTopRevenue(s: SparkSession, dir: String): DataFrame =
+    colocatedRevenue(s, dir)
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(100)
+}
+
+object BucketedOps {
+  import Det.dsumSql
+
+  def queries: Seq[Q] = Seq(
+    Q("q213_bucketed_join", BucketedOpsImpl.bucketedTopRevenue, Some(
+      s"""SELECT o_orderkey, o_orderpriority,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderkey, o_orderpriority
+         |ORDER BY revenue DESC, o_orderkey LIMIT 100""".stripMargin),
+      headline = true))
+}

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
@@ -217,7 +217,16 @@ object VersionedTableImpl {
     val published = fs.exists(visiblePath(root, v)) || fs.exists(pendingPath(root, v))
     if (!published && fs.exists(claim) &&
         System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime > staleClaimMs) {
-      fs.delete(claim, false) // takeover: claimant died pre-publish
+      // Takeover: claimant died pre-publish. Remove the stale claim by
+      // RENAME, not delete — delete-then-create would let two takeover
+      // racers both "win" (A deletes, A creates, B deletes A's LIVE
+      // claim, B creates), breaking the single-holder invariant. A
+      // rename succeeds for exactly one racer; everyone then competes
+      // through the same create-no-overwrite.
+      val aside = new Path(root, s"_versions/.dead-claim-v$v-" +
+        java.util.UUID.randomUUID().toString.replace("-", ""))
+      try { if (fs.rename(claim, aside)) fs.delete(aside, false) }
+      catch { case _: java.io.IOException => () }
       tryCreate()
     } else false
   }
@@ -258,20 +267,35 @@ object VersionedTableImpl {
     val touched = updates.select(col("bucket")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted // <= nBuckets rows
     if (touched.isEmpty) return currentVersion(s, root)
+    // LOGICAL deletes: winning tombstones stay as versioned rows, so a
+    // later-committing lower-seq upsert cannot resurrect a deleted key
+    // (delete-confluence under concurrent writers; see the object doc)
+    commitLoop(s, root, nBuckets, touched, emptyStateFor(s, updates),
+      maxAttempts, staleClaimMs, pendingStage, "commitMerge")(base =>
+      LakehouseOpsImpl
+        .mergeLatestKeepTombstones(base, updates.drop("bucket"))
+        .drop("from_base"))
+  }
+
+  /** The optimistic-concurrency commit loop shared by [[commitMerge]] and
+    * [[mergeInto]]: read the touched buckets of the CURRENT version, apply
+    * `merge` to produce the buckets' next state, stage, claim, publish;
+    * on a lost claim re-read and re-merge (the merge fn sees the winner's
+    * state on retry). `merge` receives the raw (tombstone-inclusive)
+    * bucket state and returns the full next state of those buckets,
+    * meta columns included, without the bucket column. */
+  private def commitLoop(s: SparkSession, root: String, nBuckets: Int,
+      touched: Seq[Long], emptySchema: StructType, maxAttempts: Int,
+      staleClaimMs: Long, pendingStage: Boolean, what: String)
+      (merge: DataFrame => DataFrame): Int = {
     val fs = fsOf(s, root)
-    val emptySchema = emptyStateFor(s, updates)
     var attempt = 0
     while (true) {
       attempt += 1
       val v = currentVersion(s, root)
       val newV = v + 1
       val base = readBuckets(s, root, v, touched, emptySchema)
-      // LOGICAL deletes: winning tombstones stay as versioned rows, so a
-      // later-committing lower-seq upsert cannot resurrect a deleted key
-      // (delete-confluence under concurrent writers; see the object doc)
-      val merged = LakehouseOpsImpl
-        .mergeLatestKeepTombstones(base, updates.drop("bucket"))
-        .drop("from_base")
+      val merged = merge(base)
         .withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
       val staging = new Path(root,
         s".v_staging_${java.util.UUID.randomUUID().toString.replace("-", "")}")
@@ -307,11 +331,17 @@ object VersionedTableImpl {
       val tmp = new Path(root,
         s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
       manifestDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      // COMMIT POINT: atomic claim, then the single manifest rename
+      // COMMIT POINT: atomic claim, then the single manifest rename. The
+      // rename result is CHECKED: a false here (dest already exists —
+      // only reachable if the claim invariant were ever violated) must
+      // fail loudly, never silently drop the batch.
       if (claimVersion(s, root, newV, staleClaimMs)) {
         val dest = if (pendingStage) pendingPath(root, newV)
                    else visiblePath(root, newV)
-        fs.rename(tmp, dest)
+        if (!fs.rename(tmp, dest))
+          throw new IllegalStateException(
+            s"$what held the claim on v$newV but the manifest " +
+              s"rename to $dest failed — claim invariant violated")
         return newV
       }
       // lost the race: staged manifest dies now, this attempt's data
@@ -319,10 +349,93 @@ object VersionedTableImpl {
       fs.delete(tmp, true)
       if (attempt >= maxAttempts)
         throw new IllegalStateException(
-          s"commitMerge lost $maxAttempts optimistic attempts at $root (last target v$newV)")
+          s"$what lost $maxAttempts optimistic attempts at $root (last target v$newV)")
       awaitOutcome(s, root, newV, staleClaimMs)
     }
     -1 // unreachable
+  }
+
+  /** General three-clause MERGE INTO the versioned table — the
+    * user-facing merge every lakehouse ships (Delta's
+    * `whenMatched.delete / whenMatched.updateAll /
+    * whenNotMatched.insertAll`, Iceberg's MERGE INTO), distinct from
+    * [[commitMerge]]'s CDC latest-wins algebra: here the CALLER decides
+    * what happens on a match, via predicates over the matched pair.
+    *
+    * `source` carries one row per key: `user_id`, `seq` (a
+    * last_seq-comparable sequence string for the written rows), and the
+    * payload columns. Conditions reference the pair through prefixed
+    * columns — `src_<c>` / `tgt_<c>` (e.g.
+    * `col("src_value") < col("tgt_value")`); a NULL condition is false
+    * (SQL semantics). Precedence on a match: delete, then update, then
+    * keep. A tombstoned target key is NOT matched (MERGE sees live rows),
+    * so a source row for it takes the insert path — an explicit INSERT
+    * legitimately resurrects a deleted key; absent an applicable insert
+    * clause the tombstone is carried forward unchanged.
+    *
+    * Commits through [[commitLoop]]: same claim protocol, same
+    * O(touched-buckets) cost, same re-merge-on-conflict retry — at 100 TB
+    * a merge touching 1% of keys reads and rewrites ~1% of buckets, and
+    * concurrent mergeInto/commitMerge writers serialize cleanly. */
+  def mergeInto(s: SparkSession, root: String, source: DataFrame,
+      nBuckets: Int,
+      deleteWhen: Option[Column] = None,
+      updateWhen: Option[Column] = None, // None = always update on match
+      insertWhen: Option[Column] = None, // None = always insert unmatched
+      maxAttempts: Int = 5, staleClaimMs: Long = 60000L): Int = {
+    val payload = source.columns.filterNot(Set("user_id", "seq").contains).toSeq
+    val touched = source
+      .select(pmod(col("user_id"), lit(nBuckets.toLong)).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    if (touched.isEmpty) return currentVersion(s, root)
+    val emptySchema = StructType(
+      StructField("user_id", LongType) +:
+      StructField("last_op", StringType) +:
+      StructField("last_seq", StringType) +:
+      payload.map(c => StructField(c, source.schema(c).dataType)))
+    commitLoop(s, root, nBuckets, touched, emptySchema,
+      maxAttempts, staleClaimMs, pendingStage = false, "mergeInto") { base =>
+      val meta = Set("user_id", "last_op", "last_seq")
+      val basePayload = base.columns.filterNot(meta.contains).toSeq
+      val allPayload = basePayload ++ payload.filterNot(basePayload.contains)
+      val tgt = base.select(
+        col("user_id") +: col("last_op").as("tgt_last_op") +:
+          col("last_seq").as("tgt_last_seq") +:
+          allPayload.map(c =>
+            (if (basePayload.contains(c)) col(c)
+             else lit(null).cast(source.schema(c).dataType)).as(s"tgt_$c")): _*)
+      val src = source.select(
+        col("user_id") +: col("seq").as("src_seq") +:
+          allPayload.map(c =>
+            (if (payload.contains(c)) col(c)
+             else lit(null).cast(base.schema(c).dataType)).as(s"src_$c")): _*)
+      val j = tgt.join(src, Seq("user_id"), "full_outer")
+      val tgtPresent = col("tgt_last_op").isNotNull
+      val tgtLive = tgtPresent &&
+        !col("tgt_last_op").isin(LakehouseOpsImpl.DeleteOps: _*)
+      val srcPresent = col("src_seq").isNotNull
+      val matched = tgtLive && srcPresent
+      val del = matched &&
+        coalesce(deleteWhen.getOrElse(lit(false)), lit(false))
+      val upd = matched && !del &&
+        coalesce(updateWhen.getOrElse(lit(true)), lit(false))
+      val ins = srcPresent && !tgtLive &&
+        coalesce(insertWhen.getOrElse(lit(true)), lit(false))
+      j.filter(tgtPresent || ins) // src-only row with no insert clause: drop
+        .select(
+          Seq(col("user_id"),
+            when(del, lit("DELETE"))
+              .when(upd, lit("UPDATE")).when(ins, lit("INSERT"))
+              .otherwise(col("tgt_last_op")).as("last_op"),
+            when(del || upd || ins, col("src_seq"))
+              .otherwise(col("tgt_last_seq")).as("last_seq")) ++
+          allPayload.map(c =>
+            when(del, lit(null).cast(
+                (if (payload.contains(c)) source.schema(c)
+                 else base.schema(c)).dataType))
+              .when(upd || ins, col(s"src_$c"))
+              .otherwise(col(s"tgt_$c")).as(c)): _*)
+    }
   }
 
   /** WRITE-AUDIT-PUBLISH: merge `env` as a STAGED version, run `audit`
@@ -348,7 +461,10 @@ object VersionedTableImpl {
       .filter(!col("last_op").isin(LakehouseOpsImpl.DeleteOps: _*)) // live state
     audit(staged) match {
       case None =>
-        fs.rename(pending, visiblePath(root, newV)); Right(newV)
+        if (!fs.rename(pending, visiblePath(root, newV)))
+          throw new IllegalStateException(
+            s"WAP publish rename of v$newV failed under a held claim")
+        Right(newV)
       case Some(reason) =>
         fs.delete(pending, true)
         fs.delete(claimPath(root, newV), false) // release N for the next commit
@@ -536,7 +652,9 @@ object VersionedTableImpl {
     val tmp = new Path(root,
       s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
     manifestDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    fs.rename(tmp, visiblePath(root, newV)) // claim already held
+    if (!fs.rename(tmp, visiblePath(root, newV))) // claim already held
+      throw new IllegalStateException(
+        s"compaction commit rename of v$newV failed under a held claim")
     Some(newV)
   }
 
@@ -563,7 +681,9 @@ object VersionedTableImpl {
         s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
       manifest(s, root, v).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       if (claimVersion(s, root, newV, staleClaimMs)) {
-        fs.rename(tmp, visiblePath(root, newV))
+        if (!fs.rename(tmp, visiblePath(root, newV)))
+          throw new IllegalStateException(
+            s"restore commit rename of v$newV failed under a held claim")
         return newV
       }
       fs.delete(tmp, true)
@@ -583,7 +703,7 @@ object VersionedTableImpl {
 
   def clearCaches(): Unit = {
     roots.clear(); quarterRoots.clear(); evoRoots.clear(); feedRoots.clear()
-    restoreRoots.clear()
+    restoreRoots.clear(); mergeRoots.clear()
   }
 
   private def ensureVersioned(s: SparkSession, dir: String): String =
@@ -639,6 +759,140 @@ object VersionedTableImpl {
       .unionByName(added)
       .orderBy(col("event_type"), col("user_id"))
   }
+
+  /** q214: an AGGREGATE view (per event_type: live count + value sum)
+    * maintained from the change feed alone — the IVM companion to q186's
+    * maintained index. The v1 aggregate plus the v1→v2 feed's deltas
+    * (DELETE/UPDATE retract the before-image contribution, INSERT/UPDATE
+    * add the after-image's) must hash-match DuckDB recomputing the
+    * aggregate from the FULL log at v2. Cost is O(|feed|) + the v1
+    * aggregate (groups-sized), never a v2 scan — at 100 TB the feed is
+    * churn-proportional and the view is groups-sized, so maintenance is
+    * independent of table size. Sums run in exact DECIMAL(38,6) until the
+    * final cast, so "v1 sum + delta sum" is bit-equal to the oracle's
+    * one-shot sum regardless of accumulation order (the Det discipline,
+    * composed across increments). */
+  def ivmAggregate(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureVersioned(s, dir)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val v1 = readVersion(s, root, 1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n1"), sum(col("value").cast(dec)).as("s1"))
+    val feed = changeFeed(s, root, 1, 2)
+    val retract = feed.filter(col("change_op").isin("DELETE", "UPDATE"))
+      .select(col("event_type_before").as("event_type"),
+        lit(-1L).as("dc"),
+        (coalesce(col("value_before"), lit(0.0)) * lit(-1.0)).cast(dec).as("dv"))
+    val add = feed.filter(col("change_op").isin("INSERT", "UPDATE"))
+      .select(col("event_type_after").as("event_type"),
+        lit(1L).as("dc"), coalesce(col("value_after"), lit(0.0)).cast(dec).as("dv"))
+    val delta = retract.unionByName(add)
+      .groupBy(col("event_type"))
+      .agg(sum(col("dc")).as("dcount"), sum(col("dv")).as("dsum"))
+    v1.join(delta, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        (coalesce(col("n1"), lit(0L)) + coalesce(col("dcount"), lit(0L))).as("n_live"),
+        (coalesce(col("s1"), lit(0).cast(dec)) + coalesce(col("dsum"), lit(0).cast(dec)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
+      .filter(col("n_live") > 0)
+      .orderBy(col("event_type"))
+  }
+
+  // -------------------------------------------------------------- q215
+  private val mergeRoots = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** q215: the general MERGE INTO under the gate. Target = the first-half
+    * log replayed (one commit); source = latest upsert image per key from
+    * the SECOND half; clauses (demo business rule): matched rows whose
+    * incoming value is lower than the current one are DELETED, every other
+    * match is updated, and unmatched source rows insert only when they
+    * carry a value. DuckDB reproduces the exact clause algebra with a
+    * FULL OUTER JOIN + CASE. */
+  def mergedState(s: SparkSession, dir: String): DataFrame = {
+    val root = Memo.getOrCacheAny(mergeRoots, s, dir, { _ =>
+      val r = java.nio.file.Files.createTempDirectory("graft_vtable_m").toString
+      val env = CdcSynth.fromEvents(s, dir)
+      val mid = Tables(s, dir, "events")
+        .agg(expr("max(event_id) div 2").as("mid"))
+      val withMid = env.crossJoin(broadcast(mid))
+      commitMerge(s, r, withMid.filter(col("event_id") < col("mid")), 8)
+      val src = withMid
+        .filter(col("event_id") >= col("mid") && col("image").isNotNull)
+        .groupBy(col("image.user_id").as("user_id"))
+        .agg(max(col("metadata.stream_sequence_number")).as("seq"),
+          max_by(struct(col("image.event_type").as("event_type"),
+              col("image.value").as("value"), col("image.k").as("k")),
+            col("metadata.stream_sequence_number")).as("img"))
+        .select(col("user_id"), col("seq"), col("img.event_type"),
+          col("img.value"), col("img.k"))
+      val v2 = mergeInto(s, r, src, 8,
+        deleteWhen = Some(col("src_value") < col("tgt_value")),
+        insertWhen = Some(col("src_value").isNotNull))
+      require(v2 == 2, s"merge commits v2: $v2")
+      r
+    })
+    readVersion(s, root, currentVersion(s, root))
+      .select(col("user_id"), col("last_op"), col("last_seq"),
+        col("event_type"), col("value"), col("k"))
+      .orderBy(col("user_id"))
+  }
+
+  private lazy val q215Sql: String =
+    s"""WITH ${CdcSynth.synthSql},
+       |mid AS (SELECT max(event_id) // 2 AS mid FROM events),
+       |tgt AS (
+       |  SELECT COALESCE(new_user_id, old_user_id) AS user_id,
+       |    max_by(op, seq) AS last_op, max(seq) AS last_seq,
+       |    max_by(has_new, seq) AS has_new,
+       |    max_by(new_event_type, seq) AS event_type,
+       |    max_by(new_value, seq) AS value,
+       |    max_by(new_k, seq) AS k
+       |  FROM cdc, mid WHERE event_id < mid GROUP BY 1),
+       |t AS (SELECT * FROM tgt WHERE has_new),
+       |src AS (
+       |  SELECT new_user_id AS user_id, max(seq) AS seq,
+       |    max_by(new_event_type, seq) AS event_type,
+       |    max_by(new_value, seq) AS value,
+       |    max_by(new_k, seq) AS k
+       |  FROM cdc, mid WHERE event_id >= mid AND has_new GROUP BY 1),
+       |merged AS (
+       |  SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+       |    CASE
+       |      WHEN t.user_id IS NOT NULL AND s.user_id IS NOT NULL
+       |           AND s.value < t.value THEN 'DELETE'
+       |      WHEN t.user_id IS NOT NULL AND s.user_id IS NOT NULL
+       |        THEN 'UPDATE'
+       |      WHEN t.user_id IS NULL AND s.value IS NOT NULL THEN 'INSERT'
+       |      WHEN t.user_id IS NOT NULL THEN 'KEEP'
+       |    END AS action,
+       |    t.last_op AS t_op, t.last_seq AS t_seq, s.seq AS s_seq,
+       |    t.event_type AS t_et, t.value AS t_v, t.k AS t_k,
+       |    s.event_type AS s_et, s.value AS s_v, s.k AS s_k
+       |  FROM t FULL OUTER JOIN src s ON t.user_id = s.user_id)
+       |SELECT user_id,
+       |  CASE WHEN action = 'KEEP' THEN t_op ELSE action END AS last_op,
+       |  CASE WHEN action = 'KEEP' THEN t_seq ELSE s_seq END AS last_seq,
+       |  CASE WHEN action = 'KEEP' THEN t_et ELSE s_et END AS event_type,
+       |  CASE WHEN action = 'KEEP' THEN t_v ELSE s_v END AS value,
+       |  CASE WHEN action = 'KEEP' THEN t_k ELSE s_k END AS k
+       |FROM merged
+       |WHERE action IS NOT NULL AND action <> 'DELETE'
+       |ORDER BY user_id""".stripMargin
+
+  private lazy val q214Sql: String =
+    s"""WITH ${CdcSynth.synthSql},
+       |latest AS (
+       |  SELECT COALESCE(new_user_id, old_user_id) AS user_id,
+       |    max_by(has_new, seq) AS has_new,
+       |    max_by(new_event_type, seq) AS event_type,
+       |    max_by(new_value, seq) AS value
+       |  FROM cdc GROUP BY 1)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_live,
+       |  CAST(COALESCE(SUM(CAST(COALESCE(value, 0) AS DECIMAL(38,6))), 0)
+       |    AS DOUBLE) AS sum_value
+       |FROM latest WHERE has_new GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
 
   private lazy val q182Sql: String =
     s"""WITH ${CdcSynth.synthSql},
@@ -1012,7 +1266,9 @@ object VersionedTableImpl {
     Q("q197_version_churn", versionChurn, Some(q197Sql)),
     Q("q205_schema_evolution", evolvedState, Some(q205Sql)),
     Q("q209_feed_reconstruction", feedReconstruction, Some(q209Sql)),
-    Q("q212_restore", restoredState, Some(q212Sql)))
+    Q("q212_restore", restoredState, Some(q212Sql)),
+    Q("q214_ivm_aggregate", ivmAggregate, Some(q214Sql)),
+    Q("q215_merge_into", mergedState, Some(q215Sql)))
 }
 
 object VersionedTableOps {

@@ -138,7 +138,8 @@ object Registry {
       ops.CurationPanelsOps.queries ++
       ops.ScheduleOps.queries ++
       ops.GraphReachOps.queries ++
-      ops.JoinEstimateOps.queries
+      ops.JoinEstimateOps.queries ++
+      ops.BucketedOps.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
