@@ -1,0 +1,277 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.{Q, Tables}
+import graft.cdc.CdcSynth
+
+/** MERGE-ON-READ table — the write-cheap dual of [[VersionedTableImpl]]'s
+  * copy-on-write commits (Hudi's MOR table type; Iceberg v2 equality
+  * deletes; Delta deletion vectors — all public designs converge here).
+  *
+  * COW pays at COMMIT time: a batch touching a bucket rewrites the whole
+  * bucket, so a trickle of single-key updates against a 100 TB table
+  * rewrites terabytes per day. MOR pays at READ time instead:
+  *
+  *  - [[commitAppend]]: reduce the CDC batch to latest-per-key rows
+  *    (tombstones included, as rows), APPEND them as new per-bucket DELTA
+  *    files, and publish a manifest = previous manifest + the new delta
+  *    rows. **No base file is read, rewritten, or deleted** — commit cost
+  *    is O(batch) + one metadata write, independent of table size. The
+  *    same claim-file protocol as the COW table arbitrates concurrent
+  *    writers, with one crucial simplification: delta commits COMMUTE, so
+  *    a loser's already-moved data files stay valid and its retry only
+  *    re-bases the manifest (no re-merge, no re-write).
+  *  - [[readMor]]: scan every file the manifest lists and fold
+  *    latest-per-key ON READ (`max_by` over the lexicographic sequence —
+  *    one hash aggregate on the key), then drop tombstones. Each key
+  *    appears once per commit that touched it, so the read-side row
+  *    overhead is exactly the un-compacted churn, which compaction bounds.
+  *  - [[compactMor]]: fold base+deltas of the buckets whose file count
+  *    crossed a threshold into one base file each (tombstones carried
+  *    forward — the maintenance rewrite must keep the delete-confluence
+  *    rows), commit as a new version through the claim protocol. Reads of
+  *    PRIOR versions are untouched (their manifests still list the old
+  *    files until vacuum); the compacted version is state-identical.
+  *
+  * The manifest schema gains a `kind` column ("base" | "delta") over the
+  * COW table's `(bucket, file)`; [[VersionedTableImpl.vacuum]] works on a
+  * MOR root unchanged (it only reads `file`).
+  *
+  * At 100 TB the decision rule is churn-shaped, the same trade the
+  * reference's consumers face between upsert-in-place
+  * (KeyspacesViewTargetMapper) and append-a-log (S3TargetMapper): high
+  * churn + read-heavy → COW; high churn + write-heavy → MOR + scheduled
+  * compaction. The q216/q217 gates prove both read paths hash-equal the
+  * one-shot oracle replay.
+  */
+object MorTableImpl {
+
+  import VersionedTableImpl.{fsOf, visiblePath, claimPath, claimVersion, awaitOutcome, currentVersion}
+
+  private def manifestMor(s: SparkSession, root: String, v: Int): DataFrame =
+    if (v == 0)
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField("bucket", LongType), StructField("file", StringType),
+        StructField("kind", StringType))))
+    else s.read.parquet(visiblePath(root, v).toString)
+
+  /** Append `env`'s latest-per-key reduction (tombstones as rows) as DELTA
+    * files of version current+1. Returns the committed version. */
+  def commitAppend(s: SparkSession, root: String, env: DataFrame,
+      nBuckets: Int, maxAttempts: Int = 5,
+      staleClaimMs: Long = 60000L): Int = {
+    val keyOf = coalesce(col("image.user_id"), col("oldImage.user_id"))
+    val seqOf = col("metadata.stream_sequence_number")
+    val updates = LakehouseOpsImpl.latestUpdates(env, keyOf, seqOf)
+    // rows in table shape: merge into an EMPTY base = project the updates
+    // (tombstones kept as null-payload rows), reusing the one merge algebra
+    val emptySchema = StructType(
+      StructField("user_id", LongType) +:
+      StructField("last_op", StringType) +:
+      StructField("last_seq", StringType) +:
+      updates.schema("ulast").dataType.asInstanceOf[StructType]("image")
+        .dataType.asInstanceOf[StructType].fields.toSeq
+        .filterNot(_.name == "user_id"))
+    val emptyBase = s.createDataFrame(s.sparkContext.emptyRDD[Row], emptySchema)
+    val rows = LakehouseOpsImpl.mergeLatestKeepTombstones(emptyBase, updates)
+      .drop("from_base")
+      .withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
+    val fs = fsOf(s, root)
+    val staging = new Path(root,
+      s".mor_staging_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    // write ONCE, before entering the claim loop: the delta files are
+    // version-independent (commits commute), so a lost race reuses them
+    val deltaRows: Seq[(Long, String, String)] =
+      try {
+        rows.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
+        fs.listStatus(staging).filter(_.getPath.getName.startsWith("bucket="))
+          .flatMap { st =>
+            val b = st.getPath.getName.stripPrefix("bucket=").toLong
+            val dest = new Path(s"$root/data/bucket=$b")
+            fs.mkdirs(dest)
+            fs.listStatus(st.getPath)
+              .filter(_.getPath.getName.endsWith(".parquet"))
+              .map { f =>
+                val to = new Path(dest,
+                  s"d${java.util.UUID.randomUUID().toString.take(8)}-${f.getPath.getName}")
+                fs.rename(f.getPath, to)
+                (b, fs.makeQualified(to).toString, "delta")
+              }
+          }.toSeq
+      } finally fs.delete(staging, true)
+    if (deltaRows.isEmpty) return currentVersion(s, root)
+    import s.implicits._
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val v = currentVersion(s, root)
+      val newV = v + 1
+      val manifestDf = manifestMor(s, root, v)
+        .unionByName(deltaRows.toDF("bucket", "file", "kind"))
+      val tmp = new Path(root,
+        s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
+      manifestDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      if (claimVersion(s, root, newV, staleClaimMs)) {
+        if (!fs.rename(tmp, visiblePath(root, newV)))
+          throw new IllegalStateException(
+            s"commitAppend held the claim on v$newV but the manifest rename failed")
+        return newV
+      }
+      fs.delete(tmp, true) // lost: deltas stay valid, only re-base the manifest
+      if (attempt >= maxAttempts)
+        throw new IllegalStateException(
+          s"commitAppend lost $maxAttempts optimistic attempts at $root")
+      awaitOutcome(s, root, newV, staleClaimMs)
+    }
+    -1 // unreachable
+  }
+
+  /** All rows of version v's files (base + deltas), unmerged. */
+  private def readRaw(s: SparkSession, root: String, v: Int,
+      buckets: Option[Seq[Long]] = None): DataFrame = {
+    val m = buckets.fold(manifestMor(s, root, v))(bs =>
+      manifestMor(s, root, v).filter(col("bucket").isin(bs: _*)))
+    val files = m.select(col("file")).collect().map(_.getString(0)).toSeq
+    if (files.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[Row],
+        LakehouseOpsImpl.tableSchema)
+    else s.read.option("mergeSchema", "true").parquet(files: _*)
+  }
+
+  /** Latest-per-key fold of raw (base+delta) rows, tombstones KEPT. */
+  private def foldLatest(raw: DataFrame): DataFrame = {
+    val others = raw.columns.filterNot(_ == "user_id").toSeq
+    raw.groupBy(col("user_id"))
+      .agg(max_by(struct(others.map(col): _*), col("last_seq")).as("w"))
+      .select(col("user_id") +: others.map(c => col(s"w.$c").as(c)): _*)
+  }
+
+  /** The table as of version v: read-side merge, then tombstone filter. */
+  def readMor(s: SparkSession, root: String, v: Int): DataFrame =
+    foldLatest(readRaw(s, root, v))
+      .filter(!col("last_op").isin(LakehouseOpsImpl.DeleteOps: _*))
+
+  /** File count per bucket at version v (driver-side metadata). */
+  def bucketFileCounts(s: SparkSession, root: String, v: Int): Map[Long, Long] =
+    manifestMor(s, root, v).groupBy(col("bucket")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Fold the buckets whose file count exceeds `maxFiles` into one base
+    * file each; untouched buckets' manifest rows carry forward. Returns
+    * the new version, or None when nothing crossed the threshold. */
+  def compactMor(s: SparkSession, root: String, maxFiles: Int,
+      nBuckets: Int, staleClaimMs: Long = 60000L): Option[Int] = {
+    val fs = fsOf(s, root)
+    val v = currentVersion(s, root)
+    val over = bucketFileCounts(s, root, v)
+      .collect { case (b, n) if n > maxFiles => b }.toSeq.sorted
+    if (over.isEmpty) return None
+    val newV = v + 1
+    if (!claimVersion(s, root, newV, staleClaimMs)) return None // next cadence retries
+    val staged = foldLatest(readRaw(s, root, v, Some(over))) // tombstones carried
+      .withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
+      .repartition(over.size, col("bucket"))
+    val staging = new Path(root,
+      s".mor_compact_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val newRows: Seq[(Long, String, String)] =
+      try {
+        staged.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
+        fs.listStatus(staging).filter(_.getPath.getName.startsWith("bucket="))
+          .flatMap { st =>
+            val b = st.getPath.getName.stripPrefix("bucket=").toLong
+            val dest = new Path(s"$root/data/bucket=$b")
+            fs.mkdirs(dest)
+            fs.listStatus(st.getPath)
+              .filter(_.getPath.getName.endsWith(".parquet"))
+              .map { f =>
+                val to = new Path(dest, s"c$newV-${f.getPath.getName}")
+                fs.rename(f.getPath, to)
+                (b, fs.makeQualified(to).toString, "base")
+              }
+          }.toSeq
+      } finally fs.delete(staging, true)
+    import s.implicits._
+    val manifestDf = manifestMor(s, root, v)
+      .filter(!col("bucket").isin(over: _*))
+      .unionByName(newRows.toDF("bucket", "file", "kind"))
+    val tmp = new Path(root,
+      s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
+    manifestDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(tmp, visiblePath(root, newV)))
+      throw new IllegalStateException(
+        s"MOR compaction commit rename of v$newV failed under a held claim")
+    Some(newV)
+  }
+
+  // ------------------------------------------------------------- gates
+
+  private val roots = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  def clearCaches(): Unit = roots.clear()
+
+  val NBuckets = 8
+
+  /** Two MOR delta commits (half the log each), then threshold compaction:
+    * v1 = first half, v2 = + second half, v3 = compacted. */
+  private def ensureMor(s: SparkSession, dir: String): String =
+    Memo.getOrCacheAny(roots, s, dir, { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft_mor").toString
+      val env = CdcSynth.fromEvents(s, dir)
+      val mid = Tables(s, dir, "events")
+        .agg(expr("max(event_id) div 2").as("mid"))
+      val withMid = env.crossJoin(broadcast(mid))
+      val v1 = commitAppend(s, root,
+        withMid.filter(col("event_id") < col("mid")), NBuckets)
+      val v2 = commitAppend(s, root,
+        withMid.filter(col("event_id") >= col("mid")), NBuckets)
+      require(v1 == 1 && v2 == 2, s"two delta commits expected: $v1, $v2")
+      val v3 = compactMor(s, root, maxFiles = 1, NBuckets)
+      require(v3.contains(3), s"compaction commit expected: $v3")
+      root
+    })
+
+  private def projected(df: DataFrame): DataFrame =
+    df.select(col("user_id"), col("last_op"), col("last_seq"),
+        col("event_type"), col("value"), col("k"))
+      .orderBy(col("user_id"))
+
+  /** q216: the MOR table at v2 — two delta commits, zero base rewrites —
+    * must hash-equal DuckDB's one-shot latest-per-key replay of the FULL
+    * log (live rows only). */
+  def morState(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureMor(s, dir)
+    projected(readMor(s, root, 2))
+  }
+
+  /** q217: the COMPACTED version (v3) — same oracle: compaction must be
+    * invisible to readers. */
+  def morCompacted(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureMor(s, dir)
+    projected(readMor(s, root, currentVersion(s, root)))
+  }
+
+  private[ops] lazy val morSql: String =
+    s"""WITH ${CdcSynth.synthSql},
+       |latest AS (
+       |  SELECT COALESCE(new_user_id, old_user_id) AS user_id,
+       |    max_by(op, seq) AS last_op, max(seq) AS last_seq,
+       |    max_by(has_new, seq) AS has_new,
+       |    max_by(new_event_type, seq) AS event_type,
+       |    max_by(new_value, seq) AS value,
+       |    max_by(new_k, seq) AS k
+       |  FROM cdc GROUP BY 1)
+       |SELECT user_id, last_op, last_seq, event_type, value, k
+       |FROM latest WHERE has_new
+       |ORDER BY user_id""".stripMargin
+}
+
+object MorTableOps {
+  def queries: Seq[Q] = Seq(
+    Q("q216_mor_state", MorTableImpl.morState, Some(MorTableImpl.morSql)),
+    Q("q217_mor_compacted", MorTableImpl.morCompacted, Some(MorTableImpl.morSql)))
+}

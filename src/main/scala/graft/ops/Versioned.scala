@@ -100,14 +100,14 @@ import graft.cdc.CdcSynth
   */
 object VersionedTableImpl {
 
-  private def fsOf(s: SparkSession, root: String) =
+  private[ops] def fsOf(s: SparkSession, root: String) =
     new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  private def visiblePath(root: String, v: Int) =
+  private[ops] def visiblePath(root: String, v: Int) =
     new Path(root, s"_versions/v$v.parquet")
-  private def pendingPath(root: String, v: Int) =
+  private[ops] def pendingPath(root: String, v: Int) =
     new Path(root, s"_versions/.pending-v$v.parquet")
-  private def claimPath(root: String, v: Int) =
+  private[ops] def claimPath(root: String, v: Int) =
     new Path(root, s"_versions/v$v.claim")
 
   /** Highest committed version (0 = empty table: no manifests yet).
@@ -123,7 +123,7 @@ object VersionedTableImpl {
   }
 
   /** (bucket, file) rows of manifest v — empty frame at v = 0. */
-  private def manifest(s: SparkSession, root: String, v: Int): DataFrame =
+  private[ops] def manifest(s: SparkSession, root: String, v: Int): DataFrame =
     if (v == 0)
       s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(Seq(
         StructField("bucket", LongType), StructField("file", StringType))))
@@ -205,7 +205,7 @@ object VersionedTableImpl {
   /** Atomically claim version v. Exactly one concurrent caller wins the
     * create-no-overwrite; a stale claim (older than `staleClaimMs`, no
     * visible or pending manifest behind it) is broken and re-claimed. */
-  private def claimVersion(s: SparkSession, root: String, v: Int,
+  private[ops] def claimVersion(s: SparkSession, root: String, v: Int,
       staleClaimMs: Long): Boolean = {
     val fs = fsOf(s, root)
     val claim = claimPath(root, v)
@@ -238,7 +238,7 @@ object VersionedTableImpl {
     * candidate). A PENDING manifest keeps the wait alive: the version
     * number is reserved until its audit publishes or rejects. Bounded by
     * the staleness window plus slack. */
-  private def awaitOutcome(s: SparkSession, root: String, v: Int,
+  private[ops] def awaitOutcome(s: SparkSession, root: String, v: Int,
       staleClaimMs: Long): Unit = {
     val fs = fsOf(s, root)
     val deadline = System.currentTimeMillis() + staleClaimMs + 10000L

@@ -139,7 +139,8 @@ object Registry {
       ops.ScheduleOps.queries ++
       ops.GraphReachOps.queries ++
       ops.JoinEstimateOps.queries ++
-      ops.BucketedOps.queries
+      ops.BucketedOps.queries ++
+      ops.MorTableOps.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
