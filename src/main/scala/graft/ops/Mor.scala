@@ -56,8 +56,21 @@ object MorTableImpl {
     if (v == 0)
       s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(Seq(
         StructField("bucket", LongType), StructField("file", StringType),
-        StructField("kind", StringType))))
+        StructField("kind", StringType),
+        StructField("min_key", LongType), StructField("max_key", LongType))))
     else s.read.parquet(visiblePath(root, v).toString)
+
+  /** ZONE MAPS: per-file [min_key, max_key] over the staged files, one
+    * narrow column scan before the move (a real deployment lifts these
+    * from the parquet footers for free; the manifest is where they must
+    * land either way — Iceberg keeps identical per-file column bounds in
+    * its manifests for scan planning). Keyed by the staged file NAME,
+    * which survives the rename into the data dir. */
+  private def zoneMaps(s: SparkSession, staging: Path): Map[String, (Long, Long)] =
+    s.read.parquet(staging.toString)
+      .groupBy(element_at(split(col("_metadata.file_path"), "/"), -1).as("name"))
+      .agg(min(col("user_id")).as("mn"), max(col("user_id")).as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
 
   /** Append `env`'s latest-per-key reduction (tombstones as rows) as DELTA
     * files of version current+1. Returns the committed version. */
@@ -85,9 +98,10 @@ object MorTableImpl {
       s".mor_staging_${java.util.UUID.randomUUID().toString.replace("-", "")}")
     // write ONCE, before entering the claim loop: the delta files are
     // version-independent (commits commute), so a lost race reuses them
-    val deltaRows: Seq[(Long, String, String)] =
+    val deltaRows: Seq[(Long, String, String, Long, Long)] =
       try {
         rows.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
+        val zones = zoneMaps(s, staging)
         fs.listStatus(staging).filter(_.getPath.getName.startsWith("bucket="))
           .flatMap { st =>
             val b = st.getPath.getName.stripPrefix("bucket=").toLong
@@ -99,7 +113,8 @@ object MorTableImpl {
                 val to = new Path(dest,
                   s"d${java.util.UUID.randomUUID().toString.take(8)}-${f.getPath.getName}")
                 fs.rename(f.getPath, to)
-                (b, fs.makeQualified(to).toString, "delta")
+                val (mn, mx) = zones(f.getPath.getName)
+                (b, fs.makeQualified(to).toString, "delta", mn, mx)
               }
           }.toSeq
       } finally fs.delete(staging, true)
@@ -111,7 +126,7 @@ object MorTableImpl {
       val v = currentVersion(s, root)
       val newV = v + 1
       val manifestDf = manifestMor(s, root, v)
-        .unionByName(deltaRows.toDF("bucket", "file", "kind"))
+        .unionByName(deltaRows.toDF("bucket", "file", "kind", "min_key", "max_key"))
       val tmp = new Path(root,
         s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
       manifestDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -155,6 +170,42 @@ object MorTableImpl {
     foldLatest(readRaw(s, root, v))
       .filter(!col("last_op").isin(LakehouseOpsImpl.DeleteOps: _*))
 
+  /** The manifest rows a `keys` lookup at version v must read, after
+    * bucket pruning AND zone-map skipping: a file whose [min_key, max_key]
+    * contains none of the keys routed to its bucket holds no row for them
+    * (metadata-only; O(manifest) driver work, zero data reads). */
+  private[ops] def lookupFiles(s: SparkSession, root: String, v: Int,
+      keys: Seq[Long], nBuckets: Int): Seq[String] = {
+    val buckets = keys.map(k => math.floorMod(k, nBuckets).toLong).distinct
+    val keyLit = keys.map(k => lit(k))
+    val hit = keyLit.map(k => k.between(col("min_key"), col("max_key")) &&
+        pmod(k, lit(nBuckets.toLong)) === col("bucket"))
+      .reduce(_ || _)
+    manifestMor(s, root, v)
+      .filter(col("bucket").isin(buckets: _*) && hit)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+  }
+
+  /** POINT LOOKUP on the MOR table, pruned three ways before any data row
+    * is read: bucket (key → pmod), zone map (manifest per-file key
+    * bounds — a delta file from a commit that never touched the key's
+    * range is skipped entirely), and the pushed key predicate inside the
+    * surviving files. The read-side merge then folds only the surviving
+    * files' rows — at 100 TB with trickle commits this is the difference
+    * between opening every delta a bucket ever accumulated and opening
+    * the two or three that can contain the key. */
+  def lookupMor(s: SparkSession, root: String, v: Int, keys: Seq[Long],
+      nBuckets: Int): DataFrame = {
+    val files = lookupFiles(s, root, v, keys, nBuckets)
+    if (files.isEmpty)
+      return s.createDataFrame(s.sparkContext.emptyRDD[Row],
+        LakehouseOpsImpl.tableSchema)
+    val rows = s.read.option("mergeSchema", "true").parquet(files: _*)
+      .filter(col("user_id").isin(keys: _*))
+    foldLatest(rows)
+      .filter(!col("last_op").isin(LakehouseOpsImpl.DeleteOps: _*))
+  }
+
   /** File count per bucket at version v (driver-side metadata). */
   def bucketFileCounts(s: SparkSession, root: String, v: Int): Map[Long, Long] =
     manifestMor(s, root, v).groupBy(col("bucket")).count()
@@ -177,9 +228,10 @@ object MorTableImpl {
       .repartition(over.size, col("bucket"))
     val staging = new Path(root,
       s".mor_compact_${java.util.UUID.randomUUID().toString.replace("-", "")}")
-    val newRows: Seq[(Long, String, String)] =
+    val newRows: Seq[(Long, String, String, Long, Long)] =
       try {
         staged.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
+        val zones = zoneMaps(s, staging)
         fs.listStatus(staging).filter(_.getPath.getName.startsWith("bucket="))
           .flatMap { st =>
             val b = st.getPath.getName.stripPrefix("bucket=").toLong
@@ -190,14 +242,15 @@ object MorTableImpl {
               .map { f =>
                 val to = new Path(dest, s"c$newV-${f.getPath.getName}")
                 fs.rename(f.getPath, to)
-                (b, fs.makeQualified(to).toString, "base")
+                val (mn, mx) = zones(f.getPath.getName)
+                (b, fs.makeQualified(to).toString, "base", mn, mx)
               }
           }.toSeq
       } finally fs.delete(staging, true)
     import s.implicits._
     val manifestDf = manifestMor(s, root, v)
       .filter(!col("bucket").isin(over: _*))
-      .unionByName(newRows.toDF("bucket", "file", "kind"))
+      .unionByName(newRows.toDF("bucket", "file", "kind", "min_key", "max_key"))
     val tmp = new Path(root,
       s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
     manifestDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -255,6 +308,31 @@ object MorTableImpl {
     projected(readMor(s, root, currentVersion(s, root)))
   }
 
+  /** q218: a 20-key lookup against the UNCOMPACTED v2 (two delta files
+    * per touched bucket) through bucket + zone-map pruning — must
+    * hash-match DuckDB replaying the log for just those keys. */
+  def morLookup(s: SparkSession, dir: String): DataFrame = {
+    val keys = (0L until 20L).map(_ * 7L)
+    val root = ensureMor(s, dir)
+    projected(lookupMor(s, root, 2, keys, NBuckets))
+  }
+
+  private[ops] lazy val morLookupSql: String = {
+    val keys = (0L until 20L).map(_ * 7L).mkString("(", ", ", ")")
+    s"""WITH ${CdcSynth.synthSql},
+       |latest AS (
+       |  SELECT COALESCE(new_user_id, old_user_id) AS user_id,
+       |    max_by(op, seq) AS last_op, max(seq) AS last_seq,
+       |    max_by(has_new, seq) AS has_new,
+       |    max_by(new_event_type, seq) AS event_type,
+       |    max_by(new_value, seq) AS value,
+       |    max_by(new_k, seq) AS k
+       |  FROM cdc GROUP BY 1)
+       |SELECT user_id, last_op, last_seq, event_type, value, k
+       |FROM latest WHERE has_new AND user_id IN $keys
+       |ORDER BY user_id""".stripMargin
+  }
+
   private[ops] lazy val morSql: String =
     s"""WITH ${CdcSynth.synthSql},
        |latest AS (
@@ -273,5 +351,6 @@ object MorTableImpl {
 object MorTableOps {
   def queries: Seq[Q] = Seq(
     Q("q216_mor_state", MorTableImpl.morState, Some(MorTableImpl.morSql)),
-    Q("q217_mor_compacted", MorTableImpl.morCompacted, Some(MorTableImpl.morSql)))
+    Q("q217_mor_compacted", MorTableImpl.morCompacted, Some(MorTableImpl.morSql)),
+    Q("q218_mor_zone_lookup", MorTableImpl.morLookup, Some(MorTableImpl.morLookupSql)))
 }

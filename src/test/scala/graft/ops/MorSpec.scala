@@ -97,6 +97,27 @@ class MorSpec extends SparkSpec {
     assert(!users(MorTableImpl.readMor(spark, root, 2)).contains(7L))
   }
 
+  test("zone maps skip delta files whose key bounds miss the lookup") {
+    val root = java.nio.file.Files.createTempDirectory("mor_zone").toString
+    // v1: users 0..15 → bucket b holds keys {b, b+8}; v2: update user 17
+    MorTableImpl.commitAppend(spark, root,
+      env((0L until 16L).map(u => (8L * u, u))), NB)
+    MorTableImpl.commitAppend(spark, root, env(Seq((8L * 50, 17L))), NB)
+    // key 1 routes to bucket 1, which now has TWO files; the v2 delta's
+    // bounds are [17,17], so the zone map must prune it
+    val forKey1 = MorTableImpl.lookupFiles(spark, root, 2, Seq(1L), NB)
+    assert(forKey1.size == 1, s"zone map failed to skip the delta: $forKey1")
+    // key 17: the v1 file's bounds are [1,9] — zone map prunes IT instead
+    val forKey17 = MorTableImpl.lookupFiles(spark, root, 2, Seq(17L), NB)
+    assert(forKey17.size == 1 && forKey17 != forKey1,
+      s"zone map kept the wrong file: $forKey17")
+    // and the pruned reads are still correct
+    val r1 = users(MorTableImpl.lookupMor(spark, root, 2, Seq(1L), NB))
+    val r17 = users(MorTableImpl.lookupMor(spark, root, 2, Seq(17L), NB))
+    assert(r1.keySet == Set(1L) && r1(1L)._1 == "%020d".format(8L))
+    assert(r17.keySet == Set(17L) && r17(17L)._1 == "%020d".format(8L * 50))
+  }
+
   test("concurrent delta commits commute: both batches land, no retry rewrite") {
     val root = java.nio.file.Files.createTempDirectory("mor_race").toString
     MorTableImpl.commitAppend(spark, root,
