@@ -181,7 +181,7 @@ object VersionedTableImpl {
     else readManifest(s, root, manifest(s, root, v),
       LakehouseOpsImpl.tableSchema)
 
-  private def readBuckets(s: SparkSession, root: String, v: Int,
+  private[ops] def readBuckets(s: SparkSession, root: String, v: Int,
       buckets: Seq[Long], emptySchema: StructType): DataFrame = {
     val files = filesOf(s, root, v, Some(buckets))
     if (files.isEmpty)
@@ -192,7 +192,7 @@ object VersionedTableImpl {
   /** Empty base state matching the incoming batch's image payload —
     * derived from the updates, not a fixed schema, so the commit path
     * works for any keyed payload (q206 versions an embedding corpus). */
-  private def emptyStateFor(s: SparkSession, updates: DataFrame): StructType = {
+  private[ops] def emptyStateFor(s: SparkSession, updates: DataFrame): StructType = {
     val imgType = updates.schema("ulast").dataType
       .asInstanceOf[StructType]("image").dataType.asInstanceOf[StructType]
     StructType(

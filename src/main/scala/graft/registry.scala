@@ -140,7 +140,8 @@ object Registry {
       ops.GraphReachOps.queries ++
       ops.JoinEstimateOps.queries ++
       ops.BucketedOps.queries ++
-      ops.MorTableOps.queries
+      ops.MorTableOps.queries ++
+      ops.JoinIvmOps.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
