@@ -141,7 +141,8 @@ object Registry {
       ops.JoinEstimateOps.queries ++
       ops.BucketedOps.queries ++
       ops.MorTableOps.queries ++
-      ops.JoinIvmOps.queries
+      ops.JoinIvmOps.queries ++
+      ops.PartitionedOps.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
