@@ -171,6 +171,26 @@ object StreamMain {
           ops.VersionedTableImpl.compactVersion(s, root, compactOver, nBuckets)
         ()
       })
+      // merge-on-read target: per-batch DELTA commit (no base rewrite —
+      // commit cost O(batch)) with threshold compaction maintenance — the
+      // config-driven form of streaming/LakehouseSink.morSink
+      .register("lakehouse-mor", (batch, id) => {
+        val s = batch.sparkSession
+        val root = s"$outDir/mortable"
+        val nBuckets = conf.getInt(s"${GraftConfig.Root}.connector.lakehouse-buckets", 8)
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(root, s"_commits/batch-$id")
+        if (!fs.exists(marker)) {
+          ops.MorTableImpl.commitAppend(s, root, batch, nBuckets)
+          fs.mkdirs(marker.getParent)
+          fs.create(marker).close()
+        }
+        val compactOver = conf.getInt(s"${GraftConfig.Root}.connector.compact-over-files", 0)
+        if (compactOver > 0)
+          ops.MorTableImpl.compactMor(s, root, compactOver, nBuckets)
+        ()
+      })
 
     val sink =
       if (sinkNames.size == 1) registry(sinkNames.head)
@@ -214,6 +234,11 @@ object StreamMain {
           if (v == 0) "0 table rows at version 0"
           else s"${ops.VersionedTableImpl.readVersion(spark, s"$outDir/vtable", v).count()} " +
             s"table rows at version $v"
+        case "lakehouse-mor" =>
+          val v = ops.VersionedTableImpl.currentVersion(spark, s"$outDir/mortable")
+          if (v == 0) "0 table rows at version 0"
+          else s"${ops.MorTableImpl.readMor(spark, s"$outDir/mortable", v).count()} " +
+            s"table rows at version $v (merge-on-read)"
         case _ => "console output"
       })
     }.toMap

@@ -102,4 +102,40 @@ object LakehouseSink {
         ()
       }
       .start()
+
+  /** MERGE-ON-READ form: each micro-batch commits as DELTA files
+    * ([[graft.ops.MorTableImpl.commitAppend]]) — no base read, no bucket
+    * rewrite, commit cost O(batch). This is the shape a high-throughput
+    * CDC stream wants: the COW sinks above pay a touched-bucket rewrite
+    * per epoch (hot buckets are rewritten every epoch), the MOR sink
+    * defers that cost to readers and to the maintenance hook, which folds
+    * any bucket whose file count crossed `compactOver` into one base file
+    * (a state-identical new version through the claim protocol).
+    *
+    * Exactly-once: state is append-idempotent (a replayed batch's rows
+    * carry the same seqs, so the read-side latest-per-key fold is
+    * unchanged), and the same per-batch marker as [[versionedSink]] keeps
+    * the HISTORY exactly-once — a replay appends neither rows nor a
+    * version. The compaction check is pure metadata and no-ops when
+    * nothing is over threshold, so it needs no marker of its own. */
+  def morSink(envStream: DataFrame, root: String, checkpointDir: String,
+      nBuckets: Int, compactOver: Option[Int] = None): StreamingQuery =
+    envStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(root, s"_commits/batch-$id")
+        if (!fs.exists(marker)) {
+          graft.ops.MorTableImpl.commitAppend(s, root, batch, nBuckets)
+          fs.mkdirs(marker.getParent)
+          fs.create(marker).close()
+        }
+        compactOver.foreach(t =>
+          graft.ops.MorTableImpl.compactMor(s, root, t, nBuckets))
+        ()
+      }
+      .start()
 }

@@ -178,6 +178,52 @@ class StreamLakehouseSpec extends SparkSpec {
     assert(feed.filter(col("change_op") === "UPDATE").count() > 0)
   }
 
+  test("MOR sink: delta-only epochs converge, history survives restart, compaction bounds files") {
+    import graft.ops.MorTableImpl
+    val all = events(0 until 170)
+    val batches = Seq(all.slice(0, 60), all.slice(60, 110), all.slice(110, 170))
+    val root = Files.createTempDirectory("graft_slake_mor").toString
+    val ckptDir = Files.createTempDirectory("graft_slake_mor_ckpt").toString
+    val threshold = 2
+
+    def drain(input: MemoryStream[LkEvent]): Unit =
+      LakehouseSink.morSink(CdcSynth.envelope(input.toDF()),
+        root, ckptDir, NB, compactOver = Some(threshold)).awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("last_op"), col("last_seq"),
+        col("event_type"), col("value"), col("k"))
+        .as[(Long, String, String, String, Double, Long)].collect().toSeq.sorted
+
+    val input = MemoryStream[LkEvent](spark)
+    input.addData(batches(0): _*)
+    drain(input)
+    val v1 = graft.ops.VersionedTableImpl.currentVersion(spark, root)
+    assert(v1 == 1, s"first drain commits one delta version: $v1")
+    assert(rows(MorTableImpl.readMor(spark, root, 1)) == expected(batches(0)))
+
+    // cold restart from the same checkpoint: the rest drains as deltas
+    input.addData(batches(1): _*)
+    input.addData(batches(2): _*)
+    drain(input)
+    val vEnd = graft.ops.VersionedTableImpl.currentVersion(spark, root)
+    assert(vEnd > v1)
+    assert(rows(MorTableImpl.readMor(spark, root, vEnd)) == expected(all),
+      "restarted MOR stream must converge to the one-shot replay")
+    assert(rows(MorTableImpl.readMor(spark, root, 1)) == expected(batches(0)),
+      "delta commits and compaction must not rewrite history")
+
+    // the maintenance hook kept every bucket at or under the threshold
+    val counts = MorTableImpl.bucketFileCounts(spark, root, vEnd)
+    assert(counts.values.forall(_ <= threshold),
+      s"compaction must bound per-bucket file counts at $threshold: $counts")
+
+    // idle re-run: no rows, no version (batch markers + metadata-only check)
+    drain(input)
+    assert(graft.ops.VersionedTableImpl.currentVersion(spark, root) == vEnd,
+      "an idle drain must not append versions")
+    assert(rows(MorTableImpl.readMor(spark, root, vEnd)) == expected(all))
+  }
+
   test("change data files: per-commit feeds match the batch diff and stream back exactly-once") {
     import graft.ops.VersionedTableImpl
     val all = events(0 until 150)
@@ -315,6 +361,46 @@ class StreamLakehouseSpec extends SparkSpec {
     graft.StreamMain.run(spark, confPath, logDir, outDir)
     assert(VersionedTableImpl.currentVersion(spark, root) == vEnd,
       "an idle re-run must append no versions")
+  }
+
+  test("config-driven MOR sink: delta commits through the connector surface") {
+    import graft.ops.{MorTableImpl, VersionedTableImpl}
+    val tmp = Files.createTempDirectory("graft_mor_cli").toString
+    val (logDir, outDir, confPath) = (s"$tmp/log", s"$tmp/out", s"$tmp/conf.hocon")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(confPath),
+      """keyspaces-cdc-streams.stream {
+        |  source = shardlog
+        |  connector {
+        |    sink = "lakehouse-mor"
+        |    record-format = full
+        |    fields-to-include = "user_id,event_type,value,k"
+        |    partition-keys = "user_id"
+        |    lakehouse-buckets = 8
+        |    compact-over-files = 2
+        |  }
+        |}""".stripMargin)
+    val rows = events(0 until 120)
+    val env = CdcSynth.envelope(rows.toDF())
+    val shard = pmod(coalesce(col("image.user_id"), col("oldImage.user_id")), lit(4L))
+    val root = s"$outDir/mortable"
+
+    graft.sources.ShardLog.record(env.filter(col("event_id") < 60), logDir, shard)
+    val r1 = graft.StreamMain.run(spark, confPath, logDir, outDir)
+    assert(r1.reports("lakehouse-mor").contains("merge-on-read"))
+    graft.sources.ShardLog.record(env, logDir, shard)
+    graft.StreamMain.run(spark, confPath, logDir, outDir)
+    val vEnd = VersionedTableImpl.currentVersion(spark, root)
+    def state() = MorTableImpl.readMor(spark, root, vEnd)
+      .select(col("user_id"), col("last_op"), col("last_seq"),
+        col("event_type"), col("value"), col("k"))
+      .as[(Long, String, String, String, Double, Long)].collect().toSeq.sorted
+    assert(state() == expected(rows),
+      "config-driven MOR table must equal the one-shot replay")
+    assert(MorTableImpl.bucketFileCounts(spark, root, vEnd).values.forall(_ <= 2),
+      "compact-over-files must bound the per-bucket file count")
+    // idle re-run appends nothing
+    graft.StreamMain.run(spark, confPath, logDir, outDir)
+    assert(VersionedTableImpl.currentVersion(spark, root) == vEnd)
   }
 
   test("streaming compaction maintenance bounds live file counts, preserves state and history") {
