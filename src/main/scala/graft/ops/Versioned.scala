@@ -703,7 +703,7 @@ object VersionedTableImpl {
 
   def clearCaches(): Unit = {
     roots.clear(); quarterRoots.clear(); evoRoots.clear(); feedRoots.clear()
-    restoreRoots.clear(); mergeRoots.clear()
+    restoreRoots.clear(); mergeRoots.clear(); ttlRoots.clear()
   }
 
   private def ensureVersioned(s: SparkSession, dir: String): String =
@@ -1231,6 +1231,72 @@ object VersionedTableImpl {
   private val restoreRoots = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
 
+  // -------------------------------------------------------------- q221
+  /** TTL EXPIRY as a lakehouse maintenance commit. The reference consumes
+    * TTL tombstones that Keyspaces emits when a row's TTL lapses
+    * (stream_operation_type TTL, one of the 8 derived op outcomes); a
+    * versioned table has no server to emit them, so the engine RUNS the
+    * expiry itself: keys whose latest activity (`last_seq`) predates the
+    * cutoff are tombstoned through [[mergeInto]]'s delete clause — one
+    * O(touched buckets) commit whose deletes are feed-visible (downstream
+    * maintained structures retract through the normal change feed) and
+    * whose pre-expiry versions stay time-travelable until vacuum.
+    *
+    * Finding the expired keys scans the live state once (at deployment
+    * scale a last_seq secondary index — the q186 maintained-index pattern
+    * — turns this into an index lookup); the commit itself stays
+    * O(touched buckets). The tombstones take the CUTOFF as their seq, so
+    * a late-arriving pre-cutoff upsert loses against them (the same
+    * delete-confluence the racing-writers property pins). */
+  def ttlExpire(s: SparkSession, root: String, cutoffSeq: String,
+      nBuckets: Int): Int = {
+    val expired = readVersion(s, root, currentVersion(s, root))
+      .filter(col("last_seq") < cutoffSeq)
+      .select(col("user_id"), lit(cutoffSeq).as("seq"))
+    mergeInto(s, root, expired, nBuckets,
+      deleteWhen = Some(lit(true)),
+      updateWhen = Some(lit(false)),
+      insertWhen = Some(lit(false)))
+  }
+
+  private val ttlRoots = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** q221: replay the full log, then TTL-expire every key whose latest
+    * activity predates the last ~1.6% of the log — the surviving state must
+    * hash-match DuckDB's replay filtered to fresh keys. */
+  def ttlState(s: SparkSession, dir: String): DataFrame = {
+    val root = Memo.getOrCacheAny(ttlRoots, s, dir, { _ =>
+      val r = java.nio.file.Files.createTempDirectory("graft_vtable_t").toString
+      commitMerge(s, r, CdcSynth.fromEvents(s, dir), 8)
+      val mx = Tables(s, dir, "events")
+        .agg(expr("max(event_id)").as("mx")).head.getLong(0)
+      val v2 = ttlExpire(s, r, "%020d".format(mx - mx / 64), 8)
+      require(v2 == 2, s"TTL sweep commits v2: $v2")
+      r
+    })
+    readVersion(s, root, currentVersion(s, root))
+      .select(col("user_id"), col("last_op"), col("last_seq"),
+        col("event_type"), col("value"), col("k"))
+      .orderBy(col("user_id"))
+  }
+
+  private lazy val q221Sql: String =
+    s"""WITH ${CdcSynth.synthSql},
+       |m AS (SELECT lpad(CAST(max(event_id) - max(event_id) // 64 AS VARCHAR), 20, '0') AS cutoff
+       |      FROM events),
+       |latest AS (
+       |  SELECT COALESCE(new_user_id, old_user_id) AS user_id,
+       |    max_by(op, seq) AS last_op, max(seq) AS last_seq,
+       |    max_by(has_new, seq) AS has_new,
+       |    max_by(new_event_type, seq) AS event_type,
+       |    max_by(new_value, seq) AS value,
+       |    max_by(new_k, seq) AS k
+       |  FROM cdc GROUP BY 1)
+       |SELECT user_id, last_op, last_seq, event_type, value, k
+       |FROM latest, m WHERE has_new AND last_seq >= cutoff
+       |ORDER BY user_id""".stripMargin
+
   private lazy val q212Sql: String =
     s"""WITH ${CdcSynth.synthSql},
        |qq AS (SELECT max(event_id) // 4 AS q FROM events),
@@ -1268,7 +1334,8 @@ object VersionedTableImpl {
     Q("q209_feed_reconstruction", feedReconstruction, Some(q209Sql)),
     Q("q212_restore", restoredState, Some(q212Sql)),
     Q("q214_ivm_aggregate", ivmAggregate, Some(q214Sql)),
-    Q("q215_merge_into", mergedState, Some(q215Sql)))
+    Q("q215_merge_into", mergedState, Some(q215Sql)),
+    Q("q221_ttl_expire", ttlState, Some(q221Sql)))
 }
 
 object VersionedTableOps {
