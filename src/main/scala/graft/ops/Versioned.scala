@@ -1281,6 +1281,78 @@ object VersionedTableImpl {
       .orderBy(col("user_id"))
   }
 
+  // -------------------------------------------------------------- q222
+  /** ANALYZE: per-column statistics of a version, persisted as a
+    * metadata artifact next to the manifest (`_stats/v{N}.parquet`) — the
+    * surface every table format pairs with its manifests (Delta's
+    * column stats, Iceberg's per-file bounds rolled up to table level).
+    * One scan of the version computes every column's row/null/NDV counts
+    * and numeric bounds in a single aggregate (exact NDV: count distinct
+    * per column, map-side combined); the artifact is O(columns) and feeds
+    * cost decisions downstream — q198's join-size estimate, broadcast
+    * thresholds, and the zone-map/bucket layout choices — without ever
+    * re-scanning the table. Idempotent per version (overwrite), so a
+    * replayed maintenance run is a no-op. */
+  def analyze(s: SparkSession, root: String, v: Int): DataFrame = {
+    val state = readVersion(s, root, v)
+    val cols = state.columns.filterNot(Set("last_op", "last_seq").contains).toSeq
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__ndv_$c"),
+        // try_cast: a non-numeric column yields null bounds instead of an
+        // ANSI cast error (the q25 fail-closed discipline)
+        min(expr(s"try_cast($c as double)")).as(s"__min_$c"),
+        max(expr(s"try_cast($c as double)")).as(s"__max_$c"))
+    }
+    val r = state.agg(aggs.head, aggs.tail: _*).head
+    import s.implicits._
+    val rows = cols.map { c =>
+      (c, r.getAs[Long]("__n"),
+        r.getAs[Long]("__n") - r.getAs[Long](s"__nn_$c"),
+        r.getAs[Long](s"__ndv_$c"),
+        Option(r.getAs[java.lang.Double](s"__min_$c")).map(_.toDouble),
+        Option(r.getAs[java.lang.Double](s"__max_$c")).map(_.toDouble))
+    }
+    val df = rows.toDF("column", "n_rows", "nulls", "ndv", "min_num", "max_num")
+    df.coalesce(1).write.mode("overwrite")
+      .parquet(new Path(root, s"_stats/v$v.parquet").toString)
+    s.read.parquet(new Path(root, s"_stats/v$v.parquet").toString)
+  }
+
+  /** q222: the stats artifact of the replayed table's current version. */
+  def tableStats(s: SparkSession, dir: String): DataFrame =
+    analyze(s, ensureVersioned(s, dir), 2).orderBy(col("column"))
+
+  private lazy val q222Sql: String =
+    s"""WITH ${CdcSynth.synthSql},
+       |latest AS (
+       |  SELECT COALESCE(new_user_id, old_user_id) AS user_id,
+       |    max_by(has_new, seq) AS has_new,
+       |    max_by(new_event_type, seq) AS event_type,
+       |    max_by(new_value, seq) AS value,
+       |    max_by(new_k, seq) AS k
+       |  FROM cdc GROUP BY 1),
+       |live AS (SELECT * FROM latest WHERE has_new),
+       |stats AS (
+       |  SELECT 'user_id' AS "column", count(*) AS n_rows,
+       |    count(*) - count(user_id) AS nulls,
+       |    count(DISTINCT user_id) AS ndv,
+       |    CAST(min(user_id) AS DOUBLE) AS min_num,
+       |    CAST(max(user_id) AS DOUBLE) AS max_num FROM live
+       |  UNION ALL
+       |  SELECT 'event_type', count(*), count(*) - count(event_type),
+       |    count(DISTINCT event_type),
+       |    TRY_CAST(min(event_type) AS DOUBLE),
+       |    TRY_CAST(max(event_type) AS DOUBLE) FROM live
+       |  UNION ALL
+       |  SELECT 'value', count(*), count(*) - count(value),
+       |    count(DISTINCT value),
+       |    CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE) FROM live
+       |  UNION ALL
+       |  SELECT 'k', count(*), count(*) - count(k), count(DISTINCT k),
+       |    CAST(min(k) AS DOUBLE), CAST(max(k) AS DOUBLE) FROM live)
+       |SELECT * FROM stats ORDER BY "column"""".stripMargin
+
   private lazy val q221Sql: String =
     s"""WITH ${CdcSynth.synthSql},
        |m AS (SELECT lpad(CAST(max(event_id) - max(event_id) // 64 AS VARCHAR), 20, '0') AS cutoff
@@ -1335,7 +1407,8 @@ object VersionedTableImpl {
     Q("q212_restore", restoredState, Some(q212Sql)),
     Q("q214_ivm_aggregate", ivmAggregate, Some(q214Sql)),
     Q("q215_merge_into", mergedState, Some(q215Sql)),
-    Q("q221_ttl_expire", ttlState, Some(q221Sql)))
+    Q("q221_ttl_expire", ttlState, Some(q221Sql)),
+    Q("q222_table_stats", tableStats, Some(q222Sql)))
 }
 
 object VersionedTableOps {
