@@ -308,6 +308,23 @@ object MorTableImpl {
     projected(readMor(s, root, currentVersion(s, root)))
   }
 
+  /** CHANGE FEED between two MOR versions: fold each side latest-per-key
+    * (tombstones kept — the fold IS the read-side merge, so the feed sees
+    * exactly what a reader would) and diff through the same classification
+    * as the COW table's feed ([[VersionedTableImpl.feedOf]]). A MOR user
+    * keeps the whole feed-driven maintenance family (q186/q206/q207/q214)
+    * without compacting first — the read-side merge cost is the only
+    * difference, and a bucket-restricted variant applies the same way. */
+  def morChangeFeed(s: SparkSession, root: String, v1: Int, v2: Int): DataFrame =
+    VersionedTableImpl.feedOf(
+      foldLatest(readRaw(s, root, v1)), foldLatest(readRaw(s, root, v2)))
+
+  /** q223: the v1→v2 MOR feed — must equal DuckDB diffing its own
+    * half-log and full-log replays (the q183 contract, through the
+    * merge-on-read path). */
+  def morFeed(s: SparkSession, dir: String): DataFrame =
+    morChangeFeed(s, ensureMor(s, dir), 1, 2)
+
   /** q218: a 20-key lookup against the UNCOMPACTED v2 (two delta files
     * per touched bucket) through bucket + zone-map pruning — must
     * hash-match DuckDB replaying the log for just those keys. */
@@ -352,5 +369,7 @@ object MorTableOps {
   def queries: Seq[Q] = Seq(
     Q("q216_mor_state", MorTableImpl.morState, Some(MorTableImpl.morSql)),
     Q("q217_mor_compacted", MorTableImpl.morCompacted, Some(MorTableImpl.morSql)),
-    Q("q218_mor_zone_lookup", MorTableImpl.morLookup, Some(MorTableImpl.morLookupSql)))
+    Q("q218_mor_zone_lookup", MorTableImpl.morLookup, Some(MorTableImpl.morLookupSql)),
+    Q("q223_mor_change_feed", MorTableImpl.morFeed,
+      Some(VersionedTableImpl.q183Sql)))
 }

@@ -498,7 +498,7 @@ object VersionedTableImpl {
     * sides is untouched even if the tombstone was re-applied at a higher
     * seq). The emitted contract is unchanged: DELETE rows carry a null
     * seq_after and null after-payload. */
-  private def feedOf(sa: DataFrame, sb: DataFrame): DataFrame = {
+  private[ops] def feedOf(sa: DataFrame, sb: DataFrame): DataFrame = {
     val meta = Set("user_id", "last_op", "last_seq")
     val payload =
       (sa.columns ++ sb.columns.filterNot(sa.columns.contains))
@@ -908,7 +908,7 @@ object VersionedTableImpl {
        |SELECT user_id, last_op, last_seq, event_type, value, k
        |FROM latest WHERE has_new ORDER BY user_id""".stripMargin
 
-  private lazy val q183Sql: String =
+  private[ops] lazy val q183Sql: String =
     s"""WITH ${CdcSynth.synthSql},
        |mid AS (SELECT max(event_id) // 2 AS mid FROM events),
        |v1 AS (
