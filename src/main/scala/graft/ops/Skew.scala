@@ -28,4 +28,28 @@ object Skew {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     bigSalted.join(smallExploded, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Enable RUNTIME BLOOM-FILTER join pruning on a session (Spark's
+    * InjectRuntimeFilter): when a shuffle join's small side carries a
+    * selective filter, the optimizer builds a Bloom filter over its join
+    * keys and pushes `might_contain` onto the BIG side's scan — rows that
+    * cannot match are dropped before the shuffle. This is the
+    * non-partition-column sibling of dynamic partition pruning (q220):
+    * DPP prunes whole partitions via the partition key; the runtime Bloom
+    * filter prunes ROWS via any join key. At 100 TB a 1%-selective dim
+    * filter turns the fact shuffle from full-table to ~1% + false
+    * positives.
+    *
+    * The thresholds default to cluster scale (application side ≥ 10 GB);
+    * `applicationThresholdBytes = 0` arms it for any size — what the
+    * RuntimeFilterSpec uses to plan-lock the injection on test data.
+    * Session-scoped: call on `spark.newSession()` to leave other work's
+    * plans untouched. */
+  def enableRuntimeBloomFilters(s: org.apache.spark.sql.SparkSession,
+      applicationThresholdBytes: Long = 10L << 30): Unit = {
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      applicationThresholdBytes.toString)
+  }
 }

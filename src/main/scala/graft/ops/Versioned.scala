@@ -122,6 +122,26 @@ object VersionedTableImpl {
       .foldLeft(0)(math.max)
   }
 
+  /** Time travel AS OF a wall-clock instant (Delta's `timestampAsOf`,
+    * Iceberg's snapshot-at-timestamp): the highest version whose manifest
+    * was PUBLISHED at or before `tsMillis` — the publish rename is the
+    * commit point, so the visible manifest's mtime IS the commit time.
+    * Returns 0 (empty table) for instants before the first commit.
+    * Metadata-only: one directory listing, no manifest is opened. */
+  def versionAsOf(s: SparkSession, root: String, tsMillis: Long): Int = {
+    val fs = fsOf(s, root)
+    val dir = new Path(root, "_versions")
+    if (!fs.exists(dir)) 0
+    else fs.listStatus(dir)
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("v") && n.endsWith(".parquet") &&
+          st.getModificationTime <= tsMillis
+      }
+      .map(_.getPath.getName.stripPrefix("v").stripSuffix(".parquet").toInt)
+      .foldLeft(0)(math.max)
+  }
+
   /** (bucket, file) rows of manifest v — empty frame at v = 0. */
   private[ops] def manifest(s: SparkSession, root: String, v: Int): DataFrame =
     if (v == 0)

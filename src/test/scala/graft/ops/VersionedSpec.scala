@@ -40,6 +40,26 @@ class VersionedSpec extends SparkSpec {
       .map(_.getAbsolutePath).toSet
   }
 
+  test("AS OF timestamp resolves to the version published at or before the instant") {
+    val root = java.nio.file.Files.createTempDirectory("vtab_asof").toString
+    val t0 = System.currentTimeMillis()
+    VersionedTableImpl.commitMerge(spark, root,
+      env((0L until 8L).map(u => (8L * u, u))), NB)
+    Thread.sleep(20L)
+    val between = System.currentTimeMillis()
+    Thread.sleep(20L)
+    VersionedTableImpl.commitMerge(spark, root, env(Seq((8L * 100, 1L))), NB)
+    assert(VersionedTableImpl.versionAsOf(spark, root, t0 - 1) == 0,
+      "before the first commit the table is empty")
+    assert(VersionedTableImpl.versionAsOf(spark, root, between) == 1)
+    assert(VersionedTableImpl.versionAsOf(spark, root,
+      System.currentTimeMillis()) == 2)
+    // the resolved version reads like any other
+    val s1 = users(VersionedTableImpl.readVersion(spark, root,
+      VersionedTableImpl.versionAsOf(spark, root, between)))
+    assert(s1(1L)._1 == "%020d".format(8L), "AS OF must read the old state")
+  }
+
   test("commits are additive; time travel, change feed, vacuum, and orphan cleanup") {
     val root = java.nio.file.Files.createTempDirectory("vtab").toString
     // v1: INSERT users 0..15; v2: update 1, delete 2; v3: update 1 again
