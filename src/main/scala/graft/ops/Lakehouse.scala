@@ -339,7 +339,7 @@ object LakehouseOpsImpl {
 
   def clearCaches(): Unit = { cowRoots.clear(); clusteredRoots.clear() }
 
-  private def ensureCompactedTable(s: SparkSession, dir: String): String =
+  private[graft] def ensureCompactedTable(s: SparkSession, dir: String): String =
     Memo.getOrCacheAny(cowRoots, s, dir, { _ =>
       val root = java.nio.file.Files.createTempDirectory("graft_cow_table").toString
       val env = CdcSynth.fromEvents(s, dir)

@@ -271,7 +271,7 @@ object MorTableImpl {
 
   /** Two MOR delta commits (half the log each), then threshold compaction:
     * v1 = first half, v2 = + second half, v3 = compacted. */
-  private def ensureMor(s: SparkSession, dir: String): String =
+  private[graft] def ensureMor(s: SparkSession, dir: String): String =
     Memo.getOrCacheAny(roots, s, dir, { _ =>
       val root = java.nio.file.Files.createTempDirectory("graft_mor").toString
       val env = CdcSynth.fromEvents(s, dir)

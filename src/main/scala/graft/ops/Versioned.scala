@@ -726,7 +726,7 @@ object VersionedTableImpl {
     restoreRoots.clear(); mergeRoots.clear(); ttlRoots.clear()
   }
 
-  private def ensureVersioned(s: SparkSession, dir: String): String =
+  private[graft] def ensureVersioned(s: SparkSession, dir: String): String =
     Memo.getOrCacheAny(roots, s, dir, { _ =>
       val root = java.nio.file.Files.createTempDirectory("graft_vtable").toString
       val env = CdcSynth.fromEvents(s, dir)
@@ -972,7 +972,7 @@ object VersionedTableImpl {
   private val quarterRoots = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
 
-  private def ensureQuartered(s: SparkSession, dir: String): String =
+  private[graft] def ensureQuartered(s: SparkSession, dir: String): String =
     Memo.getOrCacheAny(quarterRoots, s, dir, { _ =>
       val root = java.nio.file.Files.createTempDirectory("graft_vtable_q").toString
       val env = CdcSynth.fromEvents(s, dir)
