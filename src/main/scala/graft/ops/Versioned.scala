@@ -492,6 +492,50 @@ object VersionedTableImpl {
     }
   }
 
+  /** A named DATA-QUALITY EXPECTATION audited at commit time: `pred` must
+    * hold per row; up to `allow` violating rows are tolerated (Delta Live
+    * Tables' `expect`/`expect_or_fail` split, as one allowance knob). */
+  final case class Expectation(name: String,
+      pred: Column, allow: Long = 0L)
+
+  /** One-scan violation report for a rule set: (rule, violations, allowed,
+    * pass) per expectation — every rule counts in the same aggregate, so
+    * auditing N rules costs one pass over the state regardless of N. A
+    * null predicate is a VIOLATION (fail-closed, the F3 guard
+    * discipline). */
+  def expectationReport(state: DataFrame,
+      rules: Seq[Expectation]): DataFrame = {
+    val aggs = rules.map(r =>
+      sum(when(coalesce(r.pred, lit(false)), 0L).otherwise(1L))
+        .as(s"__v_${r.name}"))
+    val row = state.agg(aggs.head, aggs.tail: _*).head
+    val s = state.sparkSession
+    import s.implicits._
+    rules.map { r =>
+      val v = Option(row.getAs[java.lang.Long](s"__v_${r.name}"))
+        .map(_.toLong).getOrElse(0L) // empty state: zero violations
+      (r.name, v, r.allow, v <= r.allow)
+    }.toDF("rule", "violations", "allowed", "pass")
+      .orderBy(col("rule"))
+  }
+
+  /** The declarative form of [[commitMergeAudited]]: MERGE as a pending
+    * version, run the expectation suite against the would-be state, and
+    * publish only if every rule passes its allowance; otherwise reject
+    * with the failing rules' counts. The suite costs one aggregate scan
+    * of the staged state — the WAP contract (nothing unaudited is ever
+    * visible) with rules instead of a hand-written audit. */
+  def commitMergeExpecting(s: SparkSession, root: String, env: DataFrame,
+      nBuckets: Int, rules: Seq[Expectation]): Either[String, Int] =
+    commitMergeAudited(s, root, env, nBuckets) { staged =>
+      val failed = expectationReport(staged, rules)
+        .filter(!col("pass"))
+        .collect()
+        .map(r => s"${r.getString(0)} (${r.getLong(1)} > ${r.getLong(2)})")
+      if (failed.isEmpty) None
+      else Some(s"expectations failed: ${failed.mkString(", ")}")
+    }
+
   /** Per-key INSERT/UPDATE/DELETE feed between two committed versions.
     * Payload columns are DYNAMIC: every non-meta column either version
     * carries appears as `{col}_before`/`{col}_after` (a column the other
@@ -1343,6 +1387,49 @@ object VersionedTableImpl {
   def tableStats(s: SparkSession, dir: String): DataFrame =
     analyze(s, ensureVersioned(s, dir), 2).orderBy(col("column"))
 
+  /** q224: the expectation suite's violation report over the replayed
+    * table's live state — rule counts must match DuckDB counting the same
+    * predicates over its own replay. `value_small` deliberately carries
+    * violations (with an allowance big enough to pass) and `error_free`
+    * deliberately FAILS its zero allowance, so both report paths gate. */
+  def expectationsState(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureVersioned(s, dir)
+    expectationReport(readVersion(s, root, 2), Seq(
+      Expectation("value_non_null", col("value").isNotNull),
+      Expectation("value_small", col("value") <= 50.0, allow = 1000L),
+      Expectation("known_type", col("event_type")
+        .isin("click", "signup", "error", "view", "purchase")),
+      Expectation("error_free", col("event_type") =!= "error")))
+  }
+
+  private lazy val q224Sql: String =
+    s"""WITH ${CdcSynth.synthSql},
+       |latest AS (
+       |  SELECT COALESCE(new_user_id, old_user_id) AS user_id,
+       |    max_by(has_new, seq) AS has_new,
+       |    max_by(new_event_type, seq) AS event_type,
+       |    max_by(new_value, seq) AS value
+       |  FROM cdc GROUP BY 1),
+       |live AS (SELECT * FROM latest WHERE has_new),
+       |rep AS (
+       |  SELECT 'error_free' AS rule,
+       |    count(*) FILTER (WHERE NOT COALESCE(event_type <> 'error', FALSE))
+       |      AS violations, CAST(0 AS BIGINT) AS allowed FROM live
+       |  UNION ALL
+       |  SELECT 'known_type',
+       |    count(*) FILTER (WHERE NOT COALESCE(event_type IN
+       |      ('click', 'signup', 'error', 'view', 'purchase'), FALSE)),
+       |    0 FROM live
+       |  UNION ALL
+       |  SELECT 'value_non_null',
+       |    count(*) FILTER (WHERE value IS NULL), 0 FROM live
+       |  UNION ALL
+       |  SELECT 'value_small',
+       |    count(*) FILTER (WHERE NOT COALESCE(value <= 50.0, FALSE)),
+       |    1000 FROM live)
+       |SELECT rule, violations, allowed, violations <= allowed AS pass
+       |FROM rep ORDER BY rule""".stripMargin
+
   private lazy val q222Sql: String =
     s"""WITH ${CdcSynth.synthSql},
        |latest AS (
@@ -1428,7 +1515,8 @@ object VersionedTableImpl {
     Q("q214_ivm_aggregate", ivmAggregate, Some(q214Sql)),
     Q("q215_merge_into", mergedState, Some(q215Sql)),
     Q("q221_ttl_expire", ttlState, Some(q221Sql)),
-    Q("q222_table_stats", tableStats, Some(q222Sql)))
+    Q("q222_table_stats", tableStats, Some(q222Sql)),
+    Q("q224_expectations", expectationsState, Some(q224Sql)))
 }
 
 object VersionedTableOps {

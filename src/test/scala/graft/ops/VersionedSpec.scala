@@ -60,6 +60,29 @@ class VersionedSpec extends SparkSpec {
     assert(s1(1L)._1 == "%020d".format(8L), "AS OF must read the old state")
   }
 
+  test("expectation suites gate commits: failing rules reject, passing publish") {
+    import VersionedTableImpl.{Expectation, commitMergeExpecting, currentVersion}
+    val root = java.nio.file.Files.createTempDirectory("vtab_expect").toString
+    val rules = Seq(
+      Expectation("value_non_negative", col("value") >= 0.0),
+      Expectation("few_t2", col("event_type") =!= "t2", allow = 2L))
+    // batch of users 0..7: event_type = t(u%3) → users 2,5 are t2 (2 ≤ allow)
+    val ok = commitMergeExpecting(spark, root,
+      env((0L until 8L).map(u => (8L * u, u))), NB, rules)
+    assert(ok == Right(1), s"suite within allowances must publish: $ok")
+    // users 8..16 add t2 keys 8,11,14 → 5 live t2 rows > allow; REJECTED,
+    // and the failed attempt leaves no visible version behind
+    val bad = commitMergeExpecting(spark, root,
+      env((8L until 17L).map(u => (8L * u, u))), NB, rules)
+    assert(bad.isLeft && bad.left.exists(_.contains("few_t2")), s"got $bad")
+    assert(currentVersion(spark, root) == 1,
+      "a rejected suite must leave the table at the audited-good version")
+    // the released version number is reusable by the next commit
+    val retry = commitMergeExpecting(spark, root,
+      env(Seq((8L * 100, 3L))), NB, rules)
+    assert(retry == Right(2), s"the rejected claim must be released: $retry")
+  }
+
   test("commits are additive; time travel, change feed, vacuum, and orphan cleanup") {
     val root = java.nio.file.Files.createTempDirectory("vtab").toString
     // v1: INSERT users 0..15; v2: update 1, delete 2; v3: update 1 again
