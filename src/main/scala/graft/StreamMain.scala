@@ -196,7 +196,8 @@ object StreamMain {
       if (sinkNames.size == 1) registry(sinkNames.head)
       else Sinks.fanout(sinkNames.map(registry(_)))
     val query = Pipeline.run(env, settings, CdcSynth.imageSchema,
-      sink, s"$outDir/checkpoint", Trigger.AvailableNow()).start()
+      sink, s"$outDir/checkpoint", Trigger.AvailableNow(),
+      deadLetterDir = Some(s"$outDir/deadletter")).start()
     query.awaitTermination()
 
     def filesUnder(dir: String, ext: String): Seq[java.io.File] = {

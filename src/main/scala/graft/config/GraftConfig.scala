@@ -117,6 +117,7 @@ object GraftConfig {
     * messages, unlimited records/message, 3 retries — BASELINE.md). */
   final case class ConnectorSettings(
       filterExpression: Option[String],
+      filterAction: String = "drop", // or "quarantine": route, don't drop
       fieldsToInclude: Seq[String],
       recordFormat: String,
       includeMetadata: Boolean,
@@ -127,6 +128,7 @@ object GraftConfig {
 
   def connector(c: GraftConfig): ConnectorSettings = ConnectorSettings(
     filterExpression = c.get(s"$Root.filter-expression").filter(_.nonEmpty),
+    filterAction = c.get(s"$Root.connector.filter-action", "drop"),
     fieldsToInclude = c.get(s"$Root.connector.fields-to-include", "")
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq,
     recordFormat = c.get(s"$Root.connector.record-format", "new-image"),

@@ -47,17 +47,41 @@ object Pipeline {
     else pruned.withColumnRenamed("metadata", Sinks.RoutingMeta)
   }
 
-  /** Wire a streaming envelope source into a sink with checkpointing. */
+  /** Wire a streaming envelope source into a sink with checkpointing.
+    *
+    * With `filter-action = quarantine` (and a dead-letter dir), records
+    * failing the JEXL filter are ROUTED instead of dropped: the split runs
+    * on the RAW envelope inside each micro-batch (dead letters keep full
+    * envelope fidelity regardless of record-format), failures land under
+    * `deadLetterDir/epoch=N` (overwrite — replay-idempotent), and only
+    * passing records flow through the normal transform into the sink. */
   def run(env: DataFrame, settings: GraftConfig.ConnectorSettings,
       imageSchema: org.apache.spark.sql.types.StructType,
       sink: Sinks.BatchSink, checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("1 second")): DataStreamWriter[Row] =
-    transform(env, settings, imageSchema)
-      .writeStream
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      deadLetterDir: Option[String] = None): DataStreamWriter[Row] = {
+    val quarantine = deadLetterDir.filter(_ =>
+      settings.filterAction == "quarantine" && settings.filterExpression.exists(_.nonEmpty))
+    val body: (DataFrame, Long) => Unit = quarantine match {
+      case Some(dlq) =>
+        val rule = "filter-expression" -> Jexl.compile(settings.filterExpression.get)
+        val noFilter = settings.copy(filterExpression = None)
+        (batch, id) => {
+          val (ok, bad) = Quarantine.split(batch, Seq(rule))
+          bad.write.mode("overwrite").parquet(s"$dlq/epoch=$id")
+          sink(transform(ok, noFilter, imageSchema), id)
+        }
+      case None => (batch, id) => sink(transform(batch, settings, imageSchema), id)
+    }
+    // the transform moved INSIDE foreachBatch (it is a pure DataFrame
+    // function, so batch-side application is identical) to let the
+    // quarantine path split the raw envelope first
+    env.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, id: Long) => sink(batch, id) }
+      .foreachBatch(body)
+  }
 }
 
 /** Exact greedy message packing — reference semantics
