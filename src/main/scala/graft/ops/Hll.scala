@@ -172,7 +172,10 @@ object HllOpsImpl {
   def hllCardinality(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val toks = tokenized(docs)
-    // the sketch: sources × ≤256 rows, map-side-combined MAX
+    // the sketch: sources × ≤256 rows, map-side-combined MAX — dedup-first
+    // would force a full token shuffle the register MAX never needs (q175
+    // profits from dedup-first only because its canonical numeric tokens
+    // are low-cardinality; text tokens are not)
     val regs = registerRows(docs)
     // register-wise MAX across sources IS the merged global sketch
     val merged = regs.groupBy(col("reg")).agg(max(col("m_reg")).as("m_reg"))
@@ -208,10 +211,16 @@ object HllOpsImpl {
       .select(col("p.source").as("source"), col("p.k").as("k"))
       .filter(col("k").isNotNull)
       .select(col("source"), col("k").cast("string").as("tok"))
-    val regs = hashed(vals).groupBy(col("source"), col("reg"))
+    // ONE distinct shuffle serves both outputs: registers only need each
+    // distinct token once (MAX rho is duplicate-insensitive), and the
+    // exact reference is a map-side count over the same deduped frame —
+    // where the naive form paid the explode twice (register agg + the
+    // countDistinct's internal distinct expansion)
+    val d = vals.distinct()
+    val regs = hashed(d).groupBy(col("source"), col("reg"))
       .agg(max(col("rho")).as("m_reg"))
-    val exact = vals.groupBy(col("source"))
-      .agg(countDistinct(col("tok")).as("n_exact"))
+    val exact = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_exact"))
     assemble(regs, exact)
       .withColumnRenamed("source", "col_name")
   }
