@@ -29,6 +29,37 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(buckets > 4, s"expected hot key spread over >4 of 8 salt buckets, got $buckets")
   }
 
+  test("AQE splits a skewed join partition at runtime (the salting-free path)") {
+    // own child session: skew thresholds tuned WAY down so test-sized data
+    // trips the optimization, without touching other specs' plans
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "10KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "10KB")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    import s.implicits._
+    val big = ((1 to 60000).map(i => ("hot", i)) ++
+      (1 to 200).map(i => (s"k${i % 40}", i))).toDF("key", "payload")
+    val small = (Seq("hot") ++ (0 until 40).map(i => s"k$i")).zipWithIndex
+      .toDF("key", "dim")
+    // no aggregation downstream: a consumer requiring hash distribution on
+    // the join key would veto the split (it would re-shuffle) unless
+    // forceOptimizeSkewedJoin is set — the join itself is the demo
+    val joined = big.join(small, "key").select($"key", $"payload", $"dim")
+    val rows = joined.collect()
+    assert(rows.length == 60200 && rows.count(_.getString(0) == "hot") == 60000,
+      s"semantics unchanged: ${rows.length}")
+    // the executed plan really took the skew path
+    val rendered = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(rendered.contains("skew=true"),
+      s"AQE must mark the skewed join side (skew=true):\n$rendered")
+  }
+
   test("q146 bucketed range join equals the naive inequality join") {
     val dir = "/root/testdata/sf0.001"
     val got = RelationalOps.purchaseClickAttribution(spark, dir).collect()
