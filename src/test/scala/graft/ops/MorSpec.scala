@@ -118,6 +118,52 @@ class MorSpec extends SparkSpec {
     assert(r17.keySet == Set(17L) && r17(17L)._1 == "%020d".format(8L * 50))
   }
 
+  test("readers are manifest-scoped: a crash-orphaned data file changes nothing until vacuum") {
+    val root = java.nio.file.Files.createTempDirectory("mor_orphan").toString
+    MorTableImpl.commitAppend(spark, root,
+      env((0L until 16L).map(u => (8L * u, u))), NB)
+    val s2 = users(MorTableImpl.readMor(spark, root, 1))
+    // simulate a committer that died after moving a delta file but before
+    // publishing its manifest: a stray parquet lands in a bucket dir
+    val bucketDir = new File(s"$root/data/bucket=1")
+    val donor = bucketDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val orphan = new File(bucketDir, "dDEADBEEF-orphan.parquet")
+    java.nio.file.Files.copy(donor.toPath, orphan.toPath)
+    assert(users(MorTableImpl.readMor(spark, root, 1)) == s2,
+      "an unreferenced file must be invisible to manifest-scoped reads")
+    val removed = VersionedTableImpl.vacuum(spark, root, keepFrom = 1)
+    assert(removed.exists(_.endsWith("dDEADBEEF-orphan.parquet")),
+      s"vacuum must reclaim the orphan: $removed")
+    assert(users(MorTableImpl.readMor(spark, root, 1)) == s2)
+  }
+
+  test("a delta commit racing a compaction serializes; state and bounds both hold") {
+    val root = java.nio.file.Files.createTempDirectory("mor_cmpr").toString
+    MorTableImpl.commitAppend(spark, root,
+      env((0L until 16L).map(u => (8L * u, u))), NB)
+    MorTableImpl.commitAppend(spark, root, env(Seq((8L * 100, 1L))), NB)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val append = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = MorTableImpl.commitAppend(spark, root,
+          env(Seq((8L * 200, 30L))), NB)
+      })
+      val compact = pool.submit(new java.util.concurrent.Callable[Option[Int]] {
+        def call(): Option[Int] =
+          MorTableImpl.compactMor(spark, root, maxFiles = 1, NB)
+      })
+      val (av, cv) = (append.get(), compact.get())
+      // the append ALWAYS lands (bounded retries re-base its manifest);
+      // compaction either claimed its version or ceded to the racer and
+      // will run at the next cadence — never an error, never lost data
+      assert(av >= 3, s"the delta commit must land: $av (compact: $cv)")
+    } finally pool.shutdown()
+    val cur = VersionedTableImpl.currentVersion(spark, root)
+    val s = users(MorTableImpl.readMor(spark, root, cur))
+    assert(s.contains(30L) && s(1L)._1 == "%020d".format(8L * 100),
+      s"all writes must survive the race: $s")
+  }
+
   test("concurrent delta commits commute: both batches land, no retry rewrite") {
     val root = java.nio.file.Files.createTempDirectory("mor_race").toString
     MorTableImpl.commitAppend(spark, root,
