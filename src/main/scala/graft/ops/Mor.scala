@@ -170,6 +170,14 @@ object MorTableImpl {
     foldLatest(readRaw(s, root, v))
       .filter(!col("last_op").isin(LakehouseOpsImpl.DeleteOps: _*))
 
+  /** [[readMor]] restricted to the given buckets — the serving read for
+    * key-set consumers (stream enrichment) that already know their
+    * buckets: O(touched buckets' files), never the table. */
+  def readMorBuckets(s: SparkSession, root: String, v: Int,
+      buckets: Seq[Long]): DataFrame =
+    foldLatest(readRaw(s, root, v, Some(buckets)))
+      .filter(!col("last_op").isin(LakehouseOpsImpl.DeleteOps: _*))
+
   /** The manifest rows a `keys` lookup at version v must read, after
     * bucket pruning AND zone-map skipping: a file whose [min_key, max_key]
     * contains none of the keys routed to its bucket holds no row for them
