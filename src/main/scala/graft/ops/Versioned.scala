@@ -768,6 +768,7 @@ object VersionedTableImpl {
   def clearCaches(): Unit = {
     roots.clear(); quarterRoots.clear(); evoRoots.clear(); feedRoots.clear()
     restoreRoots.clear(); mergeRoots.clear(); ttlRoots.clear()
+    exportRoots.clear()
   }
 
   private[graft] def ensureVersioned(s: SparkSession, dir: String): String =
@@ -1383,6 +1384,57 @@ object VersionedTableImpl {
     s.read.parquet(new Path(root, s"_stats/v$v.parquet").toString)
   }
 
+  // -------------------------------------------------------------- q225
+  /** EXPORT a version as a STANDALONE bucketed COW table at `dest` —
+    * "publish the training snapshot": the versioned history stays where
+    * it is, consumers get a plain `bucket=`-partitioned parquet table
+    * ([[LakehouseOpsImpl.readTable]]/`lookup`-compatible, and a valid
+    * base for future [[LakehouseOpsImpl.cowMerge]]s) with no manifest
+    * machinery to understand. Tombstones are dropped — the COW contract
+    * keeps physical deletes — so the export IS the live state. The same
+    * call converts a MOR table to COW (read through [[MorTableImpl
+    * .readMor]], write through here). One scan + one bucketed write; the
+    * export is immutable-by-construction (a fresh dir per call). */
+  def exportVersion(s: SparkSession, root: String, v: Int, dest: String,
+      nBuckets: Int): Unit =
+    LakehouseOpsImpl.writeBucketed(readVersion(s, root, v), dest, nBuckets)
+
+  private val exportRoots = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** q225: a 20-key point lookup against the EXPORTED snapshot of the
+    * replayed table — served by the plain COW lookup path (bucket
+    * pruning + footer min/max), no versioned machinery in the plan. */
+  def exportedLookup(s: SparkSession, dir: String): DataFrame = {
+    val dest = Memo.getOrCacheAny(exportRoots, s, dir, { _ =>
+      val root = ensureVersioned(s, dir)
+      val d = java.nio.file.Files.createTempDirectory("graft_vtable_x").toString + "/snap"
+      exportVersion(s, root, currentVersion(s, root), d, 8)
+      d
+    })
+    val keys = (0L until 20L).map(_ * 7L)
+    LakehouseOpsImpl.lookup(s, dest, keys, 8)
+      .select(col("user_id"), col("last_op"), col("last_seq"),
+        col("event_type"), col("value"), col("k"))
+      .orderBy(col("user_id"))
+  }
+
+  private lazy val q225Sql: String = {
+    val keys = (0L until 20L).map(_ * 7L).mkString("(", ", ", ")")
+    s"""WITH ${CdcSynth.synthSql},
+       |latest AS (
+       |  SELECT COALESCE(new_user_id, old_user_id) AS user_id,
+       |    max_by(op, seq) AS last_op, max(seq) AS last_seq,
+       |    max_by(has_new, seq) AS has_new,
+       |    max_by(new_event_type, seq) AS event_type,
+       |    max_by(new_value, seq) AS value,
+       |    max_by(new_k, seq) AS k
+       |  FROM cdc GROUP BY 1)
+       |SELECT user_id, last_op, last_seq, event_type, value, k
+       |FROM latest WHERE has_new AND user_id IN $keys
+       |ORDER BY user_id""".stripMargin
+  }
+
   /** q222: the stats artifact of the replayed table's current version. */
   def tableStats(s: SparkSession, dir: String): DataFrame =
     analyze(s, ensureVersioned(s, dir), 2).orderBy(col("column"))
@@ -1516,7 +1568,8 @@ object VersionedTableImpl {
     Q("q215_merge_into", mergedState, Some(q215Sql)),
     Q("q221_ttl_expire", ttlState, Some(q221Sql)),
     Q("q222_table_stats", tableStats, Some(q222Sql)),
-    Q("q224_expectations", expectationsState, Some(q224Sql)))
+    Q("q224_expectations", expectationsState, Some(q224Sql)),
+    Q("q225_snapshot_export", exportedLookup, Some(q225Sql)))
 }
 
 object VersionedTableOps {
