@@ -234,6 +234,11 @@ object MorTableImpl {
     val staged = foldLatest(readRaw(s, root, v, Some(over))) // tombstones carried
       .withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
       .repartition(over.size, col("bucket"))
+      // key-sorted within each bucket: the compacted file's row-group
+      // min/max stats then partition the key space, so post-compaction
+      // point/range reads prune at the parquet footer under the zone map
+      // (q191's clustered-compaction discipline applied to MOR)
+      .sortWithinPartitions(col("bucket"), col("user_id"))
     val staging = new Path(root,
       s".mor_compact_${java.util.UUID.randomUUID().toString.replace("-", "")}")
     val newRows: Seq[(Long, String, String, Long, Long)] =
