@@ -495,7 +495,35 @@ object RelationalOps {
 object Relational {
   import Det._
 
+  /** q226: RECURSIVE CTE — k-hop reachability over a derived edge set,
+    * the ONE SQL text run verbatim by BOTH engines (Spark 4's
+    * WITH RECURSIVE and DuckDB's agree on the semantics; the engine-side
+    * iteration q148/q192 hand-roll is here expressed declaratively).
+    * Edges form a functional graph (each src has one dst: u → 7u mod 97),
+    * so the recursion is a bounded chain — the depth guard is the
+    * termination contract, as in any production recursive query. At
+    * scale each recursion step is one join against the (broadcastable)
+    * edge set; Spark executes exactly that plan per level. */
+  private val recursiveReachSql: String =
+    """WITH RECURSIVE edges AS (
+      |  SELECT DISTINCT user_id AS src, (user_id * 7) % 97 AS dst
+      |  FROM events),
+      |reach(node, depth) AS (
+      |  SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
+      |  UNION ALL
+      |  SELECT e.dst, r.depth + 1
+      |  FROM reach r JOIN edges e ON e.src = r.node
+      |  WHERE r.depth < 8)
+      |SELECT node, CAST(min(depth) AS BIGINT) AS d
+      |FROM reach GROUP BY node ORDER BY node""".stripMargin
+
+  private def recursiveReach(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(recursiveReachSql)
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q226_recursive_reach", recursiveReach, Some(recursiveReachSql)),
     Q("q01_pricing_summary", RelationalOps.pricingSummary, Some(
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity")} AS sum_qty,
