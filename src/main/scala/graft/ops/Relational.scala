@@ -522,8 +522,31 @@ object Relational {
     s.sql(recursiveReachSql)
   }
 
+  /** q227: LATERAL correlated subquery — per-customer top-2 orders as a
+    * dependent join, one SQL text for both engines (Spark plans the
+    * correlation as a rewritten join + per-key limit; DuckDB as a lateral
+    * nested loop — same semantics, each engine's own physical choice,
+    * which is exactly the parity worth gating). The DataFrame-native
+    * equivalent is q06's TopKPerKey window/heap; this is its SQL face. */
+  private val lateralTopSql: String =
+    """SELECT c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer,
+      |LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) AS o
+      |WHERE c_custkey <= 200
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
+  private def lateralTop(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "customer").createOrReplaceTempView("customer")
+    Tables(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(lateralTopSql)
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q226_recursive_reach", recursiveReach, Some(recursiveReachSql)),
+    Q("q227_lateral_topk", lateralTop, Some(lateralTopSql)),
     Q("q01_pricing_summary", RelationalOps.pricingSummary, Some(
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity")} AS sum_qty,
