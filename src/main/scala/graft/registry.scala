@@ -89,6 +89,7 @@ object Indexes {
     IndexBuild("dedup_simhash", (s, d) => f(ops.DedupOpsImpl.simhash(s, d))),
     IndexBuild("dedup_components", (s, d) => f(ops.DedupOpsImpl.dedupComponents(s, d))),
     IndexBuild("dedup_truth_pairs", (s, d) => f(ops.DedupOpsImpl.recallTruthPairs(s, d))),
+    IndexBuild("dedup_band_sweep", (s, d) => f(ops.DedupOpsImpl.lshBandSweep(s, d))),
     IndexBuild("text_winnow", (s, d) => f(ops.TextOpsImpl.winnowIndex(s, d))),
     IndexBuild("text_bpe", (s, d) => f(ops.BpeOpsImpl.bpeMerges(s, d))),
     IndexBuild("text_unigram", (s, d) => f(ops.UnigramOpsImpl.unigramVocab(s, d))),
