@@ -60,6 +60,36 @@ class VersionedSpec extends SparkSpec {
     assert(s1(1L)._1 == "%020d".format(8L), "AS OF must read the old state")
   }
 
+  test("two takeover racers on one stale claim: exactly one wins (rename-based break)") {
+    val root = java.nio.file.Files.createTempDirectory("vtab_takeover").toString
+    VersionedTableImpl.commitMerge(spark, root,
+      env((0L until 4L).map(u => (8L * u, u))), NB)
+    // a claimant "died" pre-publish: stale claim on v2, nothing behind it
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val claim = new org.apache.hadoop.fs.Path(root, "_versions/v2.claim")
+    fs.create(claim, false).close()
+    fs.setTimes(claim, System.currentTimeMillis() - 3600000L, -1)
+    // two committers race the takeover; delete-then-create would let BOTH
+    // win (A deletes, A creates, B deletes A's live claim, B creates) —
+    // the rename-based break admits exactly one, the loser retries onto v3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val racers = Seq(100L, 200L).map { base =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = VersionedTableImpl.commitMerge(spark, root,
+            env(Seq((8L * base, base % 17))), NB, staleClaimMs = 1000L)
+        })
+      }
+      val versions = racers.map(_.get()).sorted
+      assert(versions == Seq(2, 3),
+        s"both racers must land on distinct versions through the broken claim: $versions")
+    } finally pool.shutdown()
+    val state = users(VersionedTableImpl.readVersion(spark, root, 3))
+    assert(state.contains(100L % 17) && state.contains(200L % 17),
+      s"both batches must survive: ${state.keySet}")
+  }
+
   test("expectation suites gate commits: failing rules reject, passing publish") {
     import VersionedTableImpl.{Expectation, commitMergeExpecting, currentVersion}
     val root = java.nio.file.Files.createTempDirectory("vtab_expect").toString
