@@ -156,7 +156,8 @@ object Registry {
       ops.BucketedOps.queries ++
       ops.MorTableOps.queries ++
       ops.JoinIvmOps.queries ++
-      ops.PartitionedOps.queries
+      ops.PartitionedOps.queries ++
+      ops.TagOps.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
