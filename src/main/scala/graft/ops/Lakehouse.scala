@@ -321,10 +321,24 @@ object LakehouseOpsImpl {
   }
 
   /** Write a table state as the bucketed base for [[cowMerge]]. */
-  def writeBucketed(df: DataFrame, basePath: String, nBuckets: Int): Unit =
+  def writeBucketed(df: DataFrame, basePath: String, nBuckets: Int,
+      options: Map[String, String] = Map.empty): Unit =
     df.withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(basePath)
+      .write.mode("overwrite").options(options)
+      .partitionBy("bucket").parquet(basePath)
+
+  /** Parquet writer options arming a PER-COLUMN BLOOM FILTER on the key:
+    * footer-level membership pruning for point lookups on top of bucket
+    * pruning and min/max — a miss inside a bucket is answered from the
+    * footer without touching a row group. ~1.2 bits/key of file overhead
+    * at the default FPP; the right default for a SERVING snapshot
+    * ([[VersionedTableImpl.exportVersion]] sets it), the wrong one for
+    * write-hot staging files (every COW staging write would pay the
+    * build). */
+  def keyBloomOptions(expectedKeys: Long): Map[String, String] = Map(
+    "parquet.bloom.filter.enabled#user_id" -> "true",
+    "parquet.bloom.filter.expected.ndv#user_id" -> expectedKeys.toString)
 
   // ------------------------------------------------------------ q180 gate
   /** One COW table per (session, corpus dir), built the way production

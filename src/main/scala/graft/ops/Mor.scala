@@ -170,6 +170,24 @@ object MorTableImpl {
     foldLatest(readRaw(s, root, v))
       .filter(!col("last_op").isin(LakehouseOpsImpl.DeleteOps: _*))
 
+  /** READ-OPTIMIZED view (Hudi's RO query type): base files only, deltas
+    * skipped — a deliberately STALE read that costs exactly what a COW
+    * read costs (no fold over uncompacted churn), correct as of the last
+    * compaction. The trade a dashboard gladly takes while the real-time
+    * view ([[readMor]]) serves the consistency-critical paths; both run
+    * against the same manifest, selected by the `kind` column. */
+  def readMorOptimized(s: SparkSession, root: String, v: Int): DataFrame = {
+    val m = manifestMor(s, root, v).filter(col("kind") === "base")
+    val files = m.select(col("file")).collect().map(_.getString(0)).toSeq
+    val raw =
+      if (files.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[Row],
+          LakehouseOpsImpl.tableSchema)
+      else s.read.option("mergeSchema", "true").parquet(files: _*)
+    foldLatest(raw)
+      .filter(!col("last_op").isin(LakehouseOpsImpl.DeleteOps: _*))
+  }
+
   /** [[readMor]] restricted to the given buckets — the serving read for
     * key-set consumers (stream enrichment) that already know their
     * buckets: O(touched buckets' files), never the table. */

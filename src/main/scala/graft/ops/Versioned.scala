@@ -1396,8 +1396,18 @@ object VersionedTableImpl {
     * .readMor]], write through here). One scan + one bucketed write; the
     * export is immutable-by-construction (a fresh dir per call). */
   def exportVersion(s: SparkSession, root: String, v: Int, dest: String,
-      nBuckets: Int): Unit =
-    LakehouseOpsImpl.writeBucketed(readVersion(s, root, v), dest, nBuckets)
+      nBuckets: Int): Unit = {
+    val state = readVersion(s, root, v)
+    // the snapshot SERVES lookups: arm the key bloom filter, sized from
+    // the version's own stats when ANALYZE ran (fallback: count once)
+    val ndv = scala.util.Try(
+      s.read.parquet(new Path(root, s"_stats/v$v.parquet").toString)
+        .filter(col("column") === "user_id")
+        .head.getAs[Long]("ndv"))
+      .getOrElse(state.count())
+    LakehouseOpsImpl.writeBucketed(state, dest, nBuckets,
+      LakehouseOpsImpl.keyBloomOptions(math.max(1L, ndv / nBuckets)))
+  }
 
   private val exportRoots = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()

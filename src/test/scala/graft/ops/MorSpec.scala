@@ -118,6 +118,26 @@ class MorSpec extends SparkSpec {
     assert(r17.keySet == Set(17L) && r17(17L)._1 == "%020d".format(8L * 50))
   }
 
+  test("read-optimized view serves base files only: stale until compaction, then equal") {
+    val root = java.nio.file.Files.createTempDirectory("mor_ro").toString
+    MorTableImpl.commitAppend(spark, root,
+      env((0L until 16L).map(u => (8L * u, u))), NB)
+    // compact so v2 has BASE files, then trickle an update as a delta
+    MorTableImpl.compactMor(spark, root, maxFiles = 0, NB)
+    MorTableImpl.commitAppend(spark, root, env(Seq((8L * 100, 1L))), NB)
+    val v = VersionedTableImpl.currentVersion(spark, root)
+    val rt = users(MorTableImpl.readMor(spark, root, v))
+    val ro = users(MorTableImpl.readMorOptimized(spark, root, v))
+    assert(rt(1L)._1 == "%020d".format(8L * 100), "real-time view sees the delta")
+    assert(ro(1L)._1 == "%020d".format(8L), "RO view is stale by exactly the deltas")
+    assert((rt - 1L) == (ro - 1L), "RO and RT agree off the churned key")
+    // after compaction the views converge
+    MorTableImpl.compactMor(spark, root, maxFiles = 0, NB)
+    val v2 = VersionedTableImpl.currentVersion(spark, root)
+    assert(users(MorTableImpl.readMorOptimized(spark, root, v2)) ==
+      users(MorTableImpl.readMor(spark, root, v2)))
+  }
+
   test("readers are manifest-scoped: a crash-orphaned data file changes nothing until vacuum") {
     val root = java.nio.file.Files.createTempDirectory("mor_orphan").toString
     MorTableImpl.commitAppend(spark, root,

@@ -60,6 +60,38 @@ class VersionedSpec extends SparkSpec {
     assert(s1(1L)._1 == "%020d".format(8L), "AS OF must read the old state")
   }
 
+  test("exported snapshots carry a parquet bloom filter on the key column") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("vtab_export").toString
+    VersionedTableImpl.commitMerge(spark, root,
+      env((0L until 16L).map(u => (8L * u, u))), NB)
+    val dest = java.nio.file.Files.createTempDirectory("vtab_snap").toString + "/snap"
+    VersionedTableImpl.exportVersion(spark, root, 1, dest, NB)
+    // the exported state equals the version
+    assert(users(spark.read.parquet(dest).drop("bucket")) ==
+      users(VersionedTableImpl.readVersion(spark, root, 1)))
+    // and a data file's footer carries the user_id bloom filter
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val file = walk(new File(dest)).filter(_.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).headOption
+      .getOrElse(fail("no exported parquet file"))
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file),
+      spark.sparkContext.hadoopConfiguration))
+    try {
+      val block = reader.getRowGroups.get(0)
+      val chunk = block.getColumns.asScala
+        .find(_.getPath.toDotString == "user_id")
+        .getOrElse(fail("no user_id column chunk"))
+      val bloom = reader.getBloomFilterDataReader(block).readBloomFilter(chunk)
+      assert(bloom != null,
+        "serving snapshot must write a bloom filter for the key column")
+    } finally reader.close()
+  }
+
   test("two takeover racers on one stale claim: exactly one wins (rename-based break)") {
     val root = java.nio.file.Files.createTempDirectory("vtab_takeover").toString
     VersionedTableImpl.commitMerge(spark, root,
