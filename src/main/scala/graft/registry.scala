@@ -8,7 +8,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * @param fn      (session, sfDir) => result DataFrame
   * @param oracle  equivalent DuckDB SQL over the same parquet tables;
   *                None => driver records a weaker rows-only check
-  * @param headline include in Bench headline timings
+  * @param headline marks a flagship-representative query (documentation
+  *                  signal; Bench times every registered query regardless)
   */
 final case class Q(
     name: String,
