@@ -43,10 +43,13 @@ object MorCowBench {
     val bootCow = time(VersionedTableImpl.commitMerge(spark, cowRoot, boot, NB))
     val bootMor = time(MorTableImpl.commitAppend(spark, morRoot, boot, NB))
 
-    // the same trickle: small consecutive slices of the log tail
+    // the same trickle: small consecutive slices of the log tail; the
+    // LAST slice is open-ended so event_id == mx is replayed too (a
+    // half-open [lo, lo+64) chain would silently drop the final event)
     val slices = (0 until Trickles).map { i =>
       val lo = bootstrapCut + i * 64L
-      env.filter(col("event_id") >= lo && col("event_id") < lo + 64L)
+      if (i == Trickles - 1) env.filter(col("event_id") >= lo)
+      else env.filter(col("event_id") >= lo && col("event_id") < lo + 64L)
     }
     val cowCommits = slices.map(b =>
       time(VersionedTableImpl.commitMerge(spark, cowRoot, b, NB)))

@@ -47,7 +47,12 @@ object BucketedOpsImpl {
     * catalog; returns (lineitemTable, ordersTable) names. */
   def ensureTables(s: SparkSession, dir: String): (String, String) =
     Memo.getOrCacheAny(built, s, dir, { d =>
-      val tag = java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)
+      // strong content hash, not String.hashCode: a 32-bit collision
+      // between two corpus dirs would silently serve the first dir's
+      // tables for the second (tableExists skips the build)
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString
       val wh = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
       val li = s"graft_bkt_lineitem_$tag"
       val ord = s"graft_bkt_orders_$tag"

@@ -50,7 +50,7 @@ import graft.cdc.CdcSynth
   */
 object MorTableImpl {
 
-  import VersionedTableImpl.{fsOf, visiblePath, claimPath, claimVersion, awaitOutcome, currentVersion}
+  import VersionedTableImpl.{fsOf, visiblePath, claimVersion, awaitOutcome, currentVersion}
 
   private def manifestMor(s: SparkSession, root: String, v: Int): DataFrame =
     if (v == 0)
@@ -64,13 +64,44 @@ object MorTableImpl {
     * narrow column scan before the move (a real deployment lifts these
     * from the parquet footers for free; the manifest is where they must
     * land either way — Iceberg keeps identical per-file column bounds in
-    * its manifests for scan planning). Keyed by the staged file NAME,
-    * which survives the rename into the data dir. */
+    * its manifests for scan planning). Keyed by the `bucket=N/<name>`
+    * path SUFFIX, never the bare name: one write task serves several
+    * bucket dirs under the same part name (the [[VersionedTableImpl
+    * .readManifest]] non-uniqueness), so a bare-name key would merge
+    * bounds across buckets into near-global ranges and neuter the
+    * pruning. */
   private def zoneMaps(s: SparkSession, staging: Path): Map[String, (Long, Long)] =
     s.read.parquet(staging.toString)
-      .groupBy(element_at(split(col("_metadata.file_path"), "/"), -1).as("name"))
+      .groupBy(regexp_extract(col("_metadata.file_path"), "[^/]+/[^/]+$", 0)
+        .as("suffix"))
       .agg(min(col("user_id")).as("mn"), max(col("user_id")).as("mx"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  /** Move staged `bucket=`-partitioned files into the data dirs under
+    * `prefix`-tagged immutable names, returning manifest rows
+    * (bucket, qualified file, kind, min_key, max_key). Shared by
+    * [[commitAppend]] (delta files) and [[compactMor]] (base files). */
+  private def moveStaged(s: SparkSession, root: String, staging: Path,
+      kind: String, prefix: String): Seq[(Long, String, String, Long, Long)] = {
+    val fs = fsOf(s, root)
+    try {
+      val zones = zoneMaps(s, staging)
+      fs.listStatus(staging).filter(_.getPath.getName.startsWith("bucket="))
+        .flatMap { st =>
+          val b = st.getPath.getName.stripPrefix("bucket=").toLong
+          val dest = new Path(s"$root/data/bucket=$b")
+          fs.mkdirs(dest)
+          fs.listStatus(st.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .map { f =>
+              val to = new Path(dest, s"$prefix-${f.getPath.getName}")
+              fs.rename(f.getPath, to)
+              val (mn, mx) = zones(s"bucket=$b/${f.getPath.getName}")
+              (b, fs.makeQualified(to).toString, kind, mn, mx)
+            }
+        }.toSeq
+    } finally fs.delete(staging, true)
+  }
 
   /** Append `env`'s latest-per-key reduction (tombstones as rows) as DELTA
     * files of version current+1. Returns the committed version. */
@@ -82,14 +113,8 @@ object MorTableImpl {
     val updates = LakehouseOpsImpl.latestUpdates(env, keyOf, seqOf)
     // rows in table shape: merge into an EMPTY base = project the updates
     // (tombstones kept as null-payload rows), reusing the one merge algebra
-    val emptySchema = StructType(
-      StructField("user_id", LongType) +:
-      StructField("last_op", StringType) +:
-      StructField("last_seq", StringType) +:
-      updates.schema("ulast").dataType.asInstanceOf[StructType]("image")
-        .dataType.asInstanceOf[StructType].fields.toSeq
-        .filterNot(_.name == "user_id"))
-    val emptyBase = s.createDataFrame(s.sparkContext.emptyRDD[Row], emptySchema)
+    val emptyBase = s.createDataFrame(s.sparkContext.emptyRDD[Row],
+      VersionedTableImpl.emptyStateFor(s, updates))
     val rows = LakehouseOpsImpl.mergeLatestKeepTombstones(emptyBase, updates)
       .drop("from_base")
       .withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
@@ -98,26 +123,10 @@ object MorTableImpl {
       s".mor_staging_${java.util.UUID.randomUUID().toString.replace("-", "")}")
     // write ONCE, before entering the claim loop: the delta files are
     // version-independent (commits commute), so a lost race reuses them
-    val deltaRows: Seq[(Long, String, String, Long, Long)] =
-      try {
-        rows.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
-        val zones = zoneMaps(s, staging)
-        fs.listStatus(staging).filter(_.getPath.getName.startsWith("bucket="))
-          .flatMap { st =>
-            val b = st.getPath.getName.stripPrefix("bucket=").toLong
-            val dest = new Path(s"$root/data/bucket=$b")
-            fs.mkdirs(dest)
-            fs.listStatus(st.getPath)
-              .filter(_.getPath.getName.endsWith(".parquet"))
-              .map { f =>
-                val to = new Path(dest,
-                  s"d${java.util.UUID.randomUUID().toString.take(8)}-${f.getPath.getName}")
-                fs.rename(f.getPath, to)
-                val (mn, mx) = zones(f.getPath.getName)
-                (b, fs.makeQualified(to).toString, "delta", mn, mx)
-              }
-          }.toSeq
-      } finally fs.delete(staging, true)
+    try rows.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
+    catch { case e: Throwable => fs.delete(staging, true); throw e }
+    val deltaRows = moveStaged(s, root, staging, "delta",
+      s"d${java.util.UUID.randomUUID().toString.take(8)}")
     if (deltaRows.isEmpty) return currentVersion(s, root)
     import s.implicits._
     var attempt = 0
@@ -131,9 +140,7 @@ object MorTableImpl {
         s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
       manifestDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       if (claimVersion(s, root, newV, staleClaimMs)) {
-        if (!fs.rename(tmp, visiblePath(root, newV)))
-          throw new IllegalStateException(
-            s"commitAppend held the claim on v$newV but the manifest rename failed")
+        VersionedTableImpl.publish(fs, tmp, visiblePath(root, newV), "commitAppend")
         return newV
       }
       fs.delete(tmp, true) // lost: deltas stay valid, only re-base the manifest
@@ -145,11 +152,14 @@ object MorTableImpl {
     -1 // unreachable
   }
 
-  /** All rows of version v's files (base + deltas), unmerged. */
+  /** All rows of version v's files, unmerged — optionally restricted to
+    * a bucket set and/or a manifest `kind` ("base" | "delta"). */
   private def readRaw(s: SparkSession, root: String, v: Int,
-      buckets: Option[Seq[Long]] = None): DataFrame = {
-    val m = buckets.fold(manifestMor(s, root, v))(bs =>
+      buckets: Option[Seq[Long]] = None,
+      kind: Option[String] = None): DataFrame = {
+    val m0 = buckets.fold(manifestMor(s, root, v))(bs =>
       manifestMor(s, root, v).filter(col("bucket").isin(bs: _*)))
+    val m = kind.fold(m0)(k => m0.filter(col("kind") === k))
     val files = m.select(col("file")).collect().map(_.getString(0)).toSeq
     if (files.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[Row],
@@ -176,17 +186,9 @@ object MorTableImpl {
     * compaction. The trade a dashboard gladly takes while the real-time
     * view ([[readMor]]) serves the consistency-critical paths; both run
     * against the same manifest, selected by the `kind` column. */
-  def readMorOptimized(s: SparkSession, root: String, v: Int): DataFrame = {
-    val m = manifestMor(s, root, v).filter(col("kind") === "base")
-    val files = m.select(col("file")).collect().map(_.getString(0)).toSeq
-    val raw =
-      if (files.isEmpty)
-        s.createDataFrame(s.sparkContext.emptyRDD[Row],
-          LakehouseOpsImpl.tableSchema)
-      else s.read.option("mergeSchema", "true").parquet(files: _*)
-    foldLatest(raw)
+  def readMorOptimized(s: SparkSession, root: String, v: Int): DataFrame =
+    foldLatest(readRaw(s, root, v, kind = Some("base")))
       .filter(!col("last_op").isin(LakehouseOpsImpl.DeleteOps: _*))
-  }
 
   /** [[readMor]] restricted to the given buckets — the serving read for
     * key-set consumers (stream enrichment) that already know their
@@ -239,7 +241,20 @@ object MorTableImpl {
 
   /** Fold the buckets whose file count exceeds `maxFiles` into one base
     * file each; untouched buckets' manifest rows carry forward. Returns
-    * the new version, or None when nothing crossed the threshold. */
+    * the new version, or None when nothing crossed the threshold (or the
+    * claim was lost — the next cadence retries).
+    *
+    * ORDER MATTERS: all heavy work (fold + write + move) happens BEFORE
+    * the claim, and the claim is taken immediately before the one
+    * manifest rename — the same discipline as every other commit path.
+    * Claiming first and working under the claim would reopen a lost-
+    * update window: a compaction outliving `staleClaimMs` looks like a
+    * dead claimant, a concurrent delta commit legitimately breaks the
+    * claim and publishes v+1, and the finishing compactor's rename would
+    * then clobber the appender's manifest (local-fs rename overwrites).
+    * With claim-at-the-end, a successful claim PROVES v is still current
+    * (a racer's publish of v+1 would have left its claim file behind);
+    * a lost claim only strands the staged base files for vacuum. */
   def compactMor(s: SparkSession, root: String, maxFiles: Int,
       nBuckets: Int, staleClaimMs: Long = 60000L): Option[Int] = {
     val fs = fsOf(s, root)
@@ -248,7 +263,6 @@ object MorTableImpl {
       .collect { case (b, n) if n > maxFiles => b }.toSeq.sorted
     if (over.isEmpty) return None
     val newV = v + 1
-    if (!claimVersion(s, root, newV, staleClaimMs)) return None // next cadence retries
     val staged = foldLatest(readRaw(s, root, v, Some(over))) // tombstones carried
       .withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
       .repartition(over.size, col("bucket"))
@@ -259,25 +273,9 @@ object MorTableImpl {
       .sortWithinPartitions(col("bucket"), col("user_id"))
     val staging = new Path(root,
       s".mor_compact_${java.util.UUID.randomUUID().toString.replace("-", "")}")
-    val newRows: Seq[(Long, String, String, Long, Long)] =
-      try {
-        staged.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
-        val zones = zoneMaps(s, staging)
-        fs.listStatus(staging).filter(_.getPath.getName.startsWith("bucket="))
-          .flatMap { st =>
-            val b = st.getPath.getName.stripPrefix("bucket=").toLong
-            val dest = new Path(s"$root/data/bucket=$b")
-            fs.mkdirs(dest)
-            fs.listStatus(st.getPath)
-              .filter(_.getPath.getName.endsWith(".parquet"))
-              .map { f =>
-                val to = new Path(dest, s"c$newV-${f.getPath.getName}")
-                fs.rename(f.getPath, to)
-                val (mn, mx) = zones(f.getPath.getName)
-                (b, fs.makeQualified(to).toString, "base", mn, mx)
-              }
-          }.toSeq
-      } finally fs.delete(staging, true)
+    try staged.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
+    catch { case e: Throwable => fs.delete(staging, true); throw e }
+    val newRows = moveStaged(s, root, staging, "base", s"c$newV")
     import s.implicits._
     val manifestDf = manifestMor(s, root, v)
       .filter(!col("bucket").isin(over: _*))
@@ -285,9 +283,12 @@ object MorTableImpl {
     val tmp = new Path(root,
       s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
     manifestDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    if (!fs.rename(tmp, visiblePath(root, newV)))
-      throw new IllegalStateException(
-        s"MOR compaction commit rename of v$newV failed under a held claim")
+    // COMMIT POINT: claim only now, with nothing slow left to do
+    if (!claimVersion(s, root, newV, staleClaimMs)) {
+      fs.delete(tmp, true) // moved base files strand until vacuum
+      return None
+    }
+    VersionedTableImpl.publish(fs, tmp, visiblePath(root, newV), "MOR compaction")
     Some(newV)
   }
 

@@ -122,10 +122,28 @@ object VersionedTableImpl {
       .foldLeft(0)(math.max)
   }
 
+  /** Checked publish: the single commit-point rename, followed by an
+    * mtime stamp — rename PRESERVES the source file's mtime on POSIX/HDFS,
+    * so without the stamp a WAP manifest staged at 10:00 and published at
+    * 10:10 would read as committed at 10:00 and [[versionAsOf]] would
+    * resolve state that was not yet visible at the queried instant. A
+    * crash between the rename and the stamp leaves that (documented,
+    * one-commit) skew; the rename alone remains the atomicity point. */
+  private[ops] def publish(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: Path, dest: Path, what: String): Unit = {
+    if (!fs.rename(tmp, dest))
+      throw new IllegalStateException(
+        s"$what held the claim but the manifest rename to $dest failed — " +
+          "claim invariant violated")
+    try fs.setTimes(dest, System.currentTimeMillis(), -1)
+    catch { case _: java.io.IOException => () } // stamp is best-effort
+  }
+
   /** Time travel AS OF a wall-clock instant (Delta's `timestampAsOf`,
     * Iceberg's snapshot-at-timestamp): the highest version whose manifest
     * was PUBLISHED at or before `tsMillis` — the publish rename is the
-    * commit point, so the visible manifest's mtime IS the commit time.
+    * commit point and [[publish]] re-stamps the manifest's mtime at that
+    * moment, so the visible manifest's mtime IS the commit time.
     * Returns 0 (empty table) for instants before the first commit.
     * Metadata-only: one directory listing, no manifest is opened. */
   def versionAsOf(s: SparkSession, root: String, tsMillis: Long): Int = {
@@ -358,10 +376,7 @@ object VersionedTableImpl {
       if (claimVersion(s, root, newV, staleClaimMs)) {
         val dest = if (pendingStage) pendingPath(root, newV)
                    else visiblePath(root, newV)
-        if (!fs.rename(tmp, dest))
-          throw new IllegalStateException(
-            s"$what held the claim on v$newV but the manifest " +
-              s"rename to $dest failed — claim invariant violated")
+        publish(fs, tmp, dest, what)
         return newV
       }
       // lost the race: staged manifest dies now, this attempt's data
@@ -481,9 +496,7 @@ object VersionedTableImpl {
       .filter(!col("last_op").isin(LakehouseOpsImpl.DeleteOps: _*)) // live state
     audit(staged) match {
       case None =>
-        if (!fs.rename(pending, visiblePath(root, newV)))
-          throw new IllegalStateException(
-            s"WAP publish rename of v$newV failed under a held claim")
+        publish(fs, pending, visiblePath(root, newV), "WAP publish")
         Right(newV)
       case Some(reason) =>
         fs.delete(pending, true)
@@ -716,9 +729,7 @@ object VersionedTableImpl {
     val tmp = new Path(root,
       s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
     manifestDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    if (!fs.rename(tmp, visiblePath(root, newV))) // claim already held
-      throw new IllegalStateException(
-        s"compaction commit rename of v$newV failed under a held claim")
+    publish(fs, tmp, visiblePath(root, newV), "compaction") // claim already held
     Some(newV)
   }
 
@@ -745,9 +756,7 @@ object VersionedTableImpl {
         s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
       manifest(s, root, v).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       if (claimVersion(s, root, newV, staleClaimMs)) {
-        if (!fs.rename(tmp, visiblePath(root, newV)))
-          throw new IllegalStateException(
-            s"restore commit rename of v$newV failed under a held claim")
+        publish(fs, tmp, visiblePath(root, newV), "restore")
         return newV
       }
       fs.delete(tmp, true)

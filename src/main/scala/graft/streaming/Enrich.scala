@@ -40,7 +40,14 @@ object Enrich {
     val buckets = keyed.select(
         pmod(col("__key"), lit(nBuckets.toLong)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    // restrict the state side to the BATCH'S OWN KEYS before broadcasting:
+    // bucket pruning alone still reads whole buckets, and a batch whose
+    // keys span every bucket would otherwise broadcast the full table —
+    // the semi-join keeps the broadcast lookup-sized by construction
+    val batchKeys = keyed.select(col("__key")).distinct()
     val state = MorTableImpl.readMorBuckets(s, root, v, buckets)
+      .join(broadcast(batchKeys.withColumnRenamed("__key", "user_id")),
+        Seq("user_id"), "left_semi")
       .select(col("user_id").as("__key"),
         col("value").as("state_value"), col("last_seq").as("state_last_seq"))
     keyed.join(broadcast(state), Seq("__key"), "left").drop("__key")

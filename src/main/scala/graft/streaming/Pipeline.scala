@@ -60,6 +60,14 @@ object Pipeline {
       sink: Sinks.BatchSink, checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
       deadLetterDir: Option[String] = None): DataStreamWriter[Row] = {
+    // FAIL CLOSED on misconfiguration: quarantine exists to preserve
+    // records, so silently degrading to hard-drop (typo'd action value,
+    // or quarantine requested with nowhere to put the dead letters) would
+    // discard exactly what the user configured to keep
+    require(Set("drop", "quarantine").contains(settings.filterAction),
+      s"unknown filter-action '${settings.filterAction}' (drop | quarantine)")
+    require(settings.filterAction != "quarantine" || deadLetterDir.nonEmpty,
+      "filter-action = quarantine requires a dead-letter dir")
     val quarantine = deadLetterDir.filter(_ =>
       settings.filterAction == "quarantine" && settings.filterExpression.exists(_.nonEmpty))
     val body: (DataFrame, Long) => Unit = quarantine match {
