@@ -154,42 +154,27 @@ object StreamMain {
       // history (marker-gated, exactly-once versions under replay) with the
       // optional compaction maintenance hook — the config-driven form of
       // streaming/LakehouseSink.versionedSink
+      // (marker gating, feed emission/repair and compaction maintenance
+      // live in the shared batch bodies; markers are keyed by the
+      // checkpoint-derived appId so a checkpoint reset or a second query
+      // on the same table root never skips commits — LakehouseSink.appIdFor)
       .register("lakehouse-versioned", (batch, id) => {
-        val s = batch.sparkSession
-        val root = s"$outDir/vtable"
-        val nBuckets = conf.getInt(s"${GraftConfig.Root}.connector.lakehouse-buckets", 8)
-        val fs = new org.apache.hadoop.fs.Path(root)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(root, s"_commits/batch-$id")
-        if (!fs.exists(marker)) {
-          ops.VersionedTableImpl.commitMerge(s, root, batch, nBuckets)
-          fs.mkdirs(marker.getParent)
-          fs.create(marker).close()
-        }
         val compactOver = conf.getInt(s"${GraftConfig.Root}.connector.compact-over-files", 0)
-        if (compactOver > 0)
-          ops.VersionedTableImpl.compactVersion(s, root, compactOver, nBuckets)
-        ()
+        streaming.LakehouseSink.versionedBatch(batch, id, s"$outDir/vtable",
+          streaming.LakehouseSink.appIdFor(s"$outDir/checkpoint"),
+          conf.getInt(s"${GraftConfig.Root}.connector.lakehouse-buckets", 8),
+          if (compactOver > 0) Some(compactOver) else None,
+          emitFeed = conf.getBoolean(s"${GraftConfig.Root}.connector.emit-feed", true))
       })
       // merge-on-read target: per-batch DELTA commit (no base rewrite —
       // commit cost O(batch)) with threshold compaction maintenance — the
       // config-driven form of streaming/LakehouseSink.morSink
       .register("lakehouse-mor", (batch, id) => {
-        val s = batch.sparkSession
-        val root = s"$outDir/mortable"
-        val nBuckets = conf.getInt(s"${GraftConfig.Root}.connector.lakehouse-buckets", 8)
-        val fs = new org.apache.hadoop.fs.Path(root)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(root, s"_commits/batch-$id")
-        if (!fs.exists(marker)) {
-          ops.MorTableImpl.commitAppend(s, root, batch, nBuckets)
-          fs.mkdirs(marker.getParent)
-          fs.create(marker).close()
-        }
         val compactOver = conf.getInt(s"${GraftConfig.Root}.connector.compact-over-files", 0)
-        if (compactOver > 0)
-          ops.MorTableImpl.compactMor(s, root, compactOver, nBuckets)
-        ()
+        streaming.LakehouseSink.morBatch(batch, id, s"$outDir/mortable",
+          streaming.LakehouseSink.appIdFor(s"$outDir/checkpoint"),
+          conf.getInt(s"${GraftConfig.Root}.connector.lakehouse-buckets", 8),
+          if (compactOver > 0) Some(compactOver) else None)
       })
 
     val sink =

@@ -103,22 +103,50 @@ object VersionedTableImpl {
   private[ops] def fsOf(s: SparkSession, root: String) =
     new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  private[ops] def visiblePath(root: String, v: Int) =
-    new Path(root, s"_versions/v$v.parquet")
-  private[ops] def pendingPath(root: String, v: Int) =
-    new Path(root, s"_versions/.pending-v$v.parquet")
-  private[ops] def claimPath(root: String, v: Int) =
-    new Path(root, s"_versions/v$v.claim")
+  /** A commit LINEAGE: the manifest/claim naming scheme one sequence of
+    * versions lives under. MAIN is `v{N}`; a branch `b` is `b-{b}-v{K}` —
+    * same claim protocol, same manifests, same data dir, disjoint names
+    * (branch manifests never match main's `v*` scan and vice versa), so
+    * branch commits and main commits never contend except at the explicit
+    * fast-forward point. */
+  private[ops] final case class Lineage(prefix: String) {
+    def visible(root: String, v: Int) =
+      new Path(root, s"_versions/$prefix$v.parquet")
+    def pending(root: String, v: Int) =
+      new Path(root, s"_versions/.pending-$prefix$v.parquet")
+    def claim(root: String, v: Int) =
+      new Path(root, s"_versions/$prefix$v.claim")
+    /** Data-file name prefix for files a commit of version v moves in —
+      * version-scoped and lineage-scoped, so concurrent main/branch
+      * commits can never collide on a name. */
+    def filePrefix(v: Int): String = s"$prefix$v-"
+  }
+  private[ops] val Main = Lineage("v")
+  private[ops] def branchLineage(name: String): Lineage = {
+    require(name.matches("[A-Za-z0-9_]+"), s"unsafe branch name: $name")
+    Lineage(s"b-$name-v")
+  }
+
+  private[ops] def visiblePath(root: String, v: Int) = Main.visible(root, v)
+  private[ops] def pendingPath(root: String, v: Int) = Main.pending(root, v)
+  private[ops] def claimPath(root: String, v: Int) = Main.claim(root, v)
 
   /** Highest committed version (0 = empty table: no manifests yet).
     * Pending (WAP-staged), tmp and claim artifacts are invisible. */
-  def currentVersion(s: SparkSession, root: String): Int = {
+  def currentVersion(s: SparkSession, root: String): Int =
+    currentVersionOf(s, root, Main)
+
+  private[ops] def currentVersionOf(s: SparkSession, root: String,
+      lin: Lineage): Int = {
     val fs = fsOf(s, root)
     val dir = new Path(root, "_versions")
     if (!fs.exists(dir)) 0
     else fs.listStatus(dir).map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".parquet") =>
-        n.stripPrefix("v").stripSuffix(".parquet").toInt }
+      .flatMap { n =>
+        if (n.startsWith(lin.prefix) && n.endsWith(".parquet"))
+          n.stripPrefix(lin.prefix).stripSuffix(".parquet").toIntOption
+        else None
+      }
       .foldLeft(0)(math.max)
   }
 
@@ -131,6 +159,18 @@ object VersionedTableImpl {
     * one-commit) skew; the rename alone remains the atomicity point. */
   private[ops] def publish(fs: org.apache.hadoop.fs.FileSystem,
       tmp: Path, dest: Path, what: String): Unit = {
+    // FAIL CLOSED on a pre-existing destination: local-fs rename(2)
+    // OVERWRITES an existing target and returns true, so the rename result
+    // alone can never catch a double-publish where it matters most — it
+    // would silently clobber a committed manifest (a lost batch). The
+    // explicit existence check makes any claim-protocol violation loud;
+    // the small check-then-rename window is acceptable defense-in-depth
+    // BEHIND the claim protocol (which is what actually serializes
+    // publishers), not a replacement for it.
+    if (fs.exists(dest))
+      throw new IllegalStateException(
+        s"$what held the claim but $dest already exists — claim invariant " +
+          "violated (refusing to overwrite a committed manifest)")
     if (!fs.rename(tmp, dest))
       throw new IllegalStateException(
         s"$what held the claim but the manifest rename to $dest failed — " +
@@ -161,19 +201,20 @@ object VersionedTableImpl {
   }
 
   /** (bucket, file) rows of manifest v — empty frame at v = 0. */
-  private[ops] def manifest(s: SparkSession, root: String, v: Int): DataFrame =
+  private[ops] def manifest(s: SparkSession, root: String, v: Int,
+      lin: Lineage = Main): DataFrame =
     if (v == 0)
       s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(Seq(
         StructField("bucket", LongType), StructField("file", StringType))))
-    else s.read.parquet(visiblePath(root, v).toString)
+    else s.read.parquet(lin.visible(root, v).toString)
 
   /** Bucket-pruned explicit file list — ONLY for bucket-scoped reads
     * (O(touched buckets) paths) and the driver-side vacuum diff. Full
     * version reads go through [[readManifest]] instead. */
   private def filesOf(s: SparkSession, root: String, v: Int,
-      buckets: Option[Seq[Long]]): Seq[String] = {
-    val m = buckets.fold(manifest(s, root, v))(bs =>
-      manifest(s, root, v).filter(col("bucket").isin(bs: _*)))
+      buckets: Option[Seq[Long]], lin: Lineage = Main): Seq[String] = {
+    val m = buckets.fold(manifest(s, root, v, lin))(bs =>
+      manifest(s, root, v, lin).filter(col("bucket").isin(bs: _*)))
     m.select(col("file")).collect().map(_.getString(0)).toSeq // metadata
   }
 
@@ -220,8 +261,9 @@ object VersionedTableImpl {
       LakehouseOpsImpl.tableSchema)
 
   private[ops] def readBuckets(s: SparkSession, root: String, v: Int,
-      buckets: Seq[Long], emptySchema: StructType): DataFrame = {
-    val files = filesOf(s, root, v, Some(buckets))
+      buckets: Seq[Long], emptySchema: StructType,
+      lin: Lineage = Main): DataFrame = {
+    val files = filesOf(s, root, v, Some(buckets), lin)
     if (files.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[Row], emptySchema)
     else s.read.option("mergeSchema", "true").parquet(files: _*)
@@ -244,15 +286,15 @@ object VersionedTableImpl {
     * create-no-overwrite; a stale claim (older than `staleClaimMs`, no
     * visible or pending manifest behind it) is broken and re-claimed. */
   private[ops] def claimVersion(s: SparkSession, root: String, v: Int,
-      staleClaimMs: Long): Boolean = {
+      staleClaimMs: Long, lin: Lineage = Main): Boolean = {
     val fs = fsOf(s, root)
-    val claim = claimPath(root, v)
+    val claim = lin.claim(root, v)
     fs.mkdirs(claim.getParent)
     def tryCreate(): Boolean =
       try { fs.create(claim, false).close(); true }
       catch { case _: java.io.IOException => false }
     if (tryCreate()) return true
-    val published = fs.exists(visiblePath(root, v)) || fs.exists(pendingPath(root, v))
+    val published = fs.exists(lin.visible(root, v)) || fs.exists(lin.pending(root, v))
     if (!published && fs.exists(claim) &&
         System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime > staleClaimMs) {
       // Takeover: claimant died pre-publish. Remove the stale claim by
@@ -261,7 +303,7 @@ object VersionedTableImpl {
       // claim, B creates), breaking the single-holder invariant. A
       // rename succeeds for exactly one racer; everyone then competes
       // through the same create-no-overwrite.
-      val aside = new Path(root, s"_versions/.dead-claim-v$v-" +
+      val aside = new Path(root, s"_versions/.dead-claim-${lin.prefix}$v-" +
         java.util.UUID.randomUUID().toString.replace("-", ""))
       try { if (fs.rename(claim, aside)) fs.delete(aside, false) }
       catch { case _: java.io.IOException => () }
@@ -277,14 +319,14 @@ object VersionedTableImpl {
     * number is reserved until its audit publishes or rejects. Bounded by
     * the staleness window plus slack. */
   private[ops] def awaitOutcome(s: SparkSession, root: String, v: Int,
-      staleClaimMs: Long): Unit = {
+      staleClaimMs: Long, lin: Lineage = Main): Unit = {
     val fs = fsOf(s, root)
     val deadline = System.currentTimeMillis() + staleClaimMs + 10000L
     while (System.currentTimeMillis() < deadline) {
-      if (fs.exists(visiblePath(root, v)) || !fs.exists(claimPath(root, v))) return
-      val pendingAudit = fs.exists(pendingPath(root, v))
+      if (fs.exists(lin.visible(root, v)) || !fs.exists(lin.claim(root, v))) return
+      val pendingAudit = fs.exists(lin.pending(root, v))
       val stale = !pendingAudit &&
-        System.currentTimeMillis() - fs.getFileStatus(claimPath(root, v)).getModificationTime > staleClaimMs
+        System.currentTimeMillis() - fs.getFileStatus(lin.claim(root, v)).getModificationTime > staleClaimMs
       if (stale) return
       Thread.sleep(25L)
     }
@@ -297,19 +339,25 @@ object VersionedTableImpl {
     * visible to [[currentVersion]] — for write-audit-publish. */
   def commitMerge(s: SparkSession, root: String, env: DataFrame,
       nBuckets: Int, maxAttempts: Int = 5,
-      staleClaimMs: Long = 60000L, pendingStage: Boolean = false): Int = {
+      staleClaimMs: Long = 60000L, pendingStage: Boolean = false): Int =
+    commitMergeTo(s, root, env, nBuckets, maxAttempts, staleClaimMs,
+      pendingStage, Main)
+
+  private[ops] def commitMergeTo(s: SparkSession, root: String, env: DataFrame,
+      nBuckets: Int, maxAttempts: Int, staleClaimMs: Long,
+      pendingStage: Boolean, lin: Lineage): Int = {
     val keyOf = coalesce(col("image.user_id"), col("oldImage.user_id"))
     val seqOf = col("metadata.stream_sequence_number")
     val updates = LakehouseOpsImpl.latestUpdates(env, keyOf, seqOf)
       .withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
     val touched = updates.select(col("bucket")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted // <= nBuckets rows
-    if (touched.isEmpty) return currentVersion(s, root)
+    if (touched.isEmpty) return currentVersionOf(s, root, lin)
     // LOGICAL deletes: winning tombstones stay as versioned rows, so a
     // later-committing lower-seq upsert cannot resurrect a deleted key
     // (delete-confluence under concurrent writers; see the object doc)
     commitLoop(s, root, nBuckets, touched, emptyStateFor(s, updates),
-      maxAttempts, staleClaimMs, pendingStage, "commitMerge")(base =>
+      maxAttempts, staleClaimMs, pendingStage, "commitMerge", lin)(base =>
       LakehouseOpsImpl
         .mergeLatestKeepTombstones(base, updates.drop("bucket"))
         .drop("from_base"))
@@ -324,15 +372,16 @@ object VersionedTableImpl {
     * meta columns included, without the bucket column. */
   private def commitLoop(s: SparkSession, root: String, nBuckets: Int,
       touched: Seq[Long], emptySchema: StructType, maxAttempts: Int,
-      staleClaimMs: Long, pendingStage: Boolean, what: String)
+      staleClaimMs: Long, pendingStage: Boolean, what: String,
+      lin: Lineage = Main)
       (merge: DataFrame => DataFrame): Int = {
     val fs = fsOf(s, root)
     var attempt = 0
     while (true) {
       attempt += 1
-      val v = currentVersion(s, root)
+      val v = currentVersionOf(s, root, lin)
       val newV = v + 1
-      val base = readBuckets(s, root, v, touched, emptySchema)
+      val base = readBuckets(s, root, v, touched, emptySchema, lin)
       val merged = merge(base)
         .withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
       val staging = new Path(root,
@@ -349,7 +398,7 @@ object VersionedTableImpl {
               val moved = fs.listStatus(st.getPath)
                 .filter(_.getPath.getName.endsWith(".parquet"))
                 .map { f => // immutable: publish under a version-scoped name
-                  val to = new Path(dest, s"v$newV-${f.getPath.getName}")
+                  val to = new Path(dest, s"${lin.filePrefix(newV)}${f.getPath.getName}")
                   fs.rename(f.getPath, to)
                   // store the QUALIFIED uri: vacuum compares against
                   // listStatus output, which is always scheme-qualified
@@ -361,7 +410,7 @@ object VersionedTableImpl {
       // manifest = carried-forward untouched buckets (copied manifest →
       // manifest as a DATAFRAME — never through the driver) + new files
       import s.implicits._
-      val manifestDf = manifest(s, root, v)
+      val manifestDf = manifest(s, root, v, lin)
         .filter(!col("bucket").isin(touched: _*))
         .unionByName(touched.flatMap(b =>
           newFiles.getOrElse(b, Seq.empty).map(f => (b, f)))
@@ -373,9 +422,9 @@ object VersionedTableImpl {
       // rename result is CHECKED: a false here (dest already exists —
       // only reachable if the claim invariant were ever violated) must
       // fail loudly, never silently drop the batch.
-      if (claimVersion(s, root, newV, staleClaimMs)) {
-        val dest = if (pendingStage) pendingPath(root, newV)
-                   else visiblePath(root, newV)
+      if (claimVersion(s, root, newV, staleClaimMs, lin)) {
+        val dest = if (pendingStage) lin.pending(root, newV)
+                   else lin.visible(root, newV)
         publish(fs, tmp, dest, what)
         return newV
       }
@@ -384,8 +433,8 @@ object VersionedTableImpl {
       fs.delete(tmp, true)
       if (attempt >= maxAttempts)
         throw new IllegalStateException(
-          s"$what lost $maxAttempts optimistic attempts at $root (last target v$newV)")
-      awaitOutcome(s, root, newV, staleClaimMs)
+          s"$what lost $maxAttempts optimistic attempts at $root (last target ${lin.prefix}$newV)")
+      awaitOutcome(s, root, newV, staleClaimMs, lin)
     }
     -1 // unreachable
   }
@@ -618,14 +667,89 @@ object VersionedTableImpl {
       buckets: Seq[Long]): Unit =
     changeFeedBuckets(s, root, v - 1, v, buckets)
       .withColumn("version", lit(v.toLong))
-      .write.mode("overwrite").parquet(s"$root/_feed/v$v.parquet")
+      .write.mode("overwrite").parquet(feedPath(root, v).toString)
+
+  private[graft] def feedPath(root: String, v: Int) =
+    new Path(root, s"_feed/v$v.parquet")
+
+  /** True when version v's change data files exist AND are complete — the
+    * parquet dir plus the `_SUCCESS` job marker. An [[emitFeed]] killed
+    * mid-write leaves a partial dir with no `_SUCCESS`, which must read as
+    * "missing" so [[repairFeeds]] re-emits it (the per-version overwrite
+    * makes the re-emit idempotent). */
+  private def feedComplete(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, v: Int): Boolean =
+    fs.exists(new Path(feedPath(root, v), "_SUCCESS"))
+
+  /** Emit change data files for every committed version MISSING its feed
+    * artifact — the replay-recovery path for the streaming sink's crash
+    * window between `commitMerge` and [[emitFeed]] (without it, the replay
+    * re-commits a state-identical version whose diff is EMPTY and the
+    * original version's changes never reach `_feed`, so feed consumers
+    * silently lose the batch). Post-hoc the committer's touched-bucket
+    * list is gone, so repair diffs ALL buckets — O(two bucket-state reads)
+    * per repaired version, paid only after a crash (or once for a
+    * pre-feed-era table); the normal path stays O(touched). Versions whose
+    * artifact exists cost one metadata probe each. Returns the repaired
+    * version numbers. */
+  def repairFeeds(s: SparkSession, root: String, nBuckets: Int,
+      fromVersion: Int = 1): Seq[Int] = {
+    val fs = fsOf(s, root)
+    val cur = currentVersion(s, root)
+    val all = (0L until nBuckets.toLong).toSeq
+    (fromVersion max 1 to cur).filterNot(v => feedComplete(fs, root, v)).map { v =>
+      emitFeed(s, root, v, all)
+      v
+    }
+  }
+
+  private def feedWatermarkPath(root: String) =
+    new Path(root, "_feed/.complete-upto")
+
+  /** [[repairFeeds]] with an amortized-O(1) probe cost for the streaming
+    * sink's every-epoch call: a tiny watermark file records the highest
+    * version below which every feed artifact is known complete, so each
+    * epoch probes only the versions committed since the last one — not the
+    * whole history. The watermark is advanced AFTER the repair emissions
+    * (crash mid-repair re-probes the same suffix, idempotently); an
+    * unreadable watermark falls back to a full scan. */
+  def repairFeedsIncremental(s: SparkSession, root: String,
+      nBuckets: Int): Seq[Int] = {
+    val fs = fsOf(s, root)
+    val wmPath = feedWatermarkPath(root)
+    val wm: Int =
+      if (!fs.exists(wmPath)) 0
+      else scala.util.Try {
+        val in = fs.open(wmPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      }.getOrElse(0)
+    val cur = currentVersion(s, root)
+    val repaired = repairFeeds(s, root, nBuckets, fromVersion = wm + 1)
+    if (cur > wm) {
+      fs.mkdirs(wmPath.getParent)
+      val out = fs.create(wmPath, true)
+      try out.write(cur.toString.getBytes("UTF-8")) finally out.close()
+    }
+    repaired
+  }
+
+  /** Record a maintenance (state-identical) version's feed as EMPTY change
+    * data files — compaction/restore-to-same-state versions change no keys,
+    * but without an artifact [[repairFeeds]] would recompute their (empty)
+    * full-table diff on every later repair scan. The empty-bucket diff
+    * costs no data read and memoizes "nothing to emit" as a real file. */
+  def emitEmptyFeed(s: SparkSession, root: String, v: Int): Unit =
+    emitFeed(s, root, v, Seq.empty)
 
   /** Delete data files referenced by no manifest in [keepFrom, current],
-    * no PENDING (WAP-staged) manifest, and no in-flight tmp manifest;
-    * versions below keepFrom become unreadable. Files younger than
-    * `graceMs` are never touched — the retention window that protects a
-    * commit which has moved its data files but not yet written its
-    * manifest (production sets hours; tests pass 0 for determinism).
+    * no PENDING (WAP-staged) manifest, no in-flight tmp manifest, no
+    * BRANCH manifest and no TAGGED version (refs pin their files
+    * regardless of keepFrom — dropping the ref is how their storage is
+    * released); versions below keepFrom become unreadable. Files younger
+    * than `graceMs` are never touched — the retention window that
+    * protects a commit which has moved its data files but not yet written
+    * its manifest (production sets hours; tests pass 0 for determinism).
     * Returns deleted paths. */
   def vacuum(s: SparkSession, root: String, keepFrom: Int,
       graceMs: Long = 0L): Seq[String] = {
@@ -637,16 +761,21 @@ object VersionedTableImpl {
       else fs.listStatus(vDir).map(_.getPath)
         .filter { p =>
           val n = p.getName
-          (n.startsWith(".pending-v") || n.startsWith(".tmp-")) &&
-            n.endsWith(".parquet")
+          // pending (main OR branch), mid-commit tmp, and every branch
+          // lineage manifest (`b-<name>-v<k>.parquet`) pin their files
+          (n.startsWith(".pending-") || n.startsWith(".tmp-") ||
+            n.startsWith("b-")) && n.endsWith(".parquet")
         }
         .flatMap(p => scala.util.Try( // a tmp manifest may be mid-write;
           // its files are younger than any sane graceMs anyway
           s.read.parquet(p.toString)
             .select(col("file")).collect().map(_.getString(0)).toSeq)
           .getOrElse(Seq.empty)).toSeq
+    val tagged: Seq[String] = listTags(s, root).map(_._2).distinct
+      .filter(v => v >= 1 && v < keepFrom) // >= keepFrom already live below
+      .flatMap(v => filesOf(s, root, v, None))
     val live = ((keepFrom to cur)
-      .flatMap(v => filesOf(s, root, v, None)) ++ inFlight).toSet
+      .flatMap(v => filesOf(s, root, v, None)) ++ inFlight ++ tagged).toSet
     val dataDir = new Path(root, "data")
     if (!fs.exists(dataDir)) return Seq.empty
     val now = System.currentTimeMillis()
@@ -671,10 +800,26 @@ object VersionedTableImpl {
     * vacuum reclaims them when their versions expire. Pure layout: the
     * new version's state hash-equals its predecessor
     * (StreamLakehouseSpec pins this). Returns Some(newVersion) or None
-    * when nothing is over threshold. */
+    * when nothing is over threshold OR the claim was lost (the next
+    * maintenance cadence retries).
+    *
+    * ORDER MATTERS (the [[MorTableImpl.compactMor]] discipline): ALL heavy
+    * work — the fold, the staging write, the file moves, the tmp manifest —
+    * happens BEFORE the claim, and the claim is taken immediately before
+    * the single publish rename. Claiming first and folding under the claim
+    * reopens a lost-update window: a compaction outliving `staleClaimMs`
+    * looks like a dead claimant, a concurrent [[commitMerge]] legitimately
+    * breaks the claim and publishes v+1, and the finishing compactor's
+    * rename would then clobber that committed manifest (local-fs rename
+    * overwrites — and even with [[publish]]'s fail-closed check, the batch
+    * would die loudly instead of compaction yielding quietly). With
+    * claim-at-the-end a successful claim PROVES v is still current (a
+    * racer's publish of v+1 leaves its claim file behind); a lost claim
+    * costs only staged files, which vacuum sweeps. */
   def compactVersion(s: SparkSession, root: String, maxFiles: Int,
       nBuckets: Int, staleClaimMs: Long = 60000L,
-      sortCols: Seq[String] = Nil): Option[Int] = {
+      sortCols: Seq[String] = Nil,
+      purgeTombstonesBelow: Option[String] = None): Option[Int] = {
     val v = currentVersion(s, root)
     if (v == 0) return None
     import s.implicits._
@@ -684,8 +829,20 @@ object VersionedTableImpl {
     if (counts.isEmpty) return None
     val fs = fsOf(s, root)
     val newV = v + 1
-    if (!claimVersion(s, root, newV, staleClaimMs)) return None // writer racing: skip this cycle
-    val bucketed = readBuckets(s, root, v, counts, LakehouseOpsImpl.tableSchema)
+    val raw = readBuckets(s, root, v, counts, LakehouseOpsImpl.tableSchema)
+    // TOMBSTONE GC HORIZON: tombstones are retained as versioned rows for
+    // delete-confluence under concurrent writers (see the object doc) and
+    // would otherwise accumulate forever. A tombstone whose seq is below
+    // the horizon — a sequence number no in-flight writer can still
+    // deliver at or below (the CDC source's own ordering bound) — can no
+    // longer lose to anything, so the compaction rewrite drops it; the
+    // LIVE state is untouched (the oracle gate pins this) and the feed of
+    // the GC version is empty (dead-on-both-sides keys read as absence).
+    // maxFiles = 0 selects every non-empty bucket: a full GC pass.
+    val rows0 = purgeTombstonesBelow.fold(raw)(h =>
+      raw.filter(!(col("last_op").isin(LakehouseOpsImpl.DeleteOps: _*) &&
+        col("last_seq") < lit(h))))
+    val bucketed = rows0
       .withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
       .repartition(counts.length, col("bucket"))
     // optional CLUSTERING during the rewrite (the q191 trick on the
@@ -729,7 +886,12 @@ object VersionedTableImpl {
     val tmp = new Path(root,
       s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
     manifestDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    publish(fs, tmp, visiblePath(root, newV), "compaction") // claim already held
+    // COMMIT POINT: claim only now, with nothing slow left before publish
+    if (!claimVersion(s, root, newV, staleClaimMs)) {
+      fs.delete(tmp, true) // moved rewrite files strand until vacuum
+      return None
+    }
+    publish(fs, tmp, visiblePath(root, newV), "compaction")
     Some(newV)
   }
 
@@ -768,6 +930,169 @@ object VersionedTableImpl {
     -1 // unreachable
   }
 
+  // ------------------------------------------------------ named refs
+  // Tags and branches (the Iceberg refs model: a ref is a tiny named
+  // pointer into the manifest history; Delta ships the same ideas as
+  // RESTORE + shallow clones). Both are pure metadata — no data file is
+  // ever copied for a ref.
+
+  private def tagPath(root: String, name: String) = {
+    require(name.matches("[A-Za-z0-9_]+"), s"unsafe tag name: $name")
+    new Path(root, s"_refs/tag-$name")
+  }
+  private def branchRefPath(root: String, name: String) = {
+    require(name.matches("[A-Za-z0-9_]+"), s"unsafe branch name: $name")
+    new Path(root, s"_refs/branch-$name")
+  }
+
+  private def writeRef(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      v: Int, overwrite: Boolean): Unit = {
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, overwrite) // atomic create-no-overwrite when false
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+  private def readRef(fs: org.apache.hadoop.fs.FileSystem, p: Path): Int = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+    finally in.close()
+  }
+
+  /** TAG: an immutable named pointer to a committed version — "the corpus
+    * exactly as training run X read it", resolvable forever by name.
+    * Atomic create-no-overwrite: re-tagging an existing name throws
+    * (drop it first); two racers tagging the same name serialize to one
+    * winner. Tagged versions' data files are protected from [[vacuum]]
+    * even below its keepFrom horizon. */
+  def tag(s: SparkSession, root: String, name: String, v: Int): Unit = {
+    val cur = currentVersion(s, root)
+    require(v >= 1 && v <= cur, s"tag target v$v outside [1, $cur]")
+    val fs = fsOf(s, root)
+    try writeRef(fs, tagPath(root, name), v, overwrite = false)
+    catch { case _: java.io.IOException =>
+      throw new IllegalStateException(s"tag '$name' already exists at $root") }
+  }
+
+  def tagVersion(s: SparkSession, root: String, name: String): Int =
+    readRef(fsOf(s, root), tagPath(root, name))
+
+  /** The table as of the named tag — [[readVersion]] by name. */
+  def readTag(s: SparkSession, root: String, name: String): DataFrame =
+    readVersion(s, root, tagVersion(s, root, name))
+
+  def dropTag(s: SparkSession, root: String, name: String): Unit =
+    fsOf(s, root).delete(tagPath(root, name), false)
+
+  /** All (name, version) tags of the table. Metadata: one dir listing. */
+  def listTags(s: SparkSession, root: String): Seq[(String, Int)] = {
+    val fs = fsOf(s, root)
+    val dir = new Path(root, "_refs")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith("tag-"))
+      .map(p => p.getName.stripPrefix("tag-") -> readRef(fs, p)).toSeq.sortBy(_._1)
+  }
+
+  /** BRANCH: an independent commit lineage forked from main's current
+    * version — the audit/WAP workflow generalized to MULTI-commit staging
+    * (Iceberg's write-to-branch): commit N batches to the branch, validate
+    * the branch head, then [[fastForward]] main to it in one atomic
+    * publish; main readers never see an unvalidated intermediate. The fork
+    * is pure metadata (the fork manifest is COPIED as branch version 0 —
+    * file rows only, no data); branch commits use the same claim protocol
+    * under branch-scoped names, so they contend with each other but never
+    * with main. The ref file records the FORK version for the
+    * fast-forward-only check. */
+  def createBranch(s: SparkSession, root: String, name: String): Int = {
+    val fs = fsOf(s, root)
+    val fork = currentVersion(s, root)
+    require(fork >= 1, s"cannot branch an empty table at $root")
+    val lin = branchLineage(name)
+    try writeRef(fs, branchRefPath(root, name), fork, overwrite = false)
+    catch { case _: java.io.IOException =>
+      throw new IllegalStateException(s"branch '$name' already exists at $root") }
+    // branch v0 = the fork manifest, copied metadata->metadata
+    val tmp = new Path(root,
+      s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
+    manifest(s, root, fork).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    publish(fs, tmp, lin.visible(root, 0), s"branch '$name' fork")
+    fork
+  }
+
+  /** Fork version recorded at [[createBranch]] time. */
+  def branchFork(s: SparkSession, root: String, name: String): Int =
+    readRef(fsOf(s, root), branchRefPath(root, name))
+
+  /** Highest committed version ON the branch (0 = just forked). */
+  def branchHead(s: SparkSession, root: String, name: String): Int =
+    currentVersionOf(s, root, branchLineage(name))
+
+  /** MERGE a CDC envelope batch as the branch's next version — identical
+    * algebra, claim protocol and O(touched buckets) cost as a main
+    * [[commitMerge]], under branch-scoped manifest/claim/file names. */
+  def commitMergeToBranch(s: SparkSession, root: String, name: String,
+      env: DataFrame, nBuckets: Int, maxAttempts: Int = 5,
+      staleClaimMs: Long = 60000L): Int =
+    commitMergeTo(s, root, env, nBuckets, maxAttempts, staleClaimMs,
+      pendingStage = false, branchLineage(name))
+
+  /** The branch head's state (tombstones filtered) — what an audit
+    * validates before [[fastForward]] publishes it to main readers. */
+  def readBranch(s: SparkSession, root: String, name: String): DataFrame =
+    readManifest(s, root,
+      manifest(s, root, branchHead(s, root, name), branchLineage(name)),
+      LakehouseOpsImpl.tableSchema)
+      .filter(!col("last_op").isin(LakehouseOpsImpl.DeleteOps: _*))
+
+  /** FAST-FORWARD main to the branch head: publish the branch head's
+    * manifest as main's next version — atomic, metadata-only (the branch's
+    * data files are simply referenced by a main manifest now; nothing is
+    * rewritten). Allowed only while main still sits at the branch's FORK
+    * version — a true fast forward; if main advanced past the fork, the
+    * branch's base assumptions are stale and the caller must re-merge
+    * (Left). Claimed through the standard protocol, so a fast-forward
+    * racing a main commit resolves cleanly: exactly one wins, the loser
+    * returns Left and can retry against reality. */
+  def fastForward(s: SparkSession, root: String, name: String,
+      staleClaimMs: Long = 60000L): Either[String, Int] = {
+    val fs = fsOf(s, root)
+    val fork = branchFork(s, root, name)
+    val head = branchHead(s, root, name)
+    if (head == 0) return Right(fork) // nothing committed on the branch
+    val cur = currentVersion(s, root)
+    if (cur != fork)
+      return Left(s"main advanced to v$cur past the fork v$fork — re-merge required")
+    val newV = fork + 1
+    val tmp = new Path(root,
+      s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
+    manifest(s, root, head, branchLineage(name))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    if (!claimVersion(s, root, newV, staleClaimMs)) {
+      fs.delete(tmp, true)
+      return Left(s"lost the claim on v$newV to a concurrent main commit")
+    }
+    // the claim proves main is still at fork (a racer's publish would
+    // have left its claim); publish the branch head as main's next state
+    publish(fs, tmp, visiblePath(root, newV), s"fast-forward '$name'")
+    Right(newV)
+  }
+
+  /** Drop the branch: ref + branch manifests go away; the branch's data
+    * files become unreferenced (unless a fast-forwarded main manifest
+    * lists them) and the next [[vacuum]] reclaims them. */
+  def dropBranch(s: SparkSession, root: String, name: String): Unit = {
+    val fs = fsOf(s, root)
+    fs.delete(branchRefPath(root, name), false)
+    val dir = new Path(root, "_versions")
+    val lin = branchLineage(name)
+    if (fs.exists(dir))
+      fs.listStatus(dir).map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith(lin.prefix) || n.startsWith(s".pending-${lin.prefix}")
+        }
+        .foreach(p => fs.delete(p, true))
+  }
+
   // ------------------------------------------------------------ q182/q183
   /** One versioned table per (session, dir): v1 = first half of the event
     * log by id, v2 = the rest — the q179 split, committed as two versions. */
@@ -777,7 +1102,7 @@ object VersionedTableImpl {
   def clearCaches(): Unit = {
     roots.clear(); quarterRoots.clear(); evoRoots.clear(); feedRoots.clear()
     restoreRoots.clear(); mergeRoots.clear(); ttlRoots.clear()
-    exportRoots.clear()
+    exportRoots.clear(); branchRoots.clear(); gcRoots.clear()
   }
 
   private[graft] def ensureVersioned(s: SparkSession, dir: String): String =
@@ -1574,7 +1899,96 @@ object VersionedTableImpl {
        |SELECT user_id, last_seq, event_type, value, k
        |FROM latest WHERE has_new ORDER BY user_id""".stripMargin
 
+  // -------------------------------------------------------------- q230
+  private val branchRoots = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** q230: BRANCH + FAST-FORWARD under the gate — the multi-commit WAP
+    * workflow: main holds the first half of the log (v1), a `wap` branch
+    * forked from it stages the third and fourth quarters as TWO branch
+    * commits (main readers still see v1 throughout), the branch head is
+    * audited, and [[fastForward]] publishes it as main v2 in one atomic
+    * metadata-only claim+rename. The resulting main state must hash-match
+    * DuckDB's one-shot FULL-log replay — proving the staged lineage
+    * composed exactly like direct commits would have. */
+  def branchedState(s: SparkSession, dir: String): DataFrame = {
+    val root = Memo.getOrCacheAny(branchRoots, s, dir, { _ =>
+      val r = java.nio.file.Files.createTempDirectory("graft_vtable_b").toString
+      val env = CdcSynth.fromEvents(s, dir)
+      val q = Tables(s, dir, "events")
+        .agg(expr("max(event_id) div 4").as("q"))
+      val withQ = env.crossJoin(broadcast(q))
+      val v1 = commitMerge(s, r, withQ.filter(col("event_id") < col("q") * 2), 8)
+      require(v1 == 1, s"main holds the first half: $v1")
+      val fork = createBranch(s, r, "wap")
+      require(fork == 1, s"branch forks at v1: $fork")
+      val b1 = commitMergeToBranch(s, r, "wap", withQ.filter(
+        col("event_id") >= col("q") * 2 && col("event_id") < col("q") * 3), 8)
+      val b2 = commitMergeToBranch(s, r, "wap", withQ.filter(
+        col("event_id") >= col("q") * 3), 8)
+      require(b1 == 1 && b2 == 2, s"two staged branch commits: $b1, $b2")
+      require(currentVersion(s, r) == 1,
+        "main must not see staged branch commits")
+      require(readBranch(s, r, "wap").limit(1).count() == 1, "audit reads the head")
+      val ff = fastForward(s, r, "wap")
+      require(ff == Right(2), s"fast-forward publishes main v2: $ff")
+      r
+    })
+    readVersion(s, root, currentVersion(s, root))
+      .select(col("user_id"), col("last_op"), col("last_seq"),
+        col("event_type"), col("value"), col("k"))
+      .orderBy(col("user_id"))
+  }
+
+  // -------------------------------------------------------------- q231
+  private val gcRoots = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** q231: TOMBSTONE GC under the gate — two merge commits (half the log
+    * each) leave confluence tombstones in the raw state; a full-table
+    * compaction pass with the horizon above every seq purges them all.
+    * The surviving LIVE state must hash-match the full-log replay — the
+    * purge touched nothing a reader can see (VersionedSpec pins the
+    * physical side: zero tombstone rows remain, horizon-respecting GC
+    * keeps newer tombstones). */
+  def gcState(s: SparkSession, dir: String): DataFrame = {
+    val root = Memo.getOrCacheAny(gcRoots, s, dir, { _ =>
+      val r = java.nio.file.Files.createTempDirectory("graft_vtable_gc").toString
+      val env = CdcSynth.fromEvents(s, dir)
+      val mid = Tables(s, dir, "events")
+        .agg(expr("max(event_id) div 2").as("mid"))
+      val withMid = env.crossJoin(broadcast(mid))
+      commitMerge(s, r, withMid.filter(col("event_id") < col("mid")), 8)
+      commitMerge(s, r, withMid.filter(col("event_id") >= col("mid")), 8)
+      // "~" sorts above every zero-padded numeric seq: a full-horizon pass
+      val v3 = compactVersion(s, r, maxFiles = 0, nBuckets = 8,
+        purgeTombstonesBelow = Some("~"))
+      require(v3.contains(3), s"GC compaction commits v3: $v3")
+      r
+    })
+    readVersion(s, root, currentVersion(s, root))
+      .select(col("user_id"), col("last_op"), col("last_seq"),
+        col("event_type"), col("value"), col("k"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Shared oracle text for q230/q231: the one-shot full-log replay. */
+  private lazy val fullReplaySql: String =
+    s"""WITH ${CdcSynth.synthSql},
+       |latest AS (
+       |  SELECT COALESCE(new_user_id, old_user_id) AS user_id,
+       |    max_by(op, seq) AS last_op, max(seq) AS last_seq,
+       |    max_by(has_new, seq) AS has_new,
+       |    max_by(new_event_type, seq) AS event_type,
+       |    max_by(new_value, seq) AS value,
+       |    max_by(new_k, seq) AS k
+       |  FROM cdc GROUP BY 1)
+       |SELECT user_id, last_op, last_seq, event_type, value, k
+       |FROM latest WHERE has_new ORDER BY user_id""".stripMargin
+
   lazy val queries: Seq[Q] = Seq(
+    Q("q230_branch_fast_forward", branchedState, Some(fullReplaySql)),
+    Q("q231_tombstone_gc", gcState, Some(fullReplaySql)),
     Q("q182_time_travel", timeTravel, Some(q182Sql)),
     Q("q183_change_feed", versionDiff, Some(q183Sql)),
     Q("q186_maintained_index", maintainedTypeIndex, Some(q186Sql)),

@@ -43,11 +43,97 @@ object LakehouseSink {
       }
       .start()
 
+  /** Stable per-stream identity for the exactly-once commit markers,
+    * derived from the CHECKPOINT directory: micro-batch ids are only
+    * meaningful within one checkpoint lineage, so the marker key must
+    * change exactly when the lineage does. A bare `batch-$id` marker is
+    * wrong twice over (the Delta-txn lesson: idempotent writes key on
+    * (appId, version), never version alone): a checkpoint RESET restarts
+    * ids at 0, finds the old markers, and silently SKIPS committing the
+    * new data; and a SECOND query writing the same table root collides
+    * with the first query's ids. Keying markers under a checkpoint-derived
+    * appId gives both events a fresh marker namespace. Callers with a
+    * durable notion of identity can pass their own appId instead. */
+  def appIdFor(checkpointDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+
+  /** One micro-batch of the VERSIONED sink, marker-gated for exactly-once
+    * history. Order inside the gate matters for the feed contract:
+    *
+    *  1. [[graft.ops.VersionedTableImpl.repairFeeds]] — a PRIOR run that
+    *     crashed between its commit and its feed emission left a committed
+    *     version with no change data files; on replay the re-commit is
+    *     state-identical (seq-gated) so ITS diff is empty, and without
+    *     repair the crashed version's changes would never reach `_feed`
+    *     (downstream consumers would silently lose the batch). Repair
+    *     emits the missing artifact post-hoc (all-buckets diff — correct,
+    *     just not touched-pruned) before anything else happens.
+    *  2. `commitMerge`, then [[graft.ops.VersionedTableImpl.emitFeed]] for
+    *     the new version (touched buckets only), then the marker — the
+    *     marker is LAST, so any crash inside the gate replays the whole
+    *     gate, and every step in it is idempotent (seq-gated merge,
+    *     per-version feed overwrite, marker create).
+    *
+    * Compaction runs OUTSIDE the gate (a replayed batch re-checks the
+    * pure-metadata threshold harmlessly); a compaction version is
+    * state-identical, so it records an EMPTY feed artifact — without one,
+    * every later repair scan would recompute its empty diff. */
+  private[graft] def versionedBatch(batch: DataFrame, id: Long, root: String,
+      appId: String, nBuckets: Int, compactOver: Option[Int],
+      emitFeed: Boolean): Unit = {
+    import org.apache.spark.sql.functions._
+    val s = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(root, s"_commits/$appId/batch-$id")
+    if (!fs.exists(marker)) {
+      if (emitFeed) // amortized O(1) probes per epoch (watermark below the scan)
+        graft.ops.VersionedTableImpl.repairFeedsIncremental(s, root, nBuckets)
+      val before = graft.ops.VersionedTableImpl.currentVersion(s, root)
+      val v = graft.ops.VersionedTableImpl.commitMerge(s, root, batch, nBuckets)
+      if (emitFeed && v > before) {
+        val touched = batch
+          .select(pmod(coalesce(col("image.user_id"), col("oldImage.user_id")),
+            lit(nBuckets.toLong)).as("bucket"))
+          .distinct().collect().map(_.getLong(0)).toSeq // <= nBuckets rows
+        graft.ops.VersionedTableImpl.emitFeed(s, root, v, touched)
+      }
+      fs.mkdirs(marker.getParent)
+      fs.create(marker).close()
+    }
+    compactOver.foreach { t =>
+      val cv = graft.ops.VersionedTableImpl.compactVersion(s, root, t, nBuckets)
+      if (emitFeed) cv.foreach(c =>
+        graft.ops.VersionedTableImpl.emitEmptyFeed(s, root, c))
+    }
+  }
+
+  /** One micro-batch of the MOR sink: delta-append inside the marker gate,
+    * threshold compaction outside it (pure-metadata check, state-identical
+    * commit — idempotent under replay without a marker of its own). */
+  private[graft] def morBatch(batch: DataFrame, id: Long, root: String,
+      appId: String, nBuckets: Int, compactOver: Option[Int]): Unit = {
+    val s = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(root, s"_commits/$appId/batch-$id")
+    if (!fs.exists(marker)) {
+      graft.ops.MorTableImpl.commitAppend(s, root, batch, nBuckets)
+      fs.mkdirs(marker.getParent)
+      fs.create(marker).close()
+    }
+    compactOver.foreach(t =>
+      graft.ops.MorTableImpl.compactMor(s, root, t, nBuckets))
+  }
+
   /** VERSIONED form: each micro-batch commits as a new table version
     * ([[graft.ops.VersionedTableImpl.commitMerge]]), so the stream leaves
     * a time-travelable history and a per-batch change feed behind instead
     * of only the final state. Version history is made exactly-once with a
-    * per-batch marker: the seq-gated merge already makes REPLAYED rows a
+    * per-(appId, batch) marker (see [[appIdFor]] for why batch id alone is
+    * not an identity): the seq-gated merge already makes REPLAYED rows a
     * state no-op, but without the marker a replay would still append a
     * redundant (state-identical) version; the marker is written after the
     * commit, so a crash between the two re-commits once — state stays
@@ -63,45 +149,30 @@ object LakehouseSink {
     * claim protocol, old versions untouched). The check is pure metadata;
     * a replayed batch re-runs it harmlessly (counts already below the
     * threshold ⇒ no-op), so compaction is exactly-once-in-effect across
-    * restarts without its own marker. */
-  /** With `emitFeed = true` (default) each merge commit also materializes
+    * restarts without its own marker.
+    *
+    * With `emitFeed = true` (default) each merge commit also materializes
     * its CHANGE DATA FILES under `root/_feed/v{N}.parquet`
     * ([[graft.ops.VersionedTableImpl.emitFeed]]): downstream consumers
     * stream the table's own history with a plain parquet `readStream` on
     * that dir — the lakehouse doubles as a CDC source. The feed diff reads
     * only the touched buckets, so emission costs O(touched) like the merge
-    * itself; the per-version overwrite is idempotent under crash-replay;
-    * compaction versions are state-identical and emit nothing. */
+    * itself; the per-version overwrite is idempotent under crash-replay,
+    * and a crash BETWEEN commit and emission is repaired on the next batch
+    * ([[versionedBatch]] step 1) — no version's changes can be lost from
+    * the feed. Compaction versions record an empty artifact. */
   def versionedSink(envStream: DataFrame, root: String, checkpointDir: String,
       nBuckets: Int, compactOver: Option[Int] = None,
-      emitFeed: Boolean = true): StreamingQuery =
+      emitFeed: Boolean = true): StreamingQuery = {
+    val appId = appIdFor(checkpointDir)
     envStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        import org.apache.spark.sql.functions._
-        val s = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(root)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(root, s"_commits/batch-$id")
-        if (!fs.exists(marker)) {
-          val before = graft.ops.VersionedTableImpl.currentVersion(s, root)
-          val v = graft.ops.VersionedTableImpl.commitMerge(s, root, batch, nBuckets)
-          if (emitFeed && v > before) {
-            val touched = batch
-              .select(pmod(coalesce(col("image.user_id"), col("oldImage.user_id")),
-                lit(nBuckets.toLong)).as("bucket"))
-              .distinct().collect().map(_.getLong(0)).toSeq // <= nBuckets rows
-            graft.ops.VersionedTableImpl.emitFeed(s, root, v, touched)
-          }
-          fs.mkdirs(marker.getParent)
-          fs.create(marker).close()
-        }
-        compactOver.foreach(t =>
-          graft.ops.VersionedTableImpl.compactVersion(s, root, t, nBuckets))
-        ()
+        versionedBatch(batch, id, root, appId, nBuckets, compactOver, emitFeed)
       }
       .start()
+  }
 
   /** MERGE-ON-READ form: each micro-batch commits as DELTA files
     * ([[graft.ops.MorTableImpl.commitAppend]]) — no base read, no bucket
@@ -114,28 +185,20 @@ object LakehouseSink {
     *
     * Exactly-once: state is append-idempotent (a replayed batch's rows
     * carry the same seqs, so the read-side latest-per-key fold is
-    * unchanged), and the same per-batch marker as [[versionedSink]] keeps
-    * the HISTORY exactly-once — a replay appends neither rows nor a
-    * version. The compaction check is pure metadata and no-ops when
-    * nothing is over threshold, so it needs no marker of its own. */
+    * unchanged), and the same per-(appId, batch) marker as
+    * [[versionedSink]] keeps the HISTORY exactly-once — a replay appends
+    * neither rows nor a version. The compaction check is pure metadata and
+    * no-ops when nothing is over threshold, so it needs no marker of its
+    * own. */
   def morSink(envStream: DataFrame, root: String, checkpointDir: String,
-      nBuckets: Int, compactOver: Option[Int] = None): StreamingQuery =
+      nBuckets: Int, compactOver: Option[Int] = None): StreamingQuery = {
+    val appId = appIdFor(checkpointDir)
     envStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val s = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(root)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(root, s"_commits/batch-$id")
-        if (!fs.exists(marker)) {
-          graft.ops.MorTableImpl.commitAppend(s, root, batch, nBuckets)
-          fs.mkdirs(marker.getParent)
-          fs.create(marker).close()
-        }
-        compactOver.foreach(t =>
-          graft.ops.MorTableImpl.compactMor(s, root, t, nBuckets))
-        ()
+        morBatch(batch, id, root, appId, nBuckets, compactOver)
       }
       .start()
+  }
 }

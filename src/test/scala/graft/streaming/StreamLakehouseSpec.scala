@@ -462,4 +462,109 @@ class StreamLakehouseSpec extends SparkSpec {
     assert(VersionedTableImpl.currentVersion(spark, root) == vEnd,
       "an idle drain must append neither merge nor compaction versions")
   }
+
+  test("a crash between commit and feed emission loses no feed: replay repairs it") {
+    import graft.ops.VersionedTableImpl
+    val all = events(0 until 120)
+    val root = Files.createTempDirectory("graft_slake_r").toString
+    val appId = "feedcrash"
+
+    // epoch 0 lands normally: v1 committed, feed v1 emitted, marker written
+    LakehouseSink.versionedBatch(CdcSynth.envelope(all.slice(0, 50).toDF()),
+      0L, root, appId, NB, compactOver = None, emitFeed = true)
+    assert(VersionedTableImpl.currentVersion(spark, root) == 1)
+
+    // epoch 1 CRASHES between commitMerge and emitFeed: the commit exists
+    // (v2), its change data files do not, and no marker was written
+    VersionedTableImpl.commitMerge(spark, root,
+      CdcSynth.envelope(all.slice(50, 90).toDF()), NB)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(VersionedTableImpl.feedPath(root, 2)),
+      "fixture: the crash left v2 with no feed artifact")
+
+    // the stream restarts and REPLAYS epoch 1 (marker absent): repair must
+    // emit v2's feed before the state-identical re-commit appends v3
+    LakehouseSink.versionedBatch(CdcSynth.envelope(all.slice(50, 90).toDF()),
+      1L, root, appId, NB, compactOver = None, emitFeed = true)
+    val vEnd = VersionedTableImpl.currentVersion(spark, root)
+    assert(vEnd == 3, s"replay re-commits once (state-identical v3): $vEnd")
+
+    def feedRows(df: DataFrame) =
+      df.select(col("user_id"), col("change_op"), col("seq_before"), col("seq_after"))
+        .as[(Long, String, Option[String], Option[String])].collect().toSeq.sorted
+    val allFeed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/_feed")
+    assert(feedRows(allFeed.filter(col("version") === 2L)) ==
+      feedRows(VersionedTableImpl.changeFeed(spark, root, 1, 2)),
+      "the crashed version's changes must appear under _feed (repaired)")
+    assert(allFeed.filter(col("version") === 3L).count() == 0,
+      "the replayed re-commit's own diff is empty")
+
+    // the q209 contract holds: folding ALL change data files reconstructs
+    // the table state — nothing was lost from the feed
+    val folded = allFeed
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("change_op"), col("value_after")), col("version")).as("last"))
+      .filter(col("last.change_op") =!= "DELETE")
+      .select(col("user_id"), col("last.value_after").as("value"))
+      .as[(Long, Option[Double])].collect().toMap
+    val table = VersionedTableImpl.readVersion(spark, root, vEnd)
+      .select(col("user_id"), col("value")).as[(Long, Option[Double])]
+      .collect().toMap
+    assert(folded == table, "feed-reconstructed state must equal the table")
+
+    // epoch 2 proceeds normally on top
+    LakehouseSink.versionedBatch(CdcSynth.envelope(all.slice(90, 120).toDF()),
+      2L, root, appId, NB, compactOver = None, emitFeed = true)
+    assert(VersionedTableImpl.currentVersion(spark, root) == 4)
+    assert(fs.exists(VersionedTableImpl.feedPath(root, 4)))
+  }
+
+  test("commit markers are stream-scoped: a checkpoint reset must not skip commits") {
+    import graft.ops.VersionedTableImpl
+    val all = events(0 until 120)
+    val root = Files.createTempDirectory("graft_slake_id").toString
+
+    // appId derivation: stable per checkpoint dir, distinct across dirs
+    assert(LakehouseSink.appIdFor("/ckpt/a") == LakehouseSink.appIdFor("/ckpt/a"))
+    assert(LakehouseSink.appIdFor("/ckpt/a") != LakehouseSink.appIdFor("/ckpt/b"))
+
+    // lineage 1 drains a batch as micro-batch 0
+    val ckptA = Files.createTempDirectory("graft_slake_id_a").toString
+    val in1 = MemoryStream[LkEvent](spark)
+    in1.addData(all.slice(0, 60): _*)
+    LakehouseSink.versionedSink(CdcSynth.envelope(in1.toDF()),
+      root, ckptA, NB).awaitTermination()
+    val v1 = VersionedTableImpl.currentVersion(spark, root)
+    assert(v1 >= 1)
+
+    // CHECKPOINT RESET: a fresh lineage over the same table root restarts
+    // micro-batch ids at 0 — with markers keyed on batch id alone this
+    // batch would find lineage 1's marker and be silently dropped
+    val ckptB = Files.createTempDirectory("graft_slake_id_b").toString
+    val in2 = MemoryStream[LkEvent](spark)
+    in2.addData(all.slice(60, 120): _*)
+    LakehouseSink.versionedSink(CdcSynth.envelope(in2.toDF()),
+      root, ckptB, NB).awaitTermination()
+    assert(VersionedTableImpl.currentVersion(spark, root) > v1,
+      "the new lineage's first batch must commit, not hit the old marker")
+    assert(table_v(root) == expected(all),
+      "state must include BOTH lineages' batches")
+
+    // within a lineage replay protection still holds: an idle re-run of
+    // lineage 2 appends nothing
+    LakehouseSink.versionedSink(CdcSynth.envelope(in2.toDF()),
+      root, ckptB, NB).awaitTermination()
+    assert(table_v(root) == expected(all))
+  }
+
+  private def table_v(root: String): Seq[(Long, String, String, String, Double, Long)] = {
+    import graft.ops.VersionedTableImpl
+    val v = VersionedTableImpl.currentVersion(spark, root)
+    VersionedTableImpl.readVersion(spark, root, v)
+      .select(col("user_id"), col("last_op"), col("last_seq"),
+        col("event_type"), col("value"), col("k"))
+      .as[(Long, String, String, String, Double, Long)].collect().toSeq.sorted
+  }
 }
