@@ -544,9 +544,35 @@ object Relational {
     s.sql(lateralTopSql)
   }
 
+  /** q229: GROUPING SETS — the generalized multi-level aggregate (rollup
+    * q145 and CUBE are its special cases; this is the arbitrary-set form
+    * with GROUPING() disambiguating a rolled-up NULL from a data NULL),
+    * one SQL text for both engines. Spark plans it as a single Expand +
+    * hash aggregate — one scan produces every grouping level, which is
+    * exactly what a 100 TB reporting query wants (vs four scans + union).
+    * NULLS FIRST is spelled explicitly: Spark and DuckDB default opposite
+    * null orders (the dialect-pitfall discipline). */
+  private val groupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_returnflag), (l_linestatus), ())
+      |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST,
+      |  l_linestatus NULLS FIRST""".stripMargin
+
+  private def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(groupingSetsSql)
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q226_recursive_reach", recursiveReach, Some(recursiveReachSql)),
     Q("q227_lateral_topk", lateralTop, Some(lateralTopSql)),
+    Q("q229_grouping_sets", groupingSets, Some(groupingSetsSql)),
     Q("q01_pricing_summary", RelationalOps.pricingSummary, Some(
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity")} AS sum_qty,

@@ -1,0 +1,169 @@
+package graft.ops
+
+import java.io.File
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.cdc.CdcSynth
+
+/** Named refs (tags, branches, fast-forward) and the tombstone GC horizon —
+  * the mechanics the q230/q231 oracle gates (state equality) cannot see:
+  * ref isolation, vacuum protection, conflict rejection, and the physical
+  * tombstone purge with its horizon contract.
+  */
+class RefsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val NB = 8
+
+  private def env(rows: Seq[(Long, Long)]): DataFrame =
+    CdcSynth.envelope(rows.toDF("event_id", "user_id")
+      .withColumn("event_type", concat(lit("t"), pmod(col("user_id"), lit(3L))))
+      .withColumn("value", col("event_id").cast("double") / 4.0)
+      .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("event_id") * 1000L))
+      .withColumn("props", concat(lit("{\"k\":"), col("user_id") * 7L, lit("}"))))
+
+  private def users(df: DataFrame): Map[Long, (String, Double)] =
+    df.select(col("user_id"), col("last_seq"), col("value"))
+      .as[(Long, String, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+  private def rawRows(root: String): DataFrame =
+    VersionedTableImpl.readBuckets(spark, root,
+      VersionedTableImpl.currentVersion(spark, root),
+      0L until NB.toLong, LakehouseOpsImpl.tableSchema)
+
+  test("tags pin versions: vacuum keeps a tagged version readable; dropTag releases it") {
+    val root = java.nio.file.Files.createTempDirectory("refs_tag").toString
+    // v1: 12 inserts; v2: updates that rewrite every touched bucket
+    VersionedTableImpl.commitMerge(spark, root,
+      env((0L until 12L).map(u => (8L * u, u))), NB)
+    val v1State = users(VersionedTableImpl.readVersion(spark, root, 1))
+    VersionedTableImpl.commitMerge(spark, root,
+      env((0L until 12L).map(u => (8L * (u + 100) + 1, u))), NB)
+
+    VersionedTableImpl.tag(spark, root, "train_run_7", 1)
+    assert(VersionedTableImpl.listTags(spark, root) == Seq("train_run_7" -> 1))
+    intercept[IllegalStateException] {
+      VersionedTableImpl.tag(spark, root, "train_run_7", 2) // immutable name
+    }
+
+    // vacuum to keepFrom = 2 would normally reclaim v1's files — the tag
+    // pins them, and the tagged read still equals the old state
+    val swept = VersionedTableImpl.vacuum(spark, root, keepFrom = 2)
+    assert(swept.isEmpty, s"tagged v1 files must survive vacuum: $swept")
+    assert(users(VersionedTableImpl.readTag(spark, root, "train_run_7")) == v1State,
+      "the tag resolves the pinned state bit-for-bit")
+
+    // dropping the ref is the release: vacuum now reclaims v1-only files
+    VersionedTableImpl.dropTag(spark, root, "train_run_7")
+    val swept2 = VersionedTableImpl.vacuum(spark, root, keepFrom = 2)
+    assert(swept2.nonEmpty && swept2.forall(_.contains("/v1-")),
+      s"untagged v1 files are reclaimable: $swept2")
+  }
+
+  test("branch commits are invisible to main until fast-forward; conflict rejects") {
+    val root = java.nio.file.Files.createTempDirectory("refs_br").toString
+    VersionedTableImpl.commitMerge(spark, root,
+      env((0L until 10L).map(u => (8L * u, u))), NB)
+    val mainV1 = users(VersionedTableImpl.readVersion(spark, root, 1))
+
+    assert(VersionedTableImpl.createBranch(spark, root, "stage") == 1)
+    intercept[IllegalStateException] {
+      VersionedTableImpl.createBranch(spark, root, "stage") // name taken
+    }
+
+    // two staged commits: update users 0..4, then delete user 1
+    VersionedTableImpl.commitMergeToBranch(spark, root, "stage",
+      env((0L until 5L).map(u => (8L * (u + 50) + 1, u))), NB)
+    VersionedTableImpl.commitMergeToBranch(spark, root, "stage",
+      env(Seq((8L * 80 + 2, 1L))), NB)
+    assert(VersionedTableImpl.branchHead(spark, root, "stage") == 2)
+
+    // isolation both ways: main unmoved, branch carries the staged state
+    assert(VersionedTableImpl.currentVersion(spark, root) == 1)
+    assert(users(VersionedTableImpl.readVersion(spark, root, 1)) == mainV1)
+    val staged = users(VersionedTableImpl.readBranch(spark, root, "stage"))
+    assert(!staged.contains(1L) && staged(0L)._1 == "%020d".format(8L * 50 + 1),
+      s"branch head shows the staged updates and the delete: $staged")
+
+    // fast-forward publishes the branch head as main v2, atomically
+    assert(VersionedTableImpl.fastForward(spark, root, "stage") == Right(2))
+    assert(users(VersionedTableImpl.readVersion(spark, root, 2)) == staged,
+      "main head after fast-forward IS the audited branch state")
+    assert(users(VersionedTableImpl.readVersion(spark, root, 1)) == mainV1,
+      "history below the fast-forward is untouched")
+
+    // a branch whose fork main has moved past cannot fast-forward
+    assert(VersionedTableImpl.createBranch(spark, root, "late") == 2)
+    VersionedTableImpl.commitMergeToBranch(spark, root, "late",
+      env(Seq((8L * 90, 7L))), NB)
+    VersionedTableImpl.commitMerge(spark, root, // main advances first
+      env(Seq((8L * 91, 8L))), NB)
+    val ff = VersionedTableImpl.fastForward(spark, root, "late")
+    assert(ff.isLeft && ff.swap.exists(_.contains("re-merge")),
+      s"a non-fast-forwardable branch must reject, not clobber: $ff")
+  }
+
+  test("vacuum protects live branch files; dropBranch releases them") {
+    val root = java.nio.file.Files.createTempDirectory("refs_vac").toString
+    VersionedTableImpl.commitMerge(spark, root,
+      env((0L until 6L).map(u => (8L * u, u))), NB)
+    VersionedTableImpl.createBranch(spark, root, "wip")
+    VersionedTableImpl.commitMergeToBranch(spark, root, "wip",
+      env((0L until 6L).map(u => (8L * (u + 40) + 1, u))), NB)
+    val staged = users(VersionedTableImpl.readBranch(spark, root, "wip"))
+
+    val swept = VersionedTableImpl.vacuum(spark, root, keepFrom = 1)
+    assert(swept.isEmpty, s"live branch files must survive vacuum: $swept")
+    assert(users(VersionedTableImpl.readBranch(spark, root, "wip")) == staged)
+
+    VersionedTableImpl.dropBranch(spark, root, "wip")
+    val swept2 = VersionedTableImpl.vacuum(spark, root, keepFrom = 1)
+    assert(swept2.nonEmpty && swept2.forall(_.contains("/b-wip-v")),
+      s"a dropped branch's files are reclaimed, nothing else: $swept2")
+    // the main lineage is intact
+    assert(users(VersionedTableImpl.readVersion(spark, root, 1)).size == 6)
+  }
+
+  test("tombstone GC purges below the horizon, keeps newer tombstones, and preserves confluence") {
+    val root = java.nio.file.Files.createTempDirectory("refs_gc").toString
+    // v1: inserts for users 0..7 (m=0); v2: DELETE user 2 at seq 16*8+2
+    // and DELETE user 5 at seq 90*8+2 — two tombstones, far-apart seqs
+    VersionedTableImpl.commitMerge(spark, root,
+      env((0L until 8L).map(u => (8L * u, u))), NB)
+    VersionedTableImpl.commitMerge(spark, root,
+      env(Seq((8L * 16 + 2, 2L), (8L * 90 + 2, 5L))), NB)
+    def tombstones(): Map[Long, String] =
+      rawRows(root).filter(col("last_op").isin(LakehouseOpsImpl.DeleteOps: _*))
+        .select(col("user_id"), col("last_seq")).as[(Long, String)]
+        .collect().toMap
+    assert(tombstones().keySet == Set(2L, 5L), s"fixture: ${tombstones()}")
+    val liveBefore = users(VersionedTableImpl.readVersion(spark, root, 2))
+
+    // horizon between the two tombstones: only the older one is purged
+    val horizon = "%020d".format(8L * 50)
+    val v3 = VersionedTableImpl.compactVersion(spark, root, maxFiles = 0,
+      nBuckets = NB, purgeTombstonesBelow = Some(horizon))
+    assert(v3.contains(3))
+    assert(tombstones().keySet == Set(5L),
+      s"only the below-horizon tombstone is purged: ${tombstones()}")
+    assert(users(VersionedTableImpl.readVersion(spark, root, 3)) == liveBefore,
+      "GC is invisible to the live state")
+
+    // confluence within the horizon: a late lower-seq upsert for user 5
+    // still loses to the RETAINED tombstone...
+    VersionedTableImpl.commitMerge(spark, root, env(Seq((8L * 60, 5L))), NB)
+    assert(!users(VersionedTableImpl.readVersion(spark, root,
+      VersionedTableImpl.currentVersion(spark, root))).contains(5L),
+      "a retained tombstone must still win against a lower-seq upsert")
+
+    // ...then the full-horizon pass reclaims it too
+    val v5 = VersionedTableImpl.compactVersion(spark, root, maxFiles = 0,
+      nBuckets = NB, purgeTombstonesBelow = Some("~"))
+    assert(v5.isDefined && tombstones().isEmpty,
+      s"full-horizon GC leaves zero tombstone rows: ${tombstones()}")
+  }
+}
