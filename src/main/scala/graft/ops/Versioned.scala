@@ -1005,7 +1005,8 @@ object VersionedTableImpl {
   def createBranch(s: SparkSession, root: String, name: String): Int = {
     val fs = fsOf(s, root)
     val fork = currentVersion(s, root)
-    require(fork >= 1, s"cannot branch an empty table at $root")
+    // fork 0 (empty table) is legal: staged INITIAL ingest — the branch
+    // starts from the empty manifest and fast-forward publishes v1
     val lin = branchLineage(name)
     try writeRef(fs, branchRefPath(root, name), fork, overwrite = false)
     catch { case _: java.io.IOException =>
@@ -1076,6 +1077,25 @@ object VersionedTableImpl {
     Right(newV)
   }
 
+  /** Audit the branch head against an expectation suite and PUBLISH it to
+    * main via [[fastForward]] when every rule passes — the multi-commit
+    * generalization of [[commitMergeExpecting]]: N staged commits, one
+    * audit, one atomic publish. On success the branch is dropped (its
+    * manifests are spent; the published data files are now referenced by
+    * main). A failing audit leaves the branch fully staged for inspection
+    * and returns the failing rules; main is untouched either way until
+    * the fast-forward rename. */
+  def publishBranch(s: SparkSession, root: String, name: String,
+      rules: Seq[Expectation]): Either[String, Int] = {
+    val failed = expectationReport(readBranch(s, root, name), rules)
+      .filter(!col("pass"))
+      .collect()
+      .map(r => s"${r.getString(0)} (${r.getLong(1)} > ${r.getLong(2)})")
+    if (failed.nonEmpty)
+      return Left(s"expectations failed: ${failed.mkString(", ")}")
+    fastForward(s, root, name).map { v => dropBranch(s, root, name); v }
+  }
+
   /** Drop the branch: ref + branch manifests go away; the branch's data
     * files become unreferenced (unless a fast-forwarded main manifest
     * lists them) and the next [[vacuum]] reclaims them. */
@@ -1093,6 +1113,109 @@ object VersionedTableImpl {
         .foreach(p => fs.delete(p, true))
   }
 
+  // --------------------------------------------------- cross-table txn
+  /** ATOMIC CROSS-TABLE TRANSACTION — commit one batch per table such that
+    * either every table's new version becomes visible or none does (the
+    * multi-table commit an Iceberg REST catalog arbitrates through its
+    * database; here through the same filesystem primitives as every other
+    * commit in this engine). Protocol:
+    *
+    *  1. STAGE: each table's merge commits as a PENDING version — claim
+    *     held, manifest at the dot-prefixed pending path, invisible to
+    *     readers (the WAP machinery, reused verbatim).
+    *  2. INTENT: one txn RECORD listing every (root, version) pair is
+    *     created atomically under `txnDir` — THE commit point.
+    *  3. PUBLISH: each pending manifest renames visible; the record is
+    *     deleted last.
+    *
+    * Crash matrix: before the record exists nothing is visible anywhere —
+    * the staged pendings are aborted explicitly ([[abortTxn]]) or sit
+    * until their claims are handled by an operator (a staged pending
+    * reserves its version number, exactly like an unaudited WAP commit).
+    * From the record onward the transaction ROLLS FORWARD:
+    * [[recoverTxns]] — idempotent, run at startup or by any maintenance
+    * cadence — completes the publishes of every record it finds, so a
+    * crash between step-3 renames heals to all-visible. A reader that
+    * demands cross-table atomicity runs [[recoverTxns]] first; one that
+    * skips it can at worst observe table A new / table B old for the
+    * window until recovery — per-table read-committed, never a torn
+    * single table. Returns the (root, newVersion) pairs. */
+  def commitTxn(s: SparkSession, txnDir: String,
+      parts: Seq[(String, DataFrame, Int)]): Seq[(String, Int)] = {
+    require(parts.map(_._1).distinct.size == parts.size,
+      "one batch per table root")
+    val fs = fsOf(s, txnDir)
+    // 1. stage every part as a pending (claim-held) version
+    val staged = scala.collection.mutable.ListBuffer[(String, Int)]()
+    try parts.foreach { case (root, env, nb) =>
+      val before = currentVersion(s, root)
+      val v = commitMerge(s, root, env, nb, pendingStage = true)
+      if (v > before) staged += (root -> v) // empty batch: nothing staged
+    } catch { case e: Throwable =>
+      staged.foreach { case (root, v) => abortPending(s, root, v) }
+      throw e
+    }
+    if (staged.isEmpty) return Seq.empty
+    // 2. the commit point: one atomic record create
+    val rec = new Path(txnDir,
+      s"txn-${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    fs.mkdirs(rec.getParent)
+    val out = fs.create(rec, false)
+    try out.write(staged.map { case (r, v) => s"$r\t$v" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    // 3. roll forward (the same path recovery takes after a crash)
+    completeTxn(s, rec)
+    staged.toList
+  }
+
+  /** Release one staged (pending, claim-held) version — the pre-record
+    * abort path. The moved data files strand until [[vacuum]]. */
+  private def abortPending(s: SparkSession, root: String, v: Int): Unit = {
+    val fs = fsOf(s, root)
+    fs.delete(pendingPath(root, v), true)
+    fs.delete(claimPath(root, v), false)
+  }
+
+  /** Publish every pending the record lists (idempotent: an already-
+    * visible version is skipped), then delete the record. */
+  private def completeTxn(s: SparkSession, rec: Path): Unit = {
+    val fs = rec.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rec)) return
+    val in = fs.open(rec)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    lines.filter(_.nonEmpty).foreach { line =>
+      val Array(root, vs) = line.split("\t", 2)
+      val v = vs.trim.toInt
+      val (pending, visible) = (pendingPath(root, v), visiblePath(root, v))
+      if (!fs.exists(visible) && fs.exists(pending))
+        publish(fs, pending, visible, "txn publish")
+    }
+    fs.delete(rec, false)
+  }
+
+  /** Roll FORWARD every transaction record under `txnDir` — the recovery
+    * hook a startup/maintenance cadence runs. Idempotent; returns the
+    * number of records completed. */
+  def recoverTxns(s: SparkSession, txnDir: String): Int = {
+    val fs = fsOf(s, txnDir)
+    val dir = new Path(txnDir)
+    if (!fs.exists(dir)) return 0
+    val recs = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith("txn-"))
+    recs.foreach(completeTxn(s, _))
+    recs.length
+  }
+
+  /** Explicitly abort a transaction that has NOT reached its commit point
+    * (no record written, or the caller holds the staged pairs from a
+    * failed attempt): pendings and claims are released, data files strand
+    * until vacuum. */
+  def abortTxn(s: SparkSession, staged: Seq[(String, Int)]): Unit =
+    staged.foreach { case (root, v) => abortPending(s, root, v) }
+
   // ------------------------------------------------------------ q182/q183
   /** One versioned table per (session, dir): v1 = first half of the event
     * log by id, v2 = the rest — the q179 split, committed as two versions. */
@@ -1103,6 +1226,7 @@ object VersionedTableImpl {
     roots.clear(); quarterRoots.clear(); evoRoots.clear(); feedRoots.clear()
     restoreRoots.clear(); mergeRoots.clear(); ttlRoots.clear()
     exportRoots.clear(); branchRoots.clear(); gcRoots.clear()
+    txnRoots.clear()
   }
 
   private[graft] def ensureVersioned(s: SparkSession, dir: String): String =
@@ -1972,6 +2096,68 @@ object VersionedTableImpl {
       .orderBy(col("user_id"))
   }
 
+  // -------------------------------------------------------------- q232
+  private val txnRoots = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, String)]()
+
+  /** q232: CROSS-TABLE TRANSACTION under the gate — one [[commitTxn]]
+    * commits the FULL log to table A and the first HALF to table B
+    * (stage both as pendings → one atomic record → publish both). The
+    * gate reads both tables' v1 states tagged and unioned; DuckDB replays
+    * each side independently. TxnSpec pins the atomicity mechanics (crash
+    * before/after the record, roll-forward recovery); the oracle pins
+    * that the staged-then-published states are exactly the direct-commit
+    * states. */
+  def txnState(s: SparkSession, dir: String): DataFrame = {
+    val (rootA, rootB) = Memo.getOrCacheAny(txnRoots, s, dir, { _ =>
+      val a = java.nio.file.Files.createTempDirectory("graft_vtable_txa").toString
+      val b = java.nio.file.Files.createTempDirectory("graft_vtable_txb").toString
+      val txd = java.nio.file.Files.createTempDirectory("graft_txn").toString
+      val env = CdcSynth.fromEvents(s, dir)
+      val mid = Tables(s, dir, "events")
+        .agg(expr("max(event_id) div 2").as("mid"))
+      val withMid = env.crossJoin(broadcast(mid))
+      val done = commitTxn(s, txd, Seq(
+        (a, withMid, 8),
+        (b, withMid.filter(col("event_id") < col("mid")), 8)))
+      require(done == Seq(a -> 1, b -> 1), s"both tables publish v1: $done")
+      (a, b)
+    })
+    def side(root: String, tag: String) =
+      readVersion(s, root, 1)
+        .select(lit(tag).as("tbl"), col("user_id"), col("last_op"),
+          col("last_seq"), col("event_type"), col("value"), col("k"))
+    side(rootA, "a").unionByName(side(rootB, "b"))
+      .orderBy(col("tbl"), col("user_id"))
+  }
+
+  private lazy val q232Sql: String =
+    s"""WITH ${CdcSynth.synthSql},
+       |mid AS (SELECT max(event_id) // 2 AS mid FROM events),
+       |la AS (
+       |  SELECT COALESCE(new_user_id, old_user_id) AS user_id,
+       |    max_by(op, seq) AS last_op, max(seq) AS last_seq,
+       |    max_by(has_new, seq) AS has_new,
+       |    max_by(new_event_type, seq) AS event_type,
+       |    max_by(new_value, seq) AS value,
+       |    max_by(new_k, seq) AS k
+       |  FROM cdc GROUP BY 1),
+       |lb AS (
+       |  SELECT COALESCE(new_user_id, old_user_id) AS user_id,
+       |    max_by(op, seq) AS last_op, max(seq) AS last_seq,
+       |    max_by(has_new, seq) AS has_new,
+       |    max_by(new_event_type, seq) AS event_type,
+       |    max_by(new_value, seq) AS value,
+       |    max_by(new_k, seq) AS k
+       |  FROM cdc, mid WHERE event_id < mid GROUP BY 1)
+       |SELECT * FROM (
+       |  SELECT 'a' AS tbl, user_id, last_op, last_seq, event_type, value, k
+       |  FROM la WHERE has_new
+       |  UNION ALL
+       |  SELECT 'b', user_id, last_op, last_seq, event_type, value, k
+       |  FROM lb WHERE has_new) u
+       |ORDER BY tbl, user_id""".stripMargin
+
   /** Shared oracle text for q230/q231: the one-shot full-log replay. */
   private lazy val fullReplaySql: String =
     s"""WITH ${CdcSynth.synthSql},
@@ -1989,6 +2175,7 @@ object VersionedTableImpl {
   lazy val queries: Seq[Q] = Seq(
     Q("q230_branch_fast_forward", branchedState, Some(fullReplaySql)),
     Q("q231_tombstone_gc", gcState, Some(fullReplaySql)),
+    Q("q232_cross_table_txn", txnState, Some(q232Sql)),
     Q("q182_time_travel", timeTravel, Some(q182Sql)),
     Q("q183_change_feed", versionDiff, Some(q183Sql)),
     Q("q186_maintained_index", maintainedTypeIndex, Some(q186Sql)),

@@ -82,28 +82,37 @@ object LakehouseSink {
     * every later repair scan would recompute its empty diff. */
   private[graft] def versionedBatch(batch: DataFrame, id: Long, root: String,
       appId: String, nBuckets: Int, compactOver: Option[Int],
-      emitFeed: Boolean): Unit = {
+      emitFeed: Boolean, branch: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions._
     val s = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(root, s"_commits/$appId/batch-$id")
     if (!fs.exists(marker)) {
-      if (emitFeed) // amortized O(1) probes per epoch (watermark below the scan)
-        graft.ops.VersionedTableImpl.repairFeedsIncremental(s, root, nBuckets)
-      val before = graft.ops.VersionedTableImpl.currentVersion(s, root)
-      val v = graft.ops.VersionedTableImpl.commitMerge(s, root, batch, nBuckets)
-      if (emitFeed && v > before) {
-        val touched = batch
-          .select(pmod(coalesce(col("image.user_id"), col("oldImage.user_id")),
-            lit(nBuckets.toLong)).as("bucket"))
-          .distinct().collect().map(_.getLong(0)).toSeq // <= nBuckets rows
-        graft.ops.VersionedTableImpl.emitFeed(s, root, v, touched)
+      branch match {
+        case Some(b) =>
+          // STAGED ingestion: every epoch commits to the branch; main
+          // readers see nothing until an audited publishBranch/fastForward.
+          // No feed/compaction here — both are main-lineage maintenance
+          // that runs at (or after) the publish.
+          graft.ops.VersionedTableImpl.commitMergeToBranch(s, root, b, batch, nBuckets)
+        case None =>
+          if (emitFeed) // amortized O(1) probes per epoch (watermark below the scan)
+            graft.ops.VersionedTableImpl.repairFeedsIncremental(s, root, nBuckets)
+          val before = graft.ops.VersionedTableImpl.currentVersion(s, root)
+          val v = graft.ops.VersionedTableImpl.commitMerge(s, root, batch, nBuckets)
+          if (emitFeed && v > before) {
+            val touched = batch
+              .select(pmod(coalesce(col("image.user_id"), col("oldImage.user_id")),
+                lit(nBuckets.toLong)).as("bucket"))
+              .distinct().collect().map(_.getLong(0)).toSeq // <= nBuckets rows
+            graft.ops.VersionedTableImpl.emitFeed(s, root, v, touched)
+          }
       }
       fs.mkdirs(marker.getParent)
       fs.create(marker).close()
     }
-    compactOver.foreach { t =>
+    if (branch.isEmpty) compactOver.foreach { t =>
       val cv = graft.ops.VersionedTableImpl.compactVersion(s, root, t, nBuckets)
       if (emitFeed) cv.foreach(c =>
         graft.ops.VersionedTableImpl.emitEmptyFeed(s, root, c))
@@ -170,6 +179,32 @@ object LakehouseSink {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         versionedBatch(batch, id, root, appId, nBuckets, compactOver, emitFeed)
+      }
+      .start()
+  }
+
+  /** STAGED streaming ingestion: every micro-batch commits to the named
+    * BRANCH ([[graft.ops.VersionedTableImpl.commitMergeToBranch]]) — main
+    * readers see none of it — and the caller publishes the whole drain in
+    * ONE audited atomic step afterwards
+    * ([[graft.ops.VersionedTableImpl.publishBranch]]). This is the
+    * stream-scale write-audit-publish: per-epoch WAP
+    * (commitMergeExpecting) audits each micro-batch alone; branch staging
+    * audits the COMPOSED state of the entire drain, which is what a
+    * nightly-ingest SLA actually gates on (per-epoch checks can each pass
+    * while the night's total violates a budget). The branch must already
+    * exist ([[graft.ops.VersionedTableImpl.createBranch]]); same
+    * per-(appId, batch) markers as [[versionedSink]], so replays re-stage
+    * nothing. */
+  def stagedSink(envStream: DataFrame, root: String, branch: String,
+      checkpointDir: String, nBuckets: Int): StreamingQuery = {
+    val appId = appIdFor(checkpointDir)
+    envStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        versionedBatch(batch, id, root, appId, nBuckets,
+          compactOver = None, emitFeed = false, branch = Some(branch))
       }
       .start()
   }

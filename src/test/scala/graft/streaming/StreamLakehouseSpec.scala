@@ -559,6 +559,52 @@ class StreamLakehouseSpec extends SparkSpec {
     assert(table_v(root) == expected(all))
   }
 
+  test("staged sink: a whole drain lands on a branch, one audited publish, main never sees stages") {
+    import graft.ops.VersionedTableImpl
+    import graft.ops.VersionedTableImpl.Expectation
+    val all = events(0 until 150)
+    val batches = Seq(all.slice(0, 60), all.slice(60, 110), all.slice(110, 150))
+    val root = Files.createTempDirectory("graft_slake_st").toString
+    val ckptDir = Files.createTempDirectory("graft_slake_st_ckpt").toString
+
+    // staged INITIAL ingest: the branch forks the empty table (v0)
+    assert(VersionedTableImpl.createBranch(spark, root, "nightly") == 0)
+    def drain(input: MemoryStream[LkEvent]): Unit =
+      LakehouseSink.stagedSink(CdcSynth.envelope(input.toDF()),
+        root, "nightly", ckptDir, NB).awaitTermination()
+
+    val input = MemoryStream[LkEvent](spark)
+    batches.foreach { b => input.addData(b: _*); drain(input) }
+
+    // the whole drain is staged: three branch commits, main untouched
+    assert(VersionedTableImpl.branchHead(spark, root, "nightly") == 3)
+    assert(VersionedTableImpl.currentVersion(spark, root) == 0,
+      "main must see nothing while the drain is staged")
+
+    // the audit gates the COMPOSED drain; a passing suite publishes it as
+    // ONE main version and spends the branch
+    val pub = VersionedTableImpl.publishBranch(spark, root, "nightly",
+      Seq(Expectation("value_non_null", col("value").isNotNull)))
+    assert(pub == Right(1), s"audited publish lands main v1: $pub")
+    assert(table_v(root) == expected(all),
+      "published state must equal the one-shot full-log replay")
+
+    // an idle re-drain stages nothing (markers survive the publish)
+    drain(input)
+    assert(VersionedTableImpl.currentVersion(spark, root) == 1)
+
+    // a failing audit leaves main untouched and the branch inspectable
+    assert(VersionedTableImpl.createBranch(spark, root, "bad") == 1)
+    VersionedTableImpl.commitMergeToBranch(spark, root, "bad",
+      CdcSynth.envelope(events(150 until 170).toDF()), NB)
+    val rej = VersionedTableImpl.publishBranch(spark, root, "bad",
+      Seq(Expectation("nothing_ever", lit(false))))
+    assert(rej.isLeft && VersionedTableImpl.currentVersion(spark, root) == 1,
+      s"a rejected publish must change nothing on main: $rej")
+    assert(VersionedTableImpl.branchHead(spark, root, "bad") == 1,
+      "the rejected branch stays staged for inspection")
+  }
+
   private def table_v(root: String): Seq[(Long, String, String, String, Double, Long)] = {
     import graft.ops.VersionedTableImpl
     val v = VersionedTableImpl.currentVersion(spark, root)
