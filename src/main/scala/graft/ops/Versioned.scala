@@ -200,13 +200,36 @@ object VersionedTableImpl {
       .foldLeft(0)(math.max)
   }
 
-  /** (bucket, file) rows of manifest v — empty frame at v = 0. */
+  /** (bucket, file[, nbuckets]) rows of manifest v — empty frame when the
+    * manifest does not exist. `v = 0` is EXISTENCE-probed, not assumed
+    * empty: main has no v0 (pre-first-commit = empty), but a BRANCH's v0
+    * is its real fork manifest — assuming empty there silently dropped
+    * every carried-forward bucket from the first branch commit (caught by
+    * RefsSpec's branchDiff preview). `nbuckets` (constant per manifest)
+    * records the version's bucketing so readers and later commits resolve
+    * the TABLE's bucket count instead of trusting a caller's possibly-
+    * stale parameter (see [[rebucket]]). */
   private[ops] def manifest(s: SparkSession, root: String, v: Int,
-      lin: Lineage = Main): DataFrame =
-    if (v == 0)
-      s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(Seq(
-        StructField("bucket", LongType), StructField("file", StringType))))
-    else s.read.parquet(lin.visible(root, v).toString)
+      lin: Lineage = Main): DataFrame = {
+    val p = lin.visible(root, v)
+    if (fsOf(s, root).exists(p)) s.read.parquet(p.toString)
+    else s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(Seq(
+      StructField("bucket", LongType), StructField("file", StringType))))
+  }
+
+  /** The bucket count of version v — the manifest's own record, never the
+    * caller's parameter. `orElse` bootstraps an empty table (v = 0).
+    * Metadata: one single-row read of an O(files) manifest. */
+  def tableBuckets(s: SparkSession, root: String, orElse: Int,
+      lin: Lineage = Main): Int = {
+    val v = currentVersionOf(s, root, lin)
+    val p = lin.visible(root, v) // a branch's v0 fork manifest is real
+    if (!fsOf(s, root).exists(p)) return orElse
+    val m = s.read.parquet(p.toString)
+    if (!m.columns.contains("nbuckets")) orElse // empty-column era manifest
+    else m.select(col("nbuckets")).limit(1).collect().headOption
+      .fold(orElse)(_.getLong(0).toInt) // zero-row manifest: empty fork
+  }
 
   /** Bucket-pruned explicit file list — ONLY for bucket-scoped reads
     * (O(touched buckets) paths) and the driver-side vacuum diff. Full
@@ -346,17 +369,22 @@ object VersionedTableImpl {
   private[ops] def commitMergeTo(s: SparkSession, root: String, env: DataFrame,
       nBuckets: Int, maxAttempts: Int, staleClaimMs: Long,
       pendingStage: Boolean, lin: Lineage): Int = {
+    // bucket count is a TABLE property ([[tableBuckets]]): the stored
+    // value wins over the caller's parameter, so a [[rebucket]] is
+    // transparent to every existing writer (a stale parameter would
+    // otherwise route keys to wrong buckets — silent corruption)
+    val nb = tableBuckets(s, root, nBuckets, lin)
     val keyOf = coalesce(col("image.user_id"), col("oldImage.user_id"))
     val seqOf = col("metadata.stream_sequence_number")
     val updates = LakehouseOpsImpl.latestUpdates(env, keyOf, seqOf)
-      .withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
+      .withColumn("bucket", pmod(col("user_id"), lit(nb.toLong)))
     val touched = updates.select(col("bucket")).distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted // <= nBuckets rows
+      .collect().map(_.getLong(0)).toSeq.sorted // <= nb rows
     if (touched.isEmpty) return currentVersionOf(s, root, lin)
     // LOGICAL deletes: winning tombstones stay as versioned rows, so a
     // later-committing lower-seq upsert cannot resurrect a deleted key
     // (delete-confluence under concurrent writers; see the object doc)
-    commitLoop(s, root, nBuckets, touched, emptyStateFor(s, updates),
+    commitLoop(s, root, nb, touched, emptyStateFor(s, updates),
       maxAttempts, staleClaimMs, pendingStage, "commitMerge", lin)(base =>
       LakehouseOpsImpl
         .mergeLatestKeepTombstones(base, updates.drop("bucket"))
@@ -408,13 +436,16 @@ object VersionedTableImpl {
             }.toMap
         } finally fs.delete(staging, true)
       // manifest = carried-forward untouched buckets (copied manifest →
-      // manifest as a DATAFRAME — never through the driver) + new files
+      // manifest as a DATAFRAME — never through the driver) + new files;
+      // the constant nbuckets column records the version's bucketing
       import s.implicits._
       val manifestDf = manifest(s, root, v, lin)
         .filter(!col("bucket").isin(touched: _*))
+        .select(col("bucket"), col("file"))
         .unionByName(touched.flatMap(b =>
           newFiles.getOrElse(b, Seq.empty).map(f => (b, f)))
           .toDF("bucket", "file"))
+        .withColumn("nbuckets", lit(nBuckets.toLong))
       val tmp = new Path(root,
         s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
       manifestDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -467,9 +498,10 @@ object VersionedTableImpl {
       updateWhen: Option[Column] = None, // None = always update on match
       insertWhen: Option[Column] = None, // None = always insert unmatched
       maxAttempts: Int = 5, staleClaimMs: Long = 60000L): Int = {
+    val nb = tableBuckets(s, root, nBuckets) // stored count wins
     val payload = source.columns.filterNot(Set("user_id", "seq").contains).toSeq
     val touched = source
-      .select(pmod(col("user_id"), lit(nBuckets.toLong)).as("bucket"))
+      .select(pmod(col("user_id"), lit(nb.toLong)).as("bucket"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
     if (touched.isEmpty) return currentVersion(s, root)
     val emptySchema = StructType(
@@ -477,7 +509,7 @@ object VersionedTableImpl {
       StructField("last_op", StringType) +:
       StructField("last_seq", StringType) +:
       payload.map(c => StructField(c, source.schema(c).dataType)))
-    commitLoop(s, root, nBuckets, touched, emptySchema,
+    commitLoop(s, root, nb, touched, emptySchema,
       maxAttempts, staleClaimMs, pendingStage = false, "mergeInto") { base =>
       val meta = Set("user_id", "last_op", "last_seq")
       val basePayload = base.columns.filterNot(meta.contains).toSeq
@@ -696,9 +728,13 @@ object VersionedTableImpl {
       fromVersion: Int = 1): Seq[Int] = {
     val fs = fsOf(s, root)
     val cur = currentVersion(s, root)
-    val all = (0L until nBuckets.toLong).toSeq
     (fromVersion max 1 to cur).filterNot(v => feedComplete(fs, root, v)).map { v =>
-      emitFeed(s, root, v, all)
+      // FULL diff, not bucket-scoped: the repaired version may predate a
+      // rebucket, so a current-bucketing bucket list could miss its files;
+      // changeFeed reads via the manifests and is bucketing-agnostic
+      changeFeed(s, root, v - 1, v)
+        .withColumn("version", lit(v.toLong))
+        .write.mode("overwrite").parquet(feedPath(root, v).toString)
       v
     }
   }
@@ -822,6 +858,7 @@ object VersionedTableImpl {
       purgeTombstonesBelow: Option[String] = None): Option[Int] = {
     val v = currentVersion(s, root)
     if (v == 0) return None
+    val nb = tableBuckets(s, root, nBuckets) // stored count wins
     import s.implicits._
     val counts = manifest(s, root, v).groupBy(col("bucket"))
       .agg(count(lit(1)).as("n")).filter(col("n") > maxFiles)
@@ -843,7 +880,7 @@ object VersionedTableImpl {
       raw.filter(!(col("last_op").isin(LakehouseOpsImpl.DeleteOps: _*) &&
         col("last_seq") < lit(h))))
     val bucketed = rows0
-      .withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
+      .withColumn("bucket", pmod(col("user_id"), lit(nb.toLong)))
       .repartition(counts.length, col("bucket"))
     // optional CLUSTERING during the rewrite (the q191 trick on the
     // versioned maintenance path): within-bucket sort so multi-file
@@ -880,9 +917,11 @@ object VersionedTableImpl {
       }
     val manifestDf = manifest(s, root, v)
       .filter(!col("bucket").isin(counts: _*))
+      .select(col("bucket"), col("file"))
       .unionByName(counts.flatMap(b =>
         newFiles.getOrElse(b, Seq.empty).map(f => (b, f)))
         .toDF("bucket", "file"))
+      .withColumn("nbuckets", lit(nb.toLong))
     val tmp = new Path(root,
       s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
     manifestDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -892,6 +931,71 @@ object VersionedTableImpl {
       return None
     }
     publish(fs, tmp, visiblePath(root, newV), "compaction")
+    Some(newV)
+  }
+
+  /** REBUCKET: commit a NEW state-identical version laid out over
+    * `newBuckets` hash buckets — the growth path a 100 TB table needs
+    * when its creation-time bucket count saturates (hot buckets outgrow
+    * executor memory, commit parallelism caps at nBuckets). One full
+    * rewrite — the same cost class as a full compaction — after which
+    * every existing writer keeps working UNCHANGED: the bucket count
+    * lives in the manifest ([[tableBuckets]]) and every commit path
+    * resolves it from there, so callers' stale nBuckets parameters are
+    * ignored rather than silently routing keys to wrong buckets. Old
+    * versions keep their own bucketing (time travel reads are
+    * bucket-agnostic); their files vacuum away when their versions
+    * expire. Same stage-everything-then-claim discipline as
+    * [[compactVersion]]; a lost claim yields None for the next cadence. */
+  def rebucket(s: SparkSession, root: String, newBuckets: Int,
+      staleClaimMs: Long = 60000L): Option[Int] = {
+    val v = currentVersion(s, root)
+    if (v == 0) return None
+    require(newBuckets >= 1, s"bucket count must be positive: $newBuckets")
+    val fs = fsOf(s, root)
+    val newV = v + 1
+    val oldBuckets = tableBuckets(s, root, newBuckets)
+    val raw = readBuckets(s, root, v, 0L until oldBuckets.toLong,
+      LakehouseOpsImpl.tableSchema)
+    val rows = raw
+      .withColumn("bucket", pmod(col("user_id"), lit(newBuckets.toLong)))
+      .repartition(newBuckets, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("user_id"))
+    val staging = new Path(root,
+      s".v_staging_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val prevCap = s.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    s.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+    val newFiles: Seq[(Long, String)] =
+      try {
+        rows.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
+        fs.listStatus(staging).filter(_.getPath.getName.startsWith("bucket="))
+          .flatMap { st =>
+            val b = st.getPath.getName.stripPrefix("bucket=").toLong
+            val dest = new Path(s"$root/data/bucket=$b")
+            fs.mkdirs(dest)
+            fs.listStatus(st.getPath)
+              .filter(_.getPath.getName.endsWith(".parquet"))
+              .map { f =>
+                val to = new Path(dest, s"v$newV-${f.getPath.getName}")
+                fs.rename(f.getPath, to)
+                b -> fs.makeQualified(to).toString
+              }
+          }.toSeq
+      } finally {
+        s.conf.set("spark.sql.files.maxRecordsPerFile", prevCap)
+        fs.delete(staging, true)
+      }
+    import s.implicits._
+    val manifestDf = newFiles.toDF("bucket", "file")
+      .withColumn("nbuckets", lit(newBuckets.toLong))
+    val tmp = new Path(root,
+      s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
+    manifestDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    if (!claimVersion(s, root, newV, staleClaimMs)) {
+      fs.delete(tmp, true) // staged files strand until vacuum
+      return None
+    }
+    publish(fs, tmp, visiblePath(root, newV), "rebucket")
     Some(newV)
   }
 
@@ -1077,6 +1181,21 @@ object VersionedTableImpl {
     Right(newV)
   }
 
+  /** What WOULD this publish change? — the per-key INSERT/UPDATE/DELETE
+    * diff between main's current state and the branch head (the same
+    * classification as [[changeFeed]], across lineages): the review
+    * surface an operator reads before [[publishBranch]], and the impact
+    * estimate a maintained-view owner uses to size the retraction the
+    * publish will trigger. Two state reads + one key-partitioned join;
+    * nothing is committed. */
+  def branchDiff(s: SparkSession, root: String, name: String): DataFrame = {
+    val mainRaw = readVersionRaw(s, root, currentVersion(s, root))
+    val branchRaw = readManifest(s, root,
+      manifest(s, root, branchHead(s, root, name), branchLineage(name)),
+      LakehouseOpsImpl.tableSchema)
+    feedOf(mainRaw, branchRaw)
+  }
+
   /** Audit the branch head against an expectation suite and PUBLISH it to
     * main via [[fastForward]] when every rule passes — the multi-commit
     * generalization of [[commitMergeExpecting]]: N staged commits, one
@@ -1216,6 +1335,27 @@ object VersionedTableImpl {
   def abortTxn(s: SparkSession, staged: Seq[(String, Int)]): Unit =
     staged.foreach { case (root, v) => abortPending(s, root, v) }
 
+  /** DESCRIBE HISTORY: one row per committed version — commit time (the
+    * publish-rename mtime, see [[publish]]), manifest file count, and the
+    * per-version LIVE file footprint — the operator surface every table
+    * format ships (Delta's DESCRIBE HISTORY, Iceberg's snapshots table).
+    * Pure metadata: one directory listing + the manifests' (bucket, file)
+    * rows; no data file is opened. */
+  def describeHistory(s: SparkSession, root: String): DataFrame = {
+    val fs = fsOf(s, root)
+    val cur = currentVersion(s, root)
+    import s.implicits._
+    (1 to cur).map { v =>
+      val mtime = fs.getFileStatus(visiblePath(root, v)).getModificationTime
+      val files = manifest(s, root, v).groupBy()
+        .agg(count(lit(1)).as("nf"), countDistinct(col("bucket")).as("nb"))
+        .head
+      (v.toLong, new java.sql.Timestamp(mtime),
+        files.getLong(0), files.getLong(1))
+    }.toDF("version", "committed_at", "n_files", "n_buckets")
+      .orderBy(col("version"))
+  }
+
   // ------------------------------------------------------------ q182/q183
   /** One versioned table per (session, dir): v1 = first half of the event
     * log by id, v2 = the rest — the q179 split, committed as two versions. */
@@ -1226,7 +1366,7 @@ object VersionedTableImpl {
     roots.clear(); quarterRoots.clear(); evoRoots.clear(); feedRoots.clear()
     restoreRoots.clear(); mergeRoots.clear(); ttlRoots.clear()
     exportRoots.clear(); branchRoots.clear(); gcRoots.clear()
-    txnRoots.clear()
+    txnRoots.clear(); rbRoots.clear()
   }
 
   private[graft] def ensureVersioned(s: SparkSession, dir: String): String =
@@ -2158,6 +2298,38 @@ object VersionedTableImpl {
        |  FROM lb WHERE has_new) u
        |ORDER BY tbl, user_id""".stripMargin
 
+  // -------------------------------------------------------------- q233
+  private val rbRoots = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** q233: REBUCKET under the gate — commit the first half at 8 buckets,
+    * rebucket to 16, then commit the second half THROUGH A WRITER STILL
+    * PASSING 8 (the stale parameter every deployed writer would hold):
+    * the manifest-recorded count must win, or keys route to wrong buckets
+    * and the merge silently corrupts. The final state must hash-match the
+    * full-log replay. */
+  def rebucketedState(s: SparkSession, dir: String): DataFrame = {
+    val root = Memo.getOrCacheAny(rbRoots, s, dir, { _ =>
+      val r = java.nio.file.Files.createTempDirectory("graft_vtable_rb").toString
+      val env = CdcSynth.fromEvents(s, dir)
+      val mid = Tables(s, dir, "events")
+        .agg(expr("max(event_id) div 2").as("mid"))
+      val withMid = env.crossJoin(broadcast(mid))
+      commitMerge(s, r, withMid.filter(col("event_id") < col("mid")), 8)
+      val v2 = rebucket(s, r, 16)
+      require(v2.contains(2), s"rebucket commits v2: $v2")
+      require(tableBuckets(s, r, 0) == 16, "manifest records the new count")
+      val v3 = commitMerge(s, r,
+        withMid.filter(col("event_id") >= col("mid")), 8) // stale param
+      require(v3 == 3, s"post-rebucket merge commits v3: $v3")
+      r
+    })
+    readVersion(s, root, currentVersion(s, root))
+      .select(col("user_id"), col("last_op"), col("last_seq"),
+        col("event_type"), col("value"), col("k"))
+      .orderBy(col("user_id"))
+  }
+
   /** Shared oracle text for q230/q231: the one-shot full-log replay. */
   private lazy val fullReplaySql: String =
     s"""WITH ${CdcSynth.synthSql},
@@ -2176,6 +2348,7 @@ object VersionedTableImpl {
     Q("q230_branch_fast_forward", branchedState, Some(fullReplaySql)),
     Q("q231_tombstone_gc", gcState, Some(fullReplaySql)),
     Q("q232_cross_table_txn", txnState, Some(q232Sql)),
+    Q("q233_rebucket", rebucketedState, Some(fullReplaySql)),
     Q("q182_time_travel", timeTravel, Some(q182Sql)),
     Q("q183_change_feed", versionDiff, Some(q183Sql)),
     Q("q186_maintained_index", maintainedTypeIndex, Some(q186Sql)),

@@ -100,12 +100,15 @@ object LakehouseSink {
           if (emitFeed) // amortized O(1) probes per epoch (watermark below the scan)
             graft.ops.VersionedTableImpl.repairFeedsIncremental(s, root, nBuckets)
           val before = graft.ops.VersionedTableImpl.currentVersion(s, root)
+          // the TABLE's bucket count (manifest-recorded), not the caller's
+          // parameter — a rebucketed table keeps streaming correctly
+          val nb = graft.ops.VersionedTableImpl.tableBuckets(s, root, nBuckets)
           val v = graft.ops.VersionedTableImpl.commitMerge(s, root, batch, nBuckets)
           if (emitFeed && v > before) {
             val touched = batch
               .select(pmod(coalesce(col("image.user_id"), col("oldImage.user_id")),
-                lit(nBuckets.toLong)).as("bucket"))
-              .distinct().collect().map(_.getLong(0)).toSeq // <= nBuckets rows
+                lit(nb.toLong)).as("bucket"))
+              .distinct().collect().map(_.getLong(0)).toSeq // <= nb rows
             graft.ops.VersionedTableImpl.emitFeed(s, root, v, touched)
           }
       }

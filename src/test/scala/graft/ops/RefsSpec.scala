@@ -88,6 +88,9 @@ class RefsSpec extends SparkSpec {
     val staged = users(VersionedTableImpl.readBranch(spark, root, "stage"))
     assert(!staged.contains(1L) && staged(0L)._1 == "%020d".format(8L * 50 + 1),
       s"branch head shows the staged updates and the delete: $staged")
+    assert(staged.keySet == mainV1.keySet - 1L,
+      s"carried-forward buckets survive branch commits (fork manifest is " +
+        s"real, not empty): ${staged.keySet} vs ${mainV1.keySet}")
 
     // fast-forward publishes the branch head as main v2, atomically
     assert(VersionedTableImpl.fastForward(spark, root, "stage") == Right(2))
@@ -126,6 +129,77 @@ class RefsSpec extends SparkSpec {
       s"a dropped branch's files are reclaimed, nothing else: $swept2")
     // the main lineage is intact
     assert(users(VersionedTableImpl.readVersion(spark, root, 1)).size == 6)
+  }
+
+  test("branchDiff previews exactly what the publish will change; describeHistory lists the timeline") {
+    val root = java.nio.file.Files.createTempDirectory("refs_diff").toString
+    VersionedTableImpl.commitMerge(spark, root,
+      env((0L until 8L).map(u => (8L * u, u))), NB)
+    VersionedTableImpl.createBranch(spark, root, "prev")
+    // staged: update user 0, insert user 20, delete user 1
+    VersionedTableImpl.commitMergeToBranch(spark, root, "prev",
+      env(Seq((8L * 30 + 1, 0L), (8L * 31, 20L), (8L * 32 + 2, 1L))), NB)
+
+    def ops(df: DataFrame): Map[Long, String] =
+      df.select(col("user_id"), col("change_op"))
+        .as[(Long, String)].collect().toMap
+    val preview = ops(VersionedTableImpl.branchDiff(spark, root, "prev"))
+    assert(preview == Map(0L -> "UPDATE", 20L -> "INSERT", 1L -> "DELETE"),
+      s"the preview classifies exactly the staged changes: $preview")
+
+    // the preview IS the feed the publish then produces
+    assert(VersionedTableImpl.fastForward(spark, root, "prev") == Right(2))
+    assert(ops(VersionedTableImpl.changeFeed(spark, root, 1, 2)) == preview,
+      "post-publish feed must equal the pre-publish preview")
+
+    val hist = VersionedTableImpl.describeHistory(spark, root)
+      .as[(Long, java.sql.Timestamp, Long, Long)].collect().toSeq
+    assert(hist.map(_._1) == Seq(1L, 2L))
+    assert(hist.forall(h => h._3 > 0L && h._4 > 0L),
+      s"every version reports its live file footprint: $hist")
+    assert(hist(0)._2.getTime <= hist(1)._2.getTime,
+      "commit times are nondecreasing (publish re-stamps the rename)")
+  }
+
+  test("rebucket: layout-only commit, stale-parameter writers stay correct, history intact") {
+    val root = java.nio.file.Files.createTempDirectory("refs_rb").toString
+    VersionedTableImpl.commitMerge(spark, root,
+      env((0L until 20L).map(u => (8L * u, u))), NB) // 8 buckets
+    val v1State = users(VersionedTableImpl.readVersion(spark, root, 1))
+
+    val v2 = VersionedTableImpl.rebucket(spark, root, 16)
+    assert(v2.contains(2))
+    assert(VersionedTableImpl.tableBuckets(spark, root, 0) == 16,
+      "the manifest records the new bucket count")
+    assert(users(VersionedTableImpl.readVersion(spark, root, 2)) == v1State,
+      "rebucket is pure layout: state unchanged")
+    // the physical layout really changed: 16 bucket dirs now hold files
+    val m2 = spark.read.parquet(s"$root/_versions/v2.parquet")
+      .select(col("bucket")).distinct().as[Long].collect().toSet
+    assert(m2.exists(_ >= 8L), s"keys now land in the new bucket range: $m2")
+
+    // a writer still passing the creation-time count of 8 merges correctly
+    // (user 9: bucket 1 under 8 buckets, bucket 9 under 16 — the exact key
+    // a stale parameter would misroute)
+    VersionedTableImpl.commitMerge(spark, root, env(Seq((8L * 200 + 1, 9L))), NB)
+    val s3 = users(VersionedTableImpl.readVersion(spark, root, 3))
+    assert(s3(9L)._1 == "%020d".format(8L * 200 + 1),
+      "the stale-parameter merge must route through the stored bucketing")
+    assert(s3 - 9L == v1State - 9L, "every other key is untouched")
+
+    // time travel across the rebucket boundary still reads the old layout
+    assert(users(VersionedTableImpl.readVersion(spark, root, 1)) == v1State)
+
+    // point reads prune under the NEW bucketing
+    val hit = VersionedTableImpl.readBuckets(spark, root, 3,
+      Seq(9L % 16L), LakehouseOpsImpl.tableSchema)
+      .filter(col("user_id") === 9L)
+    assert(hit.count() == 1, "bucket-scoped reads resolve the new layout")
+
+    // vacuum below the rebucket reclaims the old layout's files
+    val swept = VersionedTableImpl.vacuum(spark, root, keepFrom = 2)
+    assert(swept.nonEmpty && swept.forall(_.contains("/v1-")),
+      s"pre-rebucket files reclaim once their versions expire: $swept")
   }
 
   test("tombstone GC purges below the horizon, keeps newer tombstones, and preserves confluence") {
