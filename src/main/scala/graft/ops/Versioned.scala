@@ -999,6 +999,44 @@ object VersionedTableImpl {
     Some(newV)
   }
 
+  /** OPTIMIZE: the composite maintenance pass every table format exposes
+    * as one verb (Delta's OPTIMIZE + VACUUM, Iceberg's rewrite_data_files
+    * + expire_snapshots) — in dependency order:
+    *
+    *  1. repair any missing change data files (crash cleanup, cheap when
+    *     none are missing);
+    *  2. threshold compaction with optional clustering and optional
+    *     tombstone-GC horizon (one rewrite serves all three — the GC and
+    *     the clustering ride the compaction's rewrite rather than paying
+    *     their own);
+    *  3. ANALYZE the resulting current version (stats artifact for cost
+    *     decisions and export bloom sizing);
+    *  4. vacuum versions below the retention horizon (tagged versions
+    *     and live branches stay pinned regardless).
+    *
+    * Every step is idempotent and claim-protocol-safe, so a maintenance
+    * cadence can fire this concurrently with writers; a lost compaction
+    * claim just waits for the next cadence. Returns a one-row summary. */
+  def optimizeTable(s: SparkSession, root: String, nBuckets: Int,
+      maxFiles: Int = 4, keepVersions: Int = 10,
+      sortCols: Seq[String] = Nil,
+      purgeTombstonesBelow: Option[String] = None,
+      graceMs: Long = 0L): DataFrame = {
+    val repaired = repairFeedsIncremental(s, root, nBuckets)
+    val compacted = compactVersion(s, root, maxFiles, nBuckets,
+      sortCols = sortCols, purgeTombstonesBelow = purgeTombstonesBelow)
+    compacted.foreach(v => emitEmptyFeed(s, root, v)) // state-identical
+    val cur = currentVersion(s, root)
+    if (cur >= 1) analyze(s, root, cur)
+    val keepFrom = math.max(1, cur - keepVersions + 1)
+    val swept = vacuum(s, root, keepFrom, graceMs)
+    import s.implicits._
+    Seq((repaired.size.toLong, compacted.map(_.toLong),
+      cur.toLong, keepFrom.toLong, swept.size.toLong))
+      .toDF("feeds_repaired", "compacted_version", "current_version",
+        "vacuum_keep_from", "files_reclaimed")
+  }
+
   /** RESTORE: commit a NEW version whose state is exactly version `v` —
     * the undo button for a bad merge (Delta's RESTORE, Iceberg's
     * rollback), as a forward-moving commit: history is append-only, so

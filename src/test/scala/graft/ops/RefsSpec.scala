@@ -161,6 +161,52 @@ class RefsSpec extends SparkSpec {
       "commit times are nondecreasing (publish re-stamps the rename)")
   }
 
+  test("optimizeTable: one pass repairs feeds, compacts+GCs, analyzes, vacuums — state invariant") {
+    val root = java.nio.file.Files.createTempDirectory("refs_opt").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // three commits (the middle one deletes user 2 -> a tombstone), under
+    // a record cap so buckets fragment; no feeds were ever emitted
+    val prevCap = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+    try {
+      VersionedTableImpl.commitMerge(spark, root,
+        env((0L until 10L).map(u => (8L * u, u))), NB)
+      VersionedTableImpl.commitMerge(spark, root, env(Seq((8L * 20 + 2, 2L))), NB)
+      VersionedTableImpl.commitMerge(spark, root,
+        env((0L until 10L).map(u => (8L * (u + 40) + 1, u))), NB)
+    } finally spark.conf.set("spark.sql.files.maxRecordsPerFile", prevCap)
+    val before = users(VersionedTableImpl.readVersion(spark, root, 3))
+
+    // maxFiles = 0: a FULL pass, so the GC horizon visits every bucket
+    // (opportunistic GC rides whatever the compaction rewrites)
+    val report = VersionedTableImpl.optimizeTable(spark, root, NB,
+      maxFiles = 0, keepVersions = 1, purgeTombstonesBelow = Some("~"))
+      .collect().head
+    assert(report.getLong(0) == 3, s"all three missing feeds repaired: $report")
+    assert(!report.isNullAt(1) && report.getLong(1) == 4L,
+      s"fragmented buckets compacted as v4: $report")
+    assert(report.getLong(4) > 0, s"expired versions' files reclaimed: $report")
+
+    // state invariant, tombstones purged, stats artifact present
+    val cur = VersionedTableImpl.currentVersion(spark, root)
+    assert(users(VersionedTableImpl.readVersion(spark, root, cur)) == before)
+    assert(rawRows(root).filter(
+      col("last_op").isin(LakehouseOpsImpl.DeleteOps: _*)).count() == 0)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, s"_stats/v$cur.parquet")))
+    // live buckets at <= maxFiles
+    val counts = spark.read.parquet(s"$root/_versions/v$cur.parquet")
+      .groupBy(col("bucket")).count().select(col("count")).as[Long].collect()
+    assert(counts.forall(_ <= 1L), s"compaction bounds live files: ${counts.toSeq}")
+
+    // idempotent: a second pass compacts nothing and repairs nothing
+    val again = VersionedTableImpl.optimizeTable(spark, root, NB,
+      maxFiles = 1, keepVersions = 1).collect().head
+    assert(again.getLong(0) == 0 && again.isNullAt(1),
+      s"a second optimize is a no-op: $again")
+    assert(VersionedTableImpl.currentVersion(spark, root) == cur)
+  }
+
   test("rebucket: layout-only commit, stale-parameter writers stay correct, history intact") {
     val root = java.nio.file.Files.createTempDirectory("refs_rb").toString
     VersionedTableImpl.commitMerge(spark, root,
