@@ -1348,7 +1348,12 @@ object VersionedTableImpl {
       val v = vs.trim.toInt
       val (pending, visible) = (pendingPath(root, v), visiblePath(root, v))
       if (!fs.exists(visible) && fs.exists(pending))
-        publish(fs, pending, visible, "txn publish")
+        try publish(fs, pending, visible, "txn publish")
+        catch {
+          // two recoverers racing the same record: the loser's fail-closed
+          // publish is a benign already-done, not a protocol violation
+          case e: IllegalStateException if fs.exists(visible) => ()
+        }
     }
     fs.delete(rec, false)
   }

@@ -126,5 +126,36 @@ class PipelineIntegrationSpec extends SparkSpec {
     assert(state(LakehouseOpsImpl.readTable(spark, s"$tmp/snap")
         .drop("bucket")) == fresh,
       "the exported snapshot must equal the live state")
+
+    // ---- tag the published snapshot version: the training run's name
+    // for it — readable forever (vacuum-pinned), independent of HEAD
+    VersionedTableImpl.tag(spark, root, "train_run_1", vEnd)
+    assert(state(VersionedTableImpl.readTag(spark, root, "train_run_1")) == fresh)
+
+    // ---- next night's drain STAGES on a branch, is audited as a whole,
+    // and publishes atomically; the tag still resolves the old snapshot
+    VersionedTableImpl.createBranch(spark, root, "night2")
+    VersionedTableImpl.commitMergeToBranch(spark, root, "night2",
+      CdcSynth.envelope(events(240 until 280).toDF()), NB)
+    assert(VersionedTableImpl.currentVersion(spark, root) == vEnd,
+      "staged night-2 commits are invisible to main")
+    val preview = VersionedTableImpl.branchDiff(spark, root, "night2")
+    assert(preview.count() > 0, "the review surface classifies the staged batch")
+    val pub = VersionedTableImpl.publishBranch(spark, root, "night2",
+      Seq(VersionedTableImpl.Expectation("value_non_negative", col("value") >= 0.0)))
+    assert(pub == Right(vEnd + 1), s"audited publish lands one version: $pub")
+    assert(state(VersionedTableImpl.readTag(spark, root, "train_run_1")) == fresh,
+      "the tagged snapshot is immutable under later publishes")
+
+    // ---- the OPTIMIZE cadence closes the night: feeds repaired,
+    // compaction + analyze + retention vacuum, state invariant
+    val after = state(VersionedTableImpl.readVersion(spark, root, vEnd + 1))
+    VersionedTableImpl.optimizeTable(spark, root, NB,
+      maxFiles = 1, keepVersions = 2)
+    val cur = VersionedTableImpl.currentVersion(spark, root)
+    assert(state(VersionedTableImpl.readVersion(spark, root, cur)) == after,
+      "optimize is invisible to readers")
+    assert(state(VersionedTableImpl.readTag(spark, root, "train_run_1")) == fresh,
+      "retention vacuum must not reclaim the tagged snapshot")
   }
 }
