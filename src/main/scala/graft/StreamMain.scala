@@ -176,6 +176,32 @@ object StreamMain {
           conf.getInt(s"${GraftConfig.Root}.connector.lakehouse-buckets", 8),
           if (compactOver > 0) Some(compactOver) else None)
       })
+      // STAGED ingestion target: every micro-batch commits to a branch of
+      // the versioned table (main readers see nothing mid-drain); with
+      // `publish-on-drain = true` (default) the whole drain fast-forwards
+      // to main as ONE audited atomic version after the query stops — the
+      // config-driven form of streaming/LakehouseSink.stagedSink
+      .register("lakehouse-staged", (batch, id) => {
+        val root = s"$outDir/vtable"
+        val branch = conf.get(s"${GraftConfig.Root}.connector.staged-branch", "ingest")
+        val s = batch.sparkSession
+        // idempotent fork: first batch of a drain creates it. A STALE
+        // branch (fork below main's head) is dropped and re-forked: in
+        // this single-writer sink main only advances through our own
+        // publishes, so a stale fork means a prior drain published but
+        // crashed before dropping the branch — its content is live.
+        val fork = scala.util.Try(ops.VersionedTableImpl.branchFork(s, root, branch))
+        if (fork.isFailure)
+          ops.VersionedTableImpl.createBranch(s, root, branch)
+        else if (fork.get < ops.VersionedTableImpl.currentVersion(s, root)) {
+          ops.VersionedTableImpl.dropBranch(s, root, branch)
+          ops.VersionedTableImpl.createBranch(s, root, branch)
+        }
+        streaming.LakehouseSink.versionedBatch(batch, id, root,
+          streaming.LakehouseSink.appIdFor(s"$outDir/checkpoint"),
+          conf.getInt(s"${GraftConfig.Root}.connector.lakehouse-buckets", 8),
+          compactOver = None, emitFeed = false, branch = Some(branch))
+      })
 
     val sink =
       if (sinkNames.size == 1) registry(sinkNames.head)
@@ -184,6 +210,21 @@ object StreamMain {
       sink, s"$outDir/checkpoint", Trigger.AvailableNow(),
       deadLetterDir = Some(s"$outDir/deadletter")).start()
     query.awaitTermination()
+
+    // staged drain complete: the audited atomic publish (a drain that
+    // staged nothing, or a re-run against an already-published branch,
+    // publishes nothing — branchHead is 0 or the fork check rejects)
+    if (sinkNames.contains("lakehouse-staged") &&
+        conf.getBoolean(s"${GraftConfig.Root}.connector.publish-on-drain", true)) {
+      val root = s"$outDir/vtable"
+      val branch = conf.get(s"${GraftConfig.Root}.connector.staged-branch", "ingest")
+      if (scala.util.Try(ops.VersionedTableImpl.branchFork(spark, root, branch)).isSuccess &&
+          ops.VersionedTableImpl.branchHead(spark, root, branch) > 0)
+        ops.VersionedTableImpl.publishBranch(spark, root, branch, Seq.empty) match {
+          case Right(v) => System.err.println(s"[staged] published main v$v")
+          case Left(why) => System.err.println(s"[staged] publish rejected: $why")
+        }
+    }
 
     def filesUnder(dir: String, ext: String): Seq[java.io.File] = {
       val b = Seq.newBuilder[java.io.File]
@@ -225,6 +266,11 @@ object StreamMain {
           if (v == 0) "0 table rows at version 0"
           else s"${ops.MorTableImpl.readMor(spark, s"$outDir/mortable", v).count()} " +
             s"table rows at version $v (merge-on-read)"
+        case "lakehouse-staged" =>
+          val v = ops.VersionedTableImpl.currentVersion(spark, s"$outDir/vtable")
+          if (v == 0) "0 table rows at version 0 (staged, unpublished)"
+          else s"${ops.VersionedTableImpl.readVersion(spark, s"$outDir/vtable", v).count()} " +
+            s"table rows at version $v (staged ingest)"
         case _ => "console output"
       })
     }.toMap

@@ -599,6 +599,12 @@ object VersionedTableImpl {
     * discipline). */
   def expectationReport(state: DataFrame,
       rules: Seq[Expectation]): DataFrame = {
+    val sEmpty = state.sparkSession
+    if (rules.isEmpty) { // no rules: an empty (vacuously passing) report
+      import sEmpty.implicits._
+      return Seq.empty[(String, Long, Long, Boolean)]
+        .toDF("rule", "violations", "allowed", "pass")
+    }
     val aggs = rules.map(r =>
       sum(when(coalesce(r.pred, lit(false)), 0L).otherwise(1L))
         .as(s"__v_${r.name}"))

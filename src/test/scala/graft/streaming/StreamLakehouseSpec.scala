@@ -605,6 +605,48 @@ class StreamLakehouseSpec extends SparkSpec {
       "the rejected branch stays staged for inspection")
   }
 
+  test("config-driven staged sink: drains publish atomically, re-runs and catch-ups stay exactly-once") {
+    import graft.ops.VersionedTableImpl
+    val tmp = Files.createTempDirectory("graft_staged_cli").toString
+    val (logDir, outDir, confPath) = (s"$tmp/log", s"$tmp/out", s"$tmp/conf.hocon")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(confPath),
+      """keyspaces-cdc-streams.stream {
+        |  source = shardlog
+        |  connector {
+        |    sink = "lakehouse-staged"
+        |    record-format = full
+        |    fields-to-include = "user_id,event_type,value,k"
+        |    partition-keys = "user_id"
+        |    lakehouse-buckets = 8
+        |    staged-branch = "nightly"
+        |  }
+        |}""".stripMargin)
+    val rows = events(0 until 120)
+    val env = CdcSynth.envelope(rows.toDF())
+    val shard = pmod(coalesce(col("image.user_id"), col("oldImage.user_id")), lit(4L))
+    val root = s"$outDir/vtable"
+
+    // drain 1: first half stages on the branch, publishes as main v1
+    graft.sources.ShardLog.record(env.filter(col("event_id") < 60), logDir, shard)
+    val r1 = graft.StreamMain.run(spark, confPath, logDir, outDir)
+    assert(VersionedTableImpl.currentVersion(spark, root) == 1,
+      "the drain's staged commits publish as ONE main version")
+    assert(r1.reports("lakehouse-staged").contains("version 1"))
+    assert(table_v(root) == expected(events(0 until 60)),
+      "published state equals the replay of the drained half")
+
+    // drain 2 (catch-up): the rest stages on a FRESH fork, publishes as v2
+    graft.sources.ShardLog.record(env, logDir, shard)
+    graft.StreamMain.run(spark, confPath, logDir, outDir)
+    assert(VersionedTableImpl.currentVersion(spark, root) == 2)
+    assert(table_v(root) == expected(rows),
+      "after catch-up the published state equals the full replay")
+
+    // idle re-run: nothing staged, nothing published
+    graft.StreamMain.run(spark, confPath, logDir, outDir)
+    assert(VersionedTableImpl.currentVersion(spark, root) == 2)
+  }
+
   private def table_v(root: String): Seq[(Long, String, String, String, Double, Long)] = {
     import graft.ops.VersionedTableImpl
     val v = VersionedTableImpl.currentVersion(spark, root)
