@@ -1022,12 +1022,20 @@ object VersionedTableImpl {
     *
     * Every step is idempotent and claim-protocol-safe, so a maintenance
     * cadence can fire this concurrently with writers; a lost compaction
-    * claim just waits for the next cadence. Returns a one-row summary. */
+    * claim just waits for the next cadence. Returns a one-row summary.
+    *
+    * `graceMs` defaults to 30 minutes and must stay generous whenever
+    * writers can run concurrently: a mid-commit writer has MOVED its data
+    * files but not yet published the manifest that references them — a
+    * zero-grace vacuum sees them as unreferenced and sweeps a batch that
+    * is about to commit (the RefsSpec racing-cadence test reproduces
+    * exactly this with grace 0). Pass 0 only in single-writer
+    * deterministic tests. */
   def optimizeTable(s: SparkSession, root: String, nBuckets: Int,
       maxFiles: Int = 4, keepVersions: Int = 10,
       sortCols: Seq[String] = Nil,
       purgeTombstonesBelow: Option[String] = None,
-      graceMs: Long = 0L): DataFrame = {
+      graceMs: Long = 30L * 60 * 1000): DataFrame = {
     val repaired = repairFeedsIncremental(s, root, nBuckets)
     val compacted = compactVersion(s, root, maxFiles, nBuckets,
       sortCols = sortCols, purgeTombstonesBelow = purgeTombstonesBelow)

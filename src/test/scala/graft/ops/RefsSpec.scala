@@ -161,6 +161,50 @@ class RefsSpec extends SparkSpec {
       "commit times are nondecreasing (publish re-stamps the rename)")
   }
 
+  test("maintenance cadence racing live committers: every batch lands, maintenance invisible") {
+    // the exact interaction the round-9 HIGH advisory described: a
+    // compaction running concurrently with writers must never cost a
+    // committed batch — stage-then-claim makes a lost claim a clean yield
+    val root = java.nio.file.Files.createTempDirectory("refs_race").toString
+    VersionedTableImpl.commitMerge(spark, root,
+      env((0L until 20L).map(u => (8L * u, u))), NB)
+
+    // two writers, three batches each; all updates (m=1), disjoint id
+    // ranges so per-key latest is deterministic regardless of interleaving
+    val batches: Seq[Seq[(Long, Long)]] =
+      (0 until 6).map(b => (0L until 10L).map(u =>
+        (8L * (100 + b * 20 + u) + 1, (u + b) % 20)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val writers = Seq(batches.take(3), batches.drop(3)).map(mine =>
+      scala.concurrent.Future {
+        mine.foreach(b => VersionedTableImpl.commitMerge(spark, root, env(b), NB))
+      })
+    val cadence = scala.concurrent.Future {
+      (1 to 4).foreach { _ =>
+        VersionedTableImpl.optimizeTable(spark, root, NB,
+          maxFiles = 1, keepVersions = 100)
+        Thread.sleep(30L)
+      }
+    }
+    import scala.concurrent.duration._
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(writers :+ cadence), 300.seconds)
+    pool.shutdown()
+
+    // expected: per key, the highest event_id across bootstrap + batches
+    val wins = scala.collection.mutable.Map[Long, Long]()
+    (0L until 20L).foreach(u => wins(u) = 8L * u)
+    batches.flatten.foreach { case (id, u) =>
+      if (id > wins(u)) wins(u) = id }
+    val got = users(VersionedTableImpl.readVersion(spark, root,
+      VersionedTableImpl.currentVersion(spark, root)))
+    assert(got == wins.map { case (u, id) =>
+      u -> ("%020d".format(id), id / 4.0) }.toMap,
+      "every concurrently committed batch must land; maintenance is layout-only")
+  }
+
   test("optimizeTable: one pass repairs feeds, compacts+GCs, analyzes, vacuums — state invariant") {
     val root = java.nio.file.Files.createTempDirectory("refs_opt").toString
     val fs = new org.apache.hadoop.fs.Path(root)
@@ -181,7 +225,8 @@ class RefsSpec extends SparkSpec {
     // maxFiles = 0: a FULL pass, so the GC horizon visits every bucket
     // (opportunistic GC rides whatever the compaction rewrites)
     val report = VersionedTableImpl.optimizeTable(spark, root, NB,
-      maxFiles = 0, keepVersions = 1, purgeTombstonesBelow = Some("~"))
+      maxFiles = 0, keepVersions = 1, purgeTombstonesBelow = Some("~"),
+      graceMs = 0L) // single-writer test: deterministic reclaim
       .collect().head
     assert(report.getLong(0) == 3, s"all three missing feeds repaired: $report")
     assert(!report.isNullAt(1) && report.getLong(1) == 4L,
