@@ -226,6 +226,25 @@ object StreamMain {
         }
     }
 
+    // growth maintenance (after any publish): `rebucket-to = N` re-lays
+    // the versioned table over N buckets once — a later drain sees
+    // tableBuckets == N and no-ops. The config face of the
+    // manifest-recorded bucket count; writers keep passing their
+    // creation-time lakehouse-buckets value and stay correct.
+    val rebucketTo = conf.getInt(s"${GraftConfig.Root}.connector.rebucket-to", 0)
+    if (rebucketTo > 0 &&
+        sinkNames.exists(Set("lakehouse-versioned", "lakehouse-staged").contains)) {
+      val root = s"$outDir/vtable"
+      if (ops.VersionedTableImpl.currentVersion(spark, root) >= 1 &&
+          ops.VersionedTableImpl.tableBuckets(spark, root, 0) != rebucketTo)
+        ops.VersionedTableImpl.rebucket(spark, root, rebucketTo).foreach { v =>
+          // state-identical: record the empty change-data artifact so the
+          // feed-repair scan never recomputes this version's (empty) diff
+          ops.VersionedTableImpl.emitEmptyFeed(spark, root, v)
+          System.err.println(s"[rebucket] table re-laid over $rebucketTo buckets as v$v")
+        }
+    }
+
     def filesUnder(dir: String, ext: String): Seq[java.io.File] = {
       val b = Seq.newBuilder[java.io.File]
       def walk(f: java.io.File): Unit =

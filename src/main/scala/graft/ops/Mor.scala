@@ -140,8 +140,12 @@ object MorTableImpl {
         s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
       manifestDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       if (claimVersion(s, root, newV, staleClaimMs)) {
-        VersionedTableImpl.publish(fs, tmp, visiblePath(root, newV), "commitAppend")
-        return newV
+        val won =
+          try { VersionedTableImpl.publish(fs, tmp, visiblePath(root, newV),
+            "commitAppend"); true }
+          catch { case _: IllegalStateException // beaten via takeover edge
+            if fs.exists(visiblePath(root, newV)) => false }
+        if (won) return newV
       }
       fs.delete(tmp, true) // lost: deltas stay valid, only re-base the manifest
       if (attempt >= maxAttempts)
@@ -288,7 +292,10 @@ object MorTableImpl {
       fs.delete(tmp, true) // moved base files strand until vacuum
       return None
     }
-    VersionedTableImpl.publish(fs, tmp, visiblePath(root, newV), "MOR compaction")
+    try VersionedTableImpl.publish(fs, tmp, visiblePath(root, newV), "MOR compaction")
+    catch { case _: IllegalStateException // beaten via takeover edge: yield
+      if fs.exists(visiblePath(root, newV)) =>
+        fs.delete(tmp, true); return None }
     Some(newV)
   }
 

@@ -326,10 +326,30 @@ object VersionedTableImpl {
       // claim, B creates), breaking the single-holder invariant. A
       // rename succeeds for exactly one racer; everyone then competes
       // through the same create-no-overwrite.
+      //
+      // The rename alone is NOT enough: between OUR staleness check and
+      // OUR rename, another racer may have broken the stale claim and
+      // created its own FRESH one — our rename then steals a LIVE claim
+      // and two holders publish the same version (caught loudly by
+      // [[publish]]'s fail-closed check; VersionedSpec's takeover race
+      // hit exactly this). So the staleness of what we actually renamed
+      // is re-validated ON the renamed file: stale ⇒ proceed to compete;
+      // live ⇒ give it back (or, if the path was re-created in the
+      // window, drop ours — the new holder stands) and report no claim.
       val aside = new Path(root, s"_versions/.dead-claim-${lin.prefix}$v-" +
         java.util.UUID.randomUUID().toString.replace("-", ""))
-      try { if (fs.rename(claim, aside)) fs.delete(aside, false) }
-      catch { case _: java.io.IOException => () }
+      try {
+        if (fs.rename(claim, aside)) {
+          val stolenMtime = fs.getFileStatus(aside).getModificationTime
+          if (System.currentTimeMillis() - stolenMtime > staleClaimMs)
+            fs.delete(aside, false) // genuinely dead claimant
+          else {
+            if (fs.exists(claim) || !fs.rename(aside, claim))
+              fs.delete(aside, false)
+            return false
+          }
+        }
+      } catch { case _: java.io.IOException => () }
       tryCreate()
     } else false
   }
@@ -449,15 +469,19 @@ object VersionedTableImpl {
       val tmp = new Path(root,
         s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
       manifestDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      // COMMIT POINT: atomic claim, then the single manifest rename. The
-      // rename result is CHECKED: a false here (dest already exists —
-      // only reachable if the claim invariant were ever violated) must
-      // fail loudly, never silently drop the batch.
+      // COMMIT POINT: atomic claim, then the single manifest rename. A
+      // fail-closed publish (destination already exists) means the
+      // claim's exclusivity was beaten through the takeover protocol's
+      // outermost race window — the OTHER publisher's batch is committed
+      // and intact, so ours re-merges like any lost race instead of
+      // dying loudly; any other publish failure still throws.
       if (claimVersion(s, root, newV, staleClaimMs, lin)) {
         val dest = if (pendingStage) lin.pending(root, newV)
                    else lin.visible(root, newV)
-        publish(fs, tmp, dest, what)
-        return newV
+        val won =
+          try { publish(fs, tmp, dest, what); true }
+          catch { case _: IllegalStateException if fs.exists(dest) => false }
+        if (won) return newV
       }
       // lost the race: staged manifest dies now, this attempt's data
       // files are unreferenced (vacuum-eligible); re-merge and retry
@@ -936,7 +960,10 @@ object VersionedTableImpl {
       fs.delete(tmp, true) // moved rewrite files strand until vacuum
       return None
     }
-    publish(fs, tmp, visiblePath(root, newV), "compaction")
+    try publish(fs, tmp, visiblePath(root, newV), "compaction")
+    catch { case _: IllegalStateException // beaten via takeover edge: yield
+      if fs.exists(visiblePath(root, newV)) =>
+        fs.delete(tmp, true); return None }
     Some(newV)
   }
 
@@ -1001,7 +1028,10 @@ object VersionedTableImpl {
       fs.delete(tmp, true) // staged files strand until vacuum
       return None
     }
-    publish(fs, tmp, visiblePath(root, newV), "rebucket")
+    try publish(fs, tmp, visiblePath(root, newV), "rebucket")
+    catch { case _: IllegalStateException // beaten via takeover edge: yield
+      if fs.exists(visiblePath(root, newV)) =>
+        fs.delete(tmp, true); return None }
     Some(newV)
   }
 
@@ -1074,8 +1104,11 @@ object VersionedTableImpl {
         s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
       manifest(s, root, v).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       if (claimVersion(s, root, newV, staleClaimMs)) {
-        publish(fs, tmp, visiblePath(root, newV), "restore")
-        return newV
+        val won =
+          try { publish(fs, tmp, visiblePath(root, newV), "restore"); true }
+          catch { case _: IllegalStateException // beaten via takeover edge
+            if fs.exists(visiblePath(root, newV)) => false }
+        if (won) return newV
       }
       fs.delete(tmp, true)
       if (attempt >= maxAttempts)
@@ -1229,7 +1262,11 @@ object VersionedTableImpl {
     }
     // the claim proves main is still at fork (a racer's publish would
     // have left its claim); publish the branch head as main's next state
-    publish(fs, tmp, visiblePath(root, newV), s"fast-forward '$name'")
+    try publish(fs, tmp, visiblePath(root, newV), s"fast-forward '$name'")
+    catch { case _: IllegalStateException // beaten via takeover edge
+      if fs.exists(visiblePath(root, newV)) =>
+        fs.delete(tmp, true)
+        return Left(s"lost v$newV to a concurrent main commit at publish") }
     Right(newV)
   }
 

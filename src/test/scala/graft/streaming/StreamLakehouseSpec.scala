@@ -361,6 +361,33 @@ class StreamLakehouseSpec extends SparkSpec {
     graft.StreamMain.run(spark, confPath, logDir, outDir)
     assert(VersionedTableImpl.currentVersion(spark, root) == vEnd,
       "an idle re-run must append no versions")
+
+    // GROWTH: a config rollout adds rebucket-to = 16; the next (idle)
+    // drain re-lays the table once, state intact, and writers keep their
+    // stale lakehouse-buckets = 8 parameter on later drains
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(confPath),
+      """keyspaces-cdc-streams.stream {
+        |  source = shardlog
+        |  connector {
+        |    sink = "lakehouse-versioned"
+        |    record-format = full
+        |    fields-to-include = "user_id,event_type,value,k"
+        |    partition-keys = "user_id"
+        |    lakehouse-buckets = 8
+        |    compact-over-files = 4
+        |    rebucket-to = 16
+        |  }
+        |}""".stripMargin)
+    graft.StreamMain.run(spark, confPath, logDir, outDir)
+    assert(VersionedTableImpl.tableBuckets(spark, root, 0) == 16,
+      "the drain-end maintenance re-laid the table over 16 buckets")
+    assert(state(VersionedTableImpl.currentVersion(spark, root)) == expected(rows),
+      "rebucket is layout-only through the config surface")
+    val vReb = VersionedTableImpl.currentVersion(spark, root)
+    // a further idle drain: tableBuckets already 16 -> no new version
+    graft.StreamMain.run(spark, confPath, logDir, outDir)
+    assert(VersionedTableImpl.currentVersion(spark, root) == vReb,
+      "rebucket fires once; later drains no-op")
   }
 
   test("config-driven MOR sink: delta commits through the connector surface") {
