@@ -51,6 +51,15 @@ object StreamMain {
     val settings = GraftConfig.connector(conf)
     val sinkNames = conf.get(s"${GraftConfig.Root}.connector.sink", "file")
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    // these two target the SAME table root with conflicting lineages:
+    // per-batch main commits make the staged leg's fork permanently stale
+    // (it would drop and re-fork every batch, losing its staging), and its
+    // drain-end publish could never fast-forward. Fail loudly at config
+    // time instead of silently losing one leg (round-10 advisory).
+    require(!(sinkNames.contains("lakehouse-versioned") &&
+        sinkNames.contains("lakehouse-staged")),
+      "sinks 'lakehouse-versioned' and 'lakehouse-staged' both write the " +
+        "vtable root with incompatible lineages — configure exactly one")
     val sourceName = conf.get(s"${GraftConfig.Root}.source", "events")
     import org.apache.spark.sql.functions._
 
@@ -158,10 +167,16 @@ object StreamMain {
       // live in the shared batch bodies; markers are keyed by the
       // checkpoint-derived appId so a checkpoint reset or a second query
       // on the same table root never skips commits — LakehouseSink.appIdFor)
+      // marker appIds are SINK-SCOPED (`-versioned` / `-staged` / `-mor`):
+      // a fanout enabling two sinks over the same table root (versioned +
+      // staged both target vtable) shares the checkpoint-derived appId, so
+      // an unscoped marker written by whichever sink runs first would make
+      // the second sink skip its commit for every batch — silent loss on
+      // one leg (round-10 advisory)
       .register("lakehouse-versioned", (batch, id) => {
         val compactOver = conf.getInt(s"${GraftConfig.Root}.connector.compact-over-files", 0)
         streaming.LakehouseSink.versionedBatch(batch, id, s"$outDir/vtable",
-          streaming.LakehouseSink.appIdFor(s"$outDir/checkpoint"),
+          streaming.LakehouseSink.appIdFor(s"$outDir/checkpoint") + "-versioned",
           conf.getInt(s"${GraftConfig.Root}.connector.lakehouse-buckets", 8),
           if (compactOver > 0) Some(compactOver) else None,
           emitFeed = conf.getBoolean(s"${GraftConfig.Root}.connector.emit-feed", true))
@@ -172,7 +187,7 @@ object StreamMain {
       .register("lakehouse-mor", (batch, id) => {
         val compactOver = conf.getInt(s"${GraftConfig.Root}.connector.compact-over-files", 0)
         streaming.LakehouseSink.morBatch(batch, id, s"$outDir/mortable",
-          streaming.LakehouseSink.appIdFor(s"$outDir/checkpoint"),
+          streaming.LakehouseSink.appIdFor(s"$outDir/checkpoint") + "-mor",
           conf.getInt(s"${GraftConfig.Root}.connector.lakehouse-buckets", 8),
           if (compactOver > 0) Some(compactOver) else None)
       })
@@ -198,7 +213,7 @@ object StreamMain {
           ops.VersionedTableImpl.createBranch(s, root, branch)
         }
         streaming.LakehouseSink.versionedBatch(batch, id, root,
-          streaming.LakehouseSink.appIdFor(s"$outDir/checkpoint"),
+          streaming.LakehouseSink.appIdFor(s"$outDir/checkpoint") + "-staged",
           conf.getInt(s"${GraftConfig.Root}.connector.lakehouse-buckets", 8),
           compactOver = None, emitFeed = false, branch = Some(branch))
       })

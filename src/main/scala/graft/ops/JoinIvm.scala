@@ -46,8 +46,10 @@ object JoinIvmImpl {
 
   def clearCaches(): Unit = roots.clear()
 
-  /** Two versioned tables (even / odd event_id), two commits each. */
-  private def ensureTables(s: SparkSession, dir: String): (String, String) =
+  /** Two versioned tables (even / odd event_id), two commits each.
+    * Bench-attributed as `index:lake_ivm_pair` so q219 times the
+    * maintained join, not this shared setup. */
+  private[graft] def ensureTables(s: SparkSession, dir: String): (String, String) =
     Memo.getOrCacheAny(roots, s, dir, { _ =>
       val env = CdcSynth.fromEvents(s, dir)
       val mid = Tables(s, dir, "events")

@@ -157,18 +157,34 @@ object MorTableImpl {
   }
 
   /** All rows of version v's files, unmerged — optionally restricted to
-    * a bucket set and/or a manifest `kind` ("base" | "delta"). */
+    * a bucket set and/or a manifest `kind` ("base" | "delta").
+    *
+    * FULL-version reads (no bucket restriction) go through
+    * [[VersionedTableImpl.readManifest]]: scan the data dir and semi-join
+    * on the manifest's path suffixes, so the file list NEVER passes
+    * through the driver — a MOR table between compactions holds
+    * base+delta files in the millions at 100 TB, and collecting them
+    * builds a million-path plan on a driver heap (the round-8 COW
+    * finding, mirrored here in round 11). Bucket-scoped reads keep the
+    * explicit pruned list: O(touched buckets) paths is metadata, and the
+    * path-level pruning is the point. */
   private def readRaw(s: SparkSession, root: String, v: Int,
       buckets: Option[Seq[Long]] = None,
       kind: Option[String] = None): DataFrame = {
     val m0 = buckets.fold(manifestMor(s, root, v))(bs =>
       manifestMor(s, root, v).filter(col("bucket").isin(bs: _*)))
     val m = kind.fold(m0)(k => m0.filter(col("kind") === k))
-    val files = m.select(col("file")).collect().map(_.getString(0)).toSeq
-    if (files.isEmpty)
-      s.createDataFrame(s.sparkContext.emptyRDD[Row],
-        LakehouseOpsImpl.tableSchema)
-    else s.read.option("mergeSchema", "true").parquet(files: _*)
+    buckets match {
+      case None =>
+        VersionedTableImpl.readManifest(s, root, m,
+          LakehouseOpsImpl.tableSchema)
+      case Some(_) =>
+        val files = m.select(col("file")).collect().map(_.getString(0)).toSeq
+        if (files.isEmpty)
+          s.createDataFrame(s.sparkContext.emptyRDD[Row],
+            LakehouseOpsImpl.tableSchema)
+        else s.read.option("mergeSchema", "true").parquet(files: _*)
+    }
   }
 
   /** Latest-per-key fold of raw (base+delta) rows, tombstones KEPT. */

@@ -221,8 +221,16 @@ object VersionedTableImpl {
     * caller's parameter. `orElse` bootstraps an empty table (v = 0).
     * Metadata: one single-row read of an O(files) manifest. */
   def tableBuckets(s: SparkSession, root: String, orElse: Int,
-      lin: Lineage = Main): Int = {
-    val v = currentVersionOf(s, root, lin)
+      lin: Lineage = Main): Int =
+    bucketsAt(s, root, currentVersionOf(s, root, lin), orElse, lin)
+
+  /** [[tableBuckets]] pinned to an EXPLICIT version — the form the commit
+    * loop needs: each optimistic attempt resolves (v, nbuckets-of-v) as a
+    * pair, so a successful publish of v+1 proves the bucketing it wrote
+    * with was v's (re-reading "current" inside the attempt could see a
+    * racer's newer manifest and split the pair). */
+  private[ops] def bucketsAt(s: SparkSession, root: String, v: Int,
+      orElse: Int, lin: Lineage = Main): Int = {
     val p = lin.visible(root, v) // a branch's v0 fork manifest is real
     if (!fsOf(s, root).exists(p)) return orElse
     val m = s.read.parquet(p.toString)
@@ -248,7 +256,7 @@ object VersionedTableImpl {
     * serves several dynamic partitions under the same task/job uuid, so
     * the bare file name is NOT unique). The manifest side stays a scan in
     * the plan (VersionedSpec pins this). */
-  private def readManifest(s: SparkSession, root: String,
+  private[ops] def readManifest(s: SparkSession, root: String,
       manifestDf: DataFrame, emptySchema: StructType): DataFrame = {
     val fs = fsOf(s, root)
     val dataDir = new Path(root, "data")
@@ -392,22 +400,24 @@ object VersionedTableImpl {
     // bucket count is a TABLE property ([[tableBuckets]]): the stored
     // value wins over the caller's parameter, so a [[rebucket]] is
     // transparent to every existing writer (a stale parameter would
-    // otherwise route keys to wrong buckets — silent corruption)
-    val nb = tableBuckets(s, root, nBuckets, lin)
+    // otherwise route keys to wrong buckets — silent corruption). The
+    // count is resolved INSIDE each commitLoop attempt, not here: an
+    // in-flight retry racing a concurrent rebucket would otherwise write
+    // rows bucketed with the pre-rebucket count into a post-rebucket
+    // manifest — two bucketings in one version (round-10 advisory).
     val keyOf = coalesce(col("image.user_id"), col("oldImage.user_id"))
     val seqOf = col("metadata.stream_sequence_number")
     val updates = LakehouseOpsImpl.latestUpdates(env, keyOf, seqOf)
-      .withColumn("bucket", pmod(col("user_id"), lit(nb.toLong)))
-    val touched = updates.select(col("bucket")).distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted // <= nb rows
-    if (touched.isEmpty) return currentVersionOf(s, root, lin)
     // LOGICAL deletes: winning tombstones stay as versioned rows, so a
     // later-committing lower-seq upsert cannot resurrect a deleted key
     // (delete-confluence under concurrent writers; see the object doc)
-    commitLoop(s, root, nb, touched, emptyStateFor(s, updates),
+    commitLoop(s, root, nBuckets,
+      nb => updates.select(pmod(col("user_id"), lit(nb.toLong)).as("bucket"))
+        .distinct().collect().map(_.getLong(0)).toSeq.sorted, // <= nb rows
+      emptyStateFor(s, updates),
       maxAttempts, staleClaimMs, pendingStage, "commitMerge", lin)(base =>
       LakehouseOpsImpl
-        .mergeLatestKeepTombstones(base, updates.drop("bucket"))
+        .mergeLatestKeepTombstones(base, updates)
         .drop("from_base"))
   }
 
@@ -417,9 +427,22 @@ object VersionedTableImpl {
     * on a lost claim re-read and re-merge (the merge fn sees the winner's
     * state on retry). `merge` receives the raw (tombstone-inclusive)
     * bucket state and returns the full next state of those buckets,
-    * meta columns included, without the bucket column. */
-  private def commitLoop(s: SparkSession, root: String, nBuckets: Int,
-      touched: Seq[Long], emptySchema: StructType, maxAttempts: Int,
+    * meta columns included, without the bucket column.
+    *
+    * The table's bucket count and the touched-bucket list are resolved
+    * PER ATTEMPT (`touchedOf` is called with the attempt's resolved
+    * count): a concurrent [[rebucket]] can win a version between
+    * attempts, and carrying the first attempt's count through the retry
+    * would write rows bucketed with the stale count under a manifest
+    * whose nbuckets column flips the table back — two bucketings mixed
+    * in one version, corrupting every later bucket-scoped read (the
+    * round-10 advisory). Resolving (v, nbuckets-of-v) as a pair inside
+    * the attempt makes a successful publish of v+1 PROOF the bucketing
+    * written was v's: a rebucket publishing between our read and our
+    * claim leaves its claim file on v+1, so our claim loses and the
+    * retry re-resolves. */
+  private def commitLoop(s: SparkSession, root: String, nBucketsOrElse: Int,
+      touchedOf: Int => Seq[Long], emptySchema: StructType, maxAttempts: Int,
       staleClaimMs: Long, pendingStage: Boolean, what: String,
       lin: Lineage = Main)
       (merge: DataFrame => DataFrame): Int = {
@@ -428,6 +451,9 @@ object VersionedTableImpl {
     while (true) {
       attempt += 1
       val v = currentVersionOf(s, root, lin)
+      val nBuckets = bucketsAt(s, root, v, nBucketsOrElse, lin)
+      val touched = touchedOf(nBuckets)
+      if (touched.isEmpty) return v
       val newV = v + 1
       val base = readBuckets(s, root, v, touched, emptySchema, lin)
       val merged = merge(base)
@@ -522,18 +548,17 @@ object VersionedTableImpl {
       updateWhen: Option[Column] = None, // None = always update on match
       insertWhen: Option[Column] = None, // None = always insert unmatched
       maxAttempts: Int = 5, staleClaimMs: Long = 60000L): Int = {
-    val nb = tableBuckets(s, root, nBuckets) // stored count wins
     val payload = source.columns.filterNot(Set("user_id", "seq").contains).toSeq
-    val touched = source
-      .select(pmod(col("user_id"), lit(nb.toLong)).as("bucket"))
-      .distinct().collect().map(_.getLong(0)).toSeq.sorted
-    if (touched.isEmpty) return currentVersion(s, root)
     val emptySchema = StructType(
       StructField("user_id", LongType) +:
       StructField("last_op", StringType) +:
       StructField("last_seq", StringType) +:
       payload.map(c => StructField(c, source.schema(c).dataType)))
-    commitLoop(s, root, nb, touched, emptySchema,
+    // stored count wins; resolved per attempt inside commitLoop (rebucket race)
+    commitLoop(s, root, nBuckets,
+      nb => source.select(pmod(col("user_id"), lit(nb.toLong)).as("bucket"))
+        .distinct().collect().map(_.getLong(0)).toSeq.sorted,
+      emptySchema,
       maxAttempts, staleClaimMs, pendingStage = false, "mergeInto") { base =>
       val meta = Set("user_id", "last_op", "last_seq")
       val basePayload = base.columns.filterNot(meta.contains).toSeq
@@ -987,8 +1012,14 @@ object VersionedTableImpl {
     require(newBuckets >= 1, s"bucket count must be positive: $newBuckets")
     val fs = fsOf(s, root)
     val newV = v + 1
-    val oldBuckets = tableBuckets(s, root, newBuckets)
-    val raw = readBuckets(s, root, v, 0L until oldBuckets.toLong,
+    // read the version's FULL file set from the manifest itself (the
+    // semi-join read — bucketing-agnostic), never a 0-until-count bucket
+    // range: a pre-nbuckets-era manifest has no recorded count, and
+    // assuming the CALLER's newBuckets as the range would read only
+    // buckets 0..newBuckets-1 when shrinking a legacy table — silently
+    // dropping every row in the buckets above (round-10 advisory).
+    // Tombstones ride along (raw read): the rewrite must carry them.
+    val raw = readManifest(s, root, manifest(s, root, v),
       LakehouseOpsImpl.tableSchema)
     val rows = raw
       .withColumn("bucket", pmod(col("user_id"), lit(newBuckets.toLong)))
@@ -1171,14 +1202,22 @@ object VersionedTableImpl {
   def dropTag(s: SparkSession, root: String, name: String): Unit =
     fsOf(s, root).delete(tagPath(root, name), false)
 
-  /** All (name, version) tags of the table. Metadata: one dir listing. */
+  /** All (name, version) tags of the table. Metadata: one dir listing.
+    * Per-ref reads are TRY-guarded: a tag dropped (or half-created)
+    * between the listing and the read must not abort the caller —
+    * [[vacuum]] runs this on every maintenance cadence, and a benign
+    * racing [[dropTag]] crashing the whole pass would starve maintenance
+    * (round-10 advisory). A skipped half-written tag's files are
+    * protected by vacuum's graceMs anyway. */
   def listTags(s: SparkSession, root: String): Seq[(String, Int)] = {
     val fs = fsOf(s, root)
     val dir = new Path(root, "_refs")
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).map(_.getPath)
       .filter(_.getName.startsWith("tag-"))
-      .map(p => p.getName.stripPrefix("tag-") -> readRef(fs, p)).toSeq.sortBy(_._1)
+      .flatMap(p => scala.util.Try(
+        p.getName.stripPrefix("tag-") -> readRef(fs, p)).toOption)
+      .toSeq.sortBy(_._1)
   }
 
   /** BRANCH: an independent commit lineage forked from main's current

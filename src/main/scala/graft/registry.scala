@@ -115,7 +115,9 @@ object Indexes {
     IndexBuild("lake_cow_compacted", (s, d) =>
       { ops.LakehouseOpsImpl.ensureCompactedTable(s, d); () }),
     IndexBuild("lake_mor_table", (s, d) =>
-      { ops.MorTableImpl.ensureMor(s, d); () }))
+      { ops.MorTableImpl.ensureMor(s, d); () }),
+    IndexBuild("lake_ivm_pair", (s, d) =>
+      { ops.JoinIvmImpl.ensureTables(s, d); () }))
 }
 
 /** Aggregates every module's query list into the driver contract. */
@@ -158,7 +160,8 @@ object Registry {
       ops.MorTableOps.queries ++
       ops.JoinIvmOps.queries ++
       ops.PartitionedOps.queries ++
-      ops.TagOps.queries
+      ops.TagOps.queries ++
+      ops.AvroGateOps.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 
@@ -175,6 +178,6 @@ object Registry {
     ops.DedupFeedIndexImpl.clearCaches(); ops.LakehouseOpsImpl.clearCaches()
     ops.VersionedTableImpl.clearCaches(); ops.MorTableImpl.clearCaches()
     ops.JoinIvmImpl.clearCaches(); ops.BucketedOpsImpl.clearCaches()
-    ops.PartitionedOpsImpl.clearCaches()
+    ops.PartitionedOpsImpl.clearCaches(); ops.AvroGateImpl.clearCaches()
   }
 }

@@ -157,6 +157,28 @@ class MorSpec extends SparkSpec {
     assert(users(MorTableImpl.readMor(spark, root, 1)) == s2)
   }
 
+  test("full-version MOR reads keep the manifest in a scan — no driver-side file list") {
+    val root = java.nio.file.Files.createTempDirectory("mor_scan").toString
+    MorTableImpl.commitAppend(spark, root,
+      env((0L until 16L).map(u => (8L * u, u))), NB)
+    MorTableImpl.commitAppend(spark, root, env(Seq((8L * 40, 1L))), NB)
+    // between compactions a 100 TB MOR table holds base+delta files in the
+    // millions: the full-version read must semi-join the data dir against
+    // the manifest (the COW readManifest discipline), never collect the
+    // file list to the driver (VersionedSpec pins the COW twin)
+    val qe = MorTableImpl.readMor(spark, root, 2).queryExecution
+    assert(qe.optimizedPlan.toString.contains("LeftSemi"),
+      s"readMor must filter files via a semi-join, not a collected list:\n${qe.optimizedPlan}")
+    assert(qe.executedPlan.toString.contains("_versions"),
+      s"the manifest must appear as a SCAN in the read plan:\n${qe.executedPlan}")
+    // the read-optimized (base-only) view takes the same path
+    MorTableImpl.compactMor(spark, root, maxFiles = 1, NB)
+    val qeRo = MorTableImpl.readMorOptimized(spark, root, 3).queryExecution
+    assert(qeRo.optimizedPlan.toString.contains("LeftSemi") &&
+      qeRo.executedPlan.toString.contains("_versions"),
+      s"readMorOptimized must keep the manifest a scan:\n${qeRo.executedPlan}")
+  }
+
   test("a delta commit racing a compaction serializes; state and bounds both hold") {
     val root = java.nio.file.Files.createTempDirectory("mor_cmpr").toString
     MorTableImpl.commitAppend(spark, root,

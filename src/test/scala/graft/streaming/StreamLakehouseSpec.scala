@@ -674,6 +674,49 @@ class StreamLakehouseSpec extends SparkSpec {
     assert(VersionedTableImpl.currentVersion(spark, root) == 2)
   }
 
+  test("fanout: versioned+staged is rejected at config time; versioned+mor commits both legs") {
+    import graft.ops.{MorTableImpl, VersionedTableImpl}
+    val tmp = Files.createTempDirectory("graft_fanout").toString
+    val (logDir, outDir, confPath) = (s"$tmp/log", s"$tmp/out", s"$tmp/conf.hocon")
+    def conf(sinks: String): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(confPath),
+        s"""keyspaces-cdc-streams.stream {
+           |  source = shardlog
+           |  connector {
+           |    sink = "$sinks"
+           |    record-format = full
+           |    partition-keys = "user_id"
+           |    lakehouse-buckets = 8
+           |  }
+           |}""".stripMargin)
+    val rows = events(0 until 120)
+    val env = CdcSynth.envelope(rows.toDF())
+    val shard = pmod(coalesce(col("image.user_id"), col("oldImage.user_id")), lit(4L))
+    graft.sources.ShardLog.record(env, logDir, shard)
+
+    // the two vtable-rooted sinks have incompatible lineages: loud reject,
+    // never a silently-lost leg (round-10 advisory)
+    conf("lakehouse-versioned,lakehouse-staged")
+    intercept[IllegalArgumentException] {
+      graft.StreamMain.run(spark, confPath, logDir, outDir)
+    }
+
+    // a coherent fanout (distinct roots, sink-scoped marker appIds): every
+    // batch commits on BOTH legs and both tables equal the one-shot replay
+    conf("lakehouse-versioned,lakehouse-mor")
+    graft.StreamMain.run(spark, confPath, logDir, outDir)
+    val exp = expected(rows)
+    assert(table_v(s"$outDir/vtable") == exp,
+      "the versioned leg must hold the full replay state")
+    val morV = VersionedTableImpl.currentVersion(spark, s"$outDir/mortable")
+    assert(morV >= 1, "the MOR leg must have committed")
+    val mor = MorTableImpl.readMor(spark, s"$outDir/mortable", morV)
+      .select(col("user_id"), col("last_op"), col("last_seq"),
+        col("event_type"), col("value"), col("k"))
+      .as[(Long, String, String, String, Double, Long)].collect().toSeq.sorted
+    assert(mor == exp, "the MOR leg must hold the full replay state")
+  }
+
   private def table_v(root: String): Seq[(Long, String, String, String, Double, Long)] = {
     import graft.ops.VersionedTableImpl
     val v = VersionedTableImpl.currentVersion(spark, root)
