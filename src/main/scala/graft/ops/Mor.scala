@@ -50,15 +50,19 @@ import graft.cdc.CdcSynth
   */
 object MorTableImpl {
 
-  import VersionedTableImpl.{fsOf, visiblePath, claimVersion, awaitOutcome, currentVersion}
+  import VersionedTableImpl.{fsOf, visiblePath, claimVersion, awaitOutcome,
+    currentVersion, manifestCommitted, manifestDataPath}
 
   private def manifestMor(s: SparkSession, root: String, v: Int): DataFrame =
-    if (v == 0)
-      s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(Seq(
-        StructField("bucket", LongType), StructField("file", StringType),
-        StructField("kind", StringType),
-        StructField("min_key", LongType), StructField("max_key", LongType))))
-    else s.read.parquet(visiblePath(root, v).toString)
+    (if (v == 0) None else manifestDataPath(fsOf(s, root), visiblePath(root, v)))
+      match {
+        case Some(p) => s.read.parquet(p.toString)
+        case None =>
+          s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(Seq(
+            StructField("bucket", LongType), StructField("file", StringType),
+            StructField("kind", StringType),
+            StructField("min_key", LongType), StructField("max_key", LongType))))
+      }
 
   /** ZONE MAPS: per-file [min_key, max_key] over the staged files, one
     * narrow column scan before the move (a real deployment lifts these
@@ -144,7 +148,7 @@ object MorTableImpl {
           try { VersionedTableImpl.publish(fs, tmp, visiblePath(root, newV),
             "commitAppend"); true }
           catch { case _: IllegalStateException // beaten via takeover edge
-            if fs.exists(visiblePath(root, newV)) => false }
+            if manifestCommitted(fs, visiblePath(root, newV)) => false }
         if (won) return newV
       }
       fs.delete(tmp, true) // lost: deltas stay valid, only re-base the manifest
@@ -310,7 +314,7 @@ object MorTableImpl {
     }
     try VersionedTableImpl.publish(fs, tmp, visiblePath(root, newV), "MOR compaction")
     catch { case _: IllegalStateException // beaten via takeover edge: yield
-      if fs.exists(visiblePath(root, newV)) =>
+      if manifestCommitted(fs, visiblePath(root, newV)) =>
         fs.delete(tmp, true); return None }
     Some(newV)
   }

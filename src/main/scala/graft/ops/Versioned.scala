@@ -142,7 +142,8 @@ object VersionedTableImpl {
     val dir = new Path(root, "_versions")
     if (!fs.exists(dir)) 0
     else fs.listStatus(dir).map(_.getPath.getName)
-      .flatMap { n =>
+      .flatMap { n0 =>
+        val n = n0.stripSuffix(".ptr") // conditional-create commit pointer
         if (n.startsWith(lin.prefix) && n.endsWith(".parquet"))
           n.stripPrefix(lin.prefix).stripSuffix(".parquet").toIntOption
         else None
@@ -150,13 +151,81 @@ object VersionedTableImpl {
       .foldLeft(0)(math.max)
   }
 
-  /** Checked publish: the single commit-point rename, followed by an
-    * mtime stamp — rename PRESERVES the source file's mtime on POSIX/HDFS,
-    * so without the stamp a WAP manifest staged at 10:00 and published at
-    * 10:10 would read as committed at 10:00 and [[versionAsOf]] would
-    * resolve state that was not yet visible at the queried instant. A
-    * crash between the rename and the stamp leaves that (documented,
-    * one-commit) skew; the rename alone remains the atomicity point. */
+  // -------------------------------------------------- commit-point modes
+  // RENAME mode (default): the commit point is one atomic directory rename
+  // of the staged manifest to its visible name — correct on POSIX/HDFS,
+  // where rename(2) is atomic. CONDITIONAL-CREATE mode: object stores
+  // rename by copy+delete (S3A), non-atomically and often overwriting —
+  // a reader could observe a half-copied manifest as an EMPTY table, and
+  // two racing publishers could interleave copies into one corrupt
+  // destination. There the commit point becomes one CREATE-EXCLUSIVE PUT
+  // of a tiny POINTER object (`v{N}.parquet.ptr`, naming the immutable
+  // manifest-data dir) — the primitive every major store now provides
+  // atomically (S3 conditional writes `If-None-Match`, GCS
+  // `ifGenerationMatch=0`, ABFS `If-None-Match: *`), and the same
+  // primitive the reference leans on via DynamoDB conditional writes for
+  // its KCL lease table (KCLScheduler.java:105). The manifest DATA is
+  // fully written before the pointer exists and never moves afterwards,
+  // so readers see either nothing or the complete manifest — never a
+  // partial copy. Selected per-FileSystem: the `objstore` test scheme, or
+  // `graft.commit.conditional-create = true` in the Hadoop conf.
+
+  private[ops] def conditionalCommit(fs: org.apache.hadoop.fs.FileSystem): Boolean =
+    fs.getScheme == "objstore" ||
+      fs.getConf.getBoolean("graft.commit.conditional-create", false)
+
+  private[ops] def ptrOf(p: Path): Path =
+    new Path(p.getParent, p.getName + ".ptr")
+
+  /** Is the manifest at `p` committed? — its dir exists (rename mode) or
+    * its pointer exists (conditional-create mode). Every "is version v
+    * visible/pending" probe must go through this, or pointer-mode commits
+    * would be invisible to the protocol's own fail-closed checks. */
+  private[ops] def manifestCommitted(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Boolean =
+    fs.exists(p) || fs.exists(ptrOf(p))
+
+  /** The path actually holding manifest `p`'s parquet rows, if committed:
+    * `p` itself (rename mode) or the immutable data dir its pointer names
+    * (conditional mode). Try-guarded: a pointer deleted between the probe
+    * and the read resolves to None, like a missing manifest. */
+  private[ops] def manifestDataPath(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Option[Path] =
+    if (fs.exists(p)) Some(p)
+    else {
+      val ptr = ptrOf(p)
+      if (!fs.exists(ptr)) None
+      else scala.util.Try {
+        val in = fs.open(ptr)
+        val name =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        new Path(p.getParent, name)
+      }.toOption
+    }
+
+  /** The file whose mtime is the commit stamp (the dir in rename mode,
+    * the pointer in conditional mode). */
+  private def commitStampPath(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Path = if (fs.exists(p)) p else ptrOf(p)
+
+  /** Remove a committed-or-staged manifest entirely (dir form, or pointer
+    * + data-dir form) — the abort/reject path. */
+  private[ops] def deleteManifest(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Unit = {
+    manifestDataPath(fs, p).foreach(d => fs.delete(d, true))
+    fs.delete(ptrOf(p), false)
+    fs.delete(p, true) // no-op in pointer mode (data dir already gone)
+  }
+
+  /** Checked publish: the single commit point — an atomic rename, or in
+    * conditional-create mode one create-exclusive pointer PUT (see the
+    * mode note above) — followed by an mtime stamp: rename PRESERVES the
+    * source file's mtime on POSIX/HDFS, so without the stamp a WAP
+    * manifest staged at 10:00 and published at 10:10 would read as
+    * committed at 10:00 and [[versionAsOf]] would resolve state that was
+    * not yet visible at the queried instant. A crash between the commit
+    * point and the stamp leaves that (documented, one-commit) skew. */
   private[ops] def publish(fs: org.apache.hadoop.fs.FileSystem,
       tmp: Path, dest: Path, what: String): Unit = {
     // FAIL CLOSED on a pre-existing destination: local-fs rename(2)
@@ -166,17 +235,60 @@ object VersionedTableImpl {
     // explicit existence check makes any claim-protocol violation loud;
     // the small check-then-rename window is acceptable defense-in-depth
     // BEHIND the claim protocol (which is what actually serializes
-    // publishers), not a replacement for it.
-    if (fs.exists(dest))
+    // publishers), not a replacement for it. In conditional-create mode
+    // the pointer PUT itself fails atomically on an existing destination —
+    // there the fail-closed check IS the commit primitive.
+    if (manifestCommitted(fs, dest))
       throw new IllegalStateException(
         s"$what held the claim but $dest already exists — claim invariant " +
           "violated (refusing to overwrite a committed manifest)")
-    if (!fs.rename(tmp, dest))
-      throw new IllegalStateException(
-        s"$what held the claim but the manifest rename to $dest failed — " +
-          "claim invariant violated")
-    try fs.setTimes(dest, System.currentTimeMillis(), -1)
-    catch { case _: java.io.IOException => () } // stamp is best-effort
+    if (conditionalCommit(fs)) {
+      // `tmp` is either a freshly staged manifest dir, or (promoting a
+      // WAP/txn pending to visible) an already-committed POINTER whose
+      // data dir is immutable and stays where it is.
+      val tmpPtr = ptrOf(tmp)
+      val promoting = fs.exists(tmpPtr)
+      val data: Path =
+        if (promoting)
+          manifestDataPath(fs, tmp).getOrElse(throw new IllegalStateException(
+            s"$what: pending pointer $tmpPtr vanished mid-promote"))
+        else {
+          // rename is allowed to be non-atomic here: the target name is
+          // dot-prefixed (invisible to version listings), publisher-unique
+          // (no shared mutable path even if two takeover racers publish
+          // the same version), and nothing reads it until the pointer —
+          // the actual commit point — names it.
+          val d = new Path(dest.getParent, s".data-${dest.getName}-" +
+            java.util.UUID.randomUUID().toString.replace("-", ""))
+          if (!fs.rename(tmp, d))
+            throw new IllegalStateException(
+              s"$what: staging rename to $d failed")
+          d
+        }
+      val destPtr = ptrOf(dest)
+      val won =
+        try {
+          val out = fs.create(destPtr, false) // THE commit point
+          try out.write(data.getName.getBytes("UTF-8")) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (!won) {
+        if (!promoting) fs.delete(data, true) // our staged copy is garbage
+        throw new IllegalStateException(
+          s"$what held the claim but $dest already exists — claim invariant " +
+            "violated (refusing to overwrite a committed manifest)")
+      }
+      if (promoting) fs.delete(tmpPtr, false) // consume the pending pointer
+      try fs.setTimes(destPtr, System.currentTimeMillis(), -1)
+      catch { case _: java.io.IOException => () } // stamp is best-effort
+    } else {
+      if (!fs.rename(tmp, dest))
+        throw new IllegalStateException(
+          s"$what held the claim but the manifest rename to $dest failed — " +
+            "claim invariant violated")
+      try fs.setTimes(dest, System.currentTimeMillis(), -1)
+      catch { case _: java.io.IOException => () } // stamp is best-effort
+    }
   }
 
   /** Time travel AS OF a wall-clock instant (Delta's `timestampAsOf`,
@@ -191,12 +303,13 @@ object VersionedTableImpl {
     val dir = new Path(root, "_versions")
     if (!fs.exists(dir)) 0
     else fs.listStatus(dir)
-      .filter { st =>
-        val n = st.getPath.getName
-        n.startsWith("v") && n.endsWith(".parquet") &&
-          st.getModificationTime <= tsMillis
+      .flatMap { st =>
+        val n = st.getPath.getName.stripSuffix(".ptr") // pointer commits
+        if (n.startsWith("v") && n.endsWith(".parquet") &&
+            st.getModificationTime <= tsMillis)
+          n.stripPrefix("v").stripSuffix(".parquet").toIntOption
+        else None
       }
-      .map(_.getPath.getName.stripPrefix("v").stripSuffix(".parquet").toInt)
       .foldLeft(0)(math.max)
   }
 
@@ -210,12 +323,12 @@ object VersionedTableImpl {
     * the TABLE's bucket count instead of trusting a caller's possibly-
     * stale parameter (see [[rebucket]]). */
   private[ops] def manifest(s: SparkSession, root: String, v: Int,
-      lin: Lineage = Main): DataFrame = {
-    val p = lin.visible(root, v)
-    if (fsOf(s, root).exists(p)) s.read.parquet(p.toString)
-    else s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(Seq(
-      StructField("bucket", LongType), StructField("file", StringType))))
-  }
+      lin: Lineage = Main): DataFrame =
+    manifestDataPath(fsOf(s, root), lin.visible(root, v)) match {
+      case Some(p) => s.read.parquet(p.toString)
+      case None => s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField("bucket", LongType), StructField("file", StringType))))
+    }
 
   /** The bucket count of version v — the manifest's own record, never the
     * caller's parameter. `orElse` bootstraps an empty table (v = 0).
@@ -230,14 +343,16 @@ object VersionedTableImpl {
     * with was v's (re-reading "current" inside the attempt could see a
     * racer's newer manifest and split the pair). */
   private[ops] def bucketsAt(s: SparkSession, root: String, v: Int,
-      orElse: Int, lin: Lineage = Main): Int = {
-    val p = lin.visible(root, v) // a branch's v0 fork manifest is real
-    if (!fsOf(s, root).exists(p)) return orElse
-    val m = s.read.parquet(p.toString)
-    if (!m.columns.contains("nbuckets")) orElse // empty-column era manifest
-    else m.select(col("nbuckets")).limit(1).collect().headOption
-      .fold(orElse)(_.getLong(0).toInt) // zero-row manifest: empty fork
-  }
+      orElse: Int, lin: Lineage = Main): Int =
+    // a branch's v0 fork manifest is real — probe, don't special-case
+    manifestDataPath(fsOf(s, root), lin.visible(root, v)) match {
+      case None => orElse
+      case Some(p) =>
+        val m = s.read.parquet(p.toString)
+        if (!m.columns.contains("nbuckets")) orElse // empty-column era
+        else m.select(col("nbuckets")).limit(1).collect().headOption
+          .fold(orElse)(_.getLong(0).toInt) // zero-row manifest: empty fork
+    }
 
   /** Bucket-pruned explicit file list — ONLY for bucket-scoped reads
     * (O(touched buckets) paths) and the driver-side vacuum diff. Full
@@ -325,7 +440,8 @@ object VersionedTableImpl {
       try { fs.create(claim, false).close(); true }
       catch { case _: java.io.IOException => false }
     if (tryCreate()) return true
-    val published = fs.exists(lin.visible(root, v)) || fs.exists(lin.pending(root, v))
+    val published = manifestCommitted(fs, lin.visible(root, v)) ||
+      manifestCommitted(fs, lin.pending(root, v))
     if (!published && fs.exists(claim) &&
         System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime > staleClaimMs) {
       // Takeover: claimant died pre-publish. Remove the stale claim by
@@ -374,8 +490,9 @@ object VersionedTableImpl {
     val fs = fsOf(s, root)
     val deadline = System.currentTimeMillis() + staleClaimMs + 10000L
     while (System.currentTimeMillis() < deadline) {
-      if (fs.exists(lin.visible(root, v)) || !fs.exists(lin.claim(root, v))) return
-      val pendingAudit = fs.exists(lin.pending(root, v))
+      if (manifestCommitted(fs, lin.visible(root, v)) ||
+        !fs.exists(lin.claim(root, v))) return
+      val pendingAudit = manifestCommitted(fs, lin.pending(root, v))
       val stale = !pendingAudit &&
         System.currentTimeMillis() - fs.getFileStatus(lin.claim(root, v)).getModificationTime > staleClaimMs
       if (stale) return
@@ -506,7 +623,8 @@ object VersionedTableImpl {
                    else lin.visible(root, newV)
         val won =
           try { publish(fs, tmp, dest, what); true }
-          catch { case _: IllegalStateException if fs.exists(dest) => false }
+          catch { case _: IllegalStateException
+            if manifestCommitted(fs, dest) => false }
         if (won) return newV
       }
       // lost the race: staged manifest dies now, this attempt's data
@@ -621,7 +739,9 @@ object VersionedTableImpl {
     if (newV == before) return Right(before) // empty batch: nothing to audit
     val fs = fsOf(s, root)
     val pending = pendingPath(root, newV)
-    val staged = readManifest(s, root, s.read.parquet(pending.toString),
+    val pendingData = manifestDataPath(fs, pending).getOrElse(
+      throw new IllegalStateException(s"staged pending $pending not found"))
+    val staged = readManifest(s, root, s.read.parquet(pendingData.toString),
       LakehouseOpsImpl.tableSchema)
       .filter(!col("last_op").isin(LakehouseOpsImpl.DeleteOps: _*)) // live state
     audit(staged) match {
@@ -629,7 +749,7 @@ object VersionedTableImpl {
         publish(fs, pending, visiblePath(root, newV), "WAP publish")
         Right(newV)
       case Some(reason) =>
-        fs.delete(pending, true)
+        deleteManifest(fs, pending)
         fs.delete(claimPath(root, newV), false) // release N for the next commit
         Left(reason)
     }
@@ -847,6 +967,18 @@ object VersionedTableImpl {
     val fs = fsOf(s, root)
     val cur = currentVersion(s, root)
     val vDir = new Path(root, "_versions")
+    // conditional-create data dirs (`.data-<destName>-<uuid>`): pending
+    // and branch destinations always pin their listed files (same rule as
+    // their rename-mode dirs below); a MAIN destination pins only while
+    // its version is AHEAD of current (an in-flight publish between the
+    // staging rename and the pointer PUT) — committed versions' pins come
+    // from the live/tagged scans through the pointer-resolved manifests,
+    // so expired versions' files stay reclaimable in pointer mode.
+    def dataDirPinned(n: String): Boolean = {
+      val dest = n.stripPrefix(".data-").dropRight(33) // "-" + 32-char uuid
+      dest.startsWith(".pending-") || dest.startsWith("b-") ||
+        dest.stripPrefix("v").stripSuffix(".parquet").toIntOption.exists(_ > cur)
+    }
     val inFlight: Seq[String] =
       if (!fs.exists(vDir)) Seq.empty
       else fs.listStatus(vDir).map(_.getPath)
@@ -854,8 +986,9 @@ object VersionedTableImpl {
           val n = p.getName
           // pending (main OR branch), mid-commit tmp, and every branch
           // lineage manifest (`b-<name>-v<k>.parquet`) pin their files
-          (n.startsWith(".pending-") || n.startsWith(".tmp-") ||
-            n.startsWith("b-")) && n.endsWith(".parquet")
+          ((n.startsWith(".pending-") || n.startsWith(".tmp-") ||
+            n.startsWith("b-")) && n.endsWith(".parquet")) ||
+            (n.startsWith(".data-") && dataDirPinned(n))
         }
         .flatMap(p => scala.util.Try( // a tmp manifest may be mid-write;
           // its files are younger than any sane graceMs anyway
@@ -987,7 +1120,7 @@ object VersionedTableImpl {
     }
     try publish(fs, tmp, visiblePath(root, newV), "compaction")
     catch { case _: IllegalStateException // beaten via takeover edge: yield
-      if fs.exists(visiblePath(root, newV)) =>
+      if manifestCommitted(fs, visiblePath(root, newV)) =>
         fs.delete(tmp, true); return None }
     Some(newV)
   }
@@ -1061,7 +1194,7 @@ object VersionedTableImpl {
     }
     try publish(fs, tmp, visiblePath(root, newV), "rebucket")
     catch { case _: IllegalStateException // beaten via takeover edge: yield
-      if fs.exists(visiblePath(root, newV)) =>
+      if manifestCommitted(fs, visiblePath(root, newV)) =>
         fs.delete(tmp, true); return None }
     Some(newV)
   }
@@ -1138,7 +1271,7 @@ object VersionedTableImpl {
         val won =
           try { publish(fs, tmp, visiblePath(root, newV), "restore"); true }
           catch { case _: IllegalStateException // beaten via takeover edge
-            if fs.exists(visiblePath(root, newV)) => false }
+            if manifestCommitted(fs, visiblePath(root, newV)) => false }
         if (won) return newV
       }
       fs.delete(tmp, true)
@@ -1303,7 +1436,7 @@ object VersionedTableImpl {
     // have left its claim); publish the branch head as main's next state
     try publish(fs, tmp, visiblePath(root, newV), s"fast-forward '$name'")
     catch { case _: IllegalStateException // beaten via takeover edge
-      if fs.exists(visiblePath(root, newV)) =>
+      if manifestCommitted(fs, visiblePath(root, newV)) =>
         fs.delete(tmp, true)
         return Left(s"lost v$newV to a concurrent main commit at publish") }
     Right(newV)
@@ -1355,7 +1488,11 @@ object VersionedTableImpl {
       fs.listStatus(dir).map(_.getPath)
         .filter { p =>
           val n = p.getName
-          n.startsWith(lin.prefix) || n.startsWith(s".pending-${lin.prefix}")
+          n.startsWith(lin.prefix) || n.startsWith(s".pending-${lin.prefix}") ||
+            // conditional-create artifacts: pointers match the prefixes
+            // above; the data dirs carry a `.data-` prefix before them
+            n.startsWith(s".data-${lin.prefix}") ||
+            n.startsWith(s".data-.pending-${lin.prefix}")
         }
         .foreach(p => fs.delete(p, true))
   }
@@ -1420,7 +1557,7 @@ object VersionedTableImpl {
     * abort path. The moved data files strand until [[vacuum]]. */
   private def abortPending(s: SparkSession, root: String, v: Int): Unit = {
     val fs = fsOf(s, root)
-    fs.delete(pendingPath(root, v), true)
+    deleteManifest(fs, pendingPath(root, v))
     fs.delete(claimPath(root, v), false)
   }
 
@@ -1437,12 +1574,12 @@ object VersionedTableImpl {
       val Array(root, vs) = line.split("\t", 2)
       val v = vs.trim.toInt
       val (pending, visible) = (pendingPath(root, v), visiblePath(root, v))
-      if (!fs.exists(visible) && fs.exists(pending))
+      if (!manifestCommitted(fs, visible) && manifestCommitted(fs, pending))
         try publish(fs, pending, visible, "txn publish")
         catch {
           // two recoverers racing the same record: the loser's fail-closed
           // publish is a benign already-done, not a protocol violation
-          case e: IllegalStateException if fs.exists(visible) => ()
+          case e: IllegalStateException if manifestCommitted(fs, visible) => ()
         }
     }
     fs.delete(rec, false)
@@ -1479,7 +1616,8 @@ object VersionedTableImpl {
     val cur = currentVersion(s, root)
     import s.implicits._
     (1 to cur).map { v =>
-      val mtime = fs.getFileStatus(visiblePath(root, v)).getModificationTime
+      val mtime = fs.getFileStatus(
+        commitStampPath(fs, visiblePath(root, v))).getModificationTime
       val files = manifest(s, root, v).groupBy()
         .agg(count(lit(1)).as("nf"), countDistinct(col("bucket")).as("nb"))
         .head
