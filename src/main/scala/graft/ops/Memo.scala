@@ -22,12 +22,72 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Memo {
 
+  // ------------------------------------------------------ eviction bound
+  // A long-lived session (a 256-entry bench pass, a streaming driver alive
+  // for days) must not accumulate every cached view it ever memoized:
+  // each is executor storage, and the memo maps hold them strongly. Every
+  // DataFrame-holding memo registers here in ACCESS order; past the budget
+  // (`graft.memo.maxCachedViews`, default 64) the least-recently-used
+  // entry is unpersisted and dropped from its owning map — the next
+  // consumer rebuilds it, trading one recompute for bounded memory.
+  // Size the budget ABOVE the concurrent working set: evicting a
+  // localCheckpoint-backed view mid-query cannot be recomputed from
+  // lineage, so the bound is a safety valve, not a cache policy to run at.
+  private final case class Tracked(
+      cache: ConcurrentHashMap[(SparkSession, String), _],
+      key: (SparkSession, String), dfs: () => Seq[DataFrame])
+  /** LRU key: the owning MAP by identity (AbstractMap's content-based
+    * equals/hashCode would hash every cached value on every access) plus
+    * the memo key. */
+  private final class MapId(val m: AnyRef, val k: (SparkSession, String)) {
+    override def hashCode(): Int =
+      System.identityHashCode(m) * 31 + k.hashCode()
+    override def equals(o: Any): Boolean = o match {
+      case other: MapId => (other.m eq m) && other.k == k
+      case _ => false
+    }
+  }
+  private val lru = new java.util.LinkedHashMap[MapId, Tracked](
+    16, 0.75f, true /* access order */)
+
+  private def budgetOf(s: SparkSession): Int =
+    scala.util.Try(s.conf.get("graft.memo.maxCachedViews", "64").toInt)
+      .getOrElse(64)
+
+  /** Live tracked cached-view count (spec surface). */
+  def trackedViews: Int = lru.synchronized(lru.size)
+
+  private def track(s: SparkSession, t: Tracked): Unit = lru.synchronized {
+    lru.put(new MapId(t.cache, t.key), t)
+    val max = math.max(1, budgetOf(s))
+    val it = lru.entrySet().iterator()
+    while (lru.size > max && it.hasNext) {
+      val victim = it.next().getValue
+      it.remove()
+      victim.cache.remove(victim.key)
+      if (!victim.key._1.sparkContext.isStopped)
+        victim.dfs().foreach(unpersistAll)
+    }
+  }
+
+  private def untrack(cache: ConcurrentHashMap[(SparkSession, String), _]): Unit =
+    lru.synchronized {
+      val it = lru.entrySet().iterator()
+      while (it.hasNext) if (it.next().getValue.cache eq cache) it.remove()
+    }
+
   def getOrCache(cache: ConcurrentHashMap[(SparkSession, String), DataFrame],
-      s: SparkSession, dir: String, build: String => DataFrame): DataFrame =
-    getOrCacheAny(cache, s, dir, build)
+      s: SparkSession, dir: String, build: String => DataFrame): DataFrame = {
+    val v = getOrCacheAny(cache, s, dir, build)
+    track(s, Tracked(cache, (s, dir), () =>
+      Option(cache.get((s, dir))).toSeq)) // evict what the map holds THEN
+    v
+  }
 
   /** Memo for non-DataFrame values (e.g. BPE's (merge tables, final vocab)
-    * tuple) with the same purge-on-access hygiene as [[getOrCache]]. */
+    * tuple) with the same purge-on-access hygiene as [[getOrCache]].
+    * Driver-side values (paths, models) cost no executor storage, so they
+    * are not subject to the eviction bound. */
   def getOrCacheAny[V](cache: ConcurrentHashMap[(SparkSession, String), V],
       s: SparkSession, dir: String, build: String => V): V = {
     purgeStopped(cache)
@@ -75,6 +135,7 @@ object Memo {
     * value holds so their cached plans and checkpoint blocks are freed. */
   def clearAny[V](cache: ConcurrentHashMap[(SparkSession, String), V])(
       dfs: V => Seq[DataFrame]): Unit = {
+    untrack(cache) // drop LRU entries so stale thunks never fire later
     cache.forEach { (key, v) =>
       if (!key._1.sparkContext.isStopped) dfs(v).foreach(unpersistAll)
     }

@@ -965,7 +965,7 @@ object VersionedTableImpl {
   def vacuum(s: SparkSession, root: String, keepFrom: Int,
       graceMs: Long = 0L): Seq[String] = {
     val fs = fsOf(s, root)
-    val cur = currentVersion(s, root)
+    val cur0 = currentVersion(s, root) // for the in-flight .data rule only
     val vDir = new Path(root, "_versions")
     // conditional-create data dirs (`.data-<destName>-<uuid>`): pending
     // and branch destinations always pin their listed files (same rule as
@@ -973,11 +973,12 @@ object VersionedTableImpl {
     // its version is AHEAD of current (an in-flight publish between the
     // staging rename and the pointer PUT) — committed versions' pins come
     // from the live/tagged scans through the pointer-resolved manifests,
-    // so expired versions' files stay reclaimable in pointer mode.
+    // so expired versions' files stay reclaimable in pointer mode. (Using
+    // the PASS-START current here can only over-pin, never under-pin.)
     def dataDirPinned(n: String): Boolean = {
       val dest = n.stripPrefix(".data-").dropRight(33) // "-" + 32-char uuid
       dest.startsWith(".pending-") || dest.startsWith("b-") ||
-        dest.stripPrefix("v").stripSuffix(".parquet").toIntOption.exists(_ > cur)
+        dest.stripPrefix("v").stripSuffix(".parquet").toIntOption.exists(_ > cur0)
     }
     val inFlight: Seq[String] =
       if (!fs.exists(vDir)) Seq.empty
@@ -995,6 +996,19 @@ object VersionedTableImpl {
           s.read.parquet(p.toString)
             .select(col("file")).collect().map(_.getString(0)).toSeq)
           .getOrElse(Seq.empty)).toSeq
+    // ORDER MATTERS: `cur` for the LIVE range is read only AFTER the
+    // branch/pending pins above are fully materialized. A fastForward
+    // makes OLD branch files (past any grace) newly referenced by a NEW
+    // main version, and its publishBranch drops the branch manifests
+    // right after — with cur read first, a publish landing between the
+    // cur read and the branch scan would leave those files pinned by
+    // NEITHER side and the new main head would be swept mid-publish.
+    // Read this way, either the branch manifests were still listed
+    // (pinned by the scan) or the drop — and therefore the publish —
+    // happened before this point, so the fast-forwarded version is <= cur
+    // and the live range pins it. RefsSpec's maintenance×refs stress
+    // races exactly this.
+    val cur = currentVersion(s, root)
     val tagged: Seq[String] = listTags(s, root).map(_._2).distinct
       .filter(v => v >= 1 && v < keepFrom) // >= keepFrom already live below
       .flatMap(v => filesOf(s, root, v, None))
@@ -1254,7 +1268,15 @@ object VersionedTableImpl {
     * manifest is a copy of manifest v (the data files are immutable and
     * still on disk — that is what vacuum's keepFrom protects), so restore
     * costs one manifest write regardless of table size. Claimed through
-    * the same protocol as any commit. Returns the new version. */
+    * the same protocol as any commit. Returns the new version.
+    *
+    * RETENTION CONTRACT under a concurrent vacuum cadence: the restore
+    * target must lie within the cadence's keepFrom horizon. Restoring an
+    * EXPIRED version races the sweep — a vacuum pass that computed its
+    * live set before this publish would reclaim the very files the
+    * restored manifest references (the same documented hazard as Delta's
+    * concurrent RESTORE + VACUUM). Within the horizon the files are in
+    * the live range on every pass and the race is harmless. */
   def restore(s: SparkSession, root: String, v: Int,
       staleClaimMs: Long = 60000L, maxAttempts: Int = 5): Int = {
     val fs = fsOf(s, root)

@@ -150,20 +150,28 @@ object ShardLog {
 
 /** `spark.readStream.format("shardlog").option("path", dir)` (also batch
   * `spark.read` for full-log backfills — TRIM_HORIZON replay as a batch
-  * job). Registered via META-INF/services as `shardlog`. */
+  * job). `option("client", key)` swaps the recorded-log client for a
+  * registered [[StreamClient]] (the live-Kinesis seam; tests register
+  * [[InMemoryStreamClient]] fakes). Registered via META-INF/services as
+  * `shardlog`. */
 class ShardLogProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "shardlog"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = ShardLog.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new ShardLogTable(Option(opts.get("path")).getOrElse(
-      throw new IllegalArgumentException("shardlog source requires option 'path'")))
+    val factory: StreamClientFactory =
+      Option(opts.get("path")).map(d => FileShardLogClientFactory(d): StreamClientFactory)
+        .orElse(Option(opts.get("client")).map(RegisteredClientFactory(_)))
+        .getOrElse(throw new IllegalArgumentException(
+          "shardlog source requires option 'path' or 'client'"))
+    new ShardLogTable(factory)
   }
 }
 
-class ShardLogTable(dir: String) extends Table with SupportsRead {
-  override def name(): String = s"shardlog($dir)"
+class ShardLogTable(factory: StreamClientFactory) extends Table with SupportsRead {
+  def this(dir: String) = this(FileShardLogClientFactory(dir))
+  override def name(): String = s"shardlog($factory)"
   override def schema(): StructType = ShardLog.schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
@@ -173,15 +181,19 @@ class ShardLogTable(dir: String) extends Table with SupportsRead {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = ShardLog.schema
         override def toBatch: Batch = new Batch {
-          override def planInputPartitions(): Array[InputPartition] =
-            ShardLog.shardCounts(dir).toSeq.sortBy(_._1).collect {
-              case (sh, n) if n > 0 => ShardLogPartition(dir, sh, 0L, n): InputPartition
-            }.toArray
+          override def planInputPartitions(): Array[InputPartition] = {
+            val c = factory.open()
+            c.listShards().map(_.shardId).sorted
+              .map(sh => sh -> c.shardEnd(sh)).collect {
+                case (sh, n) if n > 0 =>
+                  ShardLogPartition(factory, sh, 0L, n): InputPartition
+              }.toArray
+          }
           override def createReaderFactory(): PartitionReaderFactory =
             new ShardLogReaderFactory()
         }
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new ShardLogMicroBatchStream(dir, maxRecordsPerBatch)
+          new ShardLogMicroBatchStream(factory, maxRecordsPerBatch)
       }
     }
   }
@@ -205,9 +217,18 @@ object ShardLogOffset {
   }
 }
 
-class ShardLogMicroBatchStream(dir: String, maxRecordsPerBatch: Option[Long])
+class ShardLogMicroBatchStream(factory: StreamClientFactory,
+    maxRecordsPerBatch: Option[Long])
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
+
+  def this(dir: String, maxRecordsPerBatch: Option[Long]) =
+    this(FileShardLogClientFactory(dir), maxRecordsPerBatch)
+
+  private lazy val client: StreamClient = factory.open()
+
+  private def ends(): Map[String, Long] =
+    client.listShards().map(s => s.shardId -> client.shardEnd(s.shardId)).toMap
 
   // Trigger.AvailableNow: snapshot the log's end positions once, then drain
   // up to exactly that point in (possibly rate-limited) batches — late
@@ -215,7 +236,7 @@ class ShardLogMicroBatchStream(dir: String, maxRecordsPerBatch: Option[Long])
   @volatile private var availableNowTarget: Option[Map[String, Long]] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(ShardLog.shardCounts(dir))
+    availableNowTarget = Some(ends())
 
   override def getDefaultReadLimit: ReadLimit =
     maxRecordsPerBatch.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
@@ -237,16 +258,29 @@ class ShardLogMicroBatchStream(dir: String, maxRecordsPerBatch: Option[Long])
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[ShardLogOffset].counts
-    val target = availableNowTarget.getOrElse(ShardLog.shardCounts(dir))
+    val shardInfo = client.listShards().map(s => s.shardId -> s).toMap
+    val target = availableNowTarget.getOrElse(ends())
+    // KCL SPLIT/MERGE SEQUENCING (ShardSyncer's parents-first rule): a
+    // child shard starts consuming only after EVERY parent is closed and
+    // fully drained as of this batch's START offsets — per-key order
+    // spans the split boundary exactly like the reference's consumer.
+    // A parent absent from the listing (expired past retention) counts
+    // as drained: its data is gone regardless.
+    def parentsDrained(sh: String): Boolean =
+      shardInfo.get(sh).map(_.parentShardIds).getOrElse(Nil).forall { p =>
+        shardInfo.get(p).forall(info =>
+          info.closed && from.getOrElse(p, 0L) >= client.shardEnd(p))
+      }
     var budget = maxRowsOf(limit).getOrElse(Long.MaxValue)
     // deterministic per-shard budget allocation in shard order — parallelism
     // is per batch (one partition per advanced shard), throughput is capped
     // across shards like the KCL polling limits cap the whole worker
     val next = target.toSeq.sortBy(_._1).map { case (sh, end) =>
       val cur = from.getOrElse(sh, 0L)
+      val cap = if (parentsDrained(sh)) end else cur // gated child: no advance
       // clamp BEFORE spending budget: a shrunken file (end < cur) must not
       // refund rows to other shards' admission budget
-      val advance = math.max(0L, math.min(end - cur, budget))
+      val advance = math.max(0L, math.min(cap - cur, budget))
       budget -= advance
       sh -> (cur + advance)
     }.toMap
@@ -256,14 +290,14 @@ class ShardLogMicroBatchStream(dir: String, maxRecordsPerBatch: Option[Long])
     ShardLogOffset(from ++ next.filter { case (sh, n) => n > from.getOrElse(sh, 0L) })
   }
 
-  override def reportLatestOffset(): Offset = ShardLogOffset(ShardLog.shardCounts(dir))
+  override def reportLatestOffset(): Offset = ShardLogOffset(ends())
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ShardLogOffset].counts
     val e = end.asInstanceOf[ShardLogOffset].counts
     e.toSeq.sortBy(_._1).collect {
       case (sh, to) if to > s.getOrElse(sh, 0L) =>
-        ShardLogPartition(dir, sh, s.getOrElse(sh, 0L), to): InputPartition
+        ShardLogPartition(factory, sh, s.getOrElse(sh, 0L), to): InputPartition
     }.toArray
   }
 
@@ -273,47 +307,38 @@ class ShardLogMicroBatchStream(dir: String, maxRecordsPerBatch: Option[Long])
   override def stop(): Unit = ()
 }
 
-/** One shard's [from, to) record range — the unit of executor parallelism. */
-case class ShardLogPartition(dir: String, shard: String, from: Long, to: Long)
-  extends InputPartition
+/** One shard's [from, to) record range — the unit of executor parallelism.
+  * Carries the client RECIPE, never a connection; the reader opens its own
+  * client on the executor. */
+case class ShardLogPartition(factory: StreamClientFactory, shard: String,
+    from: Long, to: Long) extends InputPartition
 
 class ShardLogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ShardLogPartition]
     new PartitionReader[InternalRow] {
-      private val mapper = new ObjectMapper()
-      private val path = new Path(p.dir, s"${p.shard}.jsonl")
-      private val in = new BufferedReader(new InputStreamReader(
-        path.getFileSystem(new Configuration()).open(path), StandardCharsets.UTF_8))
-      private var pos = 0L
+      private val it = p.factory.open().read(p.shard, p.from, p.to)
       private var row: InternalRow = _
-      while (pos < p.from && in.readLine() != null) pos += 1
+      private def utf8(s: String): UTF8String =
+        if (s == null) null else UTF8String.fromString(s)
 
       override def next(): Boolean = {
-        if (pos >= p.to) return false
-        val line = in.readLine()
-        if (line == null) return false // file shrank: stop at what exists
-        pos += 1
-        val node = mapper.readTree(line)
-        def str(field: String): UTF8String = node.get(field) match {
-          case null | _: NullNode => null
-          case n if n.isTextual => UTF8String.fromString(n.asText())
-          case n => UTF8String.fromString(n.toString) // raw JSON for images
-        }
+        if (!it.hasNext) return false
+        val r = it.next()
         row = new GenericInternalRow(Array[Any](
           UTF8String.fromString(p.shard),
-          str("sequenceNumber"),
-          node.get("arrivalTimestamp") match {
-            case null | _: NullNode => null
-            case n => n.asLong()
+          utf8(r.sequenceNumber),
+          r.arrivalTimestamp match {
+            case null => null
+            case l => l.longValue()
           },
-          str("origin"),
-          str("image"),
-          str("oldImage")))
+          utf8(r.origin),
+          utf8(r.image),
+          utf8(r.oldImage)))
         true
       }
       override def get(): InternalRow = row
-      override def close(): Unit = in.close()
+      override def close(): Unit = ()
     }
   }
 }

@@ -41,6 +41,37 @@ class CacheHygieneSpec extends SparkSpec {
     TextOpsImpl.clearCaches()
   }
 
+  test("eviction bound: tracked cached views never exceed the budget; victims rebuild") {
+    val dir = "/root/testdata/sf0.001"
+    def clearAll(): Unit = {
+      DedupOpsImpl.clearCaches(); VectorOpsImpl.clearCaches()
+      TextOpsImpl.clearCaches()
+    }
+    clearAll()
+    spark.conf.set("graft.memo.maxCachedViews", "3")
+    try {
+      // build 7+ distinct cached views — far over the budget of 3
+      DedupOpsImpl.dedupComponents(spark, dir).count()
+      TextOpsImpl.winnowSharedPassages(spark, dir).count()
+      VectorOpsImpl.ivfTopK(spark, dir).count()
+      VectorOpsImpl.pqAdcTopK(spark, dir).count()
+      VectorOpsImpl.kmeansIvfTopK(spark, dir).count()
+      VectorOpsImpl.kmeansIvfPqTopK(spark, dir).count()
+      VectorOpsImpl.embedNearDupComponents(spark, dir).count()
+      assert(Memo.trackedViews <= 3,
+        s"a long-lived session must hold at most budget cached views, " +
+          s"got ${Memo.trackedViews}")
+      // an evicted view rebuilds transparently on the next consumer
+      assert(VectorOpsImpl.ivfTopK(spark, dir).count() > 0)
+      assert(DedupOpsImpl.dedupComponents(spark, dir).count() >= 0)
+      assert(Memo.trackedViews <= 3, "rebuilds must stay within the budget")
+    } finally {
+      spark.conf.set("graft.memo.maxCachedViews", "64")
+      clearAll()
+    }
+    assert(Memo.trackedViews == 0, "clearCaches must untrack every view")
+  }
+
   test("clearCaches releases localCheckpoint blocks, not just cached plans") {
     val dir = "/root/testdata/sf0.001"
     def clearAll(): Unit = {

@@ -205,6 +205,48 @@ class RefsSpec extends SparkSpec {
       "every concurrently committed batch must land; maintenance is layout-only")
   }
 
+  test("optimizeTable racing publishBranch: the fast-forwarded head's old files survive vacuum") {
+    val root = java.nio.file.Files.createTempDirectory("refs_pubrace").toString
+    VersionedTableImpl.commitMerge(spark, root,
+      env((0L until 12L).map(u => (8L * u, u))), NB)
+    var expected: Set[Long] = (0L until 12L).toSet
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      (1 to 4).foreach { cycle =>
+        // stage a branch whose files AGE past the vacuum grace before the
+        // publish: a fast-forward makes OLD files newly referenced by a
+        // NEW main version — exactly what grace cannot protect, so the
+        // pin must come from vacuum's branch-scan/live-range ordering
+        val branch = s"pub$cycle"
+        val keys = (0L until 4L).map(_ + 100L * cycle)
+        VersionedTableImpl.createBranch(spark, root, branch)
+        VersionedTableImpl.commitMergeToBranch(spark, root, branch,
+          env(keys.map(u => (8L * (u + 1000L * cycle), u))), NB)
+        Thread.sleep(700L) // age the branch files past graceMs = 500
+        val publish = pool.submit(new java.util.concurrent.Callable[Either[String, Int]] {
+          def call(): Either[String, Int] =
+            VersionedTableImpl.publishBranch(spark, root, branch, Seq.empty)
+        })
+        val maintain = pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            VersionedTableImpl.optimizeTable(spark, root, NB,
+              maxFiles = 1000, keepVersions = 1, graceMs = 500L)
+            ()
+          }
+        })
+        val pub = publish.get(); maintain.get()
+        assert(pub.isRight, s"cycle $cycle publish must land: $pub")
+        expected ++= keys
+        val cur = VersionedTableImpl.currentVersion(spark, root)
+        val keysNow = VersionedTableImpl.readVersion(spark, root, cur)
+          .select("user_id").as[Long].collect().toSet
+        assert(keysNow == expected,
+          s"cycle $cycle: vacuum swept files of the freshly published head " +
+            s"(missing ${expected -- keysNow})")
+      }
+    } finally pool.shutdown()
+  }
+
   test("optimizeTable: one pass repairs feeds, compacts+GCs, analyzes, vacuums — state invariant") {
     val root = java.nio.file.Files.createTempDirectory("refs_opt").toString
     val fs = new org.apache.hadoop.fs.Path(root)

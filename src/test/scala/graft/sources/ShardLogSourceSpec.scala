@@ -95,6 +95,53 @@ class ShardLogSourceSpec extends SparkSpec {
     }
   }
 
+  test("in-memory GetRecords client: split/merge sequencing drains parents before children") {
+    // lineage: p --split--> (ca, cb) --merge--> m ; every shard pre-filled,
+    // so with a small admission budget the ONLY thing ordering consumption
+    // is the planner's parents-before-children gate (the KCL ShardSyncer
+    // rule the live-Kinesis swap-in must keep)
+    val fake = new InMemoryStreamClient(pageCap = 3) // pages < partition size
+    def recs(shard: String, n: Int, base: Int): Seq[StreamRecord] =
+      (0 until n).map(i => StreamRecord(f"${base + i}%020d",
+        java.lang.Long.valueOf(1700000000000L + base + i), "USER",
+        s"""{"title":"$shard$i","vote_average":1.0,"vote_count":$i}""", null))
+    fake.createShard("p")
+    fake.append("p", recs("p", 6, 0))
+    fake.splitShard("p", "ca", "cb")
+    fake.append("ca", recs("ca", 3, 100))
+    fake.append("cb", recs("cb", 3, 200))
+    fake.mergeShards("ca", "cb", "m")
+    fake.append("m", recs("m", 4, 300))
+    fake.close("m")
+    InMemoryStreamClient.register("split-merge-test", fake)
+
+    val out = Files.createTempDirectory("shardlog-fake-out").toString
+    val q = spark.readStream.format("shardlog")
+      .option("client", "split-merge-test")
+      .option("maxRecordsPerBatch", "4").load()
+      .writeStream
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/data/batch=$id")
+      }.start()
+    assert(q.awaitTermination(120000))
+
+    val all = spark.read.option("basePath", s"$out/data")
+      .parquet(s"$out/data/batch=*")
+      .select("shard", "sequenceNumber", "batch")
+      .as[(String, String, Long)].collect().toSeq
+    // exactly-once, all 16 records, across paginated (pageCap=3) reads
+    assert(all.size == 16 && all.map(_._2).distinct.size == 16,
+      s"paginated fake must deliver every record exactly once: ${all.size}")
+    // sequencing: max parent batch < min child batch, per generation
+    def batchesOf(sh: String): Seq[Long] = all.filter(_._1 == sh).map(_._3)
+    assert(batchesOf("p").max < (batchesOf("ca") ++ batchesOf("cb")).min,
+      "children consumed before the split parent was drained")
+    assert((batchesOf("ca") ++ batchesOf("cb")).max < batchesOf("m").min,
+      "the merge child consumed before both parents were drained")
+  }
+
   test("kill mid-stream and restart: resumes mid-shard from checkpoint, no dups") {
     val dir = Files.createTempDirectory("shardlog-restart").toString
     val out = Files.createTempDirectory("shardlog-restart-out").toString
