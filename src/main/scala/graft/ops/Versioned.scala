@@ -174,6 +174,23 @@ object VersionedTableImpl {
     fs.getScheme == "objstore" ||
       fs.getConf.getBoolean("graft.commit.conditional-create", false)
 
+  /** Opt one TABLE into conditional-create commits (a `_commit_mode`
+    * marker at the root) — the per-table form of the FS-level switch, set
+    * at creation time like the bucket count. A deployment laying tables
+    * on mixed storage (HDFS scratch + S3 curated) flips per root. */
+  def setConditionalCommit(s: SparkSession, root: String): Unit = {
+    val fs = fsOf(s, root)
+    val p = new Path(root, "_commit_mode")
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write("conditional-create".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def conditionalCommitFor(fs: org.apache.hadoop.fs.FileSystem,
+      dest: Path): Boolean =
+    conditionalCommit(fs) || // dest = <root>/_versions/<name>
+      fs.exists(new Path(dest.getParent.getParent, "_commit_mode"))
+
   private[ops] def ptrOf(p: Path): Path =
     new Path(p.getParent, p.getName + ".ptr")
 
@@ -242,7 +259,7 @@ object VersionedTableImpl {
       throw new IllegalStateException(
         s"$what held the claim but $dest already exists — claim invariant " +
           "violated (refusing to overwrite a committed manifest)")
-    if (conditionalCommit(fs)) {
+    if (conditionalCommitFor(fs, dest)) {
       // `tmp` is either a freshly staged manifest dir, or (promoting a
       // WAP/txn pending to visible) an already-committed POINTER whose
       // data dir is immutable and stays where it is.
@@ -1659,7 +1676,7 @@ object VersionedTableImpl {
     roots.clear(); quarterRoots.clear(); evoRoots.clear(); feedRoots.clear()
     restoreRoots.clear(); mergeRoots.clear(); ttlRoots.clear()
     exportRoots.clear(); branchRoots.clear(); gcRoots.clear()
-    txnRoots.clear(); rbRoots.clear()
+    txnRoots.clear(); rbRoots.clear(); ptrRoots.clear()
   }
 
   private[graft] def ensureVersioned(s: SparkSession, dir: String): String =
@@ -2637,7 +2654,45 @@ object VersionedTableImpl {
        |SELECT user_id, last_op, last_seq, event_type, value, k
        |FROM latest WHERE has_new ORDER BY user_id""".stripMargin
 
+  private val ptrRoots = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** q235 fixture: the q182 two-commit split, committed on a root OPTED
+    * INTO conditional-create mode (`setConditionalCommit`) — every
+    * manifest is a create-exclusive pointer + immutable data dir; no
+    * rename ever lands on a visible name, the object-store-safe layout
+    * end-to-end on any filesystem. */
+  private[graft] def ensurePointerTable(s: SparkSession, dir: String): String =
+    Memo.getOrCacheAny(ptrRoots, s, dir, { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft_ptable").toString
+      setConditionalCommit(s, root)
+      val env = CdcSynth.fromEvents(s, dir)
+      val mid = Tables(s, dir, "events")
+        .agg(expr("max(event_id) div 2").as("mid"))
+      val withMid = env.crossJoin(broadcast(mid))
+      val v1 = commitMerge(s, root,
+        withMid.filter(col("event_id") < col("mid")), 8)
+      val v2 = commitMerge(s, root,
+        withMid.filter(col("event_id") >= col("mid")), 8)
+      require(v1 == 1 && v2 == 2, s"two commits expected: $v1, $v2")
+      val fs = fsOf(s, root)
+      require(!fs.exists(visiblePath(root, 2)) &&
+        fs.exists(ptrOf(visiblePath(root, 2))),
+        "pointer mode must be engaged: the commit point is the pointer PUT")
+      root
+    })
+
+  /** q235: the full-log state read through POINTER commits — the
+    * conditional-create layout must be invisible to every reader: same
+    * hash as the rename-mode table and the one-shot oracle replay. */
+  def pointerCommitState(s: SparkSession, dir: String): DataFrame =
+    readVersion(s, ensurePointerTable(s, dir), 2)
+      .select(col("user_id"), col("last_op"), col("last_seq"),
+        col("event_type"), col("value"), col("k"))
+      .orderBy(col("user_id"))
+
   lazy val queries: Seq[Q] = Seq(
+    Q("q235_pointer_commit_state", pointerCommitState, Some(fullReplaySql)),
     Q("q230_branch_fast_forward", branchedState, Some(fullReplaySql)),
     Q("q231_tombstone_gc", gcState, Some(fullReplaySql)),
     Q("q232_cross_table_txn", txnState, Some(q232Sql)),
