@@ -27,7 +27,7 @@ object Memo {
   // for days) must not accumulate every cached view it ever memoized:
   // each is executor storage, and the memo maps hold them strongly. Every
   // DataFrame-holding memo registers here in ACCESS order; past the budget
-  // (`graft.memo.maxCachedViews`, default 64) the least-recently-used
+  // (`graft.memo.maxCachedViews`, default 512) the least-recently-used
   // entry is unpersisted and dropped from its owning map — the next
   // consumer rebuilds it, trading one recompute for bounded memory.
   // Size the budget ABOVE the concurrent working set: evicting a
@@ -51,8 +51,8 @@ object Memo {
     16, 0.75f, true /* access order */)
 
   private def budgetOf(s: SparkSession): Int =
-    scala.util.Try(s.conf.get("graft.memo.maxCachedViews", "64").toInt)
-      .getOrElse(64)
+    scala.util.Try(s.conf.get("graft.memo.maxCachedViews", "512").toInt)
+      .getOrElse(512)
 
   /** Live tracked cached-view count (spec surface). */
   def trackedViews: Int = lru.synchronized(lru.size)

@@ -142,6 +142,41 @@ class ShardLogSourceSpec extends SparkSpec {
       "the merge child consumed before both parents were drained")
   }
 
+  test("resharding MID-stream: children gated batch-by-batch until the parent drains") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val fake = new InMemoryStreamClient(pageCap = 2)
+    def recs(n: Int, base: Int): Seq[StreamRecord] =
+      (0 until n).map(i => StreamRecord(f"${base + i}%020d",
+        java.lang.Long.valueOf(1700000000000L + base + i), "USER",
+        s"""{"title":"x","vote_average":1.0,"vote_count":$i}""", null))
+    fake.createShard("p")
+    fake.append("p", recs(5, 0))
+    InMemoryStreamClient.register("reshard-unit", fake)
+    val stream = new ShardLogMicroBatchStream(
+      RegisteredClientFactory("reshard-unit"), Some(3L))
+    var off = stream.initialOffset().asInstanceOf[ShardLogOffset]
+    def advance(): Map[String, Long] = {
+      off = stream.latestOffset(off, ReadLimit.maxRows(3))
+        .asInstanceOf[ShardLogOffset]
+      off.counts
+    }
+    assert(advance() == Map("p" -> 3L)) // budgeted first batch
+    // split WHILE p still has unread records: children must wait
+    fake.splitShard("p", "c1", "c2")
+    fake.append("c1", recs(2, 100)); fake.append("c2", recs(2, 200))
+    assert(advance() == Map("p" -> 5L),
+      "a batch planned while the parent is undrained must not touch children")
+    assert(advance() == Map("p" -> 5L, "c1" -> 2L, "c2" -> 1L),
+      "once the parent drained at batch start, children consume under the budget")
+    assert(advance() == Map("p" -> 5L, "c1" -> 2L, "c2" -> 2L))
+    // merge the drained children; the merge child consumes immediately
+    fake.mergeShards("c1", "c2", "m")
+    fake.append("m", recs(2, 300))
+    assert(advance() == Map("p" -> 5L, "c1" -> 2L, "c2" -> 2L, "m" -> 2L))
+    // caught up: the offset must be EQUAL so the engine sees no new data
+    assert(advance() == off.counts)
+  }
+
   test("kill mid-stream and restart: resumes mid-shard from checkpoint, no dups") {
     val dir = Files.createTempDirectory("shardlog-restart").toString
     val out = Files.createTempDirectory("shardlog-restart-out").toString

@@ -178,6 +178,47 @@ class StreamLakehouseSpec extends SparkSpec {
     assert(feed.filter(col("change_op") === "UPDATE").count() > 0)
   }
 
+  test("versioned sink over a conditional-create table: stream == replay under pointer commits") {
+    import graft.ops.VersionedTableImpl
+    val all = events(0 until 120)
+    val batches = Seq(all.slice(0, 60), all.slice(60, 120))
+    val root = Files.createTempDirectory("graft_slake_ptr").toString
+    val ckptDir = Files.createTempDirectory("graft_slake_ptr_ckpt").toString
+    VersionedTableImpl.setConditionalCommit(spark, root) // object-store layout
+
+    def drain(input: MemoryStream[LkEvent]): Unit =
+      LakehouseSink.versionedSink(CdcSynth.envelope(input.toDF()),
+        root, ckptDir, NB).awaitTermination()
+
+    val input = MemoryStream[LkEvent](spark)
+    input.addData(batches(0): _*)
+    drain(input)
+    input.addData(batches(1): _*)
+    drain(input) // restart from checkpoint
+    val vEnd = VersionedTableImpl.currentVersion(spark, root)
+    assert(vEnd >= 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("last_op"), col("last_seq"),
+        col("event_type"), col("value"), col("k"))
+        .as[(Long, String, String, String, Double, Long)].collect().toSeq.sorted
+    assert(rows(VersionedTableImpl.readVersion(spark, root, vEnd)) == expected(all),
+      "pointer-mode streamed commits must equal the one-shot replay")
+    assert(rows(VersionedTableImpl.readVersion(spark, root, 1)) ==
+      expected(batches(0)), "pointer-mode history stays immutable")
+    // every commit point really was a pointer PUT: no visible manifest DIRS
+    val vdir = new java.io.File(s"$root/_versions")
+    val names = vdir.listFiles().map(_.getName).toSeq
+    assert(names.count(_.endsWith(".parquet.ptr")) == vEnd,
+      s"one pointer per version expected: $names")
+    assert(!names.exists(n => n.matches("v\\d+\\.parquet")),
+      s"no rename-mode manifest dir may exist: $names")
+    // the feed machinery reads through pointers too
+    assert(VersionedTableImpl.changeFeed(spark, root, 1, vEnd).count() > 0)
+    // idle drain appends nothing (markers + pointer layout compose)
+    drain(input)
+    assert(VersionedTableImpl.currentVersion(spark, root) == vEnd)
+  }
+
   test("MOR sink: delta-only epochs converge, history survives restart, compaction bounds files") {
     import graft.ops.MorTableImpl
     val all = events(0 until 170)
