@@ -984,18 +984,29 @@ object VersionedTableImpl {
     val fs = fsOf(s, root)
     val cur0 = currentVersion(s, root) // for the in-flight .data rule only
     val vDir = new Path(root, "_versions")
-    // conditional-create data dirs (`.data-<destName>-<uuid>`): pending
-    // and branch destinations always pin their listed files (same rule as
-    // their rename-mode dirs below); a MAIN destination pins only while
-    // its version is AHEAD of current (an in-flight publish between the
-    // staging rename and the pointer PUT) — committed versions' pins come
-    // from the live/tagged scans through the pointer-resolved manifests,
-    // so expired versions' files stay reclaimable in pointer mode. (Using
-    // the PASS-START current here can only over-pin, never under-pin.)
+    // conditional-create data dirs (`.data-<destName>-<uuid>`): branch
+    // destinations always pin their listed files (same rule as their
+    // rename-mode dirs below; dropBranch deletes them); a PENDING
+    // destination pins only while its pending POINTER still exists (a
+    // staged txn/WAP mid-flight) — after the promote the SAME data dir
+    // serves the visible version and must follow the main rule, or every
+    // txn/WAP-published version's files would be vacuum-immune forever
+    // (a retention leak found by round-11's own audit); a MAIN-versioned
+    // destination pins only while AHEAD of current (an in-flight publish
+    // between the staging rename and the pointer PUT) — committed
+    // versions' pins come from the live/tagged scans through the
+    // pointer-resolved manifests, so expired versions' files stay
+    // reclaimable in pointer mode. (Using the PASS-START current here
+    // can only over-pin, never under-pin.)
     def dataDirPinned(n: String): Boolean = {
       val dest = n.stripPrefix(".data-").dropRight(33) // "-" + 32-char uuid
-      dest.startsWith(".pending-") || dest.startsWith("b-") ||
-        dest.stripPrefix("v").stripSuffix(".parquet").toIntOption.exists(_ > cur0)
+      if (dest.startsWith("b-")) true
+      else {
+        val stillPending = dest.startsWith(".pending-") &&
+          fs.exists(new Path(vDir, dest + ".ptr"))
+        stillPending || dest.stripPrefix(".pending-").stripPrefix("v")
+          .stripSuffix(".parquet").toIntOption.exists(_ > cur0)
+      }
     }
     val inFlight: Seq[String] =
       if (!fs.exists(vDir)) Seq.empty

@@ -117,7 +117,7 @@ object Indexes {
     IndexBuild("lake_mor_table", (s, d) =>
       { ops.MorTableImpl.ensureMor(s, d); () }),
     IndexBuild("lake_ivm_pair", (s, d) =>
-      { ops.JoinIvmImpl.ensureTables(s, d); () }))
+      f(ops.JoinIvmImpl.ensureJ1(s, d)))) // forces the table pair + feeds + J1
 }
 
 /** Aggregates every module's query list into the driver contract. */

@@ -170,16 +170,18 @@ class ObjectStoreCommitSpec extends SparkSpec {
 
   test("vacuum in pointer mode reclaims expired files, keeps live + in-flight ones") {
     val root = objRoot("vac")
-    // v1: 16 users; v2: update ALL of them (every bucket rewritten, so
-    // v1's data files are unique to v1)
-    VersionedTableImpl.commitMerge(spark, root,
-      env((0L until 16L).map(u => (8L * u, u))), NB)
+    // v1 arrives through WAP (its data dir keeps the `.pending-` name
+    // after the promote — the round-11 audit's retention-leak path);
+    // v2: update ALL keys (every bucket rewritten, v1's files unique)
+    val v1 = VersionedTableImpl.commitMergeAudited(spark, root,
+      env((0L until 16L).map(u => (8L * u, u))), NB)(_ => None)
+    assert(v1 == Right(1))
     VersionedTableImpl.commitMerge(spark, root,
       env((0L until 16L).map(u => (8L * (u + 100), u))), NB)
     val s2 = users(VersionedTableImpl.readVersion(spark, root, 2))
     val swept = VersionedTableImpl.vacuum(spark, root, keepFrom = 2)
-    assert(swept.nonEmpty, "v1's superseded files must be reclaimable " +
-      "in pointer mode (committed .data manifests must not pin them)")
+    assert(swept.nonEmpty, "the expired WAP-published version's files must " +
+      "be reclaimable (a promoted .pending data dir must not pin forever)")
     assert(users(VersionedTableImpl.readVersion(spark, root, 2)) == s2,
       "vacuum must not touch the live version")
   }
