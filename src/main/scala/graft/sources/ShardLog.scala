@@ -338,7 +338,7 @@ class ShardLogReaderFactory extends PartitionReaderFactory {
         true
       }
       override def get(): InternalRow = row
-      override def close(): Unit = ()
+      override def close(): Unit = it.close() // LIMIT stops before exhaustion
     }
   }
 }

@@ -34,11 +34,14 @@ trait StreamClient {
   def getRecords(shard: String, from: Long, limit: Int): GetRecordsResult
 
   /** Drain `[from, to)` of one shard — the partition-reader loop. The
-    * default paginates through [[getRecords]] exactly like a live consumer;
-    * clients with a cheaper sequential form (the recorded log) override. */
-  def read(shard: String, from: Long, to: Long): Iterator[StreamRecord] = {
+    * default paginates through [[getRecords]] exactly like a live consumer
+    * (no held resource — close is a no-op); clients with a cheaper
+    * sequential form (the recorded log holds an open file) override and
+    * MUST release their resource in `close()`: Spark closes the partition
+    * reader without exhausting it when a LIMIT is satisfied early. */
+  def read(shard: String, from: Long, to: Long): RecordIterator = {
     val end = to // `to` would be shadowed by Iterator.to inside the class
-    new Iterator[StreamRecord] {
+    new RecordIterator {
       private var pos = from
       private var page: Iterator[StreamRecord] = Iterator.empty
       override def hasNext: Boolean = {
@@ -51,9 +54,14 @@ trait StreamClient {
         page.hasNext
       }
       override def next(): StreamRecord = page.next()
+      override def close(): Unit = ()
     }
   }
 }
+
+/** A record iterator that may own a resource (open log file, network
+  * connection); consumers close it on early termination. */
+trait RecordIterator extends Iterator[StreamRecord] with java.io.Closeable
 
 /** Shard descriptor: `parentShardIds` convey split/merge lineage (a split
   * parent has two children; a merge child has two parents), `closed` means
@@ -119,17 +127,22 @@ class FileShardLogClient(dir: String) extends StreamClient {
     GetRecordsResult(recs, from + recs.size)
   }
 
-  override def read(shard: String, from: Long, to: Long): Iterator[StreamRecord] = {
+  override def read(shard: String, from: Long, to: Long): RecordIterator = {
     val path = new Path(dir, s"$shard.jsonl")
     val fs = path.getFileSystem(new Configuration())
-    if (!fs.exists(path)) return Iterator.empty
+    if (!fs.exists(path))
+      return new RecordIterator {
+        override def hasNext: Boolean = false
+        override def next(): StreamRecord = Iterator.empty.next()
+        override def close(): Unit = ()
+      }
     val in = new BufferedReader(new InputStreamReader(
       fs.open(path), StandardCharsets.UTF_8))
     val mapper = new ObjectMapper()
     val end = to // `to` would be shadowed by Iterator.to inside the class
     var pos = 0L
     while (pos < from && in.readLine() != null) pos += 1
-    new Iterator[StreamRecord] {
+    new RecordIterator {
       private var line: String = if (pos < end) in.readLine() else null
       override def hasNext: Boolean = {
         val h = line != null && pos < end
@@ -142,6 +155,7 @@ class FileShardLogClient(dir: String) extends StreamClient {
         line = if (pos < end) in.readLine() else null
         r
       }
+      override def close(): Unit = in.close() // early termination (LIMIT)
     }
   }
 }
