@@ -1241,6 +1241,41 @@ object VersionedTableImpl {
     Some(newV)
   }
 
+  /** GROWTH POLICY: rebucket when the CURRENT version's live payload has
+    * outgrown its bucket count — the automated form of the growth escape
+    * hatch, sized from metadata alone. The mean live bucket exceeds
+    * `targetBucketBytes` ⇒ re-lay over the next power of two that brings
+    * it back under target. Driver cost: one manifest collect + one
+    * file-status pass over the live files (the same metadata class as
+    * vacuum's diff — O(files), no data read). Returns the committed
+    * version, or None when the layout is still healthy or the claim was
+    * lost (the next cadence retries). At 100 TB this is what keeps hot
+    * buckets under executor memory and commit parallelism growing with
+    * the table, without an operator watching a dashboard. */
+  def autoRebucket(s: SparkSession, root: String, targetBucketBytes: Long,
+      staleClaimMs: Long = 60000L): Option[Int] = {
+    require(targetBucketBytes > 0, "targetBucketBytes must be positive")
+    val v = currentVersion(s, root)
+    if (v == 0) return None
+    val fs = fsOf(s, root)
+    val files = filesOf(s, root, v, None) // metadata: live file list
+    val totalBytes = files.map(f =>
+      scala.util.Try(fs.getFileStatus(new Path(f)).getLen).getOrElse(0L)).sum
+    val nb = tableBuckets(s, root, 1)
+    if (nb <= 0 || totalBytes / math.max(1, nb) <= targetBucketBytes)
+      return None // healthy layout
+    val want = math.max(1L, (totalBytes + targetBucketBytes - 1) / targetBucketBytes)
+    var newBuckets = 1
+    while (newBuckets < want && newBuckets < (1 << 20)) newBuckets <<= 1
+    // STEP, don't jump: at most 8x per pass. A misconfigured (tiny) target
+    // against a big table would otherwise explode the layout into
+    // millions of near-empty files in one rewrite; stepping lets per-file
+    // overhead feed back into the next pass's byte measurement.
+    newBuckets = math.min(newBuckets, nb * 8)
+    if (newBuckets <= nb) return None
+    rebucket(s, root, newBuckets, staleClaimMs)
+  }
+
   /** OPTIMIZE: the composite maintenance pass every table format exposes
     * as one verb (Delta's OPTIMIZE + VACUUM, Iceberg's rewrite_data_files
     * + expire_snapshots) — in dependency order:
@@ -1271,20 +1306,26 @@ object VersionedTableImpl {
       maxFiles: Int = 4, keepVersions: Int = 10,
       sortCols: Seq[String] = Nil,
       purgeTombstonesBelow: Option[String] = None,
-      graceMs: Long = 30L * 60 * 1000): DataFrame = {
+      graceMs: Long = 30L * 60 * 1000,
+      rebucketOverBytes: Option[Long] = None): DataFrame = {
     val repaired = repairFeedsIncremental(s, root, nBuckets)
     val compacted = compactVersion(s, root, maxFiles, nBuckets,
       sortCols = sortCols, purgeTombstonesBelow = purgeTombstonesBelow)
     compacted.foreach(v => emitEmptyFeed(s, root, v)) // state-identical
+    // growth check AFTER compaction (the compacted footprint is the real
+    // payload; pre-compaction bytes include superseded churn)
+    val regrown = rebucketOverBytes.flatMap(t => autoRebucket(s, root, t))
+    regrown.foreach(v => emitEmptyFeed(s, root, v)) // state-identical
     val cur = currentVersion(s, root)
     if (cur >= 1) analyze(s, root, cur)
     val keepFrom = math.max(1, cur - keepVersions + 1)
     val swept = vacuum(s, root, keepFrom, graceMs)
     import s.implicits._
     Seq((repaired.size.toLong, compacted.map(_.toLong),
+      regrown.map(_.toLong),
       cur.toLong, keepFrom.toLong, swept.size.toLong))
-      .toDF("feeds_repaired", "compacted_version", "current_version",
-        "vacuum_keep_from", "files_reclaimed")
+      .toDF("feeds_repaired", "compacted_version", "rebucketed_version",
+        "current_version", "vacuum_keep_from", "files_reclaimed")
   }
 
   /** RESTORE: commit a NEW version whose state is exactly version `v` —
@@ -1687,7 +1728,7 @@ object VersionedTableImpl {
     roots.clear(); quarterRoots.clear(); evoRoots.clear(); feedRoots.clear()
     restoreRoots.clear(); mergeRoots.clear(); ttlRoots.clear()
     exportRoots.clear(); branchRoots.clear(); gcRoots.clear()
-    txnRoots.clear(); rbRoots.clear(); ptrRoots.clear()
+    txnRoots.clear(); rbRoots.clear(); ptrRoots.clear(); arbRoots.clear()
   }
 
   private[graft] def ensureVersioned(s: SparkSession, dir: String): String =
@@ -2651,6 +2692,37 @@ object VersionedTableImpl {
       .orderBy(col("user_id"))
   }
 
+  private val arbRoots = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** q236: the GROWTH POLICY under the gate — commit the full log at 2
+    * buckets (deliberately undersized), then one `optimizeTable` pass
+    * with a byte target anchored to the table's own measured payload
+    * (total/6 ⇒ the mean 2-bucket payload is 3x over target at ANY scale
+    * factor): the auto-rebucket must fire, grow the bucket count, and be
+    * INVISIBLE to readers — the state hash-matches the full-log replay. */
+  def autoRebucketedState(s: SparkSession, dir: String): DataFrame = {
+    val root = Memo.getOrCacheAny(arbRoots, s, dir, { _ =>
+      val r = java.nio.file.Files.createTempDirectory("graft_vtable_arb").toString
+      val env = CdcSynth.fromEvents(s, dir)
+      commitMerge(s, r, env, 2) // undersized creation-time layout
+      val fsr = fsOf(s, r)
+      val total = filesOf(s, r, currentVersion(s, r), None)
+        .map(f => fsr.getFileStatus(new Path(f)).getLen).sum
+      val report = optimizeTable(s, r, 2, maxFiles = 1000,
+        rebucketOverBytes = Some(math.max(1L, total / 6)),
+        graceMs = 0L).collect().head
+      require(!report.isNullAt(2), s"growth rebucket must fire: $report")
+      val grown = tableBuckets(s, r, 0)
+      require(grown > 2, s"bucket count must grow: $grown")
+      r
+    })
+    readVersion(s, root, currentVersion(s, root))
+      .select(col("user_id"), col("last_op"), col("last_seq"),
+        col("event_type"), col("value"), col("k"))
+      .orderBy(col("user_id"))
+  }
+
   /** Shared oracle text for q230/q231: the one-shot full-log replay. */
   private lazy val fullReplaySql: String =
     s"""WITH ${CdcSynth.synthSql},
@@ -2708,6 +2780,7 @@ object VersionedTableImpl {
     Q("q231_tombstone_gc", gcState, Some(fullReplaySql)),
     Q("q232_cross_table_txn", txnState, Some(q232Sql)),
     Q("q233_rebucket", rebucketedState, Some(fullReplaySql)),
+    Q("q236_auto_rebucket", autoRebucketedState, Some(fullReplaySql)),
     Q("q182_time_travel", timeTravel, Some(q182Sql)),
     Q("q183_change_feed", versionDiff, Some(q183Sql)),
     Q("q186_maintained_index", maintainedTypeIndex, Some(q186Sql)),

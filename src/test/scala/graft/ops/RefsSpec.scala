@@ -273,7 +273,8 @@ class RefsSpec extends SparkSpec {
     assert(report.getLong(0) == 3, s"all three missing feeds repaired: $report")
     assert(!report.isNullAt(1) && report.getLong(1) == 4L,
       s"fragmented buckets compacted as v4: $report")
-    assert(report.getLong(4) > 0, s"expired versions' files reclaimed: $report")
+    assert(report.getLong(5) > 0, s"expired versions' files reclaimed: $report")
+    assert(report.isNullAt(2), s"no growth rebucket was requested: $report")
 
     // state invariant, tombstones purged, stats artifact present
     val cur = VersionedTableImpl.currentVersion(spark, root)
@@ -292,6 +293,42 @@ class RefsSpec extends SparkSpec {
     assert(again.getLong(0) == 0 && again.isNullAt(1),
       s"a second optimize is a no-op: $again")
     assert(VersionedTableImpl.currentVersion(spark, root) == cur)
+  }
+
+  test("autoRebucket: fires only when outgrown, steps are capped, stale writers stay correct") {
+    def liveBytes(root: String): Long = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$root/data"))
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    val root = java.nio.file.Files.createTempDirectory("refs_arb").toString
+    VersionedTableImpl.commitMerge(spark, root,
+      env((0L until 40L).map(u => (8L * u, u))), nBuckets = 2)
+    val before = users(VersionedTableImpl.readVersion(spark, root, 1))
+    val total = liveBytes(root)
+    // healthy layout: a target at/above the mean never fires
+    assert(VersionedTableImpl.autoRebucket(spark, root, total).isEmpty)
+    assert(VersionedTableImpl.currentVersion(spark, root) == 1)
+    // outgrown: total/6 means each of the 2 buckets is 3x over target —
+    // fires and grows to the next power of two covering the payload
+    val v = VersionedTableImpl.autoRebucket(spark, root, math.max(1L, total / 6))
+    assert(v.contains(2), s"growth pass must commit: $v")
+    assert(VersionedTableImpl.tableBuckets(spark, root, 0) == 8)
+    assert(users(VersionedTableImpl.readVersion(spark, root, 2)) == before,
+      "a growth rebucket must be invisible to readers")
+    // a writer still passing the creation-time count stays correct
+    VersionedTableImpl.commitMerge(spark, root,
+      env(Seq((8L * 900, 80L))), nBuckets = 2)
+    val s3 = users(VersionedTableImpl.readVersion(spark, root, 3))
+    assert(s3.contains(80L) && (s3 - 80L) == before)
+    // misconfigured (1-byte) target: the step cap bounds one pass at 8x
+    val root2 = java.nio.file.Files.createTempDirectory("refs_arb2").toString
+    VersionedTableImpl.commitMerge(spark, root2,
+      env((0L until 8L).map(u => (8L * u, u))), nBuckets = 2)
+    assert(VersionedTableImpl.autoRebucket(spark, root2, 1L).contains(2))
+    assert(VersionedTableImpl.tableBuckets(spark, root2, 0) == 16,
+      "one growth pass is capped at 8x the current count")
   }
 
   test("rebucket: layout-only commit, stale-parameter writers stay correct, history intact") {
