@@ -227,8 +227,7 @@ class ShardLogMicroBatchStream(factory: StreamClientFactory,
 
   private lazy val client: StreamClient = factory.open()
 
-  private def ends(): Map[String, Long] =
-    client.listShards().map(s => s.shardId -> client.shardEnd(s.shardId)).toMap
+  private def ends(): Map[String, Long] = client.shardEnds()
 
   // Trigger.AvailableNow: snapshot the log's end positions once, then drain
   // up to exactly that point in (possibly rate-limited) batches — late
@@ -259,17 +258,20 @@ class ShardLogMicroBatchStream(factory: StreamClientFactory,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[ShardLogOffset].counts
     val shardInfo = client.listShards().map(s => s.shardId -> s).toMap
-    val target = availableNowTarget.getOrElse(ends())
+    val endsNow = ends() // ONE bulk snapshot serves target + parent gating
+    val target = availableNowTarget.getOrElse(endsNow)
     // KCL SPLIT/MERGE SEQUENCING (ShardSyncer's parents-first rule): a
     // child shard starts consuming only after EVERY parent is closed and
     // fully drained as of this batch's START offsets — per-key order
     // spans the split boundary exactly like the reference's consumer.
     // A parent absent from the listing (expired past retention) counts
-    // as drained: its data is gone regardless.
+    // as drained: its data is gone regardless. (A closed parent's end is
+    // frozen, so the current snapshot is exact for gating even when the
+    // AvailableNow target is an older pin.)
     def parentsDrained(sh: String): Boolean =
       shardInfo.get(sh).map(_.parentShardIds).getOrElse(Nil).forall { p =>
         shardInfo.get(p).forall(info =>
-          info.closed && from.getOrElse(p, 0L) >= client.shardEnd(p))
+          info.closed && from.getOrElse(p, 0L) >= endsNow.getOrElse(p, 0L))
       }
     var budget = maxRowsOf(limit).getOrElse(Long.MaxValue)
     // deterministic per-shard budget allocation in shard order — parallelism

@@ -28,6 +28,14 @@ trait StreamClient {
   /** Records currently available in the shard (latest-sequence probe). */
   def shardEnd(shard: String): Long
 
+  /** End positions of EVERY shard in one call — the per-batch snapshot
+    * the planner takes. Default composes the per-shard probe; clients
+    * with a cheaper bulk form (the recorded log counts every file in one
+    * directory pass) override, or each micro-batch pays
+    * O(shards x probe). */
+  def shardEnds(): Map[String, Long] =
+    listShards().map(s => s.shardId -> shardEnd(s.shardId)).toMap
+
   /** One GetRecords page: up to `limit` records of `shard` starting at
     * 0-based position `from`. A client may return FEWER than `limit`
     * (Kinesis pages are size/byte-bounded) — callers must paginate. */
@@ -121,6 +129,8 @@ class FileShardLogClient(dir: String) extends StreamClient {
 
   override def shardEnd(shard: String): Long =
     ShardLog.shardCounts(dir).getOrElse(shard, 0L)
+
+  override def shardEnds(): Map[String, Long] = ShardLog.shardCounts(dir)
 
   override def getRecords(shard: String, from: Long, limit: Int): GetRecordsResult = {
     val recs = read(shard, from, from + limit).toVector
