@@ -64,9 +64,14 @@ object Memo {
     while (lru.size > max && it.hasNext) {
       val victim = it.next().getValue
       it.remove()
+      // capture the frames BEFORE dropping the map entry: the dfs thunk
+      // reads the owning map, so remove-then-capture would resolve to
+      // nothing and the eviction would free zero executor storage (the
+      // round-11 review's finding — the bound would be bookkeeping only)
+      val frames =
+        if (victim.key._1.sparkContext.isStopped) Nil else victim.dfs()
       victim.cache.remove(victim.key)
-      if (!victim.key._1.sparkContext.isStopped)
-        victim.dfs().foreach(unpersistAll)
+      frames.foreach(unpersistAll)
     }
   }
 

@@ -54,15 +54,18 @@ object MorTableImpl {
     currentVersion, manifestCommitted, manifestDataPath}
 
   private def manifestMor(s: SparkSession, root: String, v: Int): DataFrame =
-    (if (v == 0) None else manifestDataPath(fsOf(s, root), visiblePath(root, v)))
-      match {
-        case Some(p) => s.read.parquet(p.toString)
-        case None =>
-          s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(Seq(
-            StructField("bucket", LongType), StructField("file", StringType),
-            StructField("kind", StringType),
-            StructField("min_key", LongType), StructField("max_key", LongType))))
-      }
+    if (v == 0)
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField("bucket", LongType), StructField("file", StringType),
+        StructField("kind", StringType),
+        StructField("min_key", LongType), StructField("max_key", LongType))))
+    else manifestDataPath(fsOf(s, root), visiblePath(root, v)) match {
+      case Some(p) => s.read.parquet(p.toString)
+      case None => // fail LOUDLY: a missing manifest for a committed-range
+        // version is corruption or a bad argument, never an empty table
+        throw new IllegalStateException(
+          s"MOR manifest for v$v not found under $root/_versions")
+    }
 
   /** ZONE MAPS: per-file [min_key, max_key] over the staged files, one
     * narrow column scan before the move (a real deployment lifts these

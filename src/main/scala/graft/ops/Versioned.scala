@@ -167,8 +167,19 @@ object VersionedTableImpl {
   // its KCL lease table (KCLScheduler.java:105). The manifest DATA is
   // fully written before the pointer exists and never moves afterwards,
   // so readers see either nothing or the complete manifest — never a
-  // partial copy. Selected per-FileSystem: the `objstore` test scheme, or
-  // `graft.commit.conditional-create = true` in the Hadoop conf.
+  // partial copy. Selected per-FileSystem (`objstore` scheme /
+  // `graft.commit.conditional-create` conf) or per-table
+  // ([[setConditionalCommit]]'s `_commit_mode` marker).
+  //
+  // ATOMICITY CAVEAT of the Hadoop emulation: a real conditional PUT is
+  // atomic WITH ITS BODY — the pointer object appears complete or not at
+  // all (the objstore test shim emulates exactly that). The
+  // create-write-close sequence below, run against a plain POSIX/HDFS
+  // FileSystem (the per-table marker on local storage), exposes a
+  // microseconds-wide window where the pointer exists empty; rename mode
+  // is the correct choice on those filesystems — the marker mode exists
+  // to exercise and test the pointer layout, and a production deployment
+  // maps the commit PUT to the store SDK's conditional write.
 
   private[ops] def conditionalCommit(fs: org.apache.hadoop.fs.FileSystem): Boolean =
     fs.getScheme == "objstore" ||
@@ -227,12 +238,17 @@ object VersionedTableImpl {
       p: Path): Path = if (fs.exists(p)) p else ptrOf(p)
 
   /** Remove a committed-or-staged manifest entirely (dir form, or pointer
-    * + data-dir form) — the abort/reject path. */
+    * + data-dir form) — the abort/reject path. The POINTER goes first: a
+    * concurrent [[manifestDataPath]] then resolves to a clean "absent"
+    * instead of a dangling path (data-first would leave a window where
+    * the pointer names a deleted dir and readers crash rather than
+    * seeing not-committed). */
   private[ops] def deleteManifest(fs: org.apache.hadoop.fs.FileSystem,
       p: Path): Unit = {
-    manifestDataPath(fs, p).foreach(d => fs.delete(d, true))
+    val data = manifestDataPath(fs, p)
     fs.delete(ptrOf(p), false)
-    fs.delete(p, true) // no-op in pointer mode (data dir already gone)
+    data.filterNot(_ == p).foreach(d => fs.delete(d, true))
+    fs.delete(p, true)
   }
 
   /** Checked publish: the single commit point — an atomic rename, or in
@@ -1427,20 +1443,28 @@ object VersionedTableImpl {
     fsOf(s, root).delete(tagPath(root, name), false)
 
   /** All (name, version) tags of the table. Metadata: one dir listing.
-    * Per-ref reads are TRY-guarded: a tag dropped (or half-created)
-    * between the listing and the read must not abort the caller —
-    * [[vacuum]] runs this on every maintenance cadence, and a benign
-    * racing [[dropTag]] crashing the whole pass would starve maintenance
-    * (round-10 advisory). A skipped half-written tag's files are
-    * protected by vacuum's graceMs anyway. */
+    * Per-ref reads skip exactly TWO benign cases — a ref deleted between
+    * the listing and the read (racing [[dropTag]]) and an unparsable
+    * half-written ref — so a maintenance cadence never aborts on them
+    * (round-10 advisory); a skipped half-written tag's files are
+    * protected by vacuum's graceMs anyway. Any OTHER IO failure
+    * PROPAGATES: [[vacuum]] builds its tag pin set from this list, and
+    * swallowing a transient store error here would silently omit a tag
+    * and let the pass delete a tagged version's (old, past-grace) files —
+    * fail the pass loudly instead; the next cadence retries. */
   def listTags(s: SparkSession, root: String): Seq[(String, Int)] = {
     val fs = fsOf(s, root)
     val dir = new Path(root, "_refs")
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).map(_.getPath)
       .filter(_.getName.startsWith("tag-"))
-      .flatMap(p => scala.util.Try(
-        p.getName.stripPrefix("tag-") -> readRef(fs, p)).toOption)
+      .flatMap { p =>
+        try Some(p.getName.stripPrefix("tag-") -> readRef(fs, p))
+        catch {
+          case _: java.io.FileNotFoundException => None // racing dropTag
+          case _: NumberFormatException => None // half-written ref
+        }
+      }
       .toSeq.sortBy(_._1)
   }
 

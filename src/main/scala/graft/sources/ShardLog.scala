@@ -181,14 +181,11 @@ class ShardLogTable(factory: StreamClientFactory) extends Table with SupportsRea
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = ShardLog.schema
         override def toBatch: Batch = new Batch {
-          override def planInputPartitions(): Array[InputPartition] = {
-            val c = factory.open()
-            c.listShards().map(_.shardId).sorted
-              .map(sh => sh -> c.shardEnd(sh)).collect {
-                case (sh, n) if n > 0 =>
-                  ShardLogPartition(factory, sh, 0L, n): InputPartition
-              }.toArray
-          }
+          override def planInputPartitions(): Array[InputPartition] =
+            factory.open().shardEnds().toSeq.sortBy(_._1).collect {
+              case (sh, n) if n > 0 =>
+                ShardLogPartition(factory, sh, 0L, n): InputPartition
+            }.toArray
           override def createReaderFactory(): PartitionReaderFactory =
             new ShardLogReaderFactory()
         }
@@ -257,8 +254,10 @@ class ShardLogMicroBatchStream(factory: StreamClientFactory,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[ShardLogOffset].counts
-    val shardInfo = client.listShards().map(s => s.shardId -> s).toMap
-    val endsNow = ends() // ONE bulk snapshot serves target + parent gating
+    // ONE client snapshot per planning call serves lineage, the drain
+    // target and the parent gating (the recorded log pays one dir pass)
+    val (shardList, endsNow) = client.shardSnapshot()
+    val shardInfo = shardList.map(s => s.shardId -> s).toMap
     val target = availableNowTarget.getOrElse(endsNow)
     // KCL SPLIT/MERGE SEQUENCING (ShardSyncer's parents-first rule): a
     // child shard starts consuming only after EVERY parent is closed and

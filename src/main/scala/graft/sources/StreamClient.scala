@@ -36,6 +36,12 @@ trait StreamClient {
   def shardEnds(): Map[String, Long] =
     listShards().map(s => s.shardId -> shardEnd(s.shardId)).toMap
 
+  /** Lineage AND end positions in one call — what [[latestOffset]] needs
+    * per micro-batch. Clients whose listing and end probe share one
+    * underlying pass (the recorded log) override to pay it once. */
+  def shardSnapshot(): (Seq[ShardInfo], Map[String, Long]) =
+    (listShards(), shardEnds())
+
   /** One GetRecords page: up to `limit` records of `shard` starting at
     * 0-based position `from`. A client may return FEWER than `limit`
     * (Kinesis pages are size/byte-bounded) — callers must paginate. */
@@ -131,6 +137,11 @@ class FileShardLogClient(dir: String) extends StreamClient {
     ShardLog.shardCounts(dir).getOrElse(shard, 0L)
 
   override def shardEnds(): Map[String, Long] = ShardLog.shardCounts(dir)
+
+  override def shardSnapshot(): (Seq[ShardInfo], Map[String, Long]) = {
+    val counts = ShardLog.shardCounts(dir) // ONE directory pass for both
+    (counts.keys.toSeq.sorted.map(ShardInfo(_)), counts)
+  }
 
   override def getRecords(shard: String, from: Long, limit: Int): GetRecordsResult = {
     val recs = read(shard, from, from + limit).toVector

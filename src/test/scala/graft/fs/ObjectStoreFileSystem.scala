@@ -42,27 +42,65 @@ class ObjectStoreFileSystem extends RawLocalFileSystem {
     * scheme): conditional PUTs serialize, everything else doesn't. */
   private val putLock = new Object
 
-  private def exclusiveCreate(f: Path)(mk: => FSDataOutputStream): FSDataOutputStream =
+  /** Conditional PUT, atomic WITH CONTENT: a real store's
+    * `If-None-Match` PUT uploads the whole body and the object appears
+    * complete or not at all — there is no instant where an empty or
+    * half-written object is visible under the destination key. Emulated
+    * by buffering to a hidden temp and materializing via one
+    * java.io ATOMIC_MOVE at close(), with the exclusivity re-checked
+    * under the lock at the materialization point (two buffering racers
+    * resolve to one winner; the loser's close throws
+    * FileAlreadyExistsException — an IOException, the signal every
+    * caller already treats as a lost conditional PUT). A plain Hadoop
+    * create(overwrite=false) would make an EMPTY file visible before the
+    * first write — semantics no object store has, and exactly the torn
+    * window the commit protocol must not be validated against. */
+  private def conditionalPut(f: Path,
+      mk: Path => FSDataOutputStream): FSDataOutputStream = {
     putLock.synchronized {
       if (exists(f))
         throw new FileAlreadyExistsException(s"$f exists (conditional PUT failed)")
-      mk
     }
+    val tmp = new Path(f.getParent,
+      s".condput-${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val inner = mk(tmp)
+    val self = this
+    new FSDataOutputStream(new java.io.OutputStream {
+      override def write(b: Int): Unit = inner.write(b)
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        inner.write(b, off, len)
+      override def flush(): Unit = inner.flush()
+      override def close(): Unit = {
+        inner.close()
+        putLock.synchronized {
+          if (self.exists(f)) {
+            self.delete(tmp, false)
+            throw new FileAlreadyExistsException(
+              s"$f exists (conditional PUT lost at materialization)")
+          }
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(pathToFile(tmp).getPath),
+            java.nio.file.Paths.get(pathToFile(f).getPath),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+    }, null)
+  }
 
   override def create(f: Path, overwrite: Boolean, bufferSize: Int,
       replication: Short, blockSize: Long,
       progress: Progressable): FSDataOutputStream =
     if (overwrite) super.create(f, true, bufferSize, replication, blockSize, progress)
-    else exclusiveCreate(f)(
-      super.create(f, false, bufferSize, replication, blockSize, progress))
+    else conditionalPut(f,
+      t => super.create(t, false, bufferSize, replication, blockSize, progress))
 
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
       bufferSize: Int, replication: Short, blockSize: Long,
       progress: Progressable): FSDataOutputStream =
     if (overwrite)
       super.create(f, permission, true, bufferSize, replication, blockSize, progress)
-    else exclusiveCreate(f)(
-      super.create(f, permission, false, bufferSize, replication, blockSize, progress))
+    else conditionalPut(f,
+      t => super.create(t, permission, false, bufferSize, replication, blockSize, progress))
 
   /** S3A-style rename: recursive copy (each object atomic, the whole
     * operation not), then delete the source. Existing destinations are

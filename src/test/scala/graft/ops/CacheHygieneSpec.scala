@@ -72,6 +72,28 @@ class CacheHygieneSpec extends SparkSpec {
     assert(Memo.trackedViews == 0, "clearCaches must untrack every view")
   }
 
+  test("eviction really unpersists the victim, not just the bookkeeping") {
+    import org.apache.spark.storage.StorageLevel
+    val m = new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+    spark.conf.set("graft.memo.maxCachedViews", "1")
+    try {
+      val df1 = Memo.getOrCache(m, spark, "ev1",
+        _ => { val d = spark.range(100).toDF("n").cache(); d.count(); d })
+      assert(df1.storageLevel != StorageLevel.NONE, "fixture must cache")
+      Memo.getOrCache(m, spark, "ev2",
+        _ => { val d = spark.range(200).toDF("n").cache(); d.count(); d })
+      // the round-11 review's finding: remove-then-capture freed nothing —
+      // the victim's cached plan must really leave the cache manager
+      assert(df1.storageLevel == StorageLevel.NONE,
+        "the evicted view must be unpersisted, not only dropped from the map")
+      assert(!m.containsKey((spark, "ev1")), "the memo entry must be gone")
+    } finally {
+      spark.conf.set("graft.memo.maxCachedViews", "512")
+      Memo.clear(m)
+    }
+  }
+
   test("clearCaches releases localCheckpoint blocks, not just cached plans") {
     val dir = "/root/testdata/sf0.001"
     def clearAll(): Unit = {
