@@ -463,14 +463,33 @@ object VersionedTableImpl {
 
   /** Atomically claim version v. Exactly one concurrent caller wins the
     * create-no-overwrite; a stale claim (older than `staleClaimMs`, no
-    * visible or pending manifest behind it) is broken and re-claimed. */
+    * visible or pending manifest behind it) is broken and re-claimed.
+    * Claims carry a CONTENT identity (a uuid) because the takeover
+    * re-validation below must recognize the file it renamed, and mtime
+    * cannot do that on an object store: "rename" is copy+delete there and
+    * the copy gets a FRESH Last-Modified, so an mtime re-check would
+    * always read "live" and the stale claim could never be broken — a
+    * takeover LIVELOCK (found by the objstore suite the moment the shim's
+    * conditional PUT became honest). Content survives any copy. */
   private[ops] def claimVersion(s: SparkSession, root: String, v: Int,
       staleClaimMs: Long, lin: Lineage = Main): Boolean = {
     val fs = fsOf(s, root)
     val claim = lin.claim(root, v)
     fs.mkdirs(claim.getParent)
+    def claimId(p: Path): String =
+      scala.util.Try {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }.getOrElse("")
     def tryCreate(): Boolean =
-      try { fs.create(claim, false).close(); true }
+      try {
+        val out = fs.create(claim, false)
+        try out.write(java.util.UUID.randomUUID().toString
+          .replace("-", "").getBytes("UTF-8"))
+        finally out.close()
+        true
+      }
       catch { case _: java.io.IOException => false }
     if (tryCreate()) return true
     val published = manifestCommitted(fs, lin.visible(root, v)) ||
@@ -489,17 +508,20 @@ object VersionedTableImpl {
       // created its own FRESH one — our rename then steals a LIVE claim
       // and two holders publish the same version (caught loudly by
       // [[publish]]'s fail-closed check; VersionedSpec's takeover race
-      // hit exactly this). So the staleness of what we actually renamed
-      // is re-validated ON the renamed file: stale ⇒ proceed to compete;
-      // live ⇒ give it back (or, if the path was re-created in the
-      // window, drop ours — the new holder stands) and report no claim.
+      // hit exactly this). So the file we actually renamed is re-validated
+      // by CONTENT identity against the claim we checked as stale (mtime
+      // would lie after a copy-based rename — see the scaladoc): same id ⇒
+      // the dead claimant's file, proceed to compete; different id ⇒ a
+      // racer's fresh claim — give it back (or, if the path was
+      // re-created in the window, drop ours — the new holder stands) and
+      // report no claim.
+      val checkedId = claimId(claim) // identity of the claim we found stale
       val aside = new Path(root, s"_versions/.dead-claim-${lin.prefix}$v-" +
         java.util.UUID.randomUUID().toString.replace("-", ""))
       try {
         if (fs.rename(claim, aside)) {
-          val stolenMtime = fs.getFileStatus(aside).getModificationTime
-          if (System.currentTimeMillis() - stolenMtime > staleClaimMs)
-            fs.delete(aside, false) // genuinely dead claimant
+          if (claimId(aside) == checkedId)
+            fs.delete(aside, false) // genuinely the dead claimant's file
           else {
             if (fs.exists(claim) || !fs.rename(aside, claim))
               fs.delete(aside, false)
