@@ -175,21 +175,27 @@ object StreamMain {
       // one leg (round-10 advisory)
       .register("lakehouse-versioned", (batch, id) => {
         val compactOver = conf.getInt(s"${GraftConfig.Root}.connector.compact-over-files", 0)
+        val appId = streaming.LakehouseSink.appIdFor(s"$outDir/checkpoint")
         streaming.LakehouseSink.versionedBatch(batch, id, s"$outDir/vtable",
-          streaming.LakehouseSink.appIdFor(s"$outDir/checkpoint") + "-versioned",
+          appId + "-versioned",
           conf.getInt(s"${GraftConfig.Root}.connector.lakehouse-buckets", 8),
           if (compactOver > 0) Some(compactOver) else None,
-          emitFeed = conf.getBoolean(s"${GraftConfig.Root}.connector.emit-feed", true))
+          emitFeed = conf.getBoolean(s"${GraftConfig.Root}.connector.emit-feed", true),
+          // pre-scoping-era markers are honored only when this is the sole
+          // sink: a fanout's legacy marker cannot say which leg committed
+          legacyAppId = if (sinkNames.size == 1) Some(appId) else None)
       })
       // merge-on-read target: per-batch DELTA commit (no base rewrite —
       // commit cost O(batch)) with threshold compaction maintenance — the
       // config-driven form of streaming/LakehouseSink.morSink
       .register("lakehouse-mor", (batch, id) => {
         val compactOver = conf.getInt(s"${GraftConfig.Root}.connector.compact-over-files", 0)
+        val appId = streaming.LakehouseSink.appIdFor(s"$outDir/checkpoint")
         streaming.LakehouseSink.morBatch(batch, id, s"$outDir/mortable",
-          streaming.LakehouseSink.appIdFor(s"$outDir/checkpoint") + "-mor",
+          appId + "-mor",
           conf.getInt(s"${GraftConfig.Root}.connector.lakehouse-buckets", 8),
-          if (compactOver > 0) Some(compactOver) else None)
+          if (compactOver > 0) Some(compactOver) else None,
+          legacyAppId = if (sinkNames.size == 1) Some(appId) else None)
       })
       // STAGED ingestion target: every micro-batch commits to a branch of
       // the versioned table (main readers see nothing mid-drain); with

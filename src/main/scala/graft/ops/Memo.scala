@@ -57,13 +57,26 @@ object Memo {
   /** Live tracked cached-view count (spec surface). */
   def trackedViews: Int = lru.synchronized(lru.size)
 
-  private def track(s: SparkSession, t: Tracked): Unit = lru.synchronized {
-    lru.put(new MapId(t.cache, t.key), t)
-    val max = math.max(1, budgetOf(s))
-    val it = lru.entrySet().iterator()
-    while (lru.size > max && it.hasNext) {
-      val victim = it.next().getValue
-      it.remove()
+  private def track(s: SparkSession, t: Tracked): Unit = {
+    // SELECT victims under the monitor; CAPTURE + REMOVE + UNPERSIST after
+    // releasing it. The dfs thunk and cache.remove touch the owning
+    // ConcurrentHashMap, whose bins may be held by a long-running
+    // computeIfAbsent build — doing that under the lru monitor would stall
+    // every memo access in the process behind one slow unpersist, and a
+    // build that transitively reaches a tracked getOrCache would DEADLOCK
+    // on the monitor (the round-11 advisory).
+    val victims = lru.synchronized {
+      lru.put(new MapId(t.cache, t.key), t)
+      val max = math.max(1, budgetOf(s))
+      val out = scala.collection.mutable.ListBuffer[Tracked]()
+      val it = lru.entrySet().iterator()
+      while (lru.size > max && it.hasNext) {
+        out += it.next().getValue
+        it.remove()
+      }
+      out.toList
+    }
+    victims.foreach { victim =>
       // capture the frames BEFORE dropping the map entry: the dfs thunk
       // reads the owning map, so remove-then-capture would resolve to
       // nothing and the eviction would free zero executor storage (the

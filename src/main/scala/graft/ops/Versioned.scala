@@ -237,19 +237,54 @@ object VersionedTableImpl {
   private def commitStampPath(fs: org.apache.hadoop.fs.FileSystem,
       p: Path): Path = if (fs.exists(p)) p else ptrOf(p)
 
+  /** The visible counterpart of a PENDING manifest path (None when `p` is
+    * not a pending path) — the pair [[publish]] promotes between. */
+  private def visibleCounterpart(p: Path): Option[Path] = {
+    val n = p.getName
+    if (n.startsWith(".pending-")) Some(new Path(p.getParent, n.stripPrefix(".pending-")))
+    else None
+  }
+
   /** Remove a committed-or-staged manifest entirely (dir form, or pointer
     * + data-dir form) — the abort/reject path. The POINTER goes first: a
     * concurrent [[manifestDataPath]] then resolves to a clean "absent"
     * instead of a dangling path (data-first would leave a window where
     * the pointer names a deleted dir and readers crash rather than
-    * seeing not-committed). */
+    * seeing not-committed).
+    *
+    * GUARD: a pending pointer can OUTLIVE its promote — [[publish]]
+    * crashes between the visible-pointer PUT (the commit point) and the
+    * consume-delete of the pending pointer — and then this pending's data
+    * dir IS the committed visible version's data dir. Deleting it would
+    * destroy the data behind a LIVE version, so when the visible
+    * counterpart is committed and resolves to the same dir, only the
+    * stale pending pointer is removed. */
   private[ops] def deleteManifest(fs: org.apache.hadoop.fs.FileSystem,
       p: Path): Unit = {
     val data = manifestDataPath(fs, p)
+    val servesVisible = visibleCounterpart(p).exists(vis =>
+      data.isDefined && manifestDataPath(fs, vis) == data)
     fs.delete(ptrOf(p), false)
-    data.filterNot(_ == p).foreach(d => fs.delete(d, true))
+    if (!servesVisible)
+      data.filterNot(_ == p).foreach(d => fs.delete(d, true))
     fs.delete(p, true)
   }
+
+  /** Drop a CONSUMED pending pointer left by a crash inside [[publish]]'s
+    * promote (between the visible-pointer PUT and the pending-pointer
+    * delete): the visible counterpart is committed and names the SAME
+    * data dir, so the pending pointer is pure garbage — but garbage that
+    * pins the data dir in [[vacuum]]'s stillPending rule forever and
+    * makes a later [[deleteManifest]] on the pending dangerous. Returns
+    * true when a stale pointer was dropped. */
+  private[ops] def dropConsumedPending(fs: org.apache.hadoop.fs.FileSystem,
+      pending: Path): Boolean =
+    visibleCounterpart(pending).exists { vis =>
+      val pd = manifestDataPath(fs, pending)
+      val consumed = pd.isDefined && manifestDataPath(fs, vis) == pd
+      if (consumed) fs.delete(ptrOf(pending), false)
+      consumed
+    }
 
   /** Checked publish: the single commit point — an atomic rename, or in
     * conditional-create mode one create-exclusive pointer PUT (see the
@@ -494,6 +529,19 @@ object VersionedTableImpl {
     if (tryCreate()) return true
     val published = manifestCommitted(fs, lin.visible(root, v)) ||
       manifestCommitted(fs, lin.pending(root, v))
+    // Sample the candidate claim's CONTENT IDENTITY BEFORE the staleness
+    // determination: an id read after deciding "stale" could belong to a
+    // racer's FRESH claim (racer completes a whole takeover — break + new
+    // claim — between our mtime check and our id read), and the rename
+    // re-validation below would then treat the fresh claim as the stale
+    // one it may steal. An id sampled first can never name a claim
+    // created after the staleness decision, so "renamed file's id ==
+    // checkedId" really means "the file we judged stale". An EMPTY id is
+    // legal (a claimant that crashed between create and write leaves a
+    // contentless claim, which must stay takeover-able or the version
+    // wedges forever) and still safe: a racer's fresh claim always
+    // carries a uuid, so it can never match "".
+    val checkedId = if (published) "" else claimId(claim)
     if (!published && fs.exists(claim) &&
         System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime > staleClaimMs) {
       // Takeover: claimant died pre-publish. Remove the stale claim by
@@ -509,13 +557,12 @@ object VersionedTableImpl {
       // and two holders publish the same version (caught loudly by
       // [[publish]]'s fail-closed check; VersionedSpec's takeover race
       // hit exactly this). So the file we actually renamed is re-validated
-      // by CONTENT identity against the claim we checked as stale (mtime
-      // would lie after a copy-based rename — see the scaladoc): same id ⇒
-      // the dead claimant's file, proceed to compete; different id ⇒ a
-      // racer's fresh claim — give it back (or, if the path was
-      // re-created in the window, drop ours — the new holder stands) and
-      // report no claim.
-      val checkedId = claimId(claim) // identity of the claim we found stale
+      // by CONTENT identity against `checkedId` — sampled ABOVE, before
+      // the staleness determination (mtime would lie after a copy-based
+      // rename — see the scaladoc): same id ⇒ the dead claimant's file,
+      // proceed to compete; different id ⇒ a racer's fresh claim — give
+      // it back (or, if the path was re-created in the window, drop
+      // ours — the new holder stands) and report no claim.
       val aside = new Path(root, s"_versions/.dead-claim-${lin.prefix}$v-" +
         java.util.UUID.randomUUID().toString.replace("-", ""))
       try {
@@ -1022,6 +1069,15 @@ object VersionedTableImpl {
     val fs = fsOf(s, root)
     val cur0 = currentVersion(s, root) // for the in-flight .data rule only
     val vDir = new Path(root, "_versions")
+    // drop CONSUMED pending pointers first (promote crashed between the
+    // visible PUT and the pending delete): without this, the stillPending
+    // rule below pins that version's data dir permanently — the same
+    // retention-leak class the round-11 promote rule fixed
+    if (fs.exists(vDir))
+      fs.listStatus(vDir).map(_.getPath.getName)
+        .filter(n => n.startsWith(".pending-") && n.endsWith(".ptr"))
+        .foreach(n => dropConsumedPending(fs,
+          new Path(vDir, n.stripSuffix(".ptr"))))
     // conditional-create data dirs (`.data-<destName>-<uuid>`): branch
     // destinations always pin their listed files (same rule as their
     // rename-mode dirs below; dropBranch deletes them); a PENDING
@@ -1718,6 +1774,12 @@ object VersionedTableImpl {
           // publish is a benign already-done, not a protocol violation
           case e: IllegalStateException if manifestCommitted(fs, visible) => ()
         }
+      // a promote that crashed between the visible-pointer PUT and the
+      // pending-pointer delete leaves a CONSUMED pending pointer naming
+      // the visible version's own data dir — drop it here (idempotent),
+      // or it pins that data dir in vacuum's stillPending rule forever
+      else if (manifestCommitted(fs, visible) && manifestCommitted(fs, pending))
+        dropConsumedPending(fs, pending)
     }
     fs.delete(rec, false)
   }

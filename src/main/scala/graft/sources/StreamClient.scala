@@ -61,7 +61,14 @@ trait StreamClient {
       override def hasNext: Boolean = {
         while (!page.hasNext && pos < end) {
           val r = getRecords(shard, pos, math.min(end - pos, 1000L).toInt)
-          if (r.records.isEmpty) return false // shard shrank: stop at reality
+          // An EMPTY page is not end-of-shard: the live GetRecords API
+          // routinely returns zero records mid-stream with an ADVANCED
+          // position (sparse pages, throttling). Treating it as the end
+          // would silently drop the remainder of an already-committed
+          // [from, to) range — keep paging while the position advances;
+          // only a STUCK position means the shard really shrank below the
+          // planned end (stop at reality rather than spin forever).
+          if (r.nextPosition <= pos) return page.hasNext
           page = r.records.iterator
           pos = r.nextPosition
         }

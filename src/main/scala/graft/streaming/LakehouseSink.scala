@@ -82,13 +82,23 @@ object LakehouseSink {
     * every later repair scan would recompute its empty diff. */
   private[graft] def versionedBatch(batch: DataFrame, id: Long, root: String,
       appId: String, nBuckets: Int, compactOver: Option[Int],
-      emitFeed: Boolean, branch: Option[String] = None): Unit = {
+      emitFeed: Boolean, branch: Option[String] = None,
+      legacyAppId: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions._
     val s = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(root, s"_commits/$appId/batch-$id")
-    if (!fs.exists(marker)) {
+    // UPGRADE fallback: markers written before appIds were sink-scoped live
+    // under the bare checkpoint-derived id. Honoring them here means the
+    // first replayed batch after an upgrade is not re-committed (which
+    // would mint a duplicate version + duplicate feed/compaction work).
+    // Callers pass a legacy id ONLY for single-sink configs: in a fanout a
+    // legacy marker cannot say WHICH leg committed, so each leg must judge
+    // by its own scoped marker. New markers are always written scoped.
+    val committed = fs.exists(marker) || legacyAppId.exists(l =>
+      fs.exists(new org.apache.hadoop.fs.Path(root, s"_commits/$l/batch-$id")))
+    if (!committed) {
       branch match {
         case Some(b) =>
           // STAGED ingestion: every epoch commits to the branch; main
@@ -126,12 +136,16 @@ object LakehouseSink {
     * threshold compaction outside it (pure-metadata check, state-identical
     * commit — idempotent under replay without a marker of its own). */
   private[graft] def morBatch(batch: DataFrame, id: Long, root: String,
-      appId: String, nBuckets: Int, compactOver: Option[Int]): Unit = {
+      appId: String, nBuckets: Int, compactOver: Option[Int],
+      legacyAppId: Option[String] = None): Unit = {
     val s = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(root, s"_commits/$appId/batch-$id")
-    if (!fs.exists(marker)) {
+    // same single-sink legacy-marker fallback as [[versionedBatch]]
+    val committed = fs.exists(marker) || legacyAppId.exists(l =>
+      fs.exists(new org.apache.hadoop.fs.Path(root, s"_commits/$l/batch-$id")))
+    if (!committed) {
       graft.ops.MorTableImpl.commitAppend(s, root, batch, nBuckets)
       fs.mkdirs(marker.getParent)
       fs.create(marker).close()

@@ -142,6 +142,30 @@ class ShardLogSourceSpec extends SparkSpec {
       "the merge child consumed before both parents were drained")
   }
 
+  test("default read pages through EMPTY mid-stream GetRecords responses") {
+    // The live GetRecords API returns zero-record pages with an ADVANCED
+    // position mid-stream (sparse pages, throttling): the default read
+    // loop must keep paging while the position moves, and only stop when
+    // it sticks (the shard really shrank below the planned end). Treating
+    // the first empty page as end-of-shard silently dropped the rest of a
+    // committed [from, to) range — the round-11 advisory.
+    val sparse = new StreamClient {
+      override def listShards(): Seq[ShardInfo] = Seq(ShardInfo("s"))
+      override def shardEnd(shard: String): Long = 10L
+      override def getRecords(shard: String, from: Long, limit: Int): GetRecordsResult =
+        if (from >= 10L) GetRecordsResult(Nil, from) // true end: position sticks
+        else if (from % 2 == 0) GetRecordsResult(Nil, from + 1) // empty, advanced
+        else GetRecordsResult(Seq(StreamRecord(f"$from%020d",
+          java.lang.Long.valueOf(from), "USER", "{}", null)), from + 1)
+    }
+    val got = sparse.read("s", 0L, 10L).map(_.sequenceNumber).toVector
+    assert(got == Seq(1L, 3L, 5L, 7L, 9L).map(i => f"$i%020d"),
+      s"empty mid-stream pages must not truncate the range: $got")
+    // a stuck position below the planned end terminates (no spin, no throw)
+    val short = sparse.read("s", 0L, 20L).map(_.sequenceNumber).toVector
+    assert(short.size == 5, s"shrunk shard must stop at reality: $short")
+  }
+
   test("resharding MID-stream: children gated batch-by-batch until the parent drains") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     val fake = new InMemoryStreamClient(pageCap = 2)
