@@ -51,20 +51,43 @@ import graft.cdc.CdcSynth
 object MorTableImpl {
 
   import VersionedTableImpl.{fsOf, visiblePath, claimVersion, awaitOutcome,
-    currentVersion, manifestCommitted, manifestDataPath}
+    currentVersion, manifestCommitted, manifestDataPath, descriptorPairs,
+    writeSegment, deleteSegment, resolveDescriptor}
 
+  /** Flat (bucket, file, kind, min_key, max_key, bytes) rows of version
+    * v's manifest, resolved through the layered descriptor (see
+    * [[VersionedTableImpl]]'s layering note). A MOR descriptor is the
+    * degenerate whole-segment form — every row is (segment, null): a
+    * delta commit appends ONE row, compaction consolidates. */
   private def manifestMor(s: SparkSession, root: String, v: Int): DataFrame =
     if (v == 0)
       s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(Seq(
         StructField("bucket", LongType), StructField("file", StringType),
         StructField("kind", StringType),
-        StructField("min_key", LongType), StructField("max_key", LongType))))
+        StructField("min_key", LongType), StructField("max_key", LongType),
+        StructField("bytes", LongType))))
     else manifestDataPath(fsOf(s, root), visiblePath(root, v)) match {
-      case Some(p) => s.read.parquet(p.toString)
+      case Some(p) => resolveDescriptor(s, root, s.read.parquet(p.toString))
       case None => // fail LOUDLY: a missing manifest for a committed-range
         // version is corruption or a bad argument, never an empty table
         throw new IllegalStateException(
           s"MOR manifest for v$v not found under $root/_versions")
+    }
+
+  /** The descriptor rows of version v to CARRY into v+1 — collected
+    * metadata (O(segments)); a legacy flat manifest consolidates into one
+    * explicit segment on first contact. */
+  private def carriedDesc(s: SparkSession, root: String,
+      v: Int): Seq[(String, Option[Seq[Long]])] =
+    if (v == 0) Nil
+    else descriptorPairs(s, root, v) match {
+      case Right(pairs) => pairs
+      case Left(legacy) =>
+        val rows = (if (legacy.columns.contains("bytes")) legacy
+                    else legacy.withColumn("bytes", lit(0L)))
+          .select(col("bucket"), col("file"), col("kind"),
+            col("min_key"), col("max_key"), col("bytes"))
+        Seq((writeSegment(s, root, rows), None))
     }
 
   /** ZONE MAPS: per-file [min_key, max_key] over the staged files, one
@@ -89,7 +112,7 @@ object MorTableImpl {
     * (bucket, qualified file, kind, min_key, max_key). Shared by
     * [[commitAppend]] (delta files) and [[compactMor]] (base files). */
   private def moveStaged(s: SparkSession, root: String, staging: Path,
-      kind: String, prefix: String): Seq[(Long, String, String, Long, Long)] = {
+      kind: String, prefix: String): Seq[(Long, String, String, Long, Long, Long)] = {
     val fs = fsOf(s, root)
     try {
       val zones = zoneMaps(s, staging)
@@ -104,11 +127,15 @@ object MorTableImpl {
               val to = new Path(dest, s"$prefix-${f.getPath.getName}")
               fs.rename(f.getPath, to)
               val (mn, mx) = zones(s"bucket=$b/${f.getPath.getName}")
-              (b, fs.makeQualified(to).toString, kind, mn, mx)
+              // the length is free here — recorded in the manifest so
+              // table sizing is a metadata aggregate, never a HEAD storm
+              (b, fs.makeQualified(to).toString, kind, mn, mx, f.getLen)
             }
         }.toSeq
     } finally fs.delete(staging, true)
   }
+
+  private val segCols = Seq("bucket", "file", "kind", "min_key", "max_key", "bytes")
 
   /** Append `env`'s latest-per-key reduction (tombstones as rows) as DELTA
     * files of version current+1. Returns the committed version. */
@@ -136,16 +163,24 @@ object MorTableImpl {
       s"d${java.util.UUID.randomUUID().toString.take(8)}")
     if (deltaRows.isEmpty) return currentVersion(s, root)
     import s.implicits._
+    // the delta SEGMENT is written once, like the delta files: commits
+    // commute, so a lost race re-bases only the tiny descriptor
+    val segName = writeSegment(s, root, deltaRows.toDF(segCols: _*))
     var attempt = 0
     while (true) {
       attempt += 1
       val v = currentVersion(s, root)
       val newV = v + 1
-      val manifestDf = manifestMor(s, root, v)
-        .unionByName(deltaRows.toDF("bucket", "file", "kind", "min_key", "max_key"))
+      // manifest METADATA cost is O(batch): carried descriptor rows
+      // (one per live segment) + ONE new row — never the carried file
+      // rows, which at a million uncompacted files would re-serialize a
+      // million-row manifest per trickle commit (the round-11 weak #1)
+      val descDf = (carriedDesc(s, root, v) :+
+          (segName, None: Option[Seq[Long]]))
+        .toDF("segment", "buckets")
       val tmp = new Path(root,
         s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
-      manifestDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      descDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       if (claimVersion(s, root, newV, staleClaimMs)) {
         val won =
           try { VersionedTableImpl.publish(fs, tmp, visiblePath(root, newV),
@@ -304,21 +339,35 @@ object MorTableImpl {
     catch { case e: Throwable => fs.delete(staging, true); throw e }
     val newRows = moveStaged(s, root, staging, "base", s"c$newV")
     import s.implicits._
-    val manifestDf = manifestMor(s, root, v)
+    // compaction is the metadata AMORTIZATION point: the carried (not
+    // over-threshold) file rows consolidate into ONE fresh segment —
+    // O(live ∉ over) metadata, paid here so every trickle delta commit
+    // between compactions stays O(batch) — and the descriptor collapses
+    // to two whole-segment rows. Vacuum's segment sweep reclaims the
+    // spent delta segments when their last referencing version expires.
+    val carriedRows = manifestMor(s, root, v)
       .filter(!col("bucket").isin(over: _*))
-      .unionByName(newRows.toDF("bucket", "file", "kind", "min_key", "max_key"))
+      .select(segCols.map(col): _*)
+    val consSeg = writeSegment(s, root, carriedRows)
+    val baseSeg = writeSegment(s, root, newRows.toDF(segCols: _*))
+    val descDf = Seq((consSeg, None: Option[Seq[Long]]),
+        (baseSeg, None: Option[Seq[Long]]))
+      .toDF("segment", "buckets")
     val tmp = new Path(root,
       s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
-    manifestDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    descDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     // COMMIT POINT: claim only now, with nothing slow left to do
     if (!claimVersion(s, root, newV, staleClaimMs)) {
       fs.delete(tmp, true) // moved base files strand until vacuum
+      deleteSegment(fs, root, consSeg); deleteSegment(fs, root, baseSeg)
       return None
     }
     try VersionedTableImpl.publish(fs, tmp, visiblePath(root, newV), "MOR compaction")
     catch { case _: IllegalStateException // beaten via takeover edge: yield
       if manifestCommitted(fs, visiblePath(root, newV)) =>
-        fs.delete(tmp, true); return None }
+        fs.delete(tmp, true)
+        deleteSegment(fs, root, consSeg); deleteSegment(fs, root, baseSeg)
+        return None }
     Some(newV)
   }
 

@@ -98,6 +98,26 @@ import graft.cdc.CdcSynth
   * key); vacuum is a driver-side metadata diff over manifests plus unlink
   * calls.
   */
+/** Hadoop Configuration is not Serializable; tasks that must talk to the
+  * FileSystem (vacuum's distributed listing/deletes) ship it through this
+  * standard write/readFields envelope instead of rebuilding a default
+  * Configuration (which would drop test-registered schemes like the
+  * objstore shim). */
+private[ops] final class SerializableHadoopConf(
+    @transient private var conf: org.apache.hadoop.conf.Configuration)
+  extends Serializable {
+  def value: org.apache.hadoop.conf.Configuration = conf
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.readFields(in)
+  }
+}
+
 object VersionedTableImpl {
 
   private[ops] def fsOf(s: SparkSession, root: String) =
@@ -381,22 +401,138 @@ object VersionedTableImpl {
       .foldLeft(0)(math.max)
   }
 
-  /** (bucket, file[, nbuckets]) rows of manifest v — empty frame when the
-    * manifest does not exist. `v = 0` is EXISTENCE-probed, not assumed
-    * empty: main has no v0 (pre-first-commit = empty), but a BRANCH's v0
-    * is its real fork manifest — assuming empty there silently dropped
-    * every carried-forward bucket from the first branch commit (caught by
-    * RefsSpec's branchDiff preview). `nbuckets` (constant per manifest)
-    * records the version's bucketing so readers and later commits resolve
-    * the TABLE's bucket count instead of trusting a caller's possibly-
-    * stale parameter (see [[rebucket]]). */
-  private[ops] def manifest(s: SparkSession, root: String, v: Int,
+  // ---------------------------------------------- layered manifests
+  // A version's manifest is a two-level structure (the Iceberg
+  // manifest-list idea, keyed by this engine's bucket discipline):
+  //
+  //  - SEGMENTS are immutable parquet files under `_versions/_segments/`
+  //    holding the PER-FILE rows (bucket, file, bytes[, kind, zone maps])
+  //    one commit produced. Written once, shared by every later version
+  //    that still references them, reclaimed by vacuum's segment sweep
+  //    when nothing does.
+  //  - The committed manifest itself (visible/pending path, or the pointer
+  //    data dir) is a tiny DESCRIPTOR: (segment, buckets[, nbuckets]) rows
+  //    naming which segments contribute and, for COW lineages, WHICH
+  //    buckets of each segment are still current (`buckets` array; null =
+  //    every row of the segment applies — the MOR delta convention).
+  //
+  // This is what makes per-commit manifest METADATA cost O(touched), not
+  // O(all live files): a COW commit writes one segment (its touched
+  // buckets' file rows) plus a descriptor of O(live segments) tiny rows —
+  // at a million files and 4k buckets that is a few KB instead of a
+  // ~100 MB single-task rewrite per trickle commit (the round-11 weak #1).
+  // A MOR delta commit appends ONE descriptor row. Reads resolve the
+  // descriptor back to per-file rows as a DataFrame (union of segment
+  // scans masked by a broadcast of the descriptor), so every existing
+  // consumer — the semi-join read, bucket pruning, vacuum's diff — keeps
+  // seeing the flat (bucket, file, ...) manifest it always did.
+  //
+  // `bytes` rides in every segment row (free at moveStaged time, where the
+  // zone maps are already lifted): table sizing (autoRebucket) becomes one
+  // manifest aggregate instead of O(files) serial getFileStatus calls
+  // (the round-11 weak #2).
+
+  private[ops] def segmentsDir(root: String) = new Path(root, "_versions/_segments")
+
+  /** Write per-file manifest rows as one immutable SEGMENT; returns its
+    * name. O(rows) — the caller guarantees rows ≈ the commit's own files
+    * (or, for consolidations, the amortization point's carried set). */
+  private[ops] def writeSegment(s: SparkSession, root: String,
+      rows: DataFrame): String = {
+    val name = s"seg-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet"
+    rows.coalesce(1).write.mode("overwrite")
+      .parquet(new Path(segmentsDir(root), name).toString)
+    name
+  }
+
+  private[ops] def deleteSegment(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, name: String): Unit =
+    fs.delete(new Path(segmentsDir(root), name), true)
+
+  private[ops] val descriptorSchema = StructType(Seq(
+    StructField("segment", StringType),
+    StructField("buckets", org.apache.spark.sql.types.ArrayType(LongType))))
+
+  /** The RAW committed artifact of version v: descriptor rows (new era) or
+    * per-file rows (legacy, detected by a `file` column); empty descriptor
+    * frame when the manifest does not exist. `v = 0` is EXISTENCE-probed,
+    * not assumed empty: main has no v0, but a BRANCH's v0 is its real fork
+    * manifest (the RefsSpec branchDiff lesson). */
+  private[ops] def descriptorDf(s: SparkSession, root: String, v: Int,
       lin: Lineage = Main): DataFrame =
     manifestDataPath(fsOf(s, root), lin.visible(root, v)) match {
       case Some(p) => s.read.parquet(p.toString)
-      case None => s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(Seq(
-        StructField("bucket", LongType), StructField("file", StringType))))
+      case None =>
+        s.createDataFrame(s.sparkContext.emptyRDD[Row], descriptorSchema)
     }
+
+  /** Descriptor rows collected to the driver — O(live segments) metadata,
+    * what the commit paths carry forward. Left(df) = a legacy file-rows
+    * manifest (pre-layering era) the caller must consolidate once. */
+  private[ops] def descriptorPairs(s: SparkSession, root: String, v: Int,
+      lin: Lineage = Main): Either[DataFrame, Seq[(String, Option[Seq[Long]])]] = {
+    val df = descriptorDf(s, root, v, lin)
+    if (df.columns.contains("file")) Left(df)
+    else Right(df.select(col("segment"), col("buckets")).collect().toSeq
+      .map(r => (r.getString(0), Option(r.getSeq[Long](1)).map(_.toSeq))))
+  }
+
+  /** Resolve a descriptor frame to flat per-file manifest rows
+    * (bucket, file, bytes[, kind, zone maps][, nbuckets]). The segment
+    * list is O(segments) driver metadata; the row masking — which buckets
+    * of each segment are still current — stays a broadcast join in the
+    * plan, so the FILE rows never pass through the driver. `buckets`
+    * prunes both the segment list (via the descriptor's arrays) and the
+    * rows. Legacy file-rows manifests pass through (bytes backfilled 0). */
+  private[ops] def resolveDescriptor(s: SparkSession, root: String,
+      desc: DataFrame, buckets: Option[Seq[Long]] = None): DataFrame = {
+    if (desc.columns.contains("file")) { // legacy flat manifest
+      val withBytes =
+        if (desc.columns.contains("bytes")) desc
+        else desc.withColumn("bytes", lit(0L))
+      return buckets.fold(withBytes)(bs =>
+        withBytes.filter(col("bucket").isin(bs: _*)))
+    }
+    val rows = desc.select(col("segment"), col("buckets")).collect()
+    val nb: Option[Long] =
+      if (!desc.columns.contains("nbuckets")) None
+      else scala.util.Try(desc.select(col("nbuckets")).limit(1)
+        .collect().headOption.map(_.getLong(0))).toOption.flatten
+    val pairs0 = rows.toSeq.map(r =>
+      (r.getString(0), Option(r.getSeq[Long](1)).map(_.toSeq)))
+    // segment pruning: an explicit-array segment none of whose buckets is
+    // wanted contributes nothing — skip its scan entirely
+    val pairs = buckets.fold(pairs0) { bs =>
+      val want = bs.toSet
+      pairs0.filter { case (_, arr) => arr.forall(_.exists(want)) }
+    }
+    def withNb(df: DataFrame) = nb.fold(df)(n =>
+      df.withColumn("nbuckets", lit(n)))
+    if (pairs.isEmpty)
+      return withNb(s.createDataFrame(s.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("bucket", LongType),
+          StructField("file", StringType), StructField("bytes", LongType)))))
+    val paths = pairs.map(_._1).distinct
+      .map(n => new Path(segmentsDir(root), n).toString)
+    val seg = s.read.option("mergeSchema", "true").parquet(paths: _*)
+      .withColumn("__seg",
+        regexp_extract(col("_metadata.file_path"), "_segments/([^/]+)/", 1))
+    import s.implicits._
+    val mask = pairs.toDF("__dseg", "__dbks")
+    val resolved = seg
+      .join(broadcast(mask), seg("__seg") === mask("__dseg") &&
+        (mask("__dbks").isNull ||
+          array_contains(mask("__dbks"), seg("bucket"))), "inner")
+      .drop("__seg", "__dseg", "__dbks")
+    withNb(buckets.fold(resolved)(bs =>
+      resolved.filter(col("bucket").isin(bs: _*))))
+  }
+
+  /** Flat (bucket, file, bytes[, nbuckets]) rows of manifest v — the
+    * resolved view every reader consumes; see the layering note above. */
+  private[graft] def manifest(s: SparkSession, root: String, v: Int,
+      lin: Lineage = Main): DataFrame =
+    resolveDescriptor(s, root, descriptorDf(s, root, v, lin))
 
   /** The bucket count of version v — the manifest's own record, never the
     * caller's parameter. `orElse` bootstraps an empty table (v = 0).
@@ -426,11 +562,9 @@ object VersionedTableImpl {
     * (O(touched buckets) paths) and the driver-side vacuum diff. Full
     * version reads go through [[readManifest]] instead. */
   private def filesOf(s: SparkSession, root: String, v: Int,
-      buckets: Option[Seq[Long]], lin: Lineage = Main): Seq[String] = {
-    val m = buckets.fold(manifest(s, root, v, lin))(bs =>
-      manifest(s, root, v, lin).filter(col("bucket").isin(bs: _*)))
-    m.select(col("file")).collect().map(_.getString(0)).toSeq // metadata
-  }
+      buckets: Option[Seq[Long]], lin: Lineage = Main): Seq[String] =
+    resolveDescriptor(s, root, descriptorDf(s, root, v, lin), buckets)
+      .select(col("file")).collect().map(_.getString(0)).toSeq // metadata
 
   /** The rows of exactly the files `manifestDf` lists, WITHOUT collecting
     * the file list: scan the whole data dir (union schema across eras)
@@ -679,41 +813,63 @@ object VersionedTableImpl {
         .withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
       val staging = new Path(root,
         s".v_staging_${java.util.UUID.randomUUID().toString.replace("-", "")}")
-      val newFiles: Map[Long, Seq[String]] =
+      val newFiles: Seq[(Long, String, Long)] =
         try {
           merged.write.mode("overwrite").partitionBy("bucket")
             .parquet(staging.toString)
           fs.listStatus(staging).filter(_.getPath.getName.startsWith("bucket="))
-            .map { st =>
+            .flatMap { st =>
               val b = st.getPath.getName.stripPrefix("bucket=").toLong
               val dest = new Path(s"$root/data/bucket=$b")
               fs.mkdirs(dest)
-              val moved = fs.listStatus(st.getPath)
+              fs.listStatus(st.getPath)
                 .filter(_.getPath.getName.endsWith(".parquet"))
                 .map { f => // immutable: publish under a version-scoped name
                   val to = new Path(dest, s"${lin.filePrefix(newV)}${f.getPath.getName}")
                   fs.rename(f.getPath, to)
                   // store the QUALIFIED uri: vacuum compares against
-                  // listStatus output, which is always scheme-qualified
-                  fs.makeQualified(to).toString
+                  // listStatus output, which is always scheme-qualified;
+                  // the length was known at write time — recording it in
+                  // the manifest is what makes sizing a metadata aggregate
+                  (b, fs.makeQualified(to).toString, f.getLen)
                 }
-              b -> moved.toSeq
-            }.toMap
+            }.toSeq
         } finally fs.delete(staging, true)
-      // manifest = carried-forward untouched buckets (copied manifest →
-      // manifest as a DATAFRAME — never through the driver) + new files;
-      // the constant nbuckets column records the version's bucketing
+      // NEW SEGMENT: the touched buckets' complete new file rows —
+      // O(touched). DESCRIPTOR: carried segments with the touched buckets
+      // masked out of their arrays, plus the new mapping — O(live
+      // segments) driver-side metadata. The carried FILE rows are never
+      // copied: per-commit manifest metadata stays O(batch).
       import s.implicits._
-      val manifestDf = manifest(s, root, v, lin)
-        .filter(!col("bucket").isin(touched: _*))
-        .select(col("bucket"), col("file"))
-        .unionByName(touched.flatMap(b =>
-          newFiles.getOrElse(b, Seq.empty).map(f => (b, f)))
-          .toDF("bucket", "file"))
+      val segName = writeSegment(s, root,
+        newFiles.toDF("bucket", "file", "bytes"))
+      val touchedSet = touched.toSet
+      val carried: Seq[(String, Option[Seq[Long]])] =
+        descriptorPairs(s, root, v, lin) match {
+          case Right(pairs) => pairs.flatMap {
+            case (seg, Some(bs)) =>
+              val rem = bs.filterNot(touchedSet)
+              if (rem.isEmpty) None else Some((seg, Some(rem)))
+            case (seg, None) => throw new IllegalStateException(
+              s"COW descriptor row for $seg lacks its bucket array at $root")
+          }
+          case Left(legacy) => // one-time consolidation of a pre-layering
+            // manifest: its carried file rows become one explicit segment
+            val keep = legacy.filter(!col("bucket").isin(touched: _*))
+            val rows = (if (keep.columns.contains("bytes")) keep
+                        else keep.withColumn("bytes", lit(0L)))
+              .select(col("bucket"), col("file"), col("bytes"))
+            val covered = rows.select(col("bucket")).distinct()
+              .as[Long].collect().toSeq.sorted
+            if (covered.isEmpty) Nil
+            else Seq((writeSegment(s, root, rows), Some(covered)))
+        }
+      val descDf = (carried :+ (segName, Some(touched): Option[Seq[Long]]))
+        .toDF("segment", "buckets")
         .withColumn("nbuckets", lit(nBuckets.toLong))
       val tmp = new Path(root,
         s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
-      manifestDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      descDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       // COMMIT POINT: atomic claim, then the single manifest rename. A
       // fail-closed publish (destination already exists) means the
       // claim's exclusivity was beaten through the takeover protocol's
@@ -729,9 +885,11 @@ object VersionedTableImpl {
             if manifestCommitted(fs, dest) => false }
         if (won) return newV
       }
-      // lost the race: staged manifest dies now, this attempt's data
-      // files are unreferenced (vacuum-eligible); re-merge and retry
+      // lost the race: staged descriptor + this attempt's segment die now
+      // (the retry re-merges and writes fresh ones); the moved data files
+      // are unreferenced (vacuum-eligible)
       fs.delete(tmp, true)
+      deleteSegment(fs, root, segName)
       if (attempt >= maxAttempts)
         throw new IllegalStateException(
           s"$what lost $maxAttempts optimistic attempts at $root (last target ${lin.prefix}$newV)")
@@ -843,7 +1001,8 @@ object VersionedTableImpl {
     val pending = pendingPath(root, newV)
     val pendingData = manifestDataPath(fs, pending).getOrElse(
       throw new IllegalStateException(s"staged pending $pending not found"))
-    val staged = readManifest(s, root, s.read.parquet(pendingData.toString),
+    val staged = readManifest(s, root,
+      resolveDescriptor(s, root, s.read.parquet(pendingData.toString)),
       LakehouseOpsImpl.tableSchema)
       .filter(!col("last_op").isin(LakehouseOpsImpl.DeleteOps: _*)) // live state
     audit(staged) match {
@@ -1001,19 +1160,61 @@ object VersionedTableImpl {
     * pre-feed-era table); the normal path stays O(touched). Versions whose
     * artifact exists cost one metadata probe each. Returns the repaired
     * version numbers. */
+  /** The highest vacuum keepFrom ever APPLIED to this table — versions
+    * below it may have had files/segments swept and are unreadable.
+    * Recorded by [[vacuum]] (monotone, best-effort before the sweep so a
+    * crash can only over-report), read by [[repairFeeds]]. */
+  private def retentionFloorPath(root: String) =
+    new Path(root, "_versions/.retention-floor")
+
+  private[ops] def retentionFloor(s: SparkSession, root: String): Int = {
+    val fs = fsOf(s, root)
+    val p = retentionFloorPath(root)
+    if (!fs.exists(p)) 1
+    else scala.util.Try {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    }.getOrElse(1)
+  }
+
+  private def recordRetentionFloor(s: SparkSession, root: String,
+      keepFrom: Int): Unit = {
+    val old = retentionFloor(s, root)
+    if (keepFrom > old) {
+      val fs = fsOf(s, root)
+      val p = retentionFloorPath(root)
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true)
+      try out.write(keepFrom.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   def repairFeeds(s: SparkSession, root: String, nBuckets: Int,
       fromVersion: Int = 1): Seq[Int] = {
     val fs = fsOf(s, root)
     val cur = currentVersion(s, root)
-    (fromVersion max 1 to cur).filterNot(v => feedComplete(fs, root, v)).map { v =>
-      // FULL diff, not bucket-scoped: the repaired version may predate a
-      // rebucket, so a current-bucketing bucket list could miss its files;
-      // changeFeed reads via the manifests and is bucketing-agnostic
-      changeFeed(s, root, v - 1, v)
-        .withColumn("version", lit(v.toLong))
-        .write.mode("overwrite").parquet(feedPath(root, v).toString)
-      v
-    }
+    val floor = retentionFloor(s, root)
+    (fromVersion max 1 to cur).filterNot(v => feedComplete(fs, root, v))
+      // RETENTION FLOOR: a diff needs BOTH its versions readable. Versions
+      // below the horizon a PAST vacuum applied have had their
+      // files/segments swept — their feeds are permanently un-repairable
+      // (the operator's retention choice already forfeited them), and
+      // attempting the read would either crash (swept segment) or emit a
+      // silently-wrong all-INSERT feed (the pre-layering behavior, where
+      // the expired side's missing files were dropped by the semi-join
+      // and read as empty). Skip them; the watermark advances past.
+      // v-1 == 0 is the empty pre-table base, always diffable.
+      .filter(v => v >= floor && (v - 1 >= floor || v == 1))
+      .map { v =>
+        // FULL diff, not bucket-scoped: the repaired version may predate a
+        // rebucket, so a current-bucketing bucket list could miss its files;
+        // changeFeed reads via the manifests and is bucketing-agnostic
+        changeFeed(s, root, v - 1, v)
+          .withColumn("version", lit(v.toLong))
+          .write.mode("overwrite").parquet(feedPath(root, v).toString)
+        v
+      }
   }
 
   private def feedWatermarkPath(root: String) =
@@ -1069,6 +1270,10 @@ object VersionedTableImpl {
     val fs = fsOf(s, root)
     val cur0 = currentVersion(s, root) // for the in-flight .data rule only
     val vDir = new Path(root, "_versions")
+    // record the retention horizon BEFORE sweeping anything: a crash
+    // mid-pass can only OVER-report (feed repairs skip a still-readable
+    // version — conservative), never leave repairs reading swept state
+    recordRetentionFloor(s, root, keepFrom)
     // drop CONSUMED pending pointers first (promote crashed between the
     // visible PUT and the pending delete): without this, the stillPending
     // rule below pins that version's data dir permanently — the same
@@ -1102,7 +1307,23 @@ object VersionedTableImpl {
           .stripSuffix(".parquet").toIntOption.exists(_ > cur0)
       }
     }
-    val inFlight: Seq[String] =
+    // A PIN is one protected manifest, captured EAGERLY as driver-side
+    // metadata: descriptor rows (O(segments), tiny) plus inline file rows
+    // for legacy flat manifests. Capturing rows — not lazy DataFrames —
+    // is what preserves the liveness ORDERING argument below, and the
+    // capture is metadata-sized either way; the FILE rows the pins
+    // protect are resolved later as one DataFrame and never collected.
+    final case class Pin(segs: Seq[(String, Option[Seq[Long]])],
+        files: Seq[String])
+    def pinOf(p: Path): Pin = scala.util.Try { // may be mid-write (tmp):
+      // its files are younger than any sane graceMs anyway
+      val df = s.read.parquet(p.toString)
+      if (df.columns.contains("file"))
+        Pin(Nil, df.select(col("file")).collect().map(_.getString(0)).toSeq)
+      else Pin(df.select(col("segment"), col("buckets")).collect().toSeq
+        .map(r => (r.getString(0), Option(r.getSeq[Long](1)).map(_.toSeq))), Nil)
+    }.getOrElse(Pin(Nil, Nil))
+    val inFlight: Seq[Pin] =
       if (!fs.exists(vDir)) Seq.empty
       else fs.listStatus(vDir).map(_.getPath)
         .filter { p =>
@@ -1113,11 +1334,7 @@ object VersionedTableImpl {
             n.startsWith("b-")) && n.endsWith(".parquet")) ||
             (n.startsWith(".data-") && dataDirPinned(n))
         }
-        .flatMap(p => scala.util.Try( // a tmp manifest may be mid-write;
-          // its files are younger than any sane graceMs anyway
-          s.read.parquet(p.toString)
-            .select(col("file")).collect().map(_.getString(0)).toSeq)
-          .getOrElse(Seq.empty)).toSeq
+        .map(pinOf).toSeq
     // ORDER MATTERS: `cur` for the LIVE range is read only AFTER the
     // branch/pending pins above are fully materialized. A fastForward
     // makes OLD branch files (past any grace) newly referenced by a NEW
@@ -1129,24 +1346,105 @@ object VersionedTableImpl {
     // (pinned by the scan) or the drop — and therefore the publish —
     // happened before this point, so the fast-forwarded version is <= cur
     // and the live range pins it. RefsSpec's maintenance×refs stress
-    // races exactly this.
+    // races exactly this. (Branch SEGMENTS stay safe through the lazy
+    // resolution below because fastForward shares them with the new main
+    // descriptor — a segment referenced by either side is never swept.)
     val cur = currentVersion(s, root)
-    val tagged: Seq[String] = listTags(s, root).map(_._2).distinct
-      .filter(v => v >= 1 && v < keepFrom) // >= keepFrom already live below
-      .flatMap(v => filesOf(s, root, v, None))
-    val live = ((keepFrom to cur)
-      .flatMap(v => filesOf(s, root, v, None)) ++ inFlight ++ tagged).toSet
+    val committedPins: Seq[Pin] =
+      (listTags(s, root).map(_._2).distinct
+        .filter(v => v >= 1 && v < keepFrom) // >= keepFrom already live below
+        ++ (keepFrom to cur))
+        .map { v => val (segs, files) = pinOf0(s, root, v); Pin(segs, files) }
+    val pins: Seq[Pin] = inFlight ++ committedPins
+    // merge every pin's segment masks: None (all buckets) absorbs arrays,
+    // arrays union — one resolution serves the whole live set
+    val masks = scala.collection.mutable.HashMap[String, Option[Set[Long]]]()
+    pins.flatMap(_.segs).foreach { case (seg, bks) =>
+      masks.get(seg) match {
+        case Some(None) => ()
+        case Some(Some(prev)) =>
+          masks(seg) = bks.map(prev ++ _.toSet) // None absorbs
+        case None => masks(seg) = bks.map(_.toSet)
+      }
+    }
+    val now = System.currentTimeMillis()
+    // SEGMENT SWEEP: a segment referenced by no pin (in-flight, tagged or
+    // live-range descriptor) is metadata garbage — lost-race commits,
+    // dropped branches, expired versions. Same grace as data files (a
+    // commit writes its segment before its tmp descriptor exists).
+    val segDir = segmentsDir(root)
+    if (fs.exists(segDir))
+      fs.listStatus(segDir)
+        .filter(st => now - st.getModificationTime >= graceMs)
+        .map(_.getPath).filterNot(p => masks.contains(p.getName))
+        .foreach(p => fs.delete(p, true))
     val dataDir = new Path(root, "data")
     if (!fs.exists(dataDir)) return Seq.empty
-    val now = System.currentTimeMillis()
-    val all = fs.listStatus(dataDir).filter(_.isDirectory).flatMap(d =>
-      fs.listStatus(d.getPath))
-      .filter(_.getPath.getName.endsWith(".parquet"))
-    val dead = all
-      .filter(st => now - st.getModificationTime >= graceMs)
-      .map(_.getPath).filterNot(p => live(p.toString))
-    dead.foreach(p => fs.delete(p, false))
-    dead.map(_.toString).toSeq
+    // LIVE FILE SET as a PLAN: one union-of-segments scan masked by the
+    // merged descriptor pairs, plus the (legacy/tiny) inline rows — the
+    // file names never pass through the driver.
+    import s.implicits._
+    val segLive: Option[DataFrame] =
+      if (masks.isEmpty) None
+      else {
+        val paths = masks.keys.toSeq.sorted
+          .map(n => new Path(segDir, n).toString)
+        val seg = s.read.option("mergeSchema", "true").parquet(paths: _*)
+          .withColumn("__seg",
+            regexp_extract(col("_metadata.file_path"), "_segments/([^/]+)/", 1))
+        val maskDf = masks.toSeq
+          .map { case (k, v) => (k, v.map(_.toSeq.sorted)) }
+          .toDF("__dseg", "__dbks")
+        Some(seg.join(broadcast(maskDf), seg("__seg") === maskDf("__dseg") &&
+            (maskDf("__dbks").isNull ||
+              array_contains(maskDf("__dbks"), seg("bucket"))), "inner")
+          .select(col("file")))
+      }
+    val inline = pins.flatMap(_.files).distinct
+    val liveFiles = (segLive.toSeq :+ inline.toDF("file"))
+      .reduce(_ unionByName _).distinct()
+    // DATA LISTING, distributed: O(buckets) dir names fan out to tasks
+    // that list their own dirs — at million-file roots the listing is
+    // cluster work, not a serial driver loop.
+    val hconf = new SerializableHadoopConf(s.sparkContext.hadoopConfiguration)
+    val bucketDirs = fs.listStatus(dataDir).filter(_.isDirectory)
+      .map(_.getPath.toString).toSeq // O(buckets) driver metadata
+    if (bucketDirs.isEmpty) return Seq.empty
+    val listed = s.createDataset(bucketDirs)
+      .repartition(math.min(32, bucketDirs.size))
+      .mapPartitions { dirs =>
+        dirs.flatMap { d =>
+          val p = new Path(d)
+          p.getFileSystem(hconf.value).listStatus(p).iterator
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .map(st => (st.getPath.toString, st.getModificationTime))
+        }
+      }.toDF("file", "mtime")
+    val dead = listed.filter(col("mtime") <= lit(now - graceMs))
+      .join(liveFiles, Seq("file"), "left_anti")
+      .select(col("file"))
+    // the deletes run where the listing did; only the SWEPT names come
+    // back (the return contract — bounded by the churn since last vacuum)
+    dead.as[String].rdd.mapPartitions { it =>
+      it.map { f =>
+        val p = new Path(f)
+        p.getFileSystem(hconf.value).delete(p, false)
+        f
+      }
+    }.collect().toSeq
+  }
+
+  /** [[vacuum]]'s pin capture for a COMMITTED version (same Pin shape as
+    * the in-flight capture): descriptor rows, or inline files for a
+    * legacy flat manifest. */
+  private def pinOf0(s: SparkSession, root: String, v: Int) = {
+    val df = descriptorDf(s, root, v)
+    if (df.columns.contains("file"))
+      (Nil, df.select(col("file")).collect().map(_.getString(0)).toSeq)
+    else
+      (df.select(col("segment"), col("buckets")).collect().toSeq
+        .map(r => (r.getString(0), Option(r.getSeq[Long](1)).map(_.toSeq))),
+        Seq.empty[String])
   }
 
   /** COMPACT the current version's over-fragmented buckets into a NEW
@@ -1219,45 +1517,66 @@ object VersionedTableImpl {
     // the compaction write, or the rewrite re-splits and never converges
     val prevCap = s.conf.get("spark.sql.files.maxRecordsPerFile", "0")
     s.conf.set("spark.sql.files.maxRecordsPerFile", "0")
-    val newFiles: Map[Long, Seq[String]] =
+    val newFiles: Seq[(Long, String, Long)] =
       try {
         rows.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
         fs.listStatus(staging).filter(_.getPath.getName.startsWith("bucket="))
-          .map { st =>
+          .flatMap { st =>
             val b = st.getPath.getName.stripPrefix("bucket=").toLong
             val dest = new Path(s"$root/data/bucket=$b")
             fs.mkdirs(dest)
-            b -> fs.listStatus(st.getPath)
+            fs.listStatus(st.getPath)
               .filter(_.getPath.getName.endsWith(".parquet"))
               .map { f =>
                 val to = new Path(dest, s"v$newV-${f.getPath.getName}")
                 fs.rename(f.getPath, to)
-                fs.makeQualified(to).toString
-              }.toSeq
-          }.toMap
+                (b, fs.makeQualified(to).toString, f.getLen)
+              }
+          }.toSeq
       } finally {
         s.conf.set("spark.sql.files.maxRecordsPerFile", prevCap)
         fs.delete(staging, true)
       }
-    val manifestDf = manifest(s, root, v)
-      .filter(!col("bucket").isin(counts: _*))
-      .select(col("bucket"), col("file"))
-      .unionByName(counts.flatMap(b =>
-        newFiles.getOrElse(b, Seq.empty).map(f => (b, f)))
-        .toDF("bucket", "file"))
+    // layered manifest: one segment for the rewritten buckets, carried
+    // descriptor rows masked (the commitLoop discipline — O(segments)
+    // metadata, never the carried file rows)
+    val segName = writeSegment(s, root, newFiles.toDF("bucket", "file", "bytes"))
+    val overSet = counts.toSet
+    val carried: Seq[(String, Option[Seq[Long]])] =
+      descriptorPairs(s, root, v) match {
+        case Right(pairs) => pairs.flatMap {
+          case (seg, Some(bs)) =>
+            val rem = bs.filterNot(overSet)
+            if (rem.isEmpty) None else Some((seg, Some(rem)))
+          case (seg, None) => throw new IllegalStateException(
+            s"COW descriptor row for $seg lacks its bucket array at $root")
+        }
+        case Left(legacy) =>
+          val keep = legacy.filter(!col("bucket").isin(counts: _*))
+          val rows = (if (keep.columns.contains("bytes")) keep
+                      else keep.withColumn("bytes", lit(0L)))
+            .select(col("bucket"), col("file"), col("bytes"))
+          val covered = rows.select(col("bucket")).distinct()
+            .as[Long].collect().toSeq.sorted
+          if (covered.isEmpty) Nil
+          else Seq((writeSegment(s, root, rows), Some(covered)))
+      }
+    val descDf = (carried :+ (segName, Some(counts): Option[Seq[Long]]))
+      .toDF("segment", "buckets")
       .withColumn("nbuckets", lit(nb.toLong))
     val tmp = new Path(root,
       s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
-    manifestDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    descDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     // COMMIT POINT: claim only now, with nothing slow left before publish
     if (!claimVersion(s, root, newV, staleClaimMs)) {
       fs.delete(tmp, true) // moved rewrite files strand until vacuum
+      deleteSegment(fs, root, segName)
       return None
     }
     try publish(fs, tmp, visiblePath(root, newV), "compaction")
     catch { case _: IllegalStateException // beaten via takeover edge: yield
       if manifestCommitted(fs, visiblePath(root, newV)) =>
-        fs.delete(tmp, true); return None }
+        fs.delete(tmp, true); deleteSegment(fs, root, segName); return None }
     Some(newV)
   }
 
@@ -1298,7 +1617,7 @@ object VersionedTableImpl {
       s".v_staging_${java.util.UUID.randomUUID().toString.replace("-", "")}")
     val prevCap = s.conf.get("spark.sql.files.maxRecordsPerFile", "0")
     s.conf.set("spark.sql.files.maxRecordsPerFile", "0")
-    val newFiles: Seq[(Long, String)] =
+    val newFiles: Seq[(Long, String, Long)] =
       try {
         rows.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
         fs.listStatus(staging).filter(_.getPath.getName.startsWith("bucket="))
@@ -1311,7 +1630,7 @@ object VersionedTableImpl {
               .map { f =>
                 val to = new Path(dest, s"v$newV-${f.getPath.getName}")
                 fs.rename(f.getPath, to)
-                b -> fs.makeQualified(to).toString
+                (b, fs.makeQualified(to).toString, f.getLen)
               }
           }.toSeq
       } finally {
@@ -1319,19 +1638,24 @@ object VersionedTableImpl {
         fs.delete(staging, true)
       }
     import s.implicits._
-    val manifestDf = newFiles.toDF("bucket", "file")
+    // a rebucket rewrites everything: one fresh segment, one-row descriptor
+    val segName = writeSegment(s, root, newFiles.toDF("bucket", "file", "bytes"))
+    val covered = newFiles.map(_._1).distinct.sorted
+    val descDf = Seq((segName, Some(covered): Option[Seq[Long]]))
+      .toDF("segment", "buckets")
       .withColumn("nbuckets", lit(newBuckets.toLong))
     val tmp = new Path(root,
       s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
-    manifestDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    descDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     if (!claimVersion(s, root, newV, staleClaimMs)) {
       fs.delete(tmp, true) // staged files strand until vacuum
+      deleteSegment(fs, root, segName)
       return None
     }
     try publish(fs, tmp, visiblePath(root, newV), "rebucket")
     catch { case _: IllegalStateException // beaten via takeover edge: yield
       if manifestCommitted(fs, visiblePath(root, newV)) =>
-        fs.delete(tmp, true); return None }
+        fs.delete(tmp, true); deleteSegment(fs, root, segName); return None }
     Some(newV)
   }
 
@@ -1351,10 +1675,13 @@ object VersionedTableImpl {
     require(targetBucketBytes > 0, "targetBucketBytes must be positive")
     val v = currentVersion(s, root)
     if (v == 0) return None
-    val fs = fsOf(s, root)
-    val files = filesOf(s, root, v, None) // metadata: live file list
-    val totalBytes = files.map(f =>
-      scala.util.Try(fs.getFileStatus(new Path(f)).getLen).getOrElse(0L)).sum
+    // size from the manifest's own `bytes` column — ONE metadata
+    // aggregate, zero per-file getFileStatus calls (the round-11 weak #2:
+    // a serial HEAD per live file is hours at a million files on an
+    // object store). Legacy rows carry bytes = 0 and simply read as a
+    // healthy layout (no auto-growth until their buckets are rewritten).
+    val totalBytes = manifest(s, root, v)
+      .agg(coalesce(sum(col("bytes")), lit(0L))).head.getLong(0)
     val nb = tableBuckets(s, root, 1)
     if (nb <= 0 || totalBytes / math.max(1, nb) <= targetBucketBytes)
       return None // healthy layout
@@ -1402,6 +1729,9 @@ object VersionedTableImpl {
       purgeTombstonesBelow: Option[String] = None,
       graceMs: Long = 30L * 60 * 1000,
       rebucketOverBytes: Option[Long] = None): DataFrame = {
+    // repairs read the table's recorded retention floor (what past
+    // vacuums actually swept): a feed whose diff needs an expired version
+    // is forfeit — not retried forever, never read loudly-missing
     val repaired = repairFeedsIncremental(s, root, nBuckets)
     val compacted = compactVersion(s, root, maxFiles, nBuckets,
       sortCols = sortCols, purgeTombstonesBelow = purgeTombstonesBelow)
@@ -1451,7 +1781,9 @@ object VersionedTableImpl {
       val newV = cur + 1
       val tmp = new Path(root,
         s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
-      manifest(s, root, v).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      // copy the DESCRIPTOR, not the resolved file rows: restore stays a
+      // metadata-sized write (segments are immutable and shared)
+      descriptorDf(s, root, v).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       if (claimVersion(s, root, newV, staleClaimMs)) {
         val won =
           try { publish(fs, tmp, visiblePath(root, newV), "restore"); true }
@@ -1565,10 +1897,11 @@ object VersionedTableImpl {
     try writeRef(fs, branchRefPath(root, name), fork, overwrite = false)
     catch { case _: java.io.IOException =>
       throw new IllegalStateException(s"branch '$name' already exists at $root") }
-    // branch v0 = the fork manifest, copied metadata->metadata
+    // branch v0 = the fork DESCRIPTOR, copied metadata->metadata (the
+    // fork's segments are shared, not copied — a fork is O(segments))
     val tmp = new Path(root,
       s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
-    manifest(s, root, fork).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    descriptorDf(s, root, fork).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     publish(fs, tmp, lin.visible(root, 0), s"branch '$name' fork")
     fork
   }
@@ -1619,7 +1952,7 @@ object VersionedTableImpl {
     val newV = fork + 1
     val tmp = new Path(root,
       s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
-    manifest(s, root, head, branchLineage(name))
+    descriptorDf(s, root, head, branchLineage(name))
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     if (!claimVersion(s, root, newV, staleClaimMs)) {
       fs.delete(tmp, true)
@@ -2645,8 +2978,8 @@ object VersionedTableImpl {
     * metadata-only claim+rename. The resulting main state must hash-match
     * DuckDB's one-shot FULL-log replay — proving the staged lineage
     * composed exactly like direct commits would have. */
-  def branchedState(s: SparkSession, dir: String): DataFrame = {
-    val root = Memo.getOrCacheAny(branchRoots, s, dir, { _ =>
+  private[graft] def ensureBranched(s: SparkSession, dir: String): String =
+    Memo.getOrCacheAny(branchRoots, s, dir, { _ =>
       val r = java.nio.file.Files.createTempDirectory("graft_vtable_b").toString
       val env = CdcSynth.fromEvents(s, dir)
       val q = Tables(s, dir, "events")
@@ -2668,6 +3001,9 @@ object VersionedTableImpl {
       require(ff == Right(2), s"fast-forward publishes main v2: $ff")
       r
     })
+
+  def branchedState(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureBranched(s, dir)
     readVersion(s, root, currentVersion(s, root))
       .select(col("user_id"), col("last_op"), col("last_seq"),
         col("event_type"), col("value"), col("k"))
@@ -2685,8 +3021,8 @@ object VersionedTableImpl {
     * purge touched nothing a reader can see (VersionedSpec pins the
     * physical side: zero tombstone rows remain, horizon-respecting GC
     * keeps newer tombstones). */
-  def gcState(s: SparkSession, dir: String): DataFrame = {
-    val root = Memo.getOrCacheAny(gcRoots, s, dir, { _ =>
+  private[graft] def ensureGc(s: SparkSession, dir: String): String =
+    Memo.getOrCacheAny(gcRoots, s, dir, { _ =>
       val r = java.nio.file.Files.createTempDirectory("graft_vtable_gc").toString
       val env = CdcSynth.fromEvents(s, dir)
       val mid = Tables(s, dir, "events")
@@ -2700,6 +3036,9 @@ object VersionedTableImpl {
       require(v3.contains(3), s"GC compaction commits v3: $v3")
       r
     })
+
+  def gcState(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureGc(s, dir)
     readVersion(s, root, currentVersion(s, root))
       .select(col("user_id"), col("last_op"), col("last_seq"),
         col("event_type"), col("value"), col("k"))
@@ -2718,8 +3057,8 @@ object VersionedTableImpl {
     * before/after the record, roll-forward recovery); the oracle pins
     * that the staged-then-published states are exactly the direct-commit
     * states. */
-  def txnState(s: SparkSession, dir: String): DataFrame = {
-    val (rootA, rootB) = Memo.getOrCacheAny(txnRoots, s, dir, { _ =>
+  private[graft] def ensureTxnPair(s: SparkSession, dir: String): (String, String) =
+    Memo.getOrCacheAny(txnRoots, s, dir, { _ =>
       val a = java.nio.file.Files.createTempDirectory("graft_vtable_txa").toString
       val b = java.nio.file.Files.createTempDirectory("graft_vtable_txb").toString
       val txd = java.nio.file.Files.createTempDirectory("graft_txn").toString
@@ -2733,6 +3072,9 @@ object VersionedTableImpl {
       require(done == Seq(a -> 1, b -> 1), s"both tables publish v1: $done")
       (a, b)
     })
+
+  def txnState(s: SparkSession, dir: String): DataFrame = {
+    val (rootA, rootB) = ensureTxnPair(s, dir)
     def side(root: String, tag: String) =
       readVersion(s, root, 1)
         .select(lit(tag).as("tbl"), col("user_id"), col("last_op"),
@@ -2778,8 +3120,8 @@ object VersionedTableImpl {
     * the manifest-recorded count must win, or keys route to wrong buckets
     * and the merge silently corrupts. The final state must hash-match the
     * full-log replay. */
-  def rebucketedState(s: SparkSession, dir: String): DataFrame = {
-    val root = Memo.getOrCacheAny(rbRoots, s, dir, { _ =>
+  private[graft] def ensureRebucketed(s: SparkSession, dir: String): String =
+    Memo.getOrCacheAny(rbRoots, s, dir, { _ =>
       val r = java.nio.file.Files.createTempDirectory("graft_vtable_rb").toString
       val env = CdcSynth.fromEvents(s, dir)
       val mid = Tables(s, dir, "events")
@@ -2794,6 +3136,9 @@ object VersionedTableImpl {
       require(v3 == 3, s"post-rebucket merge commits v3: $v3")
       r
     })
+
+  def rebucketedState(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureRebucketed(s, dir)
     readVersion(s, root, currentVersion(s, root))
       .select(col("user_id"), col("last_op"), col("last_seq"),
         col("event_type"), col("value"), col("k"))
@@ -2809,14 +3154,15 @@ object VersionedTableImpl {
     * (total/6 ⇒ the mean 2-bucket payload is 3x over target at ANY scale
     * factor): the auto-rebucket must fire, grow the bucket count, and be
     * INVISIBLE to readers — the state hash-matches the full-log replay. */
-  def autoRebucketedState(s: SparkSession, dir: String): DataFrame = {
-    val root = Memo.getOrCacheAny(arbRoots, s, dir, { _ =>
+  private[graft] def ensureAutoRebucketed(s: SparkSession, dir: String): String =
+    Memo.getOrCacheAny(arbRoots, s, dir, { _ =>
       val r = java.nio.file.Files.createTempDirectory("graft_vtable_arb").toString
       val env = CdcSynth.fromEvents(s, dir)
       commitMerge(s, r, env, 2) // undersized creation-time layout
-      val fsr = fsOf(s, r)
-      val total = filesOf(s, r, currentVersion(s, r), None)
-        .map(f => fsr.getFileStatus(new Path(f)).getLen).sum
+      // size from the manifest's own bytes column — the same metadata
+      // aggregate autoRebucket uses; no per-file getFileStatus anywhere
+      val total = manifest(s, r, currentVersion(s, r))
+        .agg(coalesce(sum(col("bytes")), lit(0L))).head.getLong(0)
       val report = optimizeTable(s, r, 2, maxFiles = 1000,
         rebucketOverBytes = Some(math.max(1L, total / 6)),
         graceMs = 0L).collect().head
@@ -2825,6 +3171,9 @@ object VersionedTableImpl {
       require(grown > 2, s"bucket count must grow: $grown")
       r
     })
+
+  def autoRebucketedState(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureAutoRebucketed(s, dir)
     readVersion(s, root, currentVersion(s, root))
       .select(col("user_id"), col("last_op"), col("last_seq"),
         col("event_type"), col("value"), col("k"))

@@ -116,6 +116,18 @@ object Indexes {
       { ops.LakehouseOpsImpl.ensureCompactedTable(s, d); () }),
     IndexBuild("lake_mor_table", (s, d) =>
       { ops.MorTableImpl.ensureMor(s, d); () }),
+    IndexBuild("lake_branch_table", (s, d) =>
+      { ops.VersionedTableImpl.ensureBranched(s, d); () }),
+    IndexBuild("lake_gc_table", (s, d) =>
+      { ops.VersionedTableImpl.ensureGc(s, d); () }),
+    IndexBuild("lake_txn_pair", (s, d) =>
+      { ops.VersionedTableImpl.ensureTxnPair(s, d); () }),
+    IndexBuild("lake_rebucket_table", (s, d) =>
+      { ops.VersionedTableImpl.ensureRebucketed(s, d); () }),
+    IndexBuild("lake_arb_table", (s, d) =>
+      { ops.VersionedTableImpl.ensureAutoRebucketed(s, d); () }),
+    IndexBuild("lake_ptr_table", (s, d) =>
+      { ops.VersionedTableImpl.ensurePointerTable(s, d); () }),
     IndexBuild("lake_ivm_pair", (s, d) =>
       f(ops.JoinIvmImpl.ensureJ1(s, d)))) // forces the table pair + feeds + J1
 }

@@ -27,13 +27,19 @@ object CommitWorker {
   def main(args: Array[String]): Unit = {
     val Array(root, nbS, idS, batchesS) = args.take(4)
     val (nb, id, batches) = (nbS.toInt, idS.toInt, batchesS.toInt)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[2]")
       .appName(s"graft-commit-worker-$id")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // an objstore:// root points at the test shim (non-atomic renames,
+    // conditional PUTs) — present on the spawning suite's classpath; wired
+    // by NAME so this main-side tool carries no test-code dependency
+    if (root.startsWith("objstore:"))
+      builder.config("spark.hadoop.fs.objstore.impl",
+        "graft.fs.ObjectStoreFileSystem")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     (0 until batches).foreach { j =>

@@ -38,9 +38,29 @@ class ObjectStoreFileSystem extends RawLocalFileSystem {
   override def getUri: URI = URI.create("objstore:///")
   override def getScheme: String = "objstore"
 
-  /** One lock per JVM (the FileSystem cache shares one instance per
-    * scheme): conditional PUTs serialize, everything else doesn't. */
+  /** Conditional-PUT exclusivity is CROSS-PROCESS: a real store's
+    * `If-None-Match` arbitration lives in the store, not in any client
+    * JVM, so the shim's serialization must too. A `java.nio.channels.
+    * FileLock` on a per-directory lock file gives exactly that on a local
+    * mount (advisory, cross-process); the JVM monitor around it both
+    * serializes same-JVM racers (overlapping FileLocks in one JVM throw
+    * OverlappingFileLockException instead of blocking) and keeps the old
+    * in-JVM semantics. Until round 12 the lock was JVM-only, so the
+    * cross-process commit suite could only run on the local FS's real
+    * O_EXCL — now it runs against the shim itself. */
   private val putLock = new Object
+
+  private def withStoreLock[T](near: Path)(body: => T): T = putLock.synchronized {
+    val lockFile = pathToFile(new Path(near.getParent, ".condput.lock"))
+    Option(lockFile.getParentFile).foreach(_.mkdirs())
+    val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val l = ch.lock() // blocks on OTHER processes' holders
+      try body finally l.release()
+    } finally ch.close()
+  }
 
   /** Conditional PUT, atomic WITH CONTENT: a real store's
     * `If-None-Match` PUT uploads the whole body and the object appears
@@ -57,7 +77,7 @@ class ObjectStoreFileSystem extends RawLocalFileSystem {
     * window the commit protocol must not be validated against. */
   private def conditionalPut(f: Path,
       mk: Path => FSDataOutputStream): FSDataOutputStream = {
-    putLock.synchronized {
+    withStoreLock(f) {
       if (exists(f))
         throw new FileAlreadyExistsException(s"$f exists (conditional PUT failed)")
     }
@@ -72,7 +92,7 @@ class ObjectStoreFileSystem extends RawLocalFileSystem {
       override def flush(): Unit = inner.flush()
       override def close(): Unit = {
         inner.close()
-        putLock.synchronized {
+        withStoreLock(f) {
           if (self.exists(f)) {
             self.delete(tmp, false)
             throw new FileAlreadyExistsException(

@@ -18,8 +18,16 @@ import graft.SparkSpec
 class CrossProcessCommitSpec extends SparkSpec {
   import spark.implicits._
 
-  test("three OS processes committing to one root serialize to the one-shot state") {
-    val root = java.nio.file.Files.createTempDirectory("xproc").toString
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.objstore.impl", classOf[graft.fs.ObjectStoreFileSystem].getName)
+  }
+
+  private val workers = 3
+  private val batches = 2
+
+  private def runWorkers(root: String): Unit = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     val addOpens = Seq(
@@ -31,8 +39,6 @@ class CrossProcessCommitSpec extends SparkSpec {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar"
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val workers = 3
-    val batches = 2
     def spawn(id: Int): Process =
       new ProcessBuilder((Seq(javaBin) ++ addOpens ++ Seq(
         "-Xmx2g", "-Dspark.ui.enabled=false",
@@ -51,7 +57,9 @@ class CrossProcessCommitSpec extends SparkSpec {
         s"worker ${i + 1} failed (exit ${p.exitValue()}): a lost-claim " +
           "exhaustion or protocol violation under cross-process contention")
     }
+  }
 
+  private def assertConverged(root: String): Unit = {
     // all batches landed as strictly sequential versions
     val cur = VersionedTableImpl.currentVersion(spark, root)
     assert(cur == workers * batches,
@@ -69,5 +77,28 @@ class CrossProcessCommitSpec extends SparkSpec {
       VersionedTableImpl.readVersion(spark, root, v).count())
     assert(sizes == sizes.sorted && sizes.last == expected.size.toLong,
       s"history must grow monotonically to the union: $sizes")
+  }
+
+  test("three OS processes committing to one root serialize to the one-shot state") {
+    val root = java.nio.file.Files.createTempDirectory("xproc").toString
+    runWorkers(root)
+    assertConverged(root)
+  }
+
+  test("three OS processes over OBJECT-STORE semantics: pointer commits converge") {
+    // the shim's conditional PUT serializes through a cross-process
+    // FileLock, so this really is three processes arbitrating through the
+    // store's own primitive — non-atomic renames and all; no O_EXCL
+    // anywhere on the commit point (the round-11 next-round item #5)
+    val root = "objstore:" +
+      java.nio.file.Files.createTempDirectory("xproc_obj").toString
+    runWorkers(root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // pointer mode really engaged: the commit points are pointer PUTs
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_versions/v1.parquet")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(root, "_versions/v1.parquet.ptr")),
+      "objstore commits must be conditional-create pointer PUTs")
+    assertConverged(root)
   }
 }

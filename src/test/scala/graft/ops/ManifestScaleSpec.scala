@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.cdc.CdcSynth
+
+/** The layered-manifest SCALE contract, measured rather than eyeballed
+  * (the round-11 "Next round" #1/#2 done-criteria):
+  *
+  *  - per-commit manifest METADATA bytes stay O(batch): a trickle commit
+  *    against a table carrying many live files must not re-serialize the
+  *    carried file rows (the pre-layering behavior rewrote the FULL
+  *    manifest — O(all live files) — through one task per commit);
+  *  - table sizing (autoRebucket) reads the manifest's own `bytes`
+  *    column: ZERO per-data-file getFileStatus calls.
+  */
+class ManifestScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val NB = 8
+
+  private def env(rows: Seq[(Long, Long)]): DataFrame =
+    CdcSynth.envelope(rows.toDF("event_id", "user_id")
+      .withColumn("event_type", concat(lit("t"), pmod(col("user_id"), lit(3L))))
+      .withColumn("value", col("event_id").cast("double") / 4.0)
+      .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("event_id") * 1000L))
+      .withColumn("props", concat(lit("{\"k\":"), col("user_id") * 7L, lit("}"))))
+
+  private def du(p: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) 0L else fs.getContentSummary(path).getLength
+  }
+
+  private def segsOf(root: String, v: Int): Set[String] =
+    if (v < 1) Set.empty
+    else VersionedTableImpl.descriptorDf(spark, root, v)
+      .select(col("segment")).as[String].collect().toSet
+
+  /** Metadata bytes COMMIT v wrote: its descriptor plus the segments it
+    * newly references (carried segments are shared, not rewritten). */
+  private def metaBytes(root: String, v: Int): Long = {
+    val fresh = segsOf(root, v) -- segsOf(root, v - 1)
+    du(s"$root/_versions/v$v.parquet") +
+      fresh.toSeq.map(n => du(s"$root/_versions/_segments/$n")).sum
+  }
+
+  /** Total metadata footprint of version v (descriptor + every referenced
+    * segment) — what a full rewrite per commit would cost. */
+  private def totalMeta(root: String, v: Int): Long =
+    du(s"$root/_versions/v$v.parquet") +
+      segsOf(root, v).toSeq.map(n => du(s"$root/_versions/_segments/$n")).sum
+
+  test("COW trickle commits write O(batch) manifest metadata, not O(live files)") {
+    val root = java.nio.file.Files.createTempDirectory("mscale_cow").toString
+    // SEED: one fat commit under a 1-record file cap — hundreds of live
+    // files across every bucket, the carried set a trickle must NOT copy
+    val prevCap = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+    try VersionedTableImpl.commitMerge(spark, root,
+      env((0L until 400L).map(u => (8L * u, u))), NB)
+    finally spark.conf.set("spark.sql.files.maxRecordsPerFile", prevCap)
+    val liveFiles = VersionedTableImpl.manifest(spark, root, 1).count()
+    assert(liveFiles >= 400L, s"seed must fragment: $liveFiles files")
+
+    // TRICKLE: K single-key commits, all to bucket 0
+    val K = 8
+    (1 to K).foreach { i =>
+      val v = VersionedTableImpl.commitMerge(spark, root,
+        env(Seq((8L * (1000L + i), 0L))), NB)
+      assert(v == 1 + i)
+    }
+    val perCommit = (2 to K + 1).map(v => metaBytes(root, v))
+    val full = totalMeta(root, K + 1)
+    // every trickle commit's metadata is a small fraction of the full
+    // manifest footprint (the old code wrote `full` bytes EVERY commit)
+    perCommit.zipWithIndex.foreach { case (b, i) =>
+      assert(b < full / 3,
+        s"trickle commit ${i + 2} wrote $b metadata bytes vs full=$full — " +
+          "carried rows are being rewritten")
+    }
+    // and the cost is flat in the number of accumulated live files
+    assert(perCommit.max <= 3 * perCommit.min,
+      s"per-commit metadata must not grow with table age: $perCommit")
+    // correctness rides along: the 400 seed keys survive, and key 0
+    // carries the LAST trickle's upsert
+    val state = VersionedTableImpl.readVersion(spark, root, K + 1)
+    assert(state.count() == 400)
+    val v0 = state.filter(col("user_id") === 0L)
+      .select(col("value")).as[Double].head()
+    assert(v0 == (8L * (1000L + K)) / 4.0, s"last trickle upsert must win: $v0")
+  }
+
+  test("MOR trickle deltas write O(batch) manifest metadata; compaction consolidates") {
+    val root = java.nio.file.Files.createTempDirectory("mscale_mor").toString
+    val prevCap = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+    try MorTableImpl.commitAppend(spark, root,
+      env((0L until 400L).map(u => (8L * u, u))), NB)
+    finally spark.conf.set("spark.sql.files.maxRecordsPerFile", prevCap)
+
+    val K = 8
+    (1 to K).foreach { i =>
+      val v = MorTableImpl.commitAppend(spark, root,
+        env(Seq((8L * (1000L + i), (400L + i)))), NB)
+      assert(v == 1 + i)
+    }
+    val perCommit = (2 to K + 1).map(v => metaBytes(root, v))
+    val full = totalMeta(root, K + 1)
+    perCommit.zipWithIndex.foreach { case (b, i) =>
+      assert(b < full / 3,
+        s"MOR delta ${i + 2} wrote $b metadata bytes vs full=$full — " +
+          "the manifest is being rewritten per trickle commit")
+    }
+    assert(perCommit.max <= 3 * perCommit.min,
+      s"per-delta metadata must not grow with table age: $perCommit")
+    // compaction is the amortization point: afterwards ONE consolidated
+    // segment + one base segment serve the whole table
+    val vC = MorTableImpl.compactMor(spark, root, maxFiles = 1, NB)
+    assert(vC.contains(K + 2))
+    assert(segsOf(root, K + 2).size == 2,
+      s"compaction must consolidate metadata: ${segsOf(root, K + 2)}")
+    assert(MorTableImpl.readMor(spark, root, K + 2).count() == 400 + K)
+  }
+
+  test("autoRebucket sizes from the manifest: zero per-data-file getFileStatus") {
+    spark.sparkContext.hadoopConfiguration.set("fs.countfs.impl",
+      classOf[graft.fs.CountingFileSystem].getName)
+    val local = java.nio.file.Files.createTempDirectory("mscale_count").toString
+    val root = s"countfs://$local"
+    VersionedTableImpl.commitMerge(spark, root,
+      env((0L until 64L).map(u => (8L * u, u))), 2)
+    graft.fs.CountingFileSystem.dataFileStats.set(0L)
+    // sizing path with a huge target: measures, decides "healthy", exits —
+    // the decision must come from the manifest's bytes column alone
+    val none = VersionedTableImpl.autoRebucket(spark, root, Long.MaxValue / 4)
+    assert(none.isEmpty)
+    assert(graft.fs.CountingFileSystem.dataFileStats.get() == 0L,
+      s"sizing must not stat data files: ${graft.fs.CountingFileSystem.dataFileStats.get()} calls")
+    // and when it DOES fire, the grown table still never stats data files
+    // during sizing (the rewrite itself legitimately reads data)
+    val total = VersionedTableImpl.manifest(spark, root, 1)
+      .agg(coalesce(sum(col("bytes")), lit(0L))).head.getLong(0)
+    assert(total > 0L, "manifest bytes column must be populated")
+    graft.fs.CountingFileSystem.dataFileStats.set(0L)
+    val grown = VersionedTableImpl.autoRebucket(spark, root,
+      math.max(1L, total / 6))
+    assert(grown.nonEmpty, "growth must fire against an undersized layout")
+    assert(VersionedTableImpl.tableBuckets(spark, root, 0) > 2)
+    assert(VersionedTableImpl.readVersion(spark, root,
+      VersionedTableImpl.currentVersion(spark, root)).count() == 64)
+  }
+}

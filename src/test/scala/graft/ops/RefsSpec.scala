@@ -283,7 +283,7 @@ class RefsSpec extends SparkSpec {
       col("last_op").isin(LakehouseOpsImpl.DeleteOps: _*)).count() == 0)
     assert(fs.exists(new org.apache.hadoop.fs.Path(root, s"_stats/v$cur.parquet")))
     // live buckets at <= maxFiles
-    val counts = spark.read.parquet(s"$root/_versions/v$cur.parquet")
+    val counts = VersionedTableImpl.manifest(spark, root, cur)
       .groupBy(col("bucket")).count().select(col("count")).as[Long].collect()
     assert(counts.forall(_ <= 1L), s"compaction bounds live files: ${counts.toSeq}")
 
@@ -344,7 +344,7 @@ class RefsSpec extends SparkSpec {
     assert(users(VersionedTableImpl.readVersion(spark, root, 2)) == v1State,
       "rebucket is pure layout: state unchanged")
     // the physical layout really changed: 16 bucket dirs now hold files
-    val m2 = spark.read.parquet(s"$root/_versions/v2.parquet")
+    val m2 = VersionedTableImpl.manifest(spark, root, 2)
       .select(col("bucket")).distinct().as[Long].collect().toSet
     assert(m2.exists(_ >= 8L), s"keys now land in the new bucket range: $m2")
 

@@ -193,7 +193,7 @@ class VersionedSpec extends SparkSpec {
     assert(users(VersionedTableImpl.readVersion(spark, root, 3)) == s3,
       "the kept version must survive vacuum intact")
     val remaining = dataFiles(root)
-    val v3Files = spark.read.parquet(s"$root/_versions/v3.parquet")
+    val v3Files = VersionedTableImpl.manifest(spark, root, 3)
       .select(col("file")).as[String].collect().toSet
     assert(remaining == v3Files.map(_.stripPrefix("file:")),
       "exactly the kept manifest's files remain")

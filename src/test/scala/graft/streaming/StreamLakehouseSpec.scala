@@ -487,7 +487,7 @@ class StreamLakehouseSpec extends SparkSpec {
 
     def liveCounts(): Map[Long, Long] = {
       val v = VersionedTableImpl.currentVersion(spark, root)
-      spark.read.parquet(s"$root/_versions/v$v.parquet")
+      VersionedTableImpl.manifest(spark, root, v)
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
         .as[(Long, Long)].collect().toMap
     }
@@ -504,7 +504,7 @@ class StreamLakehouseSpec extends SparkSpec {
     // the fragmentation was real: the last MERGE commit (the version just
     // below the final compaction) carried multi-file buckets
     val vEnd0 = VersionedTableImpl.currentVersion(spark, root)
-    val preCompact = spark.read.parquet(s"$root/_versions/v${vEnd0 - 1}.parquet")
+    val preCompact = VersionedTableImpl.manifest(spark, root, vEnd0 - 1)
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
       .as[(Long, Long)].collect().toMap
     assert(preCompact.values.exists(_ > 1),
@@ -671,6 +671,69 @@ class StreamLakehouseSpec extends SparkSpec {
       s"a rejected publish must change nothing on main: $rej")
     assert(VersionedTableImpl.branchHead(spark, root, "bad") == 1,
       "the rejected branch stays staged for inspection")
+  }
+
+  test("staged and MOR streaming sinks run end-to-end on object-store semantics") {
+    // the objstore shim breaks rename atomicity and serializes conditional
+    // PUTs through a cross-process FileLock: the sinks' TABLE side must
+    // survive it via pointer commits (engaged automatically by scheme).
+    // Spark's own CHECKPOINT stays on the local FS — the streaming engine
+    // requires a checkpoint store with atomic rename, which real
+    // deployments satisfy with an HDFS/ABFS checkpoint dir or the
+    // S3A-committer-style checkpoint manager, orthogonal to the table.
+    import graft.ops.{MorTableImpl, VersionedTableImpl}
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.objstore.impl", classOf[graft.fs.ObjectStoreFileSystem].getName)
+    val all = events(0 until 100)
+    val batches = Seq(all.slice(0, 50), all.slice(50, 100))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("last_op"), col("last_seq"),
+        col("event_type"), col("value"), col("k"))
+        .as[(Long, String, String, String, Double, Long)].collect().toSeq.sorted
+    def assertPointerMode(root: String, lineagePrefix: String): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(root,
+        s"_versions/$lineagePrefix" + "1.parquet.ptr")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(root,
+          s"_versions/$lineagePrefix" + "1.parquet")),
+        s"commits on $root must be pointer PUTs, never visible renames")
+    }
+
+    // STAGED drain on the shim: branch commits, audited publish, all pointers
+    val rootS = "objstore:" + Files.createTempDirectory("graft_slake_objst").toString
+    val ckptS = Files.createTempDirectory("graft_slake_objst_ckpt").toString
+    assert(VersionedTableImpl.createBranch(spark, rootS, "nightly") == 0)
+    val inS = MemoryStream[LkEvent](spark)
+    batches.foreach { b =>
+      inS.addData(b: _*)
+      LakehouseSink.stagedSink(CdcSynth.envelope(inS.toDF()),
+        rootS, "nightly", ckptS, NB).awaitTermination()
+    }
+    assert(VersionedTableImpl.branchHead(spark, rootS, "nightly") == 2)
+    assert(VersionedTableImpl.currentVersion(spark, rootS) == 0,
+      "main must see nothing while staged, pointer layout included")
+    assertPointerMode(rootS, "b-nightly-v")
+    val pub = VersionedTableImpl.publishBranch(spark, rootS, "nightly", Seq.empty)
+    assert(pub == Right(1), s"$pub")
+    assertPointerMode(rootS, "v")
+    assert(rows(VersionedTableImpl.readVersion(spark, rootS, 1)) == expected(all),
+      "staged-on-objstore published state must equal the one-shot replay")
+
+    // MOR drain + threshold compaction maintenance on the shim
+    val rootM = "objstore:" + Files.createTempDirectory("graft_slake_objmor").toString
+    val ckptM = Files.createTempDirectory("graft_slake_objmor_ckpt").toString
+    val inM = MemoryStream[LkEvent](spark)
+    batches.foreach { b =>
+      inM.addData(b: _*)
+      LakehouseSink.morSink(CdcSynth.envelope(inM.toDF()),
+        rootM, ckptM, NB, compactOver = Some(1)).awaitTermination()
+    }
+    val vEnd = VersionedTableImpl.currentVersion(spark, rootM)
+    assert(vEnd >= 2, s"deltas (+ compactions) landed: $vEnd")
+    assertPointerMode(rootM, "v")
+    assert(rows(MorTableImpl.readMor(spark, rootM, vEnd)) == expected(all),
+      "MOR-on-objstore state must equal the one-shot replay")
   }
 
   test("config-driven staged sink: drains publish atomically, re-runs and catch-ups stay exactly-once") {
