@@ -80,11 +80,19 @@ object Memo {
       // capture the frames BEFORE dropping the map entry: the dfs thunk
       // reads the owning map, so remove-then-capture would resolve to
       // nothing and the eviction would free zero executor storage (the
-      // round-11 review's finding — the bound would be bookkeeping only)
-      val frames =
-        if (victim.key._1.sparkContext.isStopped) Nil else victim.dfs()
-      victim.cache.remove(victim.key)
-      frames.foreach(unpersistAll)
+      // round-11 review's finding — the bound would be bookkeeping only).
+      // The remove is CONDITIONAL on the value we captured: between
+      // victim selection (under the monitor) and here, a clear+rebuild
+      // can have replaced the entry — unconditional remove+unpersist
+      // would free the FRESH build's storage out from under its consumer.
+      // A skipped victim stays cached; its rebuild re-tracked itself.
+      val raw = victim.cache.asInstanceOf[ConcurrentHashMap[Any, Any]]
+      val before = raw.get(victim.key)
+      if (before != null) {
+        val frames =
+          if (victim.key._1.sparkContext.isStopped) Nil else victim.dfs()
+        if (raw.remove(victim.key, before)) frames.foreach(unpersistAll)
+      }
     }
   }
 

@@ -76,18 +76,22 @@ object MorTableImpl {
 
   /** The descriptor rows of version v to CARRY into v+1 — collected
     * metadata (O(segments)); a legacy flat manifest consolidates into one
-    * explicit segment on first contact. */
+    * explicit segment on first contact. The second member names that
+    * freshly written consolidation segment (if any) so a lost attempt can
+    * delete it — otherwise every retry against a legacy manifest would
+    * leak one full-size metadata rewrite. */
   private def carriedDesc(s: SparkSession, root: String,
-      v: Int): Seq[(String, Option[Seq[Long]])] =
-    if (v == 0) Nil
+      v: Int): (Seq[(String, Option[Seq[Long]])], Option[String]) =
+    if (v == 0) (Nil, None)
     else descriptorPairs(s, root, v) match {
-      case Right(pairs) => pairs
+      case Right(pairs) => (pairs, None)
       case Left(legacy) =>
         val rows = (if (legacy.columns.contains("bytes")) legacy
                     else legacy.withColumn("bytes", lit(0L)))
           .select(col("bucket"), col("file"), col("kind"),
             col("min_key"), col("max_key"), col("bytes"))
-        Seq((writeSegment(s, root, rows), None))
+        val cs = writeSegment(s, root, rows)
+        (Seq((cs, None)), Some(cs))
     }
 
   /** ZONE MAPS: per-file [min_key, max_key] over the staged files, one
@@ -175,8 +179,8 @@ object MorTableImpl {
       // (one per live segment) + ONE new row — never the carried file
       // rows, which at a million uncompacted files would re-serialize a
       // million-row manifest per trickle commit (the round-11 weak #1)
-      val descDf = (carriedDesc(s, root, v) :+
-          (segName, None: Option[Seq[Long]]))
+      val (carried, consolidated) = carriedDesc(s, root, v)
+      val descDf = (carried :+ (segName, None: Option[Seq[Long]]))
         .toDF("segment", "buckets")
       val tmp = new Path(root,
         s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
@@ -189,7 +193,11 @@ object MorTableImpl {
             if manifestCommitted(fs, visiblePath(root, newV)) => false }
         if (won) return newV
       }
-      fs.delete(tmp, true) // lost: deltas stay valid, only re-base the manifest
+      // lost: delta files + delta segment stay valid (commits commute);
+      // only the descriptor — and any legacy consolidation written for
+      // this attempt — dies before the re-base retry
+      fs.delete(tmp, true)
+      consolidated.foreach(deleteSegment(fs, root, _))
       if (attempt >= maxAttempts)
         throw new IllegalStateException(
           s"commitAppend lost $maxAttempts optimistic attempts at $root")

@@ -493,11 +493,17 @@ object VersionedTableImpl {
       return buckets.fold(withBytes)(bs =>
         withBytes.filter(col("bucket").isin(bs: _*)))
     }
-    val rows = desc.select(col("segment"), col("buckets")).collect()
+    // ONE collect serves both the segment list and the constant nbuckets
+    // column — this runs per manifest() resolution, so a second driver
+    // job here would double metadata latency on every read/commit path
+    val hasNb = desc.columns.contains("nbuckets")
+    val rows =
+      (if (hasNb) desc.select(col("segment"), col("buckets"), col("nbuckets"))
+       else desc.select(col("segment"), col("buckets"))).collect()
     val nb: Option[Long] =
-      if (!desc.columns.contains("nbuckets")) None
-      else scala.util.Try(desc.select(col("nbuckets")).limit(1)
-        .collect().headOption.map(_.getLong(0))).toOption.flatten
+      if (!hasNb) None
+      else rows.headOption.flatMap(r =>
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))
     val pairs0 = rows.toSeq.map(r =>
       (r.getString(0), Option(r.getSeq[Long](1)).map(_.toSeq)))
     // segment pruning: an explicit-array segment none of whose buckets is
@@ -701,7 +707,28 @@ object VersionedTableImpl {
         java.util.UUID.randomUUID().toString.replace("-", ""))
       try {
         if (fs.rename(claim, aside)) {
-          if (claimId(aside) == checkedId)
+          val asideId = claimId(aside)
+          // an EMPTY id cannot discriminate on plain POSIX: a racer's
+          // fresh claim is briefly contentless there (create → write is
+          // not atomic), so "" == "" could steal a live mid-create claim —
+          // fall back to the renamed file's OWN mtime, trustworthy on
+          // POSIX where rename preserves it. On conditional-PUT stores the
+          // empty-mid-create window cannot exist (the PUT is atomic WITH
+          // its body), so an empty aside really is the dead claim we
+          // judged stale — and the mtime is NOT consulted there, because a
+          // copy-based rename refreshes it and would livelock the
+          // takeover (the round-11 lesson, re-learned by this round's
+          // objstore racing suite).
+          val matches =
+            if (checkedId.nonEmpty) asideId == checkedId
+            else asideId.isEmpty && (
+              conditionalCommit(fs) ||
+              fs.exists(new Path(root, "_commit_mode")) ||
+              scala.util.Try(
+                System.currentTimeMillis() -
+                  fs.getFileStatus(aside).getModificationTime > staleClaimMs)
+                .getOrElse(false))
+          if (matches)
             fs.delete(aside, false) // genuinely the dead claimant's file
           else {
             if (fs.exists(claim) || !fs.rename(aside, claim))
@@ -844,6 +871,7 @@ object VersionedTableImpl {
       val segName = writeSegment(s, root,
         newFiles.toDF("bucket", "file", "bytes"))
       val touchedSet = touched.toSet
+      var consolidated: Option[String] = None // cleaned up on a lost race
       val carried: Seq[(String, Option[Seq[Long]])] =
         descriptorPairs(s, root, v, lin) match {
           case Right(pairs) => pairs.flatMap {
@@ -862,7 +890,11 @@ object VersionedTableImpl {
             val covered = rows.select(col("bucket")).distinct()
               .as[Long].collect().toSeq.sorted
             if (covered.isEmpty) Nil
-            else Seq((writeSegment(s, root, rows), Some(covered)))
+            else {
+              val cs = writeSegment(s, root, rows)
+              consolidated = Some(cs)
+              Seq((cs, Some(covered)))
+            }
         }
       val descDf = (carried :+ (segName, Some(touched): Option[Seq[Long]]))
         .toDF("segment", "buckets")
@@ -885,11 +917,12 @@ object VersionedTableImpl {
             if manifestCommitted(fs, dest) => false }
         if (won) return newV
       }
-      // lost the race: staged descriptor + this attempt's segment die now
+      // lost the race: staged descriptor + this attempt's segments die now
       // (the retry re-merges and writes fresh ones); the moved data files
       // are unreferenced (vacuum-eligible)
       fs.delete(tmp, true)
       deleteSegment(fs, root, segName)
+      consolidated.foreach(deleteSegment(fs, root, _))
       if (attempt >= maxAttempts)
         throw new IllegalStateException(
           s"$what lost $maxAttempts optimistic attempts at $root (last target ${lin.prefix}$newV)")
@@ -1162,31 +1195,42 @@ object VersionedTableImpl {
     * version numbers. */
   /** The highest vacuum keepFrom ever APPLIED to this table — versions
     * below it may have had files/segments swept and are unreadable.
-    * Recorded by [[vacuum]] (monotone, best-effort before the sweep so a
-    * crash can only over-report), read by [[repairFeeds]]. */
-  private def retentionFloorPath(root: String) =
-    new Path(root, "_versions/.retention-floor")
+    * Recorded by [[vacuum]] before the sweep (a crash can only
+    * over-report), read by [[repairFeeds]].
+    *
+    * The floor is a SET of create-exclusive marker files whose NAME
+    * carries the value (`_versions/_floor/floor-N`); the effective floor
+    * is the max over names. Monotone by construction: markers are never
+    * truncated or overwritten, so neither a crash mid-record (the marker
+    * lands whole-by-name or not at all — even a torn empty file still
+    * names N) nor two concurrent vacuums with different keepFroms (each
+    * lands its own marker; max wins) can ever LOWER the observed floor —
+    * a read-modify-write single file could, re-opening the swept-state
+    * repair hole this floor closes. Lower markers are pruned best-effort
+    * after a higher one lands. */
+  private def retentionFloorDir(root: String) =
+    new Path(root, "_versions/_floor")
 
   private[ops] def retentionFloor(s: SparkSession, root: String): Int = {
     val fs = fsOf(s, root)
-    val p = retentionFloorPath(root)
-    if (!fs.exists(p)) 1
-    else scala.util.Try {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-      finally in.close()
-    }.getOrElse(1)
+    val dir = retentionFloorDir(root)
+    if (!fs.exists(dir)) 1
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .flatMap(_.stripPrefix("floor-").toIntOption)
+      .foldLeft(1)(math.max)
   }
 
   private def recordRetentionFloor(s: SparkSession, root: String,
       keepFrom: Int): Unit = {
-    val old = retentionFloor(s, root)
-    if (keepFrom > old) {
-      val fs = fsOf(s, root)
-      val p = retentionFloorPath(root)
-      fs.mkdirs(p.getParent)
-      val out = fs.create(p, true)
-      try out.write(keepFrom.toString.getBytes("UTF-8")) finally out.close()
+    if (keepFrom <= 1 || retentionFloor(s, root) >= keepFrom) return
+    val fs = fsOf(s, root)
+    val dir = retentionFloorDir(root)
+    fs.mkdirs(dir)
+    try fs.create(new Path(dir, s"floor-$keepFrom"), false).close()
+    catch { case _: java.io.IOException => () } // a racer landed it: done
+    fs.listStatus(dir).map(_.getPath).foreach { q => // prune lower markers
+      q.getName.stripPrefix("floor-").toIntOption
+        .filter(_ < keepFrom).foreach(_ => fs.delete(q, false))
     }
   }
 
@@ -1387,18 +1431,20 @@ object VersionedTableImpl {
     val segLive: Option[DataFrame] =
       if (masks.isEmpty) None
       else {
+        // a pinned segment can legitimately VANISH mid-pass: pinOf captured
+        // a racing committer's tmp descriptor, the racer lost its claim and
+        // eagerly deleted its own segment (whose files are garbage this
+        // same pass's grace protects anyway). Filter at plan time and
+        // ignore files deleted between planning and execution — aborting
+        // the whole vacuum on a lost commit's cleanup would make the
+        // cadence flaky exactly when writers are busiest. Live segments
+        // are never deleted (only lost commits and the unreferenced-sweep
+        // delete segments), so leniency here cannot under-pin.
         val paths = masks.keys.toSeq.sorted
-          .map(n => new Path(segDir, n).toString)
-        val seg = s.read.option("mergeSchema", "true").parquet(paths: _*)
-          .withColumn("__seg",
-            regexp_extract(col("_metadata.file_path"), "_segments/([^/]+)/", 1))
-        val maskDf = masks.toSeq
-          .map { case (k, v) => (k, v.map(_.toSeq.sorted)) }
-          .toDF("__dseg", "__dbks")
-        Some(seg.join(broadcast(maskDf), seg("__seg") === maskDf("__dseg") &&
-            (maskDf("__dbks").isNull ||
-              array_contains(maskDf("__dbks"), seg("bucket"))), "inner")
-          .select(col("file")))
+          .map(n => new Path(segDir, n))
+          .filter(fs.exists(_)).map(_.toString)
+        if (paths.isEmpty) None
+        else Some(readSegLive(s, segDir, paths, masks))
       }
     val inline = pins.flatMap(_.files).distinct
     val liveFiles = (segLive.toSeq :+ inline.toDF("file"))
@@ -1432,6 +1478,27 @@ object VersionedTableImpl {
         f
       }
     }.collect().toSeq
+  }
+
+  /** [[vacuum]]'s live-file resolution: one union-of-segments scan masked
+    * by the merged descriptor pairs, tolerant of segments deleted between
+    * planning and execution (a racing lost commit's own cleanup —
+    * `ignoreMissingFiles` is scoped to this read, never to table reads,
+    * where a missing segment must stay a loud failure). */
+  private def readSegLive(s: SparkSession, segDir: Path, paths: Seq[String],
+      masks: scala.collection.Map[String, Option[Set[Long]]]): DataFrame = {
+    import s.implicits._
+    val seg = s.read.option("mergeSchema", "true")
+      .option("ignoreMissingFiles", "true").parquet(paths: _*)
+      .withColumn("__seg",
+        regexp_extract(col("_metadata.file_path"), "_segments/([^/]+)/", 1))
+    val maskDf = masks.toSeq
+      .map { case (k, v) => (k, v.map(_.toSeq.sorted)) }
+      .toDF("__dseg", "__dbks")
+    seg.join(broadcast(maskDf), seg("__seg") === maskDf("__dseg") &&
+        (maskDf("__dbks").isNull ||
+          array_contains(maskDf("__dbks"), seg("bucket"))), "inner")
+      .select(col("file"))
   }
 
   /** [[vacuum]]'s pin capture for a COMMITTED version (same Pin shape as
@@ -1542,6 +1609,7 @@ object VersionedTableImpl {
     // metadata, never the carried file rows)
     val segName = writeSegment(s, root, newFiles.toDF("bucket", "file", "bytes"))
     val overSet = counts.toSet
+    var consolidated: Option[String] = None // cleaned up on a lost claim
     val carried: Seq[(String, Option[Seq[Long]])] =
       descriptorPairs(s, root, v) match {
         case Right(pairs) => pairs.flatMap {
@@ -1559,7 +1627,11 @@ object VersionedTableImpl {
           val covered = rows.select(col("bucket")).distinct()
             .as[Long].collect().toSeq.sorted
           if (covered.isEmpty) Nil
-          else Seq((writeSegment(s, root, rows), Some(covered)))
+          else {
+            val cs = writeSegment(s, root, rows)
+            consolidated = Some(cs)
+            Seq((cs, Some(covered)))
+          }
       }
     val descDf = (carried :+ (segName, Some(counts): Option[Seq[Long]]))
       .toDF("segment", "buckets")
@@ -1571,12 +1643,14 @@ object VersionedTableImpl {
     if (!claimVersion(s, root, newV, staleClaimMs)) {
       fs.delete(tmp, true) // moved rewrite files strand until vacuum
       deleteSegment(fs, root, segName)
+      consolidated.foreach(deleteSegment(fs, root, _))
       return None
     }
     try publish(fs, tmp, visiblePath(root, newV), "compaction")
     catch { case _: IllegalStateException // beaten via takeover edge: yield
       if manifestCommitted(fs, visiblePath(root, newV)) =>
-        fs.delete(tmp, true); deleteSegment(fs, root, segName); return None }
+        fs.delete(tmp, true); deleteSegment(fs, root, segName)
+        consolidated.foreach(deleteSegment(fs, root, _)); return None }
     Some(newV)
   }
 
