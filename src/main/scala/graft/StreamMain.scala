@@ -105,13 +105,9 @@ object StreamMain {
             coalesce(col("image.user_id"), col("oldImage.user_id"))
           else col("image.user_id")
         val meta = Sinks.metaCol(batch)
-        // synthetic shard count scales with the cluster (the AvroGate
-        // discipline): a fixed split caps packer parallelism
-        val nShards = math.max(8,
-          batch.sparkSession.sparkContext.defaultParallelism).toLong
         val flat = batch.select(
           (meta.getField("stream_sequence_number").as("__seq") +:
-            pmod(shardKey, lit(nShards)).cast("string").as("__shard") +:
+            pmod(shardKey, lit(8L)).cast("string").as("__shard") +:
             graft.cdc.Cdc.timePartitionPath(
               timestamp_millis(meta.getField("stream_arrival_timestamp")),
               settings.timestampPartition).as("__path") +:

@@ -51,16 +51,9 @@ object AvroGateImpl {
     * (null image) and the hourly time-partition prefix. */
   private def flatEnvelope(s: SparkSession, dir: String): DataFrame = {
     val env = CdcSynth.fromEvents(s, dir)
-    // shard count scales with the cluster, not a constant: a fixed 8-way
-    // split caps the packer at 8 tasks (the round-11 sf1 sweep showed
-    // q234 growing 3.9x at 10x data with 24 idle cores). A real stream's
-    // shard count grows with throughput the same way; the record CONTENT
-    // is shard-independent, so the oracle hash is unchanged.
-    val nShards = math.max(8, s.sparkContext.defaultParallelism).toLong
     env.select(
       (col("metadata.stream_sequence_number").as("__seq") +:
-        pmod(coalesce(col("image.user_id"), col("oldImage.user_id")),
-            lit(nShards))
+        pmod(coalesce(col("image.user_id"), col("oldImage.user_id")), lit(8L))
           .cast("string").as("__shard") +:
         graft.cdc.Cdc.timePartitionPath(
           timestamp_millis(col("metadata.stream_arrival_timestamp")), "hours")

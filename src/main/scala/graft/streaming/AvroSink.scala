@@ -126,8 +126,18 @@ object AvroSink {
     val shardIdx = batch.schema.fieldIndex("__shard")
     val seqIdx = batch.schema.fieldIndex("__seq")
     val pathIdx = batch.schema.fieldIndex("__path")
-    batch.repartition(org.apache.spark.sql.functions.col("__shard"))
-      .sortWithinPartitions("__shard", "__seq")
+    // parallelism = distinct (shard, time-partition) PAIRS, not shards: an
+    // 8-shard stream archived over many hours would otherwise pack on 8
+    // tasks no matter how many cores idle (the round-11 sf1 tail — q234 at
+    // 3.9x per 10x data; scaling the SHARD count instead multiplies the
+    // file count per hour and is slower still). Files are flushed per
+    // (shard, path) run anyway, so co-grouping by the pair changes no
+    // file boundary — it only spreads the runs across the cluster. The
+    // pair sort keeps each run seq-ordered (reference object semantics:
+    // one shard's records, sequence-sorted, under its time prefix).
+    batch.repartition(org.apache.spark.sql.functions.col("__shard"),
+        org.apache.spark.sql.functions.col("__path"))
+      .sortWithinPartitions("__shard", "__path", "__seq")
       .foreachPartition { (rows: Iterator[Row]) =>
         val staticSchema = new Schema.Parser().parse(staticSchemaJson)
         var buf = Vector.empty[(String, String, Row)] // (seq, path, row)
