@@ -1311,6 +1311,29 @@ object VersionedTableImpl {
     * Returns deleted paths. */
   def vacuum(s: SparkSession, root: String, keepFrom: Int,
       graceMs: Long = 0L): Seq[String] = {
+    val hconf = new SerializableHadoopConf(s.sparkContext.hadoopConfiguration)
+    vacuumDeadPlan(s, root, keepFrom, graceMs).fold(Seq.empty[String]) { dead =>
+      import s.implicits._
+      // the deletes run where the listing did; only the SWEPT names come
+      // back (the return contract — bounded by churn since last vacuum)
+      dead.as[String].rdd.mapPartitions { it =>
+        it.map { f =>
+          val p = new Path(f)
+          p.getFileSystem(hconf.value).delete(p, false)
+          f
+        }
+      }.collect().toSeq
+    }
+  }
+
+  /** [[vacuum]]'s dead-set PLAN (plus the metadata maintenance that must
+    * precede it: retention-floor record, consumed-pending drop, segment
+    * sweep). Exposed so the spec surface can pin the scale contract — the
+    * data-file listing and the live set are both DataFrames joined with a
+    * LEFT ANTI, never file lists collected to the driver; only the pins'
+    * descriptor ROWS (O(segments) metadata) are. None = no data dir. */
+  private[ops] def vacuumDeadPlan(s: SparkSession, root: String,
+      keepFrom: Int, graceMs: Long): Option[DataFrame] = {
     val fs = fsOf(s, root)
     val cur0 = currentVersion(s, root) // for the in-flight .data rule only
     val vDir = new Path(root, "_versions")
@@ -1423,7 +1446,7 @@ object VersionedTableImpl {
         .map(_.getPath).filterNot(p => masks.contains(p.getName))
         .foreach(p => fs.delete(p, true))
     val dataDir = new Path(root, "data")
-    if (!fs.exists(dataDir)) return Seq.empty
+    if (!fs.exists(dataDir)) return None
     // LIVE FILE SET as a PLAN: one union-of-segments scan masked by the
     // merged descriptor pairs, plus the (legacy/tiny) inline rows — the
     // file names never pass through the driver.
@@ -1455,7 +1478,7 @@ object VersionedTableImpl {
     val hconf = new SerializableHadoopConf(s.sparkContext.hadoopConfiguration)
     val bucketDirs = fs.listStatus(dataDir).filter(_.isDirectory)
       .map(_.getPath.toString).toSeq // O(buckets) driver metadata
-    if (bucketDirs.isEmpty) return Seq.empty
+    if (bucketDirs.isEmpty) return None
     val listed = s.createDataset(bucketDirs)
       .repartition(math.min(32, bucketDirs.size))
       .mapPartitions { dirs =>
@@ -1466,18 +1489,9 @@ object VersionedTableImpl {
             .map(st => (st.getPath.toString, st.getModificationTime))
         }
       }.toDF("file", "mtime")
-    val dead = listed.filter(col("mtime") <= lit(now - graceMs))
+    Some(listed.filter(col("mtime") <= lit(now - graceMs))
       .join(liveFiles, Seq("file"), "left_anti")
-      .select(col("file"))
-    // the deletes run where the listing did; only the SWEPT names come
-    // back (the return contract — bounded by the churn since last vacuum)
-    dead.as[String].rdd.mapPartitions { it =>
-      it.map { f =>
-        val p = new Path(f)
-        p.getFileSystem(hconf.value).delete(p, false)
-        f
-      }
-    }.collect().toSeq
+      .select(col("file")))
   }
 
   /** [[vacuum]]'s live-file resolution: one union-of-segments scan masked

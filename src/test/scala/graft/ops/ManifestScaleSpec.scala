@@ -125,6 +125,63 @@ class ManifestScaleSpec extends SparkSpec {
     assert(MorTableImpl.readMor(spark, root, K + 2).count() == 400 + K)
   }
 
+  test("vacuum's dead set is a LEFT ANTI plan: file lists never collect to the driver") {
+    val root = java.nio.file.Files.createTempDirectory("mscale_vac").toString
+    VersionedTableImpl.commitMerge(spark, root,
+      env((0L until 64L).map(u => (8L * u, u))), NB)
+    VersionedTableImpl.commitMerge(spark, root,
+      env((0L until 64L).map(u => (8L * (u + 500L), u))), NB)
+    val plan = VersionedTableImpl.vacuumDeadPlan(spark, root,
+      keepFrom = 2, graceMs = 0L).get
+    val optimized = plan.queryExecution.optimizedPlan.toString
+    // the live set joins against the listing; neither side is a collected
+    // literal list (pre-round-12 vacuum collected every manifest's files)
+    assert(optimized.contains("LeftAnti"),
+      s"dead = listing ANTI JOIN live, in the plan:\n$optimized")
+    assert(!optimized.contains("IN ("),
+      s"no literal file list may appear in the vacuum plan:\n$optimized")
+    // the live side reads the manifest SEGMENTS as scans
+    assert(plan.queryExecution.executedPlan.toString.contains("_segments"),
+      "the live set must be a union-of-segments SCAN")
+    // and the plan is the same dead set vacuum would sweep: v1's
+    // superseded files (every bucket rewritten by commit 2)
+    import spark.implicits._
+    val dead = plan.as[String].collect()
+    assert(dead.nonEmpty && dead.forall(_.contains("/data/bucket=")),
+      s"dead set = superseded data files: ${dead.take(3).toSeq}")
+    val swept = VersionedTableImpl.vacuum(spark, root, keepFrom = 2)
+    assert(swept.toSet == dead.toSet,
+      "executing the plan sweeps exactly the planned dead set")
+  }
+
+  test("segment sweep: descriptor-orphaned metadata is reclaimed, live segments kept") {
+    val root = java.nio.file.Files.createTempDirectory("mscale_seg").toString
+    VersionedTableImpl.commitMerge(spark, root,
+      env((0L until 32L).map(u => (8L * u, u))), NB)
+    VersionedTableImpl.commitMerge(spark, root,
+      env((0L until 32L).map(u => (8L * (u + 500L), u + 100L))), NB)
+    val segDir = new org.apache.hadoop.fs.Path(root, "_versions/_segments")
+    val fs = segDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def segs(): Set[String] =
+      fs.listStatus(segDir).map(_.getPath.getName).toSet
+    val live = segs()
+    // an ORPHAN segment — a lost commit that crashed before its eager
+    // cleanup could run (the window GC exists for)
+    val orphan = VersionedTableImpl.writeSegment(spark, root,
+      Seq((0L, "file:/nowhere/x.parquet", 1L)).toDF("bucket", "file", "bytes"))
+    assert(segs().contains(orphan))
+    VersionedTableImpl.vacuum(spark, root, keepFrom = 1, graceMs = 0L)
+    assert(!segs().contains(orphan), "orphan segment must be swept")
+    assert(live.subsetOf(segs()), "live versions' segments must survive")
+    // both versions still read intact through their (kept) segments
+    assert(VersionedTableImpl.readVersion(spark, root, 1).count() == 32)
+    assert(VersionedTableImpl.readVersion(spark, root, 2).count() == 64)
+    // expiring v1 reclaims exactly its unique segments
+    VersionedTableImpl.vacuum(spark, root, keepFrom = 2, graceMs = 0L)
+    assert(VersionedTableImpl.readVersion(spark, root, 2).count() == 64,
+      "the kept version survives the expiry sweep")
+  }
+
   test("autoRebucket sizes from the manifest: zero per-data-file getFileStatus") {
     spark.sparkContext.hadoopConfiguration.set("fs.countfs.impl",
       classOf[graft.fs.CountingFileSystem].getName)
