@@ -383,8 +383,10 @@ object MorTableImpl {
 
   private val roots = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
+  private val roRoots = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
 
-  def clearCaches(): Unit = roots.clear()
+  def clearCaches(): Unit = { roots.clear(); roRoots.clear() }
 
   val NBuckets = 8
 
@@ -419,6 +421,26 @@ object MorTableImpl {
     val root = ensureMor(s, dir)
     projected(readMor(s, root, 2))
   }
+
+  /** q238 fixture: one full-log delta commit, then a FULL compaction
+    * (maxFiles = 0 selects every non-empty bucket) — v2 is all base
+    * files, so the read-optimized view is exactly current there. */
+  private[graft] def ensureRoMor(s: SparkSession, dir: String): String =
+    Memo.getOrCacheAny(roRoots, s, dir, { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft_mor_ro").toString
+      val v1 = commitAppend(s, root, CdcSynth.fromEvents(s, dir), NBuckets)
+      require(v1 == 1, s"one delta commit expected: $v1")
+      val v2 = compactMor(s, root, maxFiles = 0, NBuckets)
+      require(v2.contains(2), s"full compaction expected: $v2")
+      root
+    })
+
+  /** q238: the READ-OPTIMIZED view (base files only — Hudi's RO query
+    * type) over a fully-compacted version must hash-equal the replay:
+    * the `kind` selection really serves the complete state when nothing
+    * is uncompacted, through the oracle rather than only MorSpec. */
+  def morReadOptimized(s: SparkSession, dir: String): DataFrame =
+    projected(readMorOptimized(s, ensureRoMor(s, dir), 2))
 
   /** q217: the COMPACTED version (v3) — same oracle: compaction must be
     * invisible to readers. */
@@ -490,5 +512,7 @@ object MorTableOps {
     Q("q217_mor_compacted", MorTableImpl.morCompacted, Some(MorTableImpl.morSql)),
     Q("q218_mor_zone_lookup", MorTableImpl.morLookup, Some(MorTableImpl.morLookupSql)),
     Q("q223_mor_change_feed", MorTableImpl.morFeed,
-      Some(VersionedTableImpl.q183Sql)))
+      Some(VersionedTableImpl.q183Sql)),
+    Q("q238_mor_read_optimized", MorTableImpl.morReadOptimized,
+      Some(MorTableImpl.morSql)))
 }

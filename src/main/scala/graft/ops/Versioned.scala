@@ -2258,6 +2258,7 @@ object VersionedTableImpl {
     restoreRoots.clear(); mergeRoots.clear(); ttlRoots.clear()
     exportRoots.clear(); branchRoots.clear(); gcRoots.clear()
     txnRoots.clear(); rbRoots.clear(); ptrRoots.clear(); arbRoots.clear()
+    optRoots.clear()
   }
 
   private[graft] def ensureVersioned(s: SparkSession, dir: String): String =
@@ -3268,6 +3269,59 @@ object VersionedTableImpl {
       .orderBy(col("user_id"))
   }
 
+  private val optRoots = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** q237 fixture: the full OPTIMIZE composite under the gate — two merge
+    * commits whose bucket rewrites are split into multiple files, then ONE
+    * `optimizeTable` pass that must repair the missing feeds, fire
+    * threshold compaction WITH the tombstone-GC horizon, ANALYZE, and
+    * vacuum the expired versions (keepVersions = 1 ⇒ the pre-compaction
+    * history is reclaimed; grace 0 is the single-writer deterministic-test
+    * setting). The whole maintenance pipeline — the round-12
+    * layered-manifest consolidations, the distributed vacuum and the
+    * retention floor included — sits between the ingest and the read. */
+  private[graft] def ensureOptimized(s: SparkSession, dir: String): String =
+    Memo.getOrCacheAny(optRoots, s, dir, { _ =>
+      val r = java.nio.file.Files.createTempDirectory("graft_vtable_opt").toString
+      val env = CdcSynth.fromEvents(s, dir)
+      val mid = Tables(s, dir, "events")
+        .agg(expr("max(event_id) div 2").as("mid"))
+      val withMid = env.crossJoin(broadcast(mid))
+      // a record cap splits each merge's bucket rewrite into ~3 files —
+      // the multi-file-per-bucket layout a wide cluster write produces
+      // naturally (one file per task per bucket), so the threshold
+      // compaction has something real to fold; sized from the key count
+      // so the fixture fragments identically at every scale factor
+      val nUsers = Tables(s, dir, "events")
+        .select(col("user_id")).distinct().count()
+      val prevCap = s.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+      s.conf.set("spark.sql.files.maxRecordsPerFile",
+        math.max(1L, nUsers / 24L).toString)
+      try {
+        commitMerge(s, r, withMid.filter(col("event_id") < col("mid")), 8)
+        commitMerge(s, r, withMid.filter(col("event_id") >= col("mid")), 8)
+      } finally s.conf.set("spark.sql.files.maxRecordsPerFile", prevCap)
+      val report = optimizeTable(s, r, 8, maxFiles = 1, keepVersions = 1,
+        purgeTombstonesBelow = Some("~"), graceMs = 0L).collect().head
+      require(!report.isNullAt(1), s"compaction must fire: $report")
+      require(report.getLong(5) > 0L,
+        s"vacuum must reclaim the expired versions' files: $report")
+      r
+    })
+
+  /** q237: the current state AFTER one full maintenance pass — feed
+    * repair, compaction + tombstone GC, ANALYZE, retention vacuum — must
+    * hash-match the one-shot full-log replay: maintenance is layout-only,
+    * end to end, through the oracle rather than only the specs. */
+  def optimizedState(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureOptimized(s, dir)
+    readVersion(s, root, currentVersion(s, root))
+      .select(col("user_id"), col("last_op"), col("last_seq"),
+        col("event_type"), col("value"), col("k"))
+      .orderBy(col("user_id"))
+  }
+
   /** Shared oracle text for q230/q231: the one-shot full-log replay. */
   private lazy val fullReplaySql: String =
     s"""WITH ${CdcSynth.synthSql},
@@ -3321,6 +3375,7 @@ object VersionedTableImpl {
 
   lazy val queries: Seq[Q] = Seq(
     Q("q235_pointer_commit_state", pointerCommitState, Some(fullReplaySql)),
+    Q("q237_optimize_invariant", optimizedState, Some(fullReplaySql)),
     Q("q230_branch_fast_forward", branchedState, Some(fullReplaySql)),
     Q("q231_tombstone_gc", gcState, Some(fullReplaySql)),
     Q("q232_cross_table_txn", txnState, Some(q232Sql)),

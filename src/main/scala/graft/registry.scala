@@ -128,6 +128,10 @@ object Indexes {
       { ops.VersionedTableImpl.ensureAutoRebucketed(s, d); () }),
     IndexBuild("lake_ptr_table", (s, d) =>
       { ops.VersionedTableImpl.ensurePointerTable(s, d); () }),
+    IndexBuild("lake_opt_table", (s, d) =>
+      { ops.VersionedTableImpl.ensureOptimized(s, d); () }),
+    IndexBuild("lake_ro_mor", (s, d) =>
+      { ops.MorTableImpl.ensureRoMor(s, d); () }),
     IndexBuild("lake_ivm_pair", (s, d) =>
       f(ops.JoinIvmImpl.ensureJ1(s, d)))) // forces the table pair + feeds + J1
 }
