@@ -159,6 +159,7 @@ object VectorOpsImpl {
     graft.ops.Memo.clear(embedComponentsCache)
     graft.ops.Memo.clear(knnGraphCache)
     graft.ops.Memo.clear(annPanelCache)
+    graft.ops.Memo.clear(lexShortlistCache)
     graft.ops.Memo.clear(exactTopKCache)
     graft.ops.Memo.clear(pathResultCache)
     graft.ops.Memo.clear(pagerankCache)
@@ -1859,37 +1860,63 @@ object VectorOpsImpl {
   /** The tf·idf lexical shortlist stage — shared by q90 (fusion) and q119
     * (hard-negative mining): query = a query doc's own weighted terms,
     * score = Σ qw·w over shared tokens, top-[[HybridShortlist]] per query.
-    * Scale: query terms broadcast into the tfidf probe; the corpus never
-    * reshuffles for the query batch. */
-  private def lexTopK(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
-    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val total = docs.agg(count(lit(1)).as("n_docs"))
-    val tfidf = tf.join(dfreq, "tok").crossJoin(broadcast(total))
-      .withColumn("w", col("tf").cast(DoubleType)
-        * (col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)))
-      .select(col("doc_id"), col("tok"), col("w"))
-    val qterms = tfidf.filter(col("doc_id") < 8)
-      .select(col("doc_id").as("query_id"), col("tok"), col("w").as("qw"))
-    val lex = broadcast(qterms).join(tfidf, "tok")
-      .filter(col("doc_id") =!= col("query_id"))
-      .withColumn("p", col("qw") * col("w"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(expr("CAST(SUM(CAST(FLOOR(p * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12")
-        .as("lex"))
-    val wl = Window.partitionBy(col("query_id")).orderBy(col("lex").desc, col("doc_id"))
-    lex.withColumn("lrn", row_number().over(wl).cast(LongType))
-      .filter(col("lrn") <= HybridShortlist)
-      .select(col("query_id"), col("doc_id"), col("lrn"))
-  }
+    *
+    * Scale: tokens outside the QUERY vocabulary can never score (the probe
+    * joins on `tok`, so a non-shared token contributes nothing), so a
+    * broadcast semi-join on the 8 query docs' distinct tokens is pushed
+    * BELOW both corpus groupBys — only query-vocab occurrences ever reach
+    * the tf aggregation, and the per-token document frequencies of the
+    * kept tokens are exact (every (doc, tok) row of a kept token is kept).
+    * On a real corpus the query vocabulary is a vanishing fraction of the
+    * corpus vocabulary, so this is the difference between shuffling the
+    * query-relevant slice and shuffling every token; the SYNTHETIC test
+    * corpus has a ~31-token vocabulary (the 8 query docs cover 99.9% of
+    * occurrences), so there the measured win comes from the memo below,
+    * not the pushdown — both are kept because they fix different scales.
+    * Query terms then broadcast into the tf·idf probe; the corpus never
+    * reshuffles for the query batch.
+    *
+    * Memoized (localCheckpoint — queries × shortlist rows): q90 and q119
+    * each consume it (they were the round-12 sweep's two worst absolute
+    * growers, 6.9 s + 6.7 s at sf1, each rebuilding this stage), and
+    * `index:text_lex_shortlist` warms it so both gates measure marginal
+    * cost, the same attribution rule as the ANN panel. */
+  private[graft] def lexShortlist(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Memo.getOrCache(lexShortlistCache, s, dir, { _ =>
+      val docs = Tables(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val qvocab = toks.filter(col("doc_id") < 8).select(col("tok")).distinct()
+      val tf = toks.join(broadcast(qvocab), Seq("tok"), "left_semi")
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      val tfidf = tf.join(dfreq, "tok").crossJoin(broadcast(total))
+        .withColumn("w", col("tf").cast(DoubleType)
+          * (col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)))
+        .select(col("doc_id"), col("tok"), col("w"))
+      val qterms = tfidf.filter(col("doc_id") < 8)
+        .select(col("doc_id").as("query_id"), col("tok"), col("w").as("qw"))
+      val lex = broadcast(qterms).join(tfidf, "tok")
+        .filter(col("doc_id") =!= col("query_id"))
+        .withColumn("p", col("qw") * col("w"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(expr("CAST(SUM(CAST(FLOOR(p * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12")
+          .as("lex"))
+      val wl = Window.partitionBy(col("query_id")).orderBy(col("lex").desc, col("doc_id"))
+      lex.withColumn("lrn", row_number().over(wl).cast(LongType))
+        .filter(col("lrn") <= HybridShortlist)
+        .select(col("query_id"), col("doc_id"), col("lrn"))
+        .localCheckpoint()
+    })
+
+  private val lexShortlistCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Hard-negative mining for retriever training (q119): documents the
     * LEXICAL retriever ranks highly that the dense ground truth says are
     * NOT relevant — exactly the negatives contrastive training wants
     * (random negatives are too easy; lexically-confusable ones teach the
-    * boundary). negatives = lexTopK minus the exact dense top-3, ranked
+    * boundary). negatives = the lexical shortlist minus the exact dense top-3, ranked
     * hardest-first by lexical rank.
     *
     * Scale shape: the lexical stage is q90's audited broadcast probe; the
@@ -1898,7 +1925,7 @@ object VectorOpsImpl {
   def hardNegatives(s: SparkSession, dir: String): DataFrame = {
     val pos = cosineTopK(s, dir).filter(col("rn") <= 3)
       .select(col("query_id"), col("neighbor_id").as("doc_id"))
-    val negs = lexTopK(s, dir)
+    val negs = lexShortlist(s, dir)
       .join(broadcast(pos), Seq("query_id", "doc_id"), "left_anti")
     val w = Window.partitionBy(col("query_id")).orderBy(col("lrn"))
     negs.withColumn("rn", row_number().over(w).cast(LongType))
@@ -1907,7 +1934,7 @@ object VectorOpsImpl {
   }
 
   def hybridRrf(s: SparkSession, dir: String): DataFrame = {
-    val lexTop = lexTopK(s, dir)
+    val lexTop = lexShortlist(s, dir)
     val e = Tables(s, dir, "embeddings")
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))

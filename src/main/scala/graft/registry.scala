@@ -94,6 +94,7 @@ object Indexes {
     IndexBuild("text_winnow", (s, d) => f(ops.TextOpsImpl.winnowIndex(s, d))),
     IndexBuild("text_bpe", (s, d) => f(ops.BpeOpsImpl.bpeMerges(s, d))),
     IndexBuild("text_unigram", (s, d) => f(ops.UnigramOpsImpl.unigramVocab(s, d))),
+    IndexBuild("text_lex_shortlist", (s, d) => f(ops.VectorOpsImpl.lexShortlist(s, d))),
     IndexBuild("embed_exact_topk", (s, d) => f(ops.VectorOpsImpl.cosineTopK(s, d))),
     IndexBuild("embed_kmeans_model", (s, d) => f(ops.VectorOpsImpl.kmeansCentroids(s, d))),
     IndexBuild("embed_rpq_model", (s, d) => f(ops.VectorOpsImpl.residualPqEncode(s, d))),
