@@ -86,15 +86,27 @@ object AvroGateImpl {
       val r = new DataFileReader[GenericRecord](
         new SeekableByteArrayInput(bytes),
         new GenericDatumReader[GenericRecord]())
-      try r.iterator().asScala.map { rec =>
+      val decoded = r.iterator().asScala.map { rec =>
         Row(names.map { n =>
           rec.get(n) match {
             case u: org.apache.avro.util.Utf8 => u.toString
             case x => x
           }
         }: _*)
-      }.toVector
-      finally r.close()
+      }
+      // STREAM the container's records instead of buffering them (they were
+      // bounded by the sink's 256 KiB packing cap, but a lazy iterator holds
+      // one record, not one container). Close on exhaustion; the input is an
+      // in-memory byte array, so an abandoned reader (task kill mid-iterate)
+      // leaks no OS handle — close here only releases the decoder promptly.
+      new Iterator[Row] {
+        def hasNext: Boolean = {
+          val h = decoded.hasNext
+          if (!h) r.close()
+          h
+        }
+        def next(): Row = decoded.next()
+      }
     })
     s.createDataFrame(rows, schema)
   }
