@@ -1883,6 +1883,13 @@ object VectorOpsImpl {
     * cost, the same attribution rule as the ANN panel. */
   private[graft] def lexShortlist(s: SparkSession, dir: String): DataFrame =
     graft.ops.Memo.getOrCache(lexShortlistCache, s, dir, { _ =>
+      lexShortlistPlan(s, dir).localCheckpoint()
+    })
+
+  /** The UNCHECKPOINTED shortlist build — the plan PlanSpec locks (the
+    * memoized view is a LogicalRDD leaf, opaque to plan assertions), same
+    * split as [[cosineTopKPlan]]. */
+  private[graft] def lexShortlistPlan(s: SparkSession, dir: String): DataFrame = {
       val docs = Tables(s, dir, "documents")
       val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       val qvocab = toks.filter(col("doc_id") < 8).select(col("tok")).distinct()
@@ -1906,8 +1913,7 @@ object VectorOpsImpl {
       lex.withColumn("lrn", row_number().over(wl).cast(LongType))
         .filter(col("lrn") <= HybridShortlist)
         .select(col("query_id"), col("doc_id"), col("lrn"))
-        .localCheckpoint()
-    })
+  }
 
   private val lexShortlistCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()

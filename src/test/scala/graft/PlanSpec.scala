@@ -311,10 +311,21 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q90 hybrid retrieval broadcasts query terms into the token equi-join and pushes top-k limits") {
+    // the shared lexical build (pre-checkpoint form — the memoized view is
+    // a LogicalRDD leaf, opaque to plan assertions): the query-vocab
+    // semi-join and the query-term probe must BOTH ride broadcasts (two+
+    // BHJs), the corpus never reshuffles for the query batch, and the
+    // shortlist window pushes its top-k as a group limit
+    val lex = plan(ops.VectorOpsImpl.lexShortlistPlan(spark, dir))
+    assert(!lex.contains("CartesianProduct"), s"no all-pairs stage is allowed:\n$lex")
+    assert("BroadcastHashJoin".r.findAllIn(lex).size >= 2,
+      s"query vocab semi-join and query-term probe must both broadcast:\n$lex")
+    assert(lex.contains("WindowGroupLimit"), s"shortlist window must push the top-k limit:\n$lex")
+    // the fusion consumer: still no all-pairs, and the final per-query
+    // top-3 window also pushes as a group limit
     val s = plan(ops.VectorOpsImpl.hybridRrf(spark, dir))
     assert(!s.contains("CartesianProduct"), s"no all-pairs stage is allowed:\n$s")
-    assert(s.contains("BroadcastHashJoin"), s"query terms must broadcast into the tok join:\n$s")
-    assert(s.contains("WindowGroupLimit"), s"shortlist windows must push the top-k limit:\n$s")
+    assert(s.contains("WindowGroupLimit"), s"fusion window must push the top-k limit:\n$s")
   }
 
   test("q82 classifier is a pure narrow scan: no shuffle, no UDF, pruned to (doc_id, text)") {
