@@ -178,6 +178,13 @@ object LakehouseOpsImpl {
     val fs = new Path(basePath).getFileSystem(s.sparkContext.hadoopConfiguration)
     val staging = new Path(basePath,
       s".cow_staging_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    // rename reports failure by RETURNING false (HDFS semantics) — a
+    // silently failed swap here is data loss, because the cleanup sweep
+    // would then delete the aside copy (the only remaining pre-merge data)
+    def loudRename(src: Path, dst: Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new IllegalStateException(s"bucket swap rename failed: $src -> $dst")
+    var asides = false // any old bucket already moved into staging?
     try {
       df.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
       val survived = fs.listStatus(staging)
@@ -185,11 +192,21 @@ object LakehouseOpsImpl {
         .map(_.stripPrefix("bucket=").toLong).toSet
       touched.foreach { b => // swap: old aside, staged in — renames only
         val live = new Path(s"$basePath/bucket=$b")
-        if (fs.exists(live))
-          fs.rename(live, new Path(staging, s"old_bucket=$b"))
-        if (survived(b)) fs.rename(new Path(staging, s"bucket=$b"), live)
+        if (fs.exists(live)) {
+          loudRename(live, new Path(staging, s"old_bucket=$b"))
+          asides = true
+        }
+        if (survived(b)) loudRename(new Path(staging, s"bucket=$b"), live)
       }
-    } finally fs.delete(staging, true) // asides + leftovers go in one sweep
+      fs.delete(staging, true) // asides + leftovers go in one sweep
+    } catch { case e: Throwable =>
+      // before any aside moved, staging holds only half-written output —
+      // safe to clean; after one did, staging holds the ONLY copy of the
+      // pre-merge buckets, so it is LEFT IN PLACE for recovery (the
+      // dot-prefix keeps it invisible to table listings either way)
+      if (!asides) fs.delete(staging, true)
+      throw e
+    }
   }
 
   /** Parquet file count per bucket id — driver-side metadata listing. */

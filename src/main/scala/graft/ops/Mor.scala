@@ -120,22 +120,26 @@ object MorTableImpl {
     val fs = fsOf(s, root)
     try {
       val zones = zoneMaps(s, staging)
-      fs.listStatus(staging).filter(_.getPath.getName.startsWith("bucket="))
+      val moves = fs.listStatus(staging)
+        .filter(_.getPath.getName.startsWith("bucket="))
         .flatMap { st =>
           val b = st.getPath.getName.stripPrefix("bucket=").toLong
           val dest = new Path(s"$root/data/bucket=$b")
           fs.mkdirs(dest)
           fs.listStatus(st.getPath)
             .filter(_.getPath.getName.endsWith(".parquet"))
-            .map { f =>
-              val to = new Path(dest, s"$prefix-${f.getPath.getName}")
-              fs.rename(f.getPath, to)
-              val (mn, mx) = zones(s"bucket=$b/${f.getPath.getName}")
-              // the length is free here — recorded in the manifest so
-              // table sizing is a metadata aggregate, never a HEAD storm
-              (b, fs.makeQualified(to).toString, kind, mn, mx, f.getLen)
-            }
+            .map(f => (f, b, new Path(dest, s"$prefix-${f.getPath.getName}")))
         }.toSeq
+      // loud-failure renames, executor-parallel past the fat-batch
+      // threshold (see [[Moves]]) — compaction rewrites are exactly the
+      // O(files-in-batch) moves that must not serialize through the driver
+      Moves.renameAll(s, moves.map { case (f, _, to) => (f.getPath, to) })
+      moves.map { case (f, b, to) =>
+        val (mn, mx) = zones(s"bucket=$b/${f.getPath.getName}")
+        // the length is free here — recorded in the manifest so
+        // table sizing is a metadata aggregate, never a HEAD storm
+        (b, fs.makeQualified(to).toString, kind, mn, mx, f.getLen)
+      }
     } finally fs.delete(staging, true)
   }
 

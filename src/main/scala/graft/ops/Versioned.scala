@@ -572,6 +572,31 @@ object VersionedTableImpl {
     resolveDescriptor(s, root, descriptorDf(s, root, v, lin), buckets)
       .select(col("file")).collect().map(_.getString(0)).toSeq // metadata
 
+  /** Stage→data move shared by every COW write path ([[commitLoop]],
+    * [[compactVersion]], [[rebucket]]): list the staged `bucket=` dirs,
+    * rename each file to its immutable version-scoped name — loud-failure
+    * and executor-parallel past the fat-batch threshold (see [[Moves]]) —
+    * and return the manifest rows. The QUALIFIED uri is stored (vacuum
+    * compares against listStatus output, which is always scheme-qualified)
+    * with the length known at write time, which is what makes table sizing
+    * a metadata aggregate. */
+  private def moveStagedRewrite(s: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: String, staging: Path,
+      filePrefix: String): Seq[(Long, String, Long)] = {
+    val moves = fs.listStatus(staging)
+      .filter(_.getPath.getName.startsWith("bucket="))
+      .flatMap { st =>
+        val b = st.getPath.getName.stripPrefix("bucket=").toLong
+        val dest = new Path(s"$root/data/bucket=$b")
+        fs.mkdirs(dest)
+        fs.listStatus(st.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(f => (f, b, new Path(dest, s"$filePrefix${f.getPath.getName}")))
+      }.toSeq
+    Moves.renameAll(s, moves.map { case (f, _, to) => (f.getPath, to) })
+    moves.map { case (f, b, to) => (b, fs.makeQualified(to).toString, f.getLen) }
+  }
+
   /** The rows of exactly the files `manifestDf` lists, WITHOUT collecting
     * the file list: scan the whole data dir (union schema across eras)
     * and semi-join on the `bucket=N/<file>` path suffix — identity within
@@ -844,23 +869,7 @@ object VersionedTableImpl {
         try {
           merged.write.mode("overwrite").partitionBy("bucket")
             .parquet(staging.toString)
-          fs.listStatus(staging).filter(_.getPath.getName.startsWith("bucket="))
-            .flatMap { st =>
-              val b = st.getPath.getName.stripPrefix("bucket=").toLong
-              val dest = new Path(s"$root/data/bucket=$b")
-              fs.mkdirs(dest)
-              fs.listStatus(st.getPath)
-                .filter(_.getPath.getName.endsWith(".parquet"))
-                .map { f => // immutable: publish under a version-scoped name
-                  val to = new Path(dest, s"${lin.filePrefix(newV)}${f.getPath.getName}")
-                  fs.rename(f.getPath, to)
-                  // store the QUALIFIED uri: vacuum compares against
-                  // listStatus output, which is always scheme-qualified;
-                  // the length was known at write time — recording it in
-                  // the manifest is what makes sizing a metadata aggregate
-                  (b, fs.makeQualified(to).toString, f.getLen)
-                }
-            }.toSeq
+          moveStagedRewrite(s, fs, root, staging, lin.filePrefix(newV))
         } finally fs.delete(staging, true)
       // NEW SEGMENT: the touched buckets' complete new file rows —
       // O(touched). DESCRIPTOR: carried segments with the touched buckets
@@ -1601,19 +1610,7 @@ object VersionedTableImpl {
     val newFiles: Seq[(Long, String, Long)] =
       try {
         rows.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
-        fs.listStatus(staging).filter(_.getPath.getName.startsWith("bucket="))
-          .flatMap { st =>
-            val b = st.getPath.getName.stripPrefix("bucket=").toLong
-            val dest = new Path(s"$root/data/bucket=$b")
-            fs.mkdirs(dest)
-            fs.listStatus(st.getPath)
-              .filter(_.getPath.getName.endsWith(".parquet"))
-              .map { f =>
-                val to = new Path(dest, s"v$newV-${f.getPath.getName}")
-                fs.rename(f.getPath, to)
-                (b, fs.makeQualified(to).toString, f.getLen)
-              }
-          }.toSeq
+        moveStagedRewrite(s, fs, root, staging, s"v$newV-")
       } finally {
         s.conf.set("spark.sql.files.maxRecordsPerFile", prevCap)
         fs.delete(staging, true)
@@ -1708,19 +1705,7 @@ object VersionedTableImpl {
     val newFiles: Seq[(Long, String, Long)] =
       try {
         rows.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
-        fs.listStatus(staging).filter(_.getPath.getName.startsWith("bucket="))
-          .flatMap { st =>
-            val b = st.getPath.getName.stripPrefix("bucket=").toLong
-            val dest = new Path(s"$root/data/bucket=$b")
-            fs.mkdirs(dest)
-            fs.listStatus(st.getPath)
-              .filter(_.getPath.getName.endsWith(".parquet"))
-              .map { f =>
-                val to = new Path(dest, s"v$newV-${f.getPath.getName}")
-                fs.rename(f.getPath, to)
-                (b, fs.makeQualified(to).toString, f.getLen)
-              }
-          }.toSeq
+        moveStagedRewrite(s, fs, root, staging, s"v$newV-")
       } finally {
         s.conf.set("spark.sql.files.maxRecordsPerFile", prevCap)
         fs.delete(staging, true)
