@@ -592,8 +592,15 @@ object TextOpsImpl {
     * hash `md5` of the 8-token slice — only (doc_id, position, 32-byte
     * gram hash) rows ever shuffle, never document text); the doc-frequency
     * aggregate is a hash agg with map-side partials; the repeated-gram set
-    * joins back by gram hash (uniform md5 keys — no skew); covered-token
-    * counting is doc-scoped distinct. Nothing is all-pairs: work is
+    * joins back by gram hash (uniform md5 keys — no skew). Covered-token
+    * counting exploits the FIXED span length: a hit at position i covers
+    * [i, i+RepN), so the union size per doc is Σ min(RepN, next_i − i)
+    * over position-sorted hits (the last hit contributes RepN) — one
+    * window-lead pass and ONE doc-keyed aggregate serve both the span
+    * count and the coverage, where the original formulation exploded every
+    * hit ×RepN and paid a corpus-scale DISTINCT shuffle (the round-12
+    * regenerated corpus, duplicate-heavy at sf1 by design, made that the
+    * sweep's second-worst entry). Nothing is all-pairs: work is
     * O(total tokens), the same order as tokenizing the corpus. */
   val RepN = 8
   val RepMinDocs = 2
@@ -612,14 +619,21 @@ object TextOpsImpl {
       .filter(col("nd") >= RepMinDocs)
       .select(col("gram"))
     val hits = grams.join(rep, "gram")
-    val spans = hits.groupBy(col("doc_id")).agg(count(lit(1)).as("n_rep_spans"))
-    val covered = hits
-      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${RepN - 1})")).as("p"))
-      .distinct()
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cov_tok"))
+    // fixed-length interval union via window lead: (doc_id, i) is unique by
+    // construction (one gram per position), so consecutive hits overlap by
+    // exactly max(0, RepN − gap) and each row's marginal coverage is
+    // min(RepN, gap); the final hit contributes RepN
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val perDoc = hits
+      .withColumn("cov", least(
+        coalesce((lead(col("i"), 1).over(wd) - col("i")).cast(LongType),
+          lit(RepN.toLong)),
+        lit(RepN.toLong)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_rep_spans"), sum(col("cov")).as("n_cov_tok"))
     docs.select(col("doc_id"), col("n_tok"))
-      .join(spans, Seq("doc_id"), "left")
-      .join(covered, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         col("n_tok"),
@@ -951,10 +965,21 @@ object TextOpsImpl {
     * the contingency-table-correct normalization for adjacent bigrams.
     * The multi-word-expression / tokenizer-vocabulary miner.
     *
-    * Scale shape: the bigram generator is a narrow per-doc transform; the
-    * three counts are token-keyed aggregations with map-side combine; the
-    * single-row total broadcasts; top-k plans as TakeOrderedAndProject,
-    * never a global sort. */
+    * Scale shape: ONE corpus scan — the exploded bigrams aggregate once
+    * into (wa, wb, c_ab), and because every occurrence of a token as a
+    * FIRST (resp. SECOND) bigram member is in exactly one bigram, the
+    * position marginals and the total are exact rollups OF THE BIGRAM
+    * COUNTS (c_a = Σ_b c_ab, c_b = Σ_a c_ab, N = Σ c_ab) — vocab²-bounded
+    * metadata aggregations, never a second corpus pass. (The original
+    * formulation re-scanned and re-exploded the corpus once per marginal —
+    * 4 scans; on the round-12 regenerated corpus, whose 31-token
+    * vocabulary makes every bigram key massively multiplied, that was the
+    * sf1 sweep's worst entry.) All four consumers share ONE physical
+    * bigram aggregation through exchange reuse — the (wa, wb) shuffle
+    * subtree is identical in each branch, so Spark's ReuseExchange/AQE
+    * stage reuse executes the scan+explode+partial once (PlanSpec pins
+    * the reuse). Map-side combine carries the bigram aggregation; top-k
+    * plans as TakeOrderedAndProject, never a global sort. */
   val MinBigramCount = 5L
   val CollocationTopK = 100
 
@@ -965,10 +990,17 @@ object TextOpsImpl {
       .select(explode(expr(
         "transform(sequence(1, size(t) - 1), i -> named_struct('a', element_at(t, i), 'b', element_at(t, i + 1)))")).as("bg"))
       .select(col("bg.a").as("wa"), col("bg.b").as("wb"))
+      // explicit (vacuous — split() never yields nulls) null filters, so
+      // every branch's pushed-down join constraints are SUBSUMED and the
+      // four consumers' aggregate subtrees stay canonically identical —
+      // without this, the main branch gets isnotnull(wa) AND isnotnull(wb)
+      // from its two joins while ua gets only isnotnull(wa), and the
+      // exchange-reuse match fails, re-scanning the corpus per marginal
+      .filter(col("wa").isNotNull && col("wb").isNotNull)
     val bc = big.groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("c_ab"))
-    val ua = big.groupBy(col("wa")).agg(count(lit(1)).as("c_a"))
-    val ub = big.groupBy(col("wb")).agg(count(lit(1)).as("c_b"))
-    val n = big.agg(count(lit(1)).as("n"))
+    val ua = bc.groupBy(col("wa")).agg(sum(col("c_ab")).as("c_a"))
+    val ub = bc.groupBy(col("wb")).agg(sum(col("c_ab")).as("c_b"))
+    val n = bc.agg(sum(col("c_ab")).as("n"))
     bc.filter(col("c_ab") >= MinBigramCount)
       .join(ua, "wa").join(ub, "wb")
       .crossJoin(broadcast(n))

@@ -328,6 +328,15 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("WindowGroupLimit"), s"fusion window must push the top-k limit:\n$s")
   }
 
+  test("q111 collocations: marginals roll up from ONE shared bigram aggregation (exchange reuse)") {
+    val df = ops.TextOpsImpl.collocations(spark, dir)
+    df.collect() // AQE materializes its stage-reuse decisions at runtime
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("ReusedQueryStage") || s.contains("ReusedExchange"),
+      s"the (wa, wb) bigram aggregation must be computed once and reused by " +
+        s"both marginals and the total — 4 corpus scans otherwise:\n$s")
+  }
+
   test("q82 classifier is a pure narrow scan: no shuffle, no UDF, pruned to (doc_id, text)") {
     val df = ops.TextOpsImpl.qualityClassifier(spark, dir).queryExecution.analyzed match {
       case org.apache.spark.sql.catalyst.plans.logical.Sort(_, _, child, _) =>
