@@ -361,46 +361,46 @@ object TextOpsImpl {
     * standard cheap filters for degenerate/boilerplate text ahead of
     * expensive dedup or training.
     *
-    * Scale shape: one shuffle on (doc_id, token) with map-side combine
-    * (token counts), one on (doc_id, bigram), and doc_id-partitioned
-    * windows — every key is high-cardinality (doc-scoped), so no reducer
-    * ever sees more than one document's vocabulary. Ties for the top
-    * token/bigram break lexicographically in both engines. */
+    * Scale shape: two narrow generators (token explode; bigrams built from
+    * the token ARRAY inside the scan — no posexplode + doc-keyed window
+    * carrying the full token stream across a shuffle), one map-side-
+    * combined shuffle on (doc_id, token) and one on (doc_id, bigram), and
+    * the per-doc stats + argmax fold into ONE aggregate each via
+    * `min(struct(−count, key))` (negated count makes lexicographic struct
+    * MIN pick highest-count-then-lexicographically-first — the same
+    * struct-extremum trick as the recall panel's (cosine, −id) max), so
+    * no window re-sorts any doc's
+    * vocabulary. Ties for the top token/bigram break lexicographically in
+    * both engines. */
   def repetitionSignals(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-    val toks = Tables(s, dir, "documents")
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val docs = Tables(s, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
     val stats = tf.groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("n_distinct"))
-    val topTok = tf
-      .withColumn("rn", row_number().over(
-        w.partitionBy(col("doc_id")).orderBy(col("c").desc, col("tok"))))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("tok").as("top_tok"), col("c").as("top_c"))
-    val bigrams = toks
-      .withColumn("nxt", lead(col("tok"), 1).over(
-        w.partitionBy(col("doc_id")).orderBy(col("pos"))))
-      .filter(col("nxt").isNotNull)
-      .select(col("doc_id"), concat(col("tok"), lit(" "), col("nxt")).as("bigram"))
+      .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("n_distinct"),
+        min(struct((-col("c")).as("nc"), col("tok").as("tk"))).as("m"))
+    val bigrams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+        .as("bigram"))
     val bf = bigrams.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
-    val topBigram = bf
-      .withColumn("rn", row_number().over(
-        w.partitionBy(col("doc_id")).orderBy(col("c").desc, col("bigram"))))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("bigram").as("top_bigram"), col("c").as("top_bc"))
-    stats.join(topTok, "doc_id").join(topBigram, "doc_id")
+    val topBigram = bf.groupBy(col("doc_id"))
+      .agg(min(struct((-col("c")).as("nc"), col("bigram").as("bg"))).as("mb"))
+    stats.join(topBigram, "doc_id")
       .select(
         col("doc_id"),
         col("n_tok"),
         col("n_distinct"),
         (col("n_distinct").cast(DoubleType) / col("n_tok")).as("distinct_ratio"),
-        col("top_tok"),
-        col("top_c").as("top_tok_n"),
-        (col("top_c").cast(DoubleType) / col("n_tok")).as("top_tok_frac"),
-        col("top_bigram"),
-        col("top_bc").as("top_bigram_n"),
-        (col("top_bc").cast(DoubleType) / (col("n_tok") - 1)).as("top_bigram_frac"))
+        col("m.tk").as("top_tok"),
+        (-col("m.nc")).as("top_tok_n"),
+        ((-col("m.nc")).cast(DoubleType) / col("n_tok")).as("top_tok_frac"),
+        col("mb.bg").as("top_bigram"),
+        (-col("mb.nc")).as("top_bigram_n"),
+        ((-col("mb.nc")).cast(DoubleType) / (col("n_tok") - 1)).as("top_bigram_frac"))
       .orderBy(col("doc_id"))
   }
 
