@@ -158,7 +158,39 @@ object TextOpsImpl {
     })
 
   /** Unpersist and drop the memoized winnow index. */
-  def clearCaches(): Unit = graft.ops.Memo.clear(winnowCache)
+  def clearCaches(): Unit = {
+    graft.ops.Memo.clear(winnowCache)
+    graft.ops.Memo.clear(unigramStatsCache)
+  }
+
+  /** Memoized CHECKPOINTED unigram statistics table — per token: corpus
+    * occurrence count and per-source counts pivoted as a map. This is the
+    * materialized artifact every unigram-LM consumer (q91 scoring, q95
+    * DSIR, q96 drift) derives its distributions and totals from: one
+    * corpus explode+aggregate builds it, and each consumer's totals /
+    * marginals are vocab-bounded rollups of the checkpointed rows.
+    * (Exchange reuse cannot dedupe these consumers' branches — their
+    * differently-shaped joins push different constraints into each copy of
+    * the aggregate, breaking canonical identity; a persisted vocab-sized
+    * table is also the honest 100 TB shape, where the unigram LM is an
+    * artifact you store next to the tokenizer, not a subtree you hope the
+    * optimizer dedupes.) Rows = |vocab| — metadata at any realistic
+    * vocabulary. */
+  private[graft] def unigramStats(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Memo.getOrCache(unigramStatsCache, s, dir, { _ =>
+      Tables(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok"), col("source"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("tok"))
+        .agg(sum(col("c")).as("tf"),
+          map_from_entries(collect_list(struct(col("source"), col("c"))))
+            .as("by_source"))
+        .localCheckpoint()
+    })
+
+  private val unigramStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
     winnowIndex(s, dir).orderBy(col("doc_id"), col("fp"))
@@ -700,18 +732,20 @@ object TextOpsImpl {
     * ARITHMETIC mean token probability plus the rarest-token probability —
     * the same ordering signal for rare-token-dense/degenerate docs.
     *
-    * Scale shape: one global term-frequency aggregation (map-side combine),
-    * a token-keyed equi-join back onto the exploded corpus (the
-    * inverted-index shape; token keys are as uniform as the vocabulary),
-    * and a per-doc aggregation whose probability sum uses the
-    * floor-quantized DECIMAL(38,0) discipline (order-independent; p is
-    * quantized at 1e-12 — the gate's determinism does not depend on the
-    * quantum, only on both engines sharing it). */
+    * Scale shape: the unigram distribution and its total come off the
+    * memoized [[unigramStats]] artifact (one corpus aggregation shared
+    * with q95/q96; the total is a vocab-bounded rollup of it, never a
+    * second corpus pass), then a token-keyed equi-join back onto the
+    * exploded corpus (the inverted-index shape; token keys are as uniform
+    * as the vocabulary) and a per-doc aggregation whose probability sum
+    * uses the floor-quantized DECIMAL(38,0) discipline (order-independent;
+    * p is quantized at 1e-12 — the gate's determinism does not depend on
+    * the quantum, only on both engines sharing it). */
   def lmScore(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
+    val tf = unigramStats(s, dir).select(col("tok"), col("tf"))
+    val total = tf.agg(sum(col("tf")).as("n_total"))
     val probs = tf.crossJoin(broadcast(total))
       .select(col("tok"),
         (col("tf").cast(DoubleType) / col("n_total").cast(DoubleType)).as("p"))
@@ -738,12 +772,16 @@ object TextOpsImpl {
     * same ordering signal as a likelihood ratio for unigram features,
     * without libm-dependent ln/exp breaking cross-engine parity.
     *
-    * Scale shape: two global term-frequency aggregations (map-side
-    * combine), ONE vocabulary-keyed left join to attach both probabilities,
-    * one token-keyed equi-join back onto the exploded corpus, a per-doc
-    * aggregate, and top-N via orderBy+limit — which Spark plans as
-    * TakeOrderedAndProject (per-partition heaps + driver merge of N), never
-    * a global sort of the corpus. Ties broken by doc_id. */
+    * Scale shape: BOTH distributions come off the memoized
+    * [[unigramStats]] artifact — the target's per-token count is its
+    * by-source map entry (tokens absent from the target read 0, exactly
+    * the original left join's coalesce) and both totals are vocab-bounded
+    * rollups (the original formulation made FIVE corpus passes: two tf
+    * aggregations, two totals, one probe — now one shared build plus the
+    * probe). Then one token-keyed equi-join back onto the exploded corpus,
+    * a per-doc aggregate, and top-N via orderBy+limit — which Spark plans
+    * as TakeOrderedAndProject (per-partition heaps + driver merge of N),
+    * never a global sort of the corpus. Ties broken by doc_id. */
   val DsirKeep = 100
 
   /** Every candidate document's (doc_id, n_tok, ratio) importance score —
@@ -751,16 +789,13 @@ object TextOpsImpl {
   def dsirScores(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("tok"))
-    val tgt = toks.filter(col("source") === "src0")
-    val tfT = tgt.groupBy(col("tok")).agg(count(lit(1)).as("tft"))
-    val totT = tgt.agg(count(lit(1)).as("ntt"))
-    val tfA = toks.groupBy(col("tok")).agg(count(lit(1)).as("tfa"))
-    val totA = toks.agg(count(lit(1)).as("nta"))
-    val probs = tfA.join(tfT, Seq("tok"), "left")
-      .crossJoin(broadcast(totA)).crossJoin(broadcast(totT))
+    val tf = unigramStats(s, dir).select(col("tok"),
+      col("tf").as("tfa"),
+      coalesce(element_at(col("by_source"), "src0"), lit(0L)).as("tft"))
+    val tot = tf.agg(sum(col("tfa")).as("nta"), sum(col("tft")).as("ntt"))
+    val probs = tf.crossJoin(broadcast(tot))
       .select(col("tok"),
-        (coalesce(col("tft"), lit(0L)).cast(DoubleType) / col("ntt").cast(DoubleType))
-          .as("pt"),
+        (col("tft").cast(DoubleType) / col("ntt").cast(DoubleType)).as("pt"),
         (col("tfa").cast(DoubleType) / col("nta").cast(DoubleType)).as("pa"))
     toks.filter(col("source") =!= "src0")
       .join(probs, "tok")
@@ -824,19 +859,24 @@ object TextOpsImpl {
     * (same reasoning as [[lmScore]]), and it is bounded in [0, 1] and
     * defined even where p_s = 0 (KL is infinite there without smoothing).
     *
-    * Scale shape: two term-frequency aggregations (map-side combine), a
-    * vocabulary × sources grid built by cross-joining the vocab against the
-    * BROADCAST handful of source rows (|vocab| × |sources| rows — the grid
-    * is as big as the vocab, not the corpus), one left join to attach
+    * Scale shape: ONE (source, token) term-frequency aggregation (map-side
+    * combine) whose rollups supply the corpus distribution and all totals,
+    * a vocabulary × sources grid built by cross-joining the vocab against
+    * the BROADCAST handful of source rows (|vocab| × |sources| rows — the
+    * grid is as big as the vocab, not the corpus), one left join to attach
     * per-source counts, and a |sources|-row final aggregate with the
     * floor-quantized DECIMAL(38,0) discipline (order-independent). */
   def vocabDrift(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables(s, dir, "documents")
-      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-    val tfC = toks.groupBy(col("tok")).agg(count(lit(1)).as("tfc"))
-    val totC = toks.agg(count(lit(1)).as("ntc"))
-    val tfS = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tfs"))
-    val totS = toks.groupBy(col("source")).agg(count(lit(1)).as("nts"))
+    // every distribution and total is a rollup of the memoized
+    // [[unigramStats]] artifact (vocab × sources rows — metadata, not
+    // corpus passes; the original formulation scanned the corpus once per
+    // aggregation, four times)
+    val stats = unigramStats(s, dir)
+    val tfS = stats.select(col("tok"),
+      explode(col("by_source")).as(Seq("source", "tfs")))
+    val tfC = stats.select(col("tok"), col("tf").as("tfc"))
+    val totC = stats.agg(sum(col("tf")).as("ntc"))
+    val totS = tfS.groupBy(col("source")).agg(sum(col("tfs")).as("nts"))
     val grid = tfC.crossJoin(broadcast(totS))
     grid.join(tfS, Seq("source", "tok"), "left")
       .crossJoin(broadcast(totC))
