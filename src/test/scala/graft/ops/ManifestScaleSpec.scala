@@ -125,6 +125,28 @@ class ManifestScaleSpec extends SparkSpec {
     assert(MorTableImpl.readMor(spark, root, K + 2).count() == 400 + K)
   }
 
+  test("descriptor rows stay bounded by live segments <= nBuckets, whatever the commit count") {
+    // a segment survives only while SOME bucket's current files live in it
+    // (the commit loop masks touched buckets out of carried arrays and
+    // drops emptied segments), so the descriptor can never grow past one
+    // row per bucket + the fresh commit's row — table AGE never inflates
+    // per-version metadata, only table WIDTH (bucket count) does
+    val root = java.nio.file.Files.createTempDirectory("mscale_desc").toString
+    val K = 3 * NB + 5 // commits >> buckets: age must not show in the bound
+    (1 to K).foreach { i =>
+      VersionedTableImpl.commitMerge(spark, root,
+        env(Seq((8L * i, i.toLong % 16L))), NB) // cycles through buckets
+    }
+    val rows = (1 to K).map(v =>
+      VersionedTableImpl.descriptorDf(spark, root, v).count())
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r <= NB + 1,
+        s"v${i + 1} descriptor has $r rows — must stay <= nBuckets+1 = ${NB + 1}")
+    }
+    // and the final state is intact through the masked carries
+    assert(VersionedTableImpl.readVersion(spark, root, K).count() == 16)
+  }
+
   test("vacuum's dead set is a LEFT ANTI plan: file lists never collect to the driver") {
     val root = java.nio.file.Files.createTempDirectory("mscale_vac").toString
     VersionedTableImpl.commitMerge(spark, root,

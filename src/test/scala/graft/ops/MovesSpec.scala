@@ -73,6 +73,31 @@ class MovesSpec extends SparkSpec {
       s"expected the loud rename failure in the cause chain: $e2")
   }
 
+  test("distributed path over objstore://: executors rebuild the shim FS from the shipped conf") {
+    // the executor side re-creates the FileSystem from the serialized
+    // Hadoop conf — the seam that breaks if test-registered schemes are
+    // dropped (the reason SerializableHadoopConf ships the REAL conf)
+    spark.sparkContext.hadoopConfiguration.set("fs.objstore.impl",
+      classOf[graft.fs.ObjectStoreFileSystem].getName)
+    val dir = java.nio.file.Files.createTempDirectory("moves_objstore")
+    val out = dir.resolve("out")
+    java.nio.file.Files.createDirectories(out)
+    val n = Moves.DistributeOver + 11
+    val pairs = (0 until n).map { i =>
+      val src = dir.resolve(s"src-$i.parquet")
+      java.nio.file.Files.writeString(src, s"payload-$i")
+      (new Path(s"objstore://$src"), new Path(s"objstore://$out/dst-$i.parquet"))
+    }
+    Moves.renameAll(spark, pairs)
+    pairs.zipWithIndex.foreach { case ((src, dst), i) =>
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(src.toUri.getPath)))
+      val got = java.nio.file.Paths.get(dst.toUri.getPath)
+      assert(java.nio.file.Files.exists(got), s"missing $dst")
+      assert(java.nio.file.Files.readString(got) == s"payload-$i",
+        s"copy+delete rename must carry content intact: $dst")
+    }
+  }
+
   test("a fragmented fat commit routes through the distributed move and stays correct") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
