@@ -94,7 +94,7 @@ object AnnFeedRefreshImpl {
 
   /** Build the versioned corpus + persist truth v1 + commit the churn
     * batch + refresh from the feed; memoized per (session, dir). */
-  private def ensureRefreshed(s: SparkSession, dir: String): String =
+  private[graft] def ensureRefreshed(s: SparkSession, dir: String): String =
     Memo.getOrCacheAny(roots, s, dir, { _ =>
       graft.expr.DotF64.register(s)
       val root = java.nio.file.Files.createTempDirectory("graft_ann_feed").toString

@@ -79,7 +79,7 @@ object DedupFeedIndexImpl {
       newImg.as("image"), oldImg.as("oldImage"))
   }
 
-  private def ensureMaintained(s: SparkSession, dir: String): String =
+  private[graft] def ensureMaintained(s: SparkSession, dir: String): String =
     Memo.getOrCacheAny(roots, s, dir, { _ =>
       val root = java.nio.file.Files.createTempDirectory("graft_lsh_feed").toString
       val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))

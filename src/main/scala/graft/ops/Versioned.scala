@@ -2652,7 +2652,7 @@ object VersionedTableImpl {
   private val evoRoots = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
 
-  private def ensureEvolved(s: SparkSession, dir: String): String =
+  private[graft] def ensureEvolved(s: SparkSession, dir: String): String =
     Memo.getOrCacheAny(evoRoots, s, dir, { _ =>
       val root = java.nio.file.Files.createTempDirectory("graft_vtable_evo").toString
       val env = CdcSynth.fromEvents(s, dir)
@@ -2702,7 +2702,7 @@ object VersionedTableImpl {
   private val feedRoots = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
 
-  private def ensureFeedReplay(s: SparkSession, dir: String): String =
+  private[graft] def ensureFeedReplay(s: SparkSession, dir: String): String =
     Memo.getOrCacheAny(feedRoots, s, dir, { _ =>
       val root = java.nio.file.Files.createTempDirectory("graft_vtable_f").toString
       val env = CdcSynth.fromEvents(s, dir)
@@ -2746,8 +2746,8 @@ object VersionedTableImpl {
     * the [[ensureQuartered]] recipe) rolled back to version 2: the
     * restored HEAD must equal the two-thirds-log replay exactly, while
     * the rolled-back version stays readable underneath. */
-  def restoredState(s: SparkSession, dir: String): DataFrame = {
-    val root = Memo.getOrCacheAny(restoreRoots, s, dir, { _ =>
+  private[graft] def ensureRestored(s: SparkSession, dir: String): String =
+    Memo.getOrCacheAny(restoreRoots, s, dir, { _ =>
       val r = java.nio.file.Files.createTempDirectory("graft_vtable_r").toString
       val env = CdcSynth.fromEvents(s, dir)
       val q = Tables(s, dir, "events")
@@ -2762,6 +2762,9 @@ object VersionedTableImpl {
       require(v4 == 4, s"restore commits forward: $v4")
       r
     })
+
+  def restoredState(s: SparkSession, dir: String): DataFrame = {
+    val root = ensureRestored(s, dir)
     readVersion(s, root, currentVersion(s, root))
       .select(col("user_id"), col("last_op"), col("last_seq"),
         col("event_type"), col("value"), col("k"))

@@ -133,6 +133,16 @@ object Indexes {
       { ops.VersionedTableImpl.ensureOptimized(s, d); () }),
     IndexBuild("lake_ro_mor", (s, d) =>
       { ops.MorTableImpl.ensureRoMor(s, d); () }),
+    IndexBuild("lake_evo_table", (s, d) =>
+      { ops.VersionedTableImpl.ensureEvolved(s, d); () }),
+    IndexBuild("lake_feed_table", (s, d) =>
+      { ops.VersionedTableImpl.ensureFeedReplay(s, d); () }),
+    IndexBuild("lake_restore_table", (s, d) =>
+      { ops.VersionedTableImpl.ensureRestored(s, d); () }),
+    IndexBuild("ann_feed_root", (s, d) =>
+      { ops.AnnFeedRefreshImpl.ensureRefreshed(s, d); () }),
+    IndexBuild("dedup_feed_root", (s, d) =>
+      { ops.DedupFeedIndexImpl.ensureMaintained(s, d); () }),
     IndexBuild("lake_ivm_pair", (s, d) =>
       f(ops.JoinIvmImpl.ensureJ1(s, d)))) // forces the table pair + feeds + J1
 }
