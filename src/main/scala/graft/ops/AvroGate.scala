@@ -96,9 +96,14 @@ object AvroGateImpl {
       }
       // STREAM the container's records instead of buffering them (they were
       // bounded by the sink's 256 KiB packing cap, but a lazy iterator holds
-      // one record, not one container). Close on exhaustion; the input is an
-      // in-memory byte array, so an abandoned reader (task kill mid-iterate)
-      // leaks no OS handle — close here only releases the decoder promptly.
+      // one record, not one container). Close on exhaustion AND on task
+      // completion: today the input is an in-memory byte array so an
+      // abandoned reader leaks no OS handle, but consumption that stops
+      // early (limit/take/task kill) must still release the reader if this
+      // is ever switched to a real stream — the listener makes the pattern
+      // handle-safe instead of relying on the caller draining.
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => r.close()))
       new Iterator[Row] {
         def hasNext: Boolean = {
           val h = decoded.hasNext

@@ -192,19 +192,41 @@ object LakehouseOpsImpl {
         .map(_.stripPrefix("bucket=").toLong).toSet
       touched.foreach { b => // swap: old aside, staged in — renames only
         val live = new Path(s"$basePath/bucket=$b")
-        if (fs.exists(live)) {
+        val movedAside = fs.exists(live)
+        if (movedAside) {
           loudRename(live, new Path(staging, s"old_bucket=$b"))
           asides = true
         }
-        if (survived(b)) loudRename(new Path(staging, s"bucket=$b"), live)
+        if (survived(b)) {
+          try loudRename(new Path(staging, s"bucket=$b"), live)
+          catch { case e: Throwable =>
+            // the aside just moved is the ONLY copy of this bucket's
+            // pre-merge data and the table is currently serving the bucket
+            // as empty — restore it best-effort before propagating, so a
+            // failed move-in degrades to "merge aborted" instead of a
+            // silent hole that only manual staging-dir surgery can fix
+            if (movedAside &&
+                fs.rename(new Path(staging, s"old_bucket=$b"), live))
+              asides = touched.exists { o =>
+                o != b && fs.exists(new Path(staging, s"old_bucket=$o"))
+              }
+            throw e
+          }
+        }
       }
       fs.delete(staging, true) // asides + leftovers go in one sweep
     } catch { case e: Throwable =>
-      // before any aside moved, staging holds only half-written output —
-      // safe to clean; after one did, staging holds the ONLY copy of the
-      // pre-merge buckets, so it is LEFT IN PLACE for recovery (the
-      // dot-prefix keeps it invisible to table listings either way)
+      // before any aside moved (or after every aside rolled back), staging
+      // holds only half-written output — safe to clean; otherwise staging
+      // holds the ONLY copy of some pre-merge buckets, so it is LEFT IN
+      // PLACE for recovery (the dot-prefix keeps it invisible to table
+      // listings either way) and its path is logged loudly so the preserved
+      // copy is discoverable without filesystem archaeology
       if (!asides) fs.delete(staging, true)
+      else org.slf4j.LoggerFactory.getLogger(getClass).error(
+        s"COW bucket swap failed mid-publish; pre-merge bucket copies " +
+          s"preserved under $staging (old_bucket=N dirs) — restore by " +
+          s"renaming them back to $basePath/bucket=N", e)
       throw e
     }
   }

@@ -145,6 +145,18 @@ object MorTableImpl {
 
   private val segCols = Seq("bucket", "file", "kind", "min_key", "max_key", "bytes")
 
+  /** [[writeSegment]] for DRIVER-RESIDENT MOR rows (a delta commit's own
+    * files, a compaction's fresh base): one [[ManifestIo]] ParquetWriter
+    * pass, no Spark job, a single-FILE segment — the same trickle-commit
+    * constant cut as the COW side's `writeSegmentRows`. */
+  private def writeSegmentRowsMor(s: SparkSession, root: String,
+      rows: Seq[(Long, String, String, Long, Long, Long)]): String = {
+    val name = s"seg-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet"
+    ManifestIo.writeMorSegment(s.sparkContext.hadoopConfiguration,
+      new Path(VersionedTableImpl.segmentsDir(root), name), rows)
+    name
+  }
+
   /** Append `env`'s latest-per-key reduction (tombstones as rows) as DELTA
     * files of version current+1. Returns the committed version. */
   def commitAppend(s: SparkSession, root: String, env: DataFrame,
@@ -170,10 +182,9 @@ object MorTableImpl {
     val deltaRows = moveStaged(s, root, staging, "delta",
       s"d${java.util.UUID.randomUUID().toString.take(8)}")
     if (deltaRows.isEmpty) return currentVersion(s, root)
-    import s.implicits._
     // the delta SEGMENT is written once, like the delta files: commits
     // commute, so a lost race re-bases only the tiny descriptor
-    val segName = writeSegment(s, root, deltaRows.toDF(segCols: _*))
+    val segName = writeSegmentRowsMor(s, root, deltaRows)
     var attempt = 0
     while (true) {
       attempt += 1
@@ -184,11 +195,10 @@ object MorTableImpl {
       // rows, which at a million uncompacted files would re-serialize a
       // million-row manifest per trickle commit (the round-11 weak #1)
       val (carried, consolidated) = carriedDesc(s, root, v)
-      val descDf = (carried :+ (segName, None: Option[Seq[Long]]))
-        .toDF("segment", "buckets")
       val tmp = new Path(root,
         s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
-      descDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      VersionedTableImpl.writeDescriptorFile(s, tmp,
+        carried :+ ((segName, None: Option[Seq[Long]])), None)
       if (claimVersion(s, root, newV, staleClaimMs)) {
         val won =
           try { VersionedTableImpl.publish(fs, tmp, visiblePath(root, newV),
@@ -361,13 +371,11 @@ object MorTableImpl {
       .filter(!col("bucket").isin(over: _*))
       .select(segCols.map(col): _*)
     val consSeg = writeSegment(s, root, carriedRows)
-    val baseSeg = writeSegment(s, root, newRows.toDF(segCols: _*))
-    val descDf = Seq((consSeg, None: Option[Seq[Long]]),
-        (baseSeg, None: Option[Seq[Long]]))
-      .toDF("segment", "buckets")
+    val baseSeg = writeSegmentRowsMor(s, root, newRows)
     val tmp = new Path(root,
       s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
-    descDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    VersionedTableImpl.writeDescriptorFile(s, tmp,
+      Seq((consSeg, None), (baseSeg, None)), None)
     // COMMIT POINT: claim only now, with nothing slow left to do
     if (!claimVersion(s, root, newV, staleClaimMs)) {
       fs.delete(tmp, true) // moved base files strand until vacuum

@@ -42,17 +42,31 @@ private[ops] object Moves {
 
   private def doRename(fs: org.apache.hadoop.fs.FileSystem,
       src: Path, dst: Path): Unit =
-    if (!fs.rename(src, dst))
+    if (!fs.rename(src, dst)) {
+      // Retry-safe under Spark task retry/speculation: destination names are
+      // unique and version-scoped (no other writer ever targets dst), so a
+      // missing source WITH the destination present can only mean a prior
+      // attempt of this same move already succeeded before its task died.
+      // Without this, a partial task failure on a big cluster re-runs the
+      // slice, the retry finds src gone, and the whole commit aborts even
+      // though every move landed.
+      if (!fs.exists(src) && fs.exists(dst)) return
       throw new IllegalStateException(
         s"staged-file publish rename failed (source missing or destination " +
           s"occupied): $src -> $dst")
+    }
 
   /** Rename every (src, dst) pair, throwing on the first failure. */
   def renameAll(s: SparkSession, pairs: Seq[(Path, Path)]): Unit = {
     if (pairs.isEmpty) return
     if (pairs.size <= DistributeOver) {
-      val fs = pairs.head._1.getFileSystem(s.sparkContext.hadoopConfiguration)
-      pairs.foreach { case (src, dst) => doRename(fs, src, dst) }
+      // Resolve the FileSystem per source path (Hadoop caches instances, so
+      // this is a map lookup) — a caller mixing schemes must not silently
+      // rename against the head pair's FS.
+      val conf = s.sparkContext.hadoopConfiguration
+      pairs.foreach { case (src, dst) =>
+        doRename(src.getFileSystem(conf), src, dst)
+      }
     } else {
       val conf = new SerializableHadoopConf(s.sparkContext.hadoopConfiguration)
       val strs = pairs.map { case (src, dst) => (src.toString, dst.toString) }

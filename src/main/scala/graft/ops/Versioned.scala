@@ -436,7 +436,11 @@ object VersionedTableImpl {
 
   /** Write per-file manifest rows as one immutable SEGMENT; returns its
     * name. O(rows) — the caller guarantees rows ≈ the commit's own files
-    * (or, for consolidations, the amortization point's carried set). */
+    * (or, for consolidations, the amortization point's carried set).
+    * This DataFrame form (a Spark job, a directory-form segment) remains
+    * for rows that live in the cluster — legacy consolidations and MOR
+    * compaction carries can be O(all live files); the per-commit hot
+    * paths use [[writeSegmentRows]] instead. */
   private[ops] def writeSegment(s: SparkSession, root: String,
       rows: DataFrame): String = {
     val name = s"seg-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet"
@@ -444,6 +448,28 @@ object VersionedTableImpl {
       .parquet(new Path(segmentsDir(root), name).toString)
     name
   }
+
+  /** [[writeSegment]] for DRIVER-RESIDENT rows — what every COW commit
+    * path has in hand after [[moveStagedRewrite]]: one [[ManifestIo]]
+    * ParquetWriter pass, NO Spark job, a single-FILE segment. The job
+    * launch + committer round-trip of a one-task write was about half the
+    * trickle commit's wall-clock constant (round-12 minor #4). */
+  private[ops] def writeSegmentRows(s: SparkSession, root: String,
+      rows: Seq[(Long, String, Long)]): String = {
+    val name = s"seg-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet"
+    ManifestIo.writeCowSegment(s.sparkContext.hadoopConfiguration,
+      new Path(segmentsDir(root), name), rows)
+    name
+  }
+
+  /** Serialize descriptor rows to `path` driver-side (no Spark job) —
+    * the descriptor is O(live segments) rows of driver metadata by
+    * construction, so a job here was pure constant overhead. COW callers
+    * pass `Some(nBuckets)`; MOR descriptors carry no nbuckets column. */
+  private[ops] def writeDescriptorFile(s: SparkSession, path: Path,
+      rows: Seq[(String, Option[Seq[Long]])], nbuckets: Option[Long]): Unit =
+    ManifestIo.writeDescriptor(
+      s.sparkContext.hadoopConfiguration, path, rows, nbuckets)
 
   private[ops] def deleteSegment(fs: org.apache.hadoop.fs.FileSystem,
       root: String, name: String): Unit =
@@ -522,7 +548,7 @@ object VersionedTableImpl {
       .map(n => new Path(segmentsDir(root), n).toString)
     val seg = s.read.option("mergeSchema", "true").parquet(paths: _*)
       .withColumn("__seg",
-        regexp_extract(col("_metadata.file_path"), "_segments/([^/]+)/", 1))
+        regexp_extract(col("_metadata.file_path"), "_segments/([^/]+?)(/|$)", 1))
     import s.implicits._
     val mask = pairs.toDF("__dseg", "__dbks")
     val resolved = seg
@@ -877,8 +903,7 @@ object VersionedTableImpl {
       // segments) driver-side metadata. The carried FILE rows are never
       // copied: per-commit manifest metadata stays O(batch).
       import s.implicits._
-      val segName = writeSegment(s, root,
-        newFiles.toDF("bucket", "file", "bytes"))
+      val segName = writeSegmentRows(s, root, newFiles)
       val touchedSet = touched.toSet
       var consolidated: Option[String] = None // cleaned up on a lost race
       val carried: Seq[(String, Option[Seq[Long]])] =
@@ -905,12 +930,11 @@ object VersionedTableImpl {
               Seq((cs, Some(covered)))
             }
         }
-      val descDf = (carried :+ (segName, Some(touched): Option[Seq[Long]]))
-        .toDF("segment", "buckets")
-        .withColumn("nbuckets", lit(nBuckets.toLong))
       val tmp = new Path(root,
         s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
-      descDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      writeDescriptorFile(s, tmp,
+        carried :+ ((segName, Some(touched): Option[Seq[Long]])),
+        Some(nBuckets.toLong))
       // COMMIT POINT: atomic claim, then the single manifest rename. A
       // fail-closed publish (destination already exists) means the
       // claim's exclusivity was beaten through the takeover protocol's
@@ -1514,7 +1538,7 @@ object VersionedTableImpl {
     val seg = s.read.option("mergeSchema", "true")
       .option("ignoreMissingFiles", "true").parquet(paths: _*)
       .withColumn("__seg",
-        regexp_extract(col("_metadata.file_path"), "_segments/([^/]+)/", 1))
+        regexp_extract(col("_metadata.file_path"), "_segments/([^/]+?)(/|$)", 1))
     val maskDf = masks.toSeq
       .map { case (k, v) => (k, v.map(_.toSeq.sorted)) }
       .toDF("__dseg", "__dbks")
@@ -1618,7 +1642,7 @@ object VersionedTableImpl {
     // layered manifest: one segment for the rewritten buckets, carried
     // descriptor rows masked (the commitLoop discipline — O(segments)
     // metadata, never the carried file rows)
-    val segName = writeSegment(s, root, newFiles.toDF("bucket", "file", "bytes"))
+    val segName = writeSegmentRows(s, root, newFiles)
     val overSet = counts.toSet
     var consolidated: Option[String] = None // cleaned up on a lost claim
     val carried: Seq[(String, Option[Seq[Long]])] =
@@ -1644,12 +1668,10 @@ object VersionedTableImpl {
             Seq((cs, Some(covered)))
           }
       }
-    val descDf = (carried :+ (segName, Some(counts): Option[Seq[Long]]))
-      .toDF("segment", "buckets")
-      .withColumn("nbuckets", lit(nb.toLong))
     val tmp = new Path(root,
       s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
-    descDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    writeDescriptorFile(s, tmp,
+      carried :+ ((segName, Some(counts): Option[Seq[Long]])), Some(nb.toLong))
     // COMMIT POINT: claim only now, with nothing slow left before publish
     if (!claimVersion(s, root, newV, staleClaimMs)) {
       fs.delete(tmp, true) // moved rewrite files strand until vacuum
@@ -1710,16 +1732,13 @@ object VersionedTableImpl {
         s.conf.set("spark.sql.files.maxRecordsPerFile", prevCap)
         fs.delete(staging, true)
       }
-    import s.implicits._
     // a rebucket rewrites everything: one fresh segment, one-row descriptor
-    val segName = writeSegment(s, root, newFiles.toDF("bucket", "file", "bytes"))
+    val segName = writeSegmentRows(s, root, newFiles)
     val covered = newFiles.map(_._1).distinct.sorted
-    val descDf = Seq((segName, Some(covered): Option[Seq[Long]]))
-      .toDF("segment", "buckets")
-      .withColumn("nbuckets", lit(newBuckets.toLong))
     val tmp = new Path(root,
       s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
-    descDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    writeDescriptorFile(s, tmp,
+      Seq((segName, Some(covered): Option[Seq[Long]])), Some(newBuckets.toLong))
     if (!claimVersion(s, root, newV, staleClaimMs)) {
       fs.delete(tmp, true) // staged files strand until vacuum
       deleteSegment(fs, root, segName)

@@ -60,10 +60,10 @@ class ManifestScaleSpec extends SparkSpec {
     val prevCap = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
     spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")
     try VersionedTableImpl.commitMerge(spark, root,
-      env((0L until 400L).map(u => (8L * u, u))), NB)
+      env((0L until 800L).map(u => (8L * u, u))), NB)
     finally spark.conf.set("spark.sql.files.maxRecordsPerFile", prevCap)
     val liveFiles = VersionedTableImpl.manifest(spark, root, 1).count()
-    assert(liveFiles >= 400L, s"seed must fragment: $liveFiles files")
+    assert(liveFiles >= 800L, s"seed must fragment: $liveFiles files")
 
     // TRICKLE: K single-key commits, all to bucket 0
     val K = 8
@@ -84,10 +84,10 @@ class ManifestScaleSpec extends SparkSpec {
     // and the cost is flat in the number of accumulated live files
     assert(perCommit.max <= 3 * perCommit.min,
       s"per-commit metadata must not grow with table age: $perCommit")
-    // correctness rides along: the 400 seed keys survive, and key 0
+    // correctness rides along: the 800 seed keys survive, and key 0
     // carries the LAST trickle's upsert
     val state = VersionedTableImpl.readVersion(spark, root, K + 1)
-    assert(state.count() == 400)
+    assert(state.count() == 800)
     val v0 = state.filter(col("user_id") === 0L)
       .select(col("value")).as[Double].head()
     assert(v0 == (8L * (1000L + K)) / 4.0, s"last trickle upsert must win: $v0")
