@@ -159,9 +159,22 @@ object MorTableImpl {
 
   /** Append `env`'s latest-per-key reduction (tombstones as rows) as DELTA
     * files of version current+1. Returns the committed version. */
+  /** The descriptor-row count past which [[commitAppend]] triggers its
+    * own compaction, absent any operator-configured cadence: each delta
+    * commit appends ONE descriptor row, so rows-since-compaction IS the
+    * forgotten-cadence debt — it degrades every read's planning collect
+    * (and its per-file footer fan-in) linearly, silently. 4× the bucket
+    * count keeps the trigger rare relative to the table's own width
+    * (compaction rewrites O(table) data, so it must amortize over many
+    * trickle commits) while bounding planning metadata at O(nBuckets) —
+    * the COW side's structural bound, imposed here by cadence. The floor
+    * keeps toy tables from compacting every few commits. */
+  private[ops] def autoCompactBound(nBuckets: Int): Int =
+    math.max(16, 4 * nBuckets)
+
   def commitAppend(s: SparkSession, root: String, env: DataFrame,
       nBuckets: Int, maxAttempts: Int = 5,
-      staleClaimMs: Long = 60000L): Int = {
+      staleClaimMs: Long = 60000L, autoCompact: Boolean = true): Int = {
     val keyOf = coalesce(col("image.user_id"), col("oldImage.user_id"))
     val seqOf = col("metadata.stream_sequence_number")
     val updates = LakehouseOpsImpl.latestUpdates(env, keyOf, seqOf)
@@ -205,7 +218,24 @@ object MorTableImpl {
             "commitAppend"); true }
           catch { case _: IllegalStateException // beaten via takeover edge
             if manifestCommitted(fs, visiblePath(root, newV)) => false }
-        if (won) return newV
+        if (won) {
+          // AUTO-BOUND the descriptor from the metadata already in hand
+          // (carried rows + the one just appended — no extra I/O): past
+          // the bound, fold everything now instead of trusting an
+          // operator-configured cadence that may not exist. Best-effort:
+          // the append IS committed, so a compaction that loses its claim
+          // (a racer is mid-commit) or fails outright must not fail the
+          // caller — the descriptor stays over bound and the next delta
+          // commit re-triggers.
+          if (autoCompact && carried.size + 1 > autoCompactBound(nBuckets))
+            try compactMor(s, root, maxFiles = 0, nBuckets, staleClaimMs)
+            catch { case e: Exception =>
+              org.slf4j.LoggerFactory.getLogger(getClass).error(
+                s"auto-compaction after MOR commit v$newV at $root failed; " +
+                  "descriptor stays over bound until the next trigger", e)
+            }
+          return newV
+        }
       }
       // lost: delta files + delta segment stay valid (commits commute);
       // only the descriptor — and any legacy consolidation written for

@@ -1512,12 +1512,21 @@ object VersionedTableImpl {
     val bucketDirs = fs.listStatus(dataDir).filter(_.isDirectory)
       .map(_.getPath.toString).toSeq // O(buckets) driver metadata
     if (bucketDirs.isEmpty) return None
+    // fan-out scales with the CLUSTER (a hard cap of 32 under-used a
+    // 1000-executor fleet at thousands of buckets), and each dir lists
+    // through listStatusIterator — PAGINATED on S3A/ABFS, so a
+    // million-file bucket dir streams pages through the task instead of
+    // materializing one giant array (round-12 minor #1)
+    val slices = math.min(bucketDirs.size,
+      math.max(s.sparkContext.defaultParallelism, 32))
     val listed = s.createDataset(bucketDirs)
-      .repartition(math.min(32, bucketDirs.size))
+      .repartition(slices)
       .mapPartitions { dirs =>
         dirs.flatMap { d =>
           val p = new Path(d)
-          p.getFileSystem(hconf.value).listStatus(p).iterator
+          val it = p.getFileSystem(hconf.value).listStatusIterator(p)
+          Iterator.continually(()).takeWhile(_ => it.hasNext)
+            .map(_ => it.next())
             .filter(_.getPath.getName.endsWith(".parquet"))
             .map(st => (st.getPath.toString, st.getModificationTime))
         }

@@ -125,6 +125,45 @@ class ManifestScaleSpec extends SparkSpec {
     assert(MorTableImpl.readMor(spark, root, K + 2).count() == 400 + K)
   }
 
+  test("MOR auto-bounds its descriptor: 100 deltas, NO compaction config") {
+    // A forgotten compaction cadence must not degrade reads linearly:
+    // commitAppend itself triggers a full fold when the descriptor it
+    // just published crossed autoCompactBound (round-12 minor #2). 100
+    // deltas with NO operator-configured compaction — the bound holds at
+    // EVERY version, and read planning metadata stays flat, not O(commits).
+    val root = java.nio.file.Files.createTempDirectory("mscale_auto").toString
+    val nb = 4
+    val bound = MorTableImpl.autoCompactBound(nb) // 16 at nb=4
+    var maxDesc = 0
+    var compactions = 0
+    (1 to 100).foreach { i =>
+      MorTableImpl.commitAppend(spark, root,
+        env(Seq((8L * i, i.toLong % 10L))), nb)
+      // observe the CURRENT version's descriptor (after any auto-fold)
+      val v = VersionedTableImpl.currentVersion(spark, root)
+      val rows = VersionedTableImpl.descriptorDf(spark, root, v).count().toInt
+      maxDesc = math.max(maxDesc, rows)
+      if (rows == 2 && i > 2) compactions += 1
+      assert(rows <= bound + 1,
+        s"after delta $i the descriptor carries $rows rows (> bound=$bound" +
+          s" + 1) — the auto-compaction trigger is not firing")
+    }
+    assert(compactions >= 3,
+      s"100 deltas past bound=$bound must auto-fold several times: $compactions")
+    assert(maxDesc >= bound - 2,
+      s"trigger fired far below the bound ($maxDesc) — cadence too hot")
+    // reads stay correct through the folds: keys 0..9, each carrying the
+    // LAST delta's payload for that key (delta i writes value = 2i; key 0
+    // is touched at i = 10, 20, …, 100)
+    val state = MorTableImpl.readMor(spark, root,
+      VersionedTableImpl.currentVersion(spark, root))
+    assert(state.count() == 10)
+    import spark.implicits._
+    val v0 = state.filter(col("user_id") === 0L)
+      .select(col("value")).as[Double].head()
+    assert(v0 == 200.0, s"key 0 must carry delta 100's payload: $v0")
+  }
+
   test("descriptor rows stay bounded by live segments <= nBuckets, whatever the commit count") {
     // a segment survives only while SOME bucket's current files live in it
     // (the commit loop masks touched buckets out of carried arrays and
@@ -202,6 +241,46 @@ class ManifestScaleSpec extends SparkSpec {
     VersionedTableImpl.vacuum(spark, root, keepFrom = 2, graceMs = 0L)
     assert(VersionedTableImpl.readVersion(spark, root, 2).count() == 64,
       "the kept version survives the expiry sweep")
+  }
+
+  test("vacuum's data listing is paginated: iterator pages, never one full array per dir") {
+    spark.sparkContext.hadoopConfiguration.set("fs.pagedfs.impl",
+      classOf[graft.fs.PagedListingFileSystem].getName)
+    val local = java.nio.file.Files.createTempDirectory("mscale_paged").toString
+    val root = s"pagedfs://$local"
+    val nb = 2
+    // fragment: 64 one-row files over 2 buckets — far past the shim's
+    // 7-status page, so an unpaginated listing is observable
+    val prevCap = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+    try {
+      VersionedTableImpl.commitMerge(spark, root,
+        env((0L until 64L).map(u => (8L * u, u))), nb)
+      VersionedTableImpl.commitMerge(spark, root,
+        env((0L until 64L).map(u => (8L * (100L + u), u))), nb)
+    } finally spark.conf.set("spark.sql.files.maxRecordsPerFile", prevCap)
+    val deadSet = VersionedTableImpl.manifest(spark, root, 1).count()
+    assert(deadSet >= 64, s"v1 must carry a fat dead set: $deadSet")
+    graft.fs.PagedListingFileSystem.reset()
+    VersionedTableImpl.vacuum(spark, root, keepFrom = 2, graceMs = 0L)
+    assert(graft.fs.PagedListingFileSystem.fullListings.get() == 0L,
+      "vacuum materialized a full listStatus array over a data bucket dir")
+    assert(graft.fs.PagedListingFileSystem.iteratorListings.get() >= nb,
+      "vacuum's distributed listing must go through listStatusIterator")
+    assert(graft.fs.PagedListingFileSystem.maxBatch.get()
+        <= graft.fs.PagedListingFileSystem.PageSize,
+      "a listing batch exceeded the page bound")
+    // the sweep executed through the paged listing: v2 rewrote every
+    // bucket, so ONLY its live files remain on disk afterwards
+    assert(VersionedTableImpl.readVersion(spark, root, 2).count() == 64)
+    val onDisk = (0 until nb).map { b =>
+      new java.io.File(s"$local/data/bucket=$b")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+    }.sum
+    val live = VersionedTableImpl.manifest(spark, root, 2).count()
+    assert(onDisk == live,
+      s"dead files must be swept through the paged listing: " +
+        s"$onDisk on disk vs $live live")
   }
 
   test("autoRebucket sizes from the manifest: zero per-data-file getFileStatus") {
