@@ -79,9 +79,13 @@ object CdcQueriesImpl {
   def timePartitions(s: SparkSession, dir: String): DataFrame = {
     val env = CdcSynth.fromEvents(s, dir)
       .withColumn("ats", timestamp_millis(col("metadata.stream_arrival_timestamp")))
-    env.select((col("event_id") +: Cdc.timePartitionColumns(col("ats"), "hours")) :+
-        Cdc.timePartitionPath(col("ats"), "hours").as("path"): _*)
+    // sort FIRST on the narrow (event_id, ats) pair, format AFTER: the
+    // five formatted strings quadruple the row, and computing them below
+    // the sort would shuffle that width through the range exchange
+    env.select(col("event_id"), col("ats"))
       .orderBy(col("event_id"))
+      .select((col("event_id") +: Cdc.timePartitionColumns(col("ats"), "hours")) :+
+        Cdc.timePartitionPath(col("ats"), "hours").as("path"): _*)
   }
 
   def packByCount(s: SparkSession, dir: String): DataFrame = {

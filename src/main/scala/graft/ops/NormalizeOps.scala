@@ -28,8 +28,10 @@ object NormalizeOpsImpl {
   private val K = 5L
 
   def textNormalize(s: SparkSession, dir: String): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    // one codegen'd pass (see [[graft.expr.NormalizeAscii]]) instead of
+    // lower + two regex walks + trim: q210 is a narrow map whose cost
+    // should be scan bytes, not regex throughput
+    val norm = graft.expr.NormalizeAscii(col("text"))
     Tables(s, dir, "documents")
       .select(col("doc_id"), col("text"), norm.as("norm"))
       .select(

@@ -639,7 +639,36 @@ object VersionedTableImpl {
     val suffix = "[^/]+/[^/]+$"
     val names = manifestDf
       .select(regexp_extract(col("file"), suffix, 0).as("__file_key"))
-    s.read.option("mergeSchema", "true").parquet(dataDir.toString)
+    // A reader holds no lock on the store, so a concurrent vacuum may
+    // delete DEAD files (superseded, filtered out by the semi-join anyway)
+    // while this read is being planned or executed — the long-haul soak
+    // hit both windows. Two scoped mitigations, neither touching live
+    // files (vacuum never deletes files of retained versions):
+    //  - PLANNING: mergeSchema inference footer-reads every listed file
+    //    and throws FileNotFound if one vanishes between the listing and
+    //    its footer read; re-planning re-lists and sees the post-delete
+    //    state, so a bounded retry converges (dead files are finite).
+    //  - EXECUTION: ignoreMissingFiles (scoped to THIS read, not the
+    //    session) skips a file deleted between plan and execute. For a
+    //    LIVE file this trades a loud failure for silent row loss — but
+    //    only in the already-silent regime: a live file deleted before
+    //    the listing is invisibly absent today, so the loud path never
+    //    covered erroneous deletion; spurious reader aborts under a
+    //    routine vacuum cadence are the real operational cost.
+    def isFnf(t: Throwable): Boolean = t match {
+      case null => false
+      case _: java.io.FileNotFoundException => true
+      case t => isFnf(t.getCause)
+    }
+    var scan: DataFrame = null
+    var attempt = 0
+    while (scan == null) {
+      attempt += 1
+      try scan = s.read.option("mergeSchema", "true")
+        .option("ignoreMissingFiles", "true").parquet(dataDir.toString)
+      catch { case e: Throwable if isFnf(e) && attempt < 4 => }
+    }
+    scan
       .withColumn("__file_key",
         regexp_extract(col("_metadata.file_path"), suffix, 0))
       .join(names, Seq("__file_key"), "left_semi")
