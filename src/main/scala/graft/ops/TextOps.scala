@@ -749,7 +749,13 @@ object TextOpsImpl {
     val probs = tf.crossJoin(broadcast(total))
       .select(col("tok"),
         (col("tf").cast(DoubleType) / col("n_total").cast(DoubleType)).as("p"))
-    toks.join(probs, "tok")
+    // BROADCAST the distribution: probs is O(vocab) rows by construction
+    // (a dictionary, the classic broadcast side), while toks is the
+    // exploded CORPUS — without the hint the join shuffles the corpus on
+    // `tok`, a key with vocabulary cardinality, so at scale most shuffle
+    // partitions are empty and the hot tokens pile into a few (the
+    // sf0.1→sf1 sweep's q91 tail)
+    toks.join(broadcast(probs), "tok")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"),
         expr("CAST(SUM(CAST(FLOOR(p * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12")
@@ -798,7 +804,7 @@ object TextOpsImpl {
         (col("tft").cast(DoubleType) / col("ntt").cast(DoubleType)).as("pt"),
         (col("tfa").cast(DoubleType) / col("nta").cast(DoubleType)).as("pa"))
     toks.filter(col("source") =!= "src0")
-      .join(probs, "tok")
+      .join(broadcast(probs), "tok") // O(vocab) dictionary side (see lmScore)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"),
         expr("CAST(SUM(CAST(FLOOR(pt * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12")
@@ -909,7 +915,9 @@ object TextOpsImpl {
     val vocab = toks.filter(pmod(col("doc_id"), lit(2L)) === 0L)
       .select(col("tok")).distinct().withColumn("known", lit(1L))
     toks.filter(pmod(col("doc_id"), lit(2L)) === 1L)
-      .join(vocab, Seq("tok"), "left")
+      // the vocabulary is the dictionary side — O(vocab) rows; unhinted,
+      // the held-out half of the CORPUS shuffles on the token key
+      .join(broadcast(vocab), Seq("tok"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"),
         sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_oov"))

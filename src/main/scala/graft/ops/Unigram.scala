@@ -160,7 +160,10 @@ object UnigramOpsImpl {
     val cw = Tables(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
-    cw.join(tok, "word")
+    // tok is the learned per-WORD segmentation — an O(vocab) dictionary;
+    // broadcast it so the exploded corpus is never shuffled on a
+    // vocabulary-cardinality key
+    cw.join(broadcast(tok), "word")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).cast(LongType).as("n_tokens"))
       .orderBy(col("doc_id"))
