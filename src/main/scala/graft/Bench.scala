@@ -151,7 +151,11 @@ object Bench {
           f""","contended":${hot.size},"contended_worst":$hotJson"""
       }
     } catch { case _: Exception => None }).getOrElse("")
-    val compactBudget = 1600
+    // sized so header + self-check/attribution fields (~450 chars incl.
+    // the contended_worst map) + this queries budget stays under the
+    // driver's ~2 KB stdout tail — the round-6 truncation lesson, re-run
+    // after the round-13 attribution fields fattened the header
+    val compactBudget = 1200
     val slowestFirst = results.sortBy(-_._2)
     val kept = new scala.collection.mutable.ListBuffer[String]
     var used = 0
