@@ -660,4 +660,25 @@ class PlanSpec extends SparkSpec {
     assert(reads.exists(_.contains("GreaterThanOrEqual(vec_id,400)")),
       s"the delta filter must push into the scan: $reads")
   }
+
+  test("vocab-dictionary joins broadcast: the exploded corpus is never shuffled on tok") {
+    // q91/q95/q98/q139 join the exploded corpus against an O(vocab)
+    // dictionary side (token probabilities / held-out vocabulary / learned
+    // segmentation). The optimizer cannot size the derived side, so
+    // without the explicit broadcast these degraded to shuffling the
+    // CORPUS on a vocabulary-cardinality key — mostly-empty partitions
+    // with hot tokens piled into a few (the round-13 sf1 tail).
+    Seq(
+      "q91 lm score" -> ops.TextOpsImpl.lmScore(spark, dir),
+      "q95 dsir scores" -> ops.TextOpsImpl.dsirScores(spark, dir),
+      "q98 oov rate" -> ops.TextOpsImpl.oovRate(spark, dir),
+      "q139 unigram encode" -> ops.UnigramOpsImpl.unigramEncode(spark, dir)
+    ).foreach { case (name, df) =>
+      val s = plan(df)
+      assert(s.contains("BroadcastHashJoin"),
+        s"$name: the dictionary side must broadcast:\n$s")
+      assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+        s"$name: the corpus must not shuffle on the token key:\n$s")
+    }
+  }
 }
