@@ -390,7 +390,6 @@ object MorTableImpl {
     try staged.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
     catch { case e: Throwable => fs.delete(staging, true); throw e }
     val newRows = moveStaged(s, root, staging, "base", s"c$newV")
-    import s.implicits._
     // compaction is the metadata AMORTIZATION point: the carried (not
     // over-threshold) file rows consolidate into ONE fresh segment —
     // O(live ∉ over) metadata, paid here so every trickle delta commit
