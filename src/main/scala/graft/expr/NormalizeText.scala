@@ -15,11 +15,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * pays two regex engines per row, which made q210 CPU-bound on a single
   * input split at the 10× sweep (a narrow map should be bounded by scan
   * bytes, not regex throughput). Byte-identical to the chain for any
-  * input whose lowercase mapping is 1:1 per char — every char that does
-  * not case-fold INTO [a-z0-9] becomes a space under both formulations
-  * (the chain lowercases first and then spaces anything outside the
-  * class; the one-pass fold spaces it directly). The only divergence is
-  * the handful of Unicode one-to-MANY lowercase expansions (e.g. İ →
+  * input whose lowercase mapping is 1:1 per char: ASCII folds inline on
+  * the hot path, and any OTHER char takes `Character.toLowerCase` — so
+  * the rare non-ASCII chars whose 1:1 lowercase IS in [a-z] (U+212A
+  * KELVIN SIGN → 'k') keep the letter exactly as the lower+regex chain
+  * does, instead of being spaced. The only remaining divergence is the
+  * handful of Unicode one-to-MANY lowercase expansions (e.g. İ →
   * i + combining dot, which the chain turns into "i " and this fold into
   * " "): acceptable for a normalizer whose output alphabet is
   * [a-z0-9 ] by definition, and DuckDB's lower() disagrees with the
@@ -39,7 +40,12 @@ object NormalizeAscii {
       val k: Char =
         if (c >= 'a' && c <= 'z' || c >= '0' && c <= '9') c
         else if (c >= 'A' && c <= 'Z') (c + 32).toChar
-        else 0
+        else if (c < 128) 0 // ASCII hot path never pays the library call
+        else { // 1:1 non-ASCII foldings into [a-z] (U+212A → 'k') keep
+          // the letter, matching the lower-then-regex chain exactly
+          val lc = Character.toLowerCase(c)
+          if (lc >= 'a' && lc <= 'z') lc else 0
+        }
       if (k != 0) {
         if (pendingSpace && out.length > 0) out.append(' ')
         pendingSpace = false

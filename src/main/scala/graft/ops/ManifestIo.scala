@@ -32,6 +32,27 @@ import org.apache.parquet.schema.{MessageType, MessageTypeParser}
   */
 private[ops] object ManifestIo {
 
+  /** Bounded driver cache for IMMUTABLE parquet metadata — segment rows
+    * and data-file footer facts, keyed by qualified path. Sound because
+    * every cached artifact is write-once under a uuid-unique name (a
+    * vacuumed path is never asked about again; a reused name cannot
+    * exist). Populated for free at write time by the commit paths, so a
+    * steady-state auto-fold re-reads almost nothing: the footer opens
+    * (~10 ms each on a local store, a full round-trip on an object
+    * store) were most of the scoped fold's residual latency. Whole-cache
+    * eviction at the cap keeps the logic obviously correct; at ~4k
+    * entries of tiny tuples the footprint is a few MB. */
+  private[ops] object MetaCache {
+    private val cap = 4096
+    private val m = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+    def get[T](k: String): Option[T] = Option(m.get(k)).map(_.asInstanceOf[T])
+    def put(k: String, v: AnyRef): Unit = {
+      if (m.size >= cap) m.clear()
+      m.put(k, v)
+    }
+    def clear(): Unit = m.clear()
+  }
+
   private val descriptorWithNb: MessageType = MessageTypeParser.parseMessageType(
     """message graft_descriptor {
       |  optional binary segment (UTF8);
@@ -115,6 +136,121 @@ private[ops] object ManifestIo {
       g.add("bucket", b); g.add("file", f); g.add("bytes", by)
       w.write(g)
     } finally w.close()
+  }
+
+  /** Exact [min, max] of int64 column `colName` from the parquet FOOTER
+    * of `file` — zero data pages read, one footer round-trip. Parquet
+    * min/max statistics are EXACT for int64 (truncation only affects
+    * binary columns), so this equals the scan-derived bound. None when
+    * any row group lacks valid stats or the column is missing — callers
+    * fall back to the scan. */
+  def footerKeyBounds(conf: Configuration, file: Path,
+      colName: String): Option[(Long, Long)] =
+    footerFacts(conf, file, colName).map(_._1)
+
+  /** [[footerKeyBounds]] plus the file's parquet schema from the SAME
+    * footer round-trip — the write paths cache both facts at move time
+    * (see [[MetaCache]]), so later folds touch no footer at all. */
+  def footerFacts(conf: Configuration, file: Path,
+      colName: String): Option[((Long, Long), MessageType)] = try {
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = rd.getFooter.getFileMetaData.getSchema
+      val blocks = rd.getFooter.getBlocks
+      if (blocks.isEmpty) return None
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      val bit = blocks.iterator()
+      while (bit.hasNext) {
+        val cit = bit.next().getColumns.iterator()
+        var found = false
+        while (cit.hasNext) {
+          val c = cit.next()
+          if (c.getPath.toDotString == colName) {
+            found = true
+            val st = c.getStatistics
+            if (st == null || st.isEmpty || !st.hasNonNullValue) return None
+            (st.genericGetMin, st.genericGetMax) match {
+              case (a: java.lang.Long, z: java.lang.Long) =>
+                mn = math.min(mn, a.longValue())
+                mx = math.max(mx, z.longValue())
+              case _ => return None
+            }
+          }
+        }
+        if (!found) return None
+      }
+      Some(((mn, mx), schema))
+    } finally rd.close()
+  } catch { case _: Exception => None }
+
+  /** Driver-side read-back of a MOR DESCRIPTOR (segment, buckets) —
+    * None when the artifact is not the degenerate MOR form (a legacy
+    * flat manifest, a masked/bucketed row, any read hiccup): callers
+    * fall back to the distributed resolution. `path` may be the bare
+    * file or a Spark-written directory. */
+  def readMorDescriptorSegments(conf: Configuration,
+      fs: org.apache.hadoop.fs.FileSystem, path: Path): Option[Seq[String]] =
+    try {
+      val out = Seq.newBuilder[String]
+      partsOf(fs, path).foreach { p =>
+        readGroups(conf, p) { g =>
+          if (g.getType.containsField("buckets") &&
+              g.getFieldRepetitionCount("buckets") > 0)
+            return None // masked row: not the degenerate MOR form
+          out += g.getString("segment", 0)
+        }
+      }
+      Some(out.result())
+    } catch { case _: Exception => None }
+
+  /** Driver-side read-back of MOR segment rows — None past `maxRows`
+    * (the scale guard: a legacy million-file segment stays a distributed
+    * read) or on any missing/null field. */
+  def readMorSegmentRows(conf: Configuration,
+      fs: org.apache.hadoop.fs.FileSystem, path: Path, maxRows: Int):
+      Option[Vector[(Long, String, String, Long, Long, Long)]] =
+    try {
+      val out = Vector.newBuilder[(Long, String, String, Long, Long, Long)]
+      var n = 0
+      partsOf(fs, path).foreach { p =>
+        readGroups(conf, p) { g =>
+          n += 1
+          if (n > maxRows) return None
+          out += ((g.getLong("bucket", 0), g.getString("file", 0),
+            g.getString("kind", 0), g.getLong("min_key", 0),
+            g.getLong("max_key", 0), g.getLong("bytes", 0)))
+        }
+      }
+      Some(out.result())
+    } catch { case _: Exception => None }
+
+  /** The parquet schema of `file`'s footer — None on any read hiccup. */
+  def footerSchema(conf: Configuration, file: Path): Option[MessageType] =
+    try {
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+      try Some(rd.getFooter.getFileMetaData.getSchema) finally rd.close()
+    } catch { case _: Exception => None }
+
+  private def partsOf(fs: org.apache.hadoop.fs.FileSystem,
+      path: Path): Seq[Path] = {
+    val st = fs.getFileStatus(path)
+    if (!st.isDirectory) Seq(path)
+    else fs.listStatus(path).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+  }
+
+  private def readGroups(conf: Configuration, p: Path)(
+      f: org.apache.parquet.example.data.Group => Unit): Unit = {
+    val rd = org.apache.parquet.hadoop.ParquetReader.builder(
+      new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
+      .withConf(conf).build()
+    try {
+      var g = rd.read()
+      while (g != null) { f(g); g = rd.read() }
+    } finally rd.close()
   }
 
   /** Write MOR segment rows `(bucket, file, kind, min_key, max_key,

@@ -119,7 +119,6 @@ object MorTableImpl {
       kind: String, prefix: String): Seq[(Long, String, String, Long, Long, Long)] = {
     val fs = fsOf(s, root)
     try {
-      val zones = zoneMaps(s, staging)
       val moves = fs.listStatus(staging)
         .filter(_.getPath.getName.startsWith("bucket="))
         .flatMap { st =>
@@ -130,6 +129,31 @@ object MorTableImpl {
             .filter(_.getPath.getName.endsWith(".parquet"))
             .map(f => (f, b, new Path(dest, s"$prefix-${f.getPath.getName}")))
         }.toSeq
+      // TRICKLE-sized batches lift the zone bounds straight from the
+      // parquet FOOTERS (driver, exact for int64, no Spark job — the
+      // zone scan was one of the two fixed jobs on every delta commit's
+      // wall clock); fat batches keep the one distributed scan, since a
+      // driver footer loop over thousands of staged files on an object
+      // store would be a HEAD storm. Any footer without usable stats
+      // falls back to the scan for the WHOLE batch.
+      val conf = s.sparkContext.hadoopConfiguration
+      val zones: Map[String, (Long, Long)] =
+        if (moves.size > Moves.DistributeOver) zoneMaps(s, staging)
+        else {
+          val byFooter = moves.map { case (f, b, to) =>
+            ManifestIo.footerFacts(conf, f.getPath, "user_id").map {
+              case (z, schema) =>
+                // same footer round-trip also yields the schema: cached
+                // under the FINAL name so a later fold's uniform-schema
+                // check touches no footer for files this process moved
+                ManifestIo.MetaCache.put(
+                  s"schema|${fs.makeQualified(to)}", schema)
+                s"bucket=$b/${f.getPath.getName}" -> z
+            }
+          }
+          if (byFooter.forall(_.isDefined)) byFooter.flatten.toMap
+          else zoneMaps(s, staging)
+        }
       // loud-failure renames, executor-parallel past the fat-batch
       // threshold (see [[Moves]]) — compaction rewrites are exactly the
       // O(files-in-batch) moves that must not serialize through the driver
@@ -152,8 +176,11 @@ object MorTableImpl {
   private def writeSegmentRowsMor(s: SparkSession, root: String,
       rows: Seq[(Long, String, String, Long, Long, Long)]): String = {
     val name = s"seg-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet"
-    ManifestIo.writeMorSegment(s.sparkContext.hadoopConfiguration,
-      new Path(VersionedTableImpl.segmentsDir(root), name), rows)
+    val path = new Path(VersionedTableImpl.segmentsDir(root), name)
+    ManifestIo.writeMorSegment(s.sparkContext.hadoopConfiguration, path, rows)
+    // the segment is immutable under a uuid name: cache its rows so the
+    // next auto-fold's driver resolution re-reads nothing we just wrote
+    ManifestIo.MetaCache.put(s"morseg|$path", rows.toVector)
     name
   }
 
@@ -212,23 +239,39 @@ object MorTableImpl {
         s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
       VersionedTableImpl.writeDescriptorFile(s, tmp,
         carried :+ ((segName, None: Option[Seq[Long]])), None)
-      if (claimVersion(s, root, newV, staleClaimMs)) {
+      val claimed = VersionedTableImpl.claimVersionId(
+        s, root, newV, staleClaimMs)
+      if (claimed.isDefined) {
         val won =
           try { VersionedTableImpl.publish(fs, tmp, visiblePath(root, newV),
             "commitAppend"); true }
-          catch { case _: IllegalStateException // beaten via takeover edge
-            if manifestCommitted(fs, visiblePath(root, newV)) => false }
+          catch {
+            case _: IllegalStateException // beaten via takeover edge
+              if manifestCommitted(fs, visiblePath(root, newV)) => false
+            case e: Throwable => // failed without committing: unblock
+              VersionedTableImpl.releaseClaim(s, root, newV, claimed.get)
+              throw e
+          }
         if (won) {
           // AUTO-BOUND the descriptor from the metadata already in hand
           // (carried rows + the one just appended — no extra I/O): past
-          // the bound, fold everything now instead of trusting an
-          // operator-configured cadence that may not exist. Best-effort:
-          // the append IS committed, so a compaction that loses its claim
-          // (a racer is mid-commit) or fails outright must not fail the
-          // caller — the descriptor stays over bound and the next delta
-          // commit re-triggers.
+          // the bound, fold now instead of trusting an operator-configured
+          // cadence that may not exist. The fold is SCOPED
+          // ([[compactOverFairShare]]): any committed compaction collapses
+          // the descriptor to 2 rows via the carried-row consolidation, so
+          // folding only the over-represented buckets restores the
+          // metadata bound at a latency comparable to the delta commit
+          // itself — the unlucky triggering caller no longer absorbs an
+          // O(table) rewrite (round-13 advisory). Synchronous by design:
+          // an async maintenance thread would silently make every
+          // auto-compacting MOR table multi-writer, invalidating the
+          // grace-0 vacuum cadence the single-writer contract permits.
+          // Best-effort: the append IS committed, so a fold that loses
+          // its claim (a racer is mid-commit) or fails outright must not
+          // fail the caller — the descriptor stays over bound and the
+          // next delta commit re-triggers.
           if (autoCompact && carried.size + 1 > autoCompactBound(nBuckets))
-            try compactMor(s, root, maxFiles = 0, nBuckets, staleClaimMs)
+            try compactOverFairShare(s, root, nBuckets, staleClaimMs)
             catch { case e: Exception =>
               org.slf4j.LoggerFactory.getLogger(getClass).error(
                 s"auto-compaction after MOR commit v$newV at $root failed; " +
@@ -348,6 +391,21 @@ object MorTableImpl {
       .filter(!col("last_op").isin(LakehouseOpsImpl.DeleteOps: _*))
   }
 
+  /** The auto-bound's SCOPED fold: compact only the buckets holding more
+    * than their fair share of the table's files (the ones trickle deltas
+    * concentrated in), falling back to the maximal buckets when counts
+    * are uniform — by pigeonhole at least one bucket always qualifies.
+    * The descriptor still collapses to exactly 2 rows on ANY committed
+    * fold (the untouched buckets' file rows consolidate into one fresh
+    * segment inside [[compactMor]]), so the metadata bound is restored
+    * while the DATA rewrite is O(churn since the last fold), not
+    * O(table) — what keeps the triggering commit's p99 flat
+    * (MorAutoCompactLatencySpec measures it). Returns the committed
+    * version; None if the claim was lost (next trigger retries). */
+  private[ops] def compactOverFairShare(s: SparkSession, root: String,
+      nBuckets: Int, staleClaimMs: Long = 60000L): Option[Int] =
+    compactMor(s, root, FairShareScope, nBuckets, staleClaimMs)
+
   /** File count per bucket at version v (driver-side metadata). */
   def bucketFileCounts(s: SparkSession, root: String, v: Int): Map[Long, Long] =
     manifestMor(s, root, v).groupBy(col("bucket")).count()
@@ -373,52 +431,177 @@ object MorTableImpl {
       nBuckets: Int, staleClaimMs: Long = 60000L): Option[Int] = {
     val fs = fsOf(s, root)
     val v = currentVersion(s, root)
-    val over = bucketFileCounts(s, root, v)
-      .collect { case (b, n) if n > maxFiles => b }.toSeq.sorted
-    if (over.isEmpty) return None
-    val newV = v + 1
-    val staged = foldLatest(readRaw(s, root, v, Some(over))) // tombstones carried
-      .withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
-      .repartition(over.size, col("bucket"))
-      // key-sorted within each bucket: the compacted file's row-group
-      // min/max stats then partition the key space, so post-compaction
-      // point/range reads prune at the parquet footer under the zone map
-      // (q191's clustered-compaction discipline applied to MOR)
-      .sortWithinPartitions(col("bucket"), col("user_id"))
-    val staging = new Path(root,
-      s".mor_compact_${java.util.UUID.randomUUID().toString.replace("-", "")}")
-    try staged.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
-    catch { case e: Throwable => fs.delete(staging, true); throw e }
-    val newRows = moveStaged(s, root, staging, "base", s"c$newV")
-    // compaction is the metadata AMORTIZATION point: the carried (not
-    // over-threshold) file rows consolidate into ONE fresh segment —
-    // O(live ∉ over) metadata, paid here so every trickle delta commit
-    // between compactions stays O(batch) — and the descriptor collapses
-    // to two whole-segment rows. Vacuum's segment sweep reclaims the
-    // spent delta segments when their last referencing version expires.
-    val carriedRows = manifestMor(s, root, v)
-      .filter(!col("bucket").isin(over: _*))
-      .select(segCols.map(col): _*)
-    val consSeg = writeSegment(s, root, carriedRows)
-    val baseSeg = writeSegmentRowsMor(s, root, newRows)
-    val tmp = new Path(root,
-      s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
-    VersionedTableImpl.writeDescriptorFile(s, tmp,
-      Seq((consSeg, None), (baseSeg, None)), None)
-    // COMMIT POINT: claim only now, with nothing slow left to do
-    if (!claimVersion(s, root, newV, staleClaimMs)) {
-      fs.delete(tmp, true) // moved base files strand until vacuum
-      deleteSegment(fs, root, consSeg); deleteSegment(fs, root, baseSeg)
-      return None
+    if (v == 0) return None
+    // METADATA for the fold — bucket counts, the folded buckets' file
+    // list, the carried-rows consolidation — resolved ONCE. Trickle-scale
+    // tables (every auto-fold: the descriptor bound caps the churn between
+    // folds) resolve entirely DRIVER-SIDE from the ManifestIo-written
+    // artifacts: ZERO Spark jobs for metadata, which is what keeps the
+    // triggering commit's p99 flat (MorAutoCompactLatencySpec — the three
+    // metadata jobs, not the data rewrite, dominated the scoped fold).
+    // Tables past the driver caps (a never-compacted million-file legacy)
+    // keep the distributed resolution, cached so counts/files/carried
+    // share one segment scan.
+    driverMetaRows(s, fs, root, v) match {
+      case Some(rows) =>
+        foldCommit(s, fs, root, v, maxFiles, nBuckets, staleClaimMs,
+          counts = rows.groupBy(_._1).map { case (b, rs) => (b, rs.size.toLong) },
+          filesOf = over => rows.collect { case r if over(r._1) => r._2 },
+          writeCons = over => writeSegmentRowsMor(s, root,
+            rows.filterNot(r => over(r._1))),
+          close = () => ())
+      case None =>
+        val m = manifestMor(s, root, v).cache()
+        foldCommit(s, fs, root, v, maxFiles, nBuckets, staleClaimMs,
+          counts = m.groupBy(col("bucket")).count()
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+          filesOf = over => m.filter(col("bucket").isin(over.toSeq: _*))
+            .select(col("file")).collect().map(_.getString(0)).toSeq,
+          writeCons = over => {
+            // the carried (not over-threshold) file rows consolidate into
+            // ONE fresh segment — O(live ∉ over) metadata, paid here so
+            // every trickle delta commit between compactions stays
+            // O(batch). Small carried sets go through the driver
+            // ParquetWriter; only a genuinely fat one pays a Spark write.
+            val keepRows = m.filter(!col("bucket").isin(over.toSeq: _*))
+              .select(segCols.map(col): _*)
+            val rows = keepRows.limit(10001).collect()
+            if (rows.length > 10000 ||
+                rows.exists(r => (0 until 6).exists(r.isNullAt)))
+              writeSegment(s, root, keepRows)
+            else writeSegmentRowsMor(s, root, rows.toSeq.map(r =>
+              (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+                r.getLong(4), r.getLong(5))))
+          },
+          close = () => m.unpersist())
     }
-    try VersionedTableImpl.publish(fs, tmp, visiblePath(root, newV), "MOR compaction")
-    catch { case _: IllegalStateException // beaten via takeover edge: yield
-      if manifestCommitted(fs, visiblePath(root, newV)) =>
-        fs.delete(tmp, true)
-        deleteSegment(fs, root, consSeg); deleteSegment(fs, root, baseSeg)
-        return None }
-    Some(newV)
   }
+
+  /** All file rows of version v, resolved driver-side from the
+    * ManifestIo-written artifacts (descriptor + segments — each one
+    * footer-plus-page round-trip, no Spark job). None past the scale caps
+    * (512 segments / 20k file rows), for legacy flat manifests, masked
+    * descriptor rows, or any read hiccup — callers fall back to the
+    * distributed resolution. */
+  private def driverMetaRows(s: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: String,
+      v: Int): Option[Vector[(Long, String, String, Long, Long, Long)]] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    manifestDataPath(fs, visiblePath(root, v)).flatMap { mp =>
+      ManifestIo.readMorDescriptorSegments(conf, fs, mp).flatMap { segs =>
+        if (segs.size > 512) None
+        else {
+          val out = Vector.newBuilder[(Long, String, String, Long, Long, Long)]
+          var budget = 20000
+          val it = segs.iterator
+          while (it.hasNext) {
+            val sp = new Path(VersionedTableImpl.segmentsDir(root), it.next())
+            val cached = ManifestIo.MetaCache
+              .get[Vector[(Long, String, String, Long, Long, Long)]](s"morseg|$sp")
+            cached.orElse(ManifestIo.readMorSegmentRows(conf, fs, sp, budget)
+              .map { rows => ManifestIo.MetaCache.put(s"morseg|$sp", rows); rows })
+            match {
+              case Some(rows) if rows.size <= budget =>
+                out ++= rows; budget -= rows.size
+              case _ => return None
+            }
+          }
+          Some(out.result())
+        }
+      }
+    }
+  }
+
+  /** The fold itself, metadata-source-agnostic: pick the over-threshold
+    * buckets, rewrite exactly their rows into one key-sorted base file
+    * each, consolidate the carried rows, publish through the claim
+    * protocol. `counts`/`filesOf`/`writeCons` come from [[compactMor]]'s
+    * driver or distributed resolution. */
+  private def foldCommit(s: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      root: String, v: Int, maxFiles: Int, nBuckets: Int, staleClaimMs: Long,
+      counts: Map[Long, Long], filesOf: Set[Long] => Seq[String],
+      writeCons: Set[Long] => String, close: () => Unit): Option[Int] =
+    try {
+      if (counts.isEmpty) return None
+      val mf: Long =
+        if (maxFiles != FairShareScope) maxFiles.toLong
+        else {
+          // fair-share scope: fold the over-represented buckets; uniform
+          // counts fall back to the maxima (pigeonhole: never empty)
+          val fair = math.max(1L, counts.values.sum / math.max(1, nBuckets))
+          if (counts.values.exists(_ > fair)) fair
+          else counts.values.max - 1L
+        }
+      val over = counts.collect { case (b, n) if n > mf => b }.toSet
+      if (over.isEmpty) return None
+      val newV = v + 1
+      // bucket-scoped explicit file list (O(folded buckets' files) driver
+      // metadata — the same posture as every bucket-scoped read)
+      val files = filesOf(over)
+      // mergeSchema exists for ERA tolerance (files written before a
+      // payload column existed), but it costs a distributed footer job.
+      // Within one MOR table the folded files' schemas are almost always
+      // byte-equal — provable from the footers driver-side for a
+      // trickle-sized fold, in which case plain single-footer inference
+      // (driver, no job) is exactly as correct.
+      val conf = s.sparkContext.hadoopConfiguration
+      val uniformSchema = files.size <= Moves.DistributeOver && {
+        val schemas = files.map { f =>
+          ManifestIo.MetaCache
+            .get[org.apache.parquet.schema.MessageType](s"schema|$f")
+            .orElse {
+              val sc = ManifestIo.footerSchema(conf, new Path(f))
+              sc.foreach(v => ManifestIo.MetaCache.put(s"schema|$f", v))
+              sc
+            }
+        }
+        schemas.head.isDefined && schemas.forall(_ == schemas.head)
+      }
+      val raw =
+        if (uniformSchema) s.read.parquet(files: _*)
+        else s.read.option("mergeSchema", "true").parquet(files: _*)
+      val staged = foldLatest(raw) // tombstones carried
+        .withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
+        .repartition(over.size, col("bucket"))
+        // key-sorted within each bucket: the compacted file's row-group
+        // min/max stats then partition the key space, so post-compaction
+        // point/range reads prune at the parquet footer under the zone map
+        // (q191's clustered-compaction discipline applied to MOR)
+        .sortWithinPartitions(col("bucket"), col("user_id"))
+      val staging = new Path(root,
+        s".mor_compact_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+      try staged.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
+      catch { case e: Throwable => fs.delete(staging, true); throw e }
+      val newRows = moveStaged(s, root, staging, "base", s"c$newV")
+      val consSeg = writeCons(over)
+      val baseSeg = writeSegmentRowsMor(s, root, newRows)
+      val tmp = new Path(root,
+        s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
+      VersionedTableImpl.writeDescriptorFile(s, tmp,
+        Seq((consSeg, None), (baseSeg, None)), None)
+      // COMMIT POINT: claim only now, with nothing slow left to do
+      val cid = VersionedTableImpl.claimVersionId(
+        s, root, newV, staleClaimMs).getOrElse {
+        fs.delete(tmp, true) // moved base files strand until vacuum
+        deleteSegment(fs, root, consSeg); deleteSegment(fs, root, baseSeg)
+        return None
+      }
+      try VersionedTableImpl.publish(fs, tmp, visiblePath(root, newV), "MOR compaction")
+      catch {
+        case _: IllegalStateException // beaten via takeover edge: yield
+          if manifestCommitted(fs, visiblePath(root, newV)) =>
+          fs.delete(tmp, true)
+          deleteSegment(fs, root, consSeg); deleteSegment(fs, root, baseSeg)
+          return None
+        case e: Throwable => // failed without committing: unblock the version
+          VersionedTableImpl.releaseClaim(s, root, newV, cid); throw e
+      }
+      Some(newV)
+    } finally close()
+
+  /** Sentinel `maxFiles` for [[compactMor]]: scope the fold to buckets
+    * holding more than their FAIR SHARE of the table's live files. */
+  private[ops] val FairShareScope: Int = -1
 
   // ------------------------------------------------------------- gates
 

@@ -49,8 +49,17 @@ private[ops] object Moves {
       // attempt of this same move already succeeded before its task died.
       // Without this, a partial task failure on a big cluster re-runs the
       // slice, the retry finds src gone, and the whole commit aborts even
-      // though every move landed.
-      if (!fs.exists(src) && fs.exists(dst)) return
+      // though every move landed. The inference is safe ONLY because dst
+      // names are publisher-unique (Spark part-file job uuids under
+      // version-scoped prefixes) — logged loudly so a future caller with
+      // deterministic names that masks a collision here is observable in
+      // the executor logs rather than silently committing a stale file.
+      if (!fs.exists(src) && fs.exists(dst)) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"staged-file rename inferred already-done by a prior attempt " +
+            s"(source gone, destination present): $src -> $dst")
+        return
+      }
       throw new IllegalStateException(
         s"staged-file publish rename failed (source missing or destination " +
           s"occupied): $src -> $dst")

@@ -354,13 +354,46 @@ object VersionedTableImpl {
           d
         }
       val destPtr = ptrOf(dest)
-      val won =
+      // The pointer PUT's IOException is AMBIGUOUS on a real store: the
+      // conditional PUT can land server-side with only the RESPONSE lost,
+      // and treating every IOException as "lost" then deletes the data
+      // dir the COMMITTED pointer names — destroying a live version
+      // (found by the round-14 fault-injection soak the moment
+      // response-lost faults were injected). Disambiguate by CONTENT: the
+      // data-dir name is publisher-unique (uuid-suffixed), so reading the
+      // pointer back says exactly who won. Absent pointer = the PUT
+      // genuinely did not land; since we still hold the claim (nobody
+      // else may publish this version outside the takeover edge), a
+      // bounded in-place retry is safe and keeps a transient 5xx from
+      // aborting an otherwise-finished commit.
+      def ptrContent(): Option[String] = scala.util.Try {
+        val in = fs.open(destPtr)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      }.toOption
+      var won = false
+      var beaten = false
+      var attempt = 0
+      while (!won && !beaten) {
+        attempt += 1
         try {
           val out = fs.create(destPtr, false) // THE commit point
           try out.write(data.getName.getBytes("UTF-8")) finally out.close()
-          true
-        } catch { case _: java.io.IOException => false }
-      if (!won) {
+          won = true
+        } catch { case e: java.io.IOException =>
+          ptrContent() match {
+            case Some(n) if n == data.getName => won = true // response lost
+            case Some(_) => beaten = true // a racer's pointer stands
+            case None if attempt < 4 => Thread.sleep(50L * attempt)
+            case None =>
+              if (!promoting) fs.delete(data, true) // not committed: garbage
+              throw new IllegalStateException(
+                s"$what: pointer PUT to $destPtr kept failing with no " +
+                  "pointer behind it (store unavailable?)", e)
+          }
+        }
+      }
+      if (beaten) {
         if (!promoting) fs.delete(data, true) // our staged copy is garbage
         throw new IllegalStateException(
           s"$what held the claim but $dest already exists — claim invariant " +
@@ -655,6 +688,35 @@ object VersionedTableImpl {
     //    the listing is invisibly absent today, so the loud path never
     //    covered erroneous deletion; spurious reader aborts under a
     //    routine vacuum cadence are the real operational cost.
+    //
+    // STRICT MODE (`spark.graft.read.strictMissingFiles=true`, session
+    // conf): for readers that prefer fail-loud over availability —
+    // auditors, backfills whose partial output would be worse than a
+    // retry — the scan keeps FNF aborts (no ignoreMissingFiles) AND the
+    // manifest's own file list is existence-checked first (distributed,
+    // O(files) cluster RPCs — the opt-in price of detecting an erroneous
+    // deletion of LIVE files, e.g. a vacuum keepFrom misconfigured below
+    // this version, which the lenient path absorbs silently). The check
+    // narrows the silent window to plan→execute; it cannot close it.
+    val strict = s.conf.getOption("spark.graft.read.strictMissingFiles")
+      .exists(_.toBoolean)
+    if (strict) {
+      import s.implicits._
+      val hconf = new SerializableHadoopConf(s.sparkContext.hadoopConfiguration)
+      val missing = manifestDf.select(col("file")).as[String]
+        .mapPartitions { it =>
+          it.filter { f =>
+            val p = new Path(f); !p.getFileSystem(hconf.value).exists(p)
+          }
+        }.take(5)
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"strict read at $root: ${missing.size}+ manifest-listed live " +
+            s"files are missing from the store (first: ${missing.head}) — " +
+            "a vacuum retention misconfiguration or external deletion " +
+            "under data/; the lenient default would have silently dropped " +
+            "their rows")
+    }
     def isFnf(t: Throwable): Boolean = t match {
       case null => false
       case _: java.io.FileNotFoundException => true
@@ -665,8 +727,23 @@ object VersionedTableImpl {
     while (scan == null) {
       attempt += 1
       try scan = s.read.option("mergeSchema", "true")
-        .option("ignoreMissingFiles", "true").parquet(dataDir.toString)
-      catch { case e: Throwable if isFnf(e) && attempt < 4 => }
+        .option("ignoreMissingFiles", (!strict).toString)
+        .parquet(dataDir.toString)
+      catch {
+        case e: Throwable if isFnf(e) =>
+          // BOUNDED BACKOFF, then a wrapped throw: planning re-lists on
+          // every attempt, so a routine vacuum's finite dead set converges
+          // within a retry or two — still failing after ~1.5 s of backoff
+          // means files are being deleted faster than re-planning sees
+          // them (a misconfigured retention racing this reader) or the
+          // store is lying, and the raw FNF alone explains neither.
+          if (attempt >= 6) throw new IllegalStateException(
+            s"planning a manifest read at $root kept hitting vanishing " +
+              s"files after $attempt attempts — likely a concurrent " +
+              "vacuum whose keepFrom/grace deletes this version's files, " +
+              "or an external deletion under data/", e)
+          Thread.sleep(100L * attempt)
+      }
     }
     scan
       .withColumn("__file_key",
@@ -727,7 +804,15 @@ object VersionedTableImpl {
     * takeover LIVELOCK (found by the objstore suite the moment the shim's
     * conditional PUT became honest). Content survives any copy. */
   private[ops] def claimVersion(s: SparkSession, root: String, v: Int,
-      staleClaimMs: Long, lin: Lineage = Main): Boolean = {
+      staleClaimMs: Long, lin: Lineage = Main): Boolean =
+    claimVersionId(s, root, v, staleClaimMs, lin).isDefined
+
+  /** [[claimVersion]] returning the claim's CONTENT IDENTITY on success —
+    * what [[releaseClaim]] needs to give the version back deterministically
+    * after a publish that failed without committing (instead of wedging
+    * every writer behind the staleness window). */
+  private[ops] def claimVersionId(s: SparkSession, root: String, v: Int,
+      staleClaimMs: Long, lin: Lineage = Main): Option[String] = {
     val fs = fsOf(s, root)
     val claim = lin.claim(root, v)
     fs.mkdirs(claim.getParent)
@@ -737,16 +822,26 @@ object VersionedTableImpl {
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       }.getOrElse("")
-    def tryCreate(): Boolean =
+    def tryCreate(): Option[String] = {
+      val id = java.util.UUID.randomUUID().toString.replace("-", "")
       try {
         val out = fs.create(claim, false)
-        try out.write(java.util.UUID.randomUUID().toString
-          .replace("-", "").getBytes("UTF-8"))
+        try out.write(id.getBytes("UTF-8"))
         finally out.close()
-        true
+        Some(id)
       }
-      catch { case _: java.io.IOException => false }
-    if (tryCreate()) return true
+      catch { case _: java.io.IOException =>
+        // RESPONSE-LOST disambiguation (the publish-side lesson applied
+        // here): the conditional PUT may have landed with the response
+        // lost. Reporting a loss then leaves OUR OWN claim blocking the
+        // version until someone ages it past staleClaimMs — a self-
+        // inflicted takeover stall. The claim carries a uuid precisely so
+        // identity is readable back: ours = we hold it.
+        if (claimId(claim) == id) Some(id) else None
+      }
+    }
+    val first = tryCreate()
+    if (first.isDefined) return first
     val published = manifestCommitted(fs, lin.visible(root, v)) ||
       manifestCommitted(fs, lin.pending(root, v))
     // Sample the candidate claim's CONTENT IDENTITY BEFORE the staleness
@@ -813,13 +908,32 @@ object VersionedTableImpl {
           else {
             if (fs.exists(claim) || !fs.rename(aside, claim))
               fs.delete(aside, false)
-            return false
+            return None
           }
         }
       } catch { case _: java.io.IOException => () }
       tryCreate()
-    } else false
+    } else None
   }
+
+  /** Best-effort release of OUR claim on v after a publish that failed
+    * WITHOUT committing: delete the claim only while its content still
+    * carries `id` (a takeover thief's fresh claim stays put), so the
+    * version unblocks immediately instead of wedging every writer behind
+    * the staleness window. Quiet on I/O failure — staleness remains the
+    * backstop, exactly as for a crashed claimant. */
+  private[ops] def releaseClaim(s: SparkSession, root: String, v: Int,
+      id: String, lin: Lineage = Main): Unit =
+    try {
+      val fs = fsOf(s, root)
+      val claim = lin.claim(root, v)
+      val cur = scala.util.Try {
+        val in = fs.open(claim)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }.getOrElse("")
+      if (cur == id) fs.delete(claim, false)
+    } catch { case _: java.io.IOException => () }
 
   /** After losing a claim on v: wait for the winner's VISIBLE manifest to
     * appear (then the retry re-merges against it), for the claim to be
@@ -970,13 +1084,21 @@ object VersionedTableImpl {
       // outermost race window — the OTHER publisher's batch is committed
       // and intact, so ours re-merges like any lost race instead of
       // dying loudly; any other publish failure still throws.
-      if (claimVersion(s, root, newV, staleClaimMs, lin)) {
+      claimVersionId(s, root, newV, staleClaimMs, lin).foreach { cid =>
         val dest = if (pendingStage) lin.pending(root, newV)
                    else lin.visible(root, newV)
         val won =
           try { publish(fs, tmp, dest, what); true }
-          catch { case _: IllegalStateException
-            if manifestCommitted(fs, dest) => false }
+          catch {
+            case _: IllegalStateException
+              if manifestCommitted(fs, dest) => false
+            case e: Throwable =>
+              // publish failed WITHOUT committing: give the version back
+              // now rather than wedging writers behind the staleness
+              // window (content-checked — a takeover thief's claim stays)
+              releaseClaim(s, root, newV, cid, lin)
+              throw e
+          }
         if (won) return newV
       }
       // lost the race: staged descriptor + this attempt's segments die now
@@ -1388,6 +1510,48 @@ object VersionedTableImpl {
     }
   }
 
+  /** Sweep CRASHED-WRITER garbage: root-level staging dirs
+    * (`.v_staging_` / `.mor_staging_` / `.mor_compact_`) and mid-commit
+    * `_versions/.tmp-` descriptors / `.dead-claim-` asides older than
+    * `olderThanMs` by their NEWEST contained mtime. A writer that dies —
+    * or whose `finally`-cleanup delete the store fails — between staging
+    * and publish strands these forever: they are never referenced and
+    * never readable, but [[vacuum]] cannot touch them because its grace
+    * is legitimately 0 under a single-writer cadence, and a 0-grace sweep
+    * here would delete a RACING writer's in-flight staging mid-commit.
+    * So the sweep is a SEPARATE maintenance call with its own age
+    * threshold, to be run with `olderThanMs` comfortably above the
+    * longest plausible commit (hours, not seconds) — or 0 only after
+    * proven quiescence (how the fault-injection soak uses it). Returns
+    * the swept paths. */
+  def sweepStranded(s: SparkSession, root: String,
+      olderThanMs: Long): Seq[String] = {
+    val fs = fsOf(s, root)
+    val now = System.currentTimeMillis()
+    def newestMtime(p: Path): Long = {
+      val st = fs.getFileStatus(p)
+      if (!st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +:
+        fs.listStatus(p).toSeq.map(c => newestMtime(c.getPath))).max
+    }
+    val stagingPrefixes =
+      Seq(".v_staging_", ".mor_staging_", ".mor_compact_", ".cow_staging_")
+    val rootDirs = scala.util.Try(fs.listStatus(new Path(root)))
+      .toOption.toSeq.flatten
+      .filter(st => stagingPrefixes.exists(st.getPath.getName.startsWith))
+    val vDir = new Path(root, "_versions")
+    val vFiles =
+      if (!fs.exists(vDir)) Seq.empty
+      else fs.listStatus(vDir).toSeq.filter { st =>
+        val n = st.getPath.getName
+        n.startsWith(".tmp-") || n.startsWith(".dead-claim-")
+      }
+    (rootDirs ++ vFiles)
+      .filter(st => scala.util.Try(
+        now - newestMtime(st.getPath) >= olderThanMs).getOrElse(false))
+      .map { st => fs.delete(st.getPath, true); st.getPath.toString }
+  }
+
   /** [[vacuum]]'s dead-set PLAN (plus the metadata maintenance that must
     * precede it: retention-floor record, consumed-pending drop, segment
     * sweep). Exposed so the spec surface can pin the scale contract — the
@@ -1711,17 +1875,21 @@ object VersionedTableImpl {
     writeDescriptorFile(s, tmp,
       carried :+ ((segName, Some(counts): Option[Seq[Long]])), Some(nb.toLong))
     // COMMIT POINT: claim only now, with nothing slow left before publish
-    if (!claimVersion(s, root, newV, staleClaimMs)) {
+    val cid = claimVersionId(s, root, newV, staleClaimMs).getOrElse {
       fs.delete(tmp, true) // moved rewrite files strand until vacuum
       deleteSegment(fs, root, segName)
       consolidated.foreach(deleteSegment(fs, root, _))
       return None
     }
     try publish(fs, tmp, visiblePath(root, newV), "compaction")
-    catch { case _: IllegalStateException // beaten via takeover edge: yield
-      if manifestCommitted(fs, visiblePath(root, newV)) =>
+    catch {
+      case _: IllegalStateException // beaten via takeover edge: yield
+        if manifestCommitted(fs, visiblePath(root, newV)) =>
         fs.delete(tmp, true); deleteSegment(fs, root, segName)
-        consolidated.foreach(deleteSegment(fs, root, _)); return None }
+        consolidated.foreach(deleteSegment(fs, root, _)); return None
+      case e: Throwable => // failed without committing: unblock the version
+        releaseClaim(s, root, newV, cid); throw e
+    }
     Some(newV)
   }
 
@@ -1777,15 +1945,19 @@ object VersionedTableImpl {
       s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
     writeDescriptorFile(s, tmp,
       Seq((segName, Some(covered): Option[Seq[Long]])), Some(newBuckets.toLong))
-    if (!claimVersion(s, root, newV, staleClaimMs)) {
+    val cid = claimVersionId(s, root, newV, staleClaimMs).getOrElse {
       fs.delete(tmp, true) // staged files strand until vacuum
       deleteSegment(fs, root, segName)
       return None
     }
     try publish(fs, tmp, visiblePath(root, newV), "rebucket")
-    catch { case _: IllegalStateException // beaten via takeover edge: yield
-      if manifestCommitted(fs, visiblePath(root, newV)) =>
-        fs.delete(tmp, true); deleteSegment(fs, root, segName); return None }
+    catch {
+      case _: IllegalStateException // beaten via takeover edge: yield
+        if manifestCommitted(fs, visiblePath(root, newV)) =>
+        fs.delete(tmp, true); deleteSegment(fs, root, segName); return None
+      case e: Throwable => // failed without committing: unblock the version
+        releaseClaim(s, root, newV, cid); throw e
+    }
     Some(newV)
   }
 
@@ -1914,11 +2086,15 @@ object VersionedTableImpl {
       // copy the DESCRIPTOR, not the resolved file rows: restore stays a
       // metadata-sized write (segments are immutable and shared)
       descriptorDf(s, root, v).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      if (claimVersion(s, root, newV, staleClaimMs)) {
+      claimVersionId(s, root, newV, staleClaimMs).foreach { cid =>
         val won =
           try { publish(fs, tmp, visiblePath(root, newV), "restore"); true }
-          catch { case _: IllegalStateException // beaten via takeover edge
-            if manifestCommitted(fs, visiblePath(root, newV)) => false }
+          catch {
+            case _: IllegalStateException // beaten via takeover edge
+              if manifestCommitted(fs, visiblePath(root, newV)) => false
+            case e: Throwable => // failed without committing: unblock
+              releaseClaim(s, root, newV, cid); throw e
+          }
         if (won) return newV
       }
       fs.delete(tmp, true)
@@ -2084,17 +2260,21 @@ object VersionedTableImpl {
       s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
     descriptorDf(s, root, head, branchLineage(name))
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    if (!claimVersion(s, root, newV, staleClaimMs)) {
+    val cid = claimVersionId(s, root, newV, staleClaimMs).getOrElse {
       fs.delete(tmp, true)
       return Left(s"lost the claim on v$newV to a concurrent main commit")
     }
     // the claim proves main is still at fork (a racer's publish would
     // have left its claim); publish the branch head as main's next state
     try publish(fs, tmp, visiblePath(root, newV), s"fast-forward '$name'")
-    catch { case _: IllegalStateException // beaten via takeover edge
-      if manifestCommitted(fs, visiblePath(root, newV)) =>
+    catch {
+      case _: IllegalStateException // beaten via takeover edge
+        if manifestCommitted(fs, visiblePath(root, newV)) =>
         fs.delete(tmp, true)
-        return Left(s"lost v$newV to a concurrent main commit at publish") }
+        return Left(s"lost v$newV to a concurrent main commit at publish")
+      case e: Throwable => // failed without committing: unblock the version
+        releaseClaim(s, root, newV, cid); throw e
+    }
     Right(newV)
   }
 
