@@ -1,0 +1,287 @@
+package graft.ops
+
+import java.util.concurrent.{Callable, Executors, TimeUnit}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.cdc.CdcSynth
+import graft.fs.FlakyFileSystem
+
+/** FAULT-INJECTION SOAK (round-13 "Next round" #1): the long-haul soak's
+  * 210 mixed commits re-run on [[graft.fs.FlakyFileSystem]] — the object
+  * store shim failing rename/create/delete/list pseudo-randomly at 2%,
+  * half the faults RESPONSE-LOST (the operation landed, the caller's ack
+  * didn't). The deterministic crash matrix (TxnSpec) proves chosen crash
+  * points recover; probabilistic injection finds the crash points nobody
+  * chose — the round-11 takeover livelock and the round-13
+  * reader-vs-vacuum race were both found by adversarial schedules, and
+  * this harness found the response-lost publish bug (a committed
+  * pointer's data dir deleted by its own publisher) the moment it was
+  * armed.
+  *
+  * Commits and maintenance retry through INJECTED faults only (the
+  * marker exception type is asserted on every retry), so a real protocol
+  * failure cannot hide behind the harness. End assertions are the
+  * long-haul contract, unchanged: bounded metadata, spent segments
+  * swept, zero strandings (after the age-gated [[VersionedTableImpl
+  * .sweepStranded]] — under faults a `finally`-cleanup delete can itself
+  * fail, which is exactly the crashed-writer garbage that call exists
+  * for), one-shot-replay-equal state per table, exactly-once epoch
+  * replay, and a continuous reader that never saw a non-injected error.
+  * The flat-wall-time assertion is NOT carried over: injected faults add
+  * retry latency by design; timing is the quiet soak's contract.
+  */
+class FaultInjectionSoakSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val NB = 4
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.flaky.impl", classOf[graft.fs.FlakyFileSystem].getName)
+    // the flaky shim inherits the objstore contract (conditional PUT is
+    // the commit primitive); the scheme check in conditionalCommit only
+    // knows "objstore", so opt in through the designed conf flag —
+    // rename-mode publishes against a copy+delete rename would hand
+    // readers partially-copied manifests by design, which is the
+    // objstore suite's lesson, not this one's
+    spark.sparkContext.hadoopConfiguration.setBoolean(
+      "graft.commit.conditional-create", true)
+  }
+
+  override def afterAll(): Unit = {
+    spark.sparkContext.hadoopConfiguration.unset("graft.commit.conditional-create")
+    super.afterAll()
+  }
+
+  private def objRoot(tag: String): (String, String) = {
+    val local = java.nio.file.Files.createTempDirectory(s"fsoak_$tag").toString
+    (s"flaky:$local", local)
+  }
+
+  private val eid = new AtomicLong(1L)
+
+  private def batch(keys: Seq[Long], dels: Seq[Long] = Nil): DataFrame = {
+    val rows =
+      keys.map(k => (8L * eid.getAndIncrement(), k)) ++
+      dels.map(k => (8L * eid.getAndIncrement() + 2L, k))
+    CdcSynth.envelope(rows.toDF("event_id", "user_id")
+      .withColumn("event_type", concat(lit("t"), pmod(col("user_id"), lit(3L))))
+      .withColumn("value", col("event_id").cast("double") / 4.0)
+      .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("event_id")))
+      .withColumn("props", concat(lit("{\"k\":"), col("user_id") * 7L, lit("}"))))
+  }
+
+  private def stateSet(df: DataFrame): Set[(Long, String, Double)] =
+    df.select(col("user_id"), col("last_seq"), col("value"))
+      .as[(Long, String, Double)].collect().toSet
+
+  private def strandedUnder(local: String): Seq[String] = {
+    val root = java.nio.file.Paths.get(local)
+    val bad = Seq(".v_staging_", ".mor_staging_", ".mor_compact_",
+      ".cow_staging_", ".tmp-", ".pending-")
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val walk = java.nio.file.Files.walk(root)
+    try walk.forEach { p =>
+      val n = p.getFileName.toString
+      if (bad.exists(n.startsWith)) out += root.relativize(p).toString
+    } finally walk.close()
+    out.toSeq
+  }
+
+  private def segsOnDisk(local: String): Set[String] = {
+    val d = new java.io.File(s"$local/_versions/_segments")
+    if (!d.exists()) Set.empty else d.listFiles().map(_.getName).toSet
+  }
+
+  private def segsReferenced(root: String, v: Int): Set[String] =
+    VersionedTableImpl.descriptorDf(spark, root, v)
+      .select(col("segment")).as[String].collect().toSet
+
+  /** Retry through INJECTED faults (and the bounded-attempt / fail-closed
+    * IllegalStateExceptions they cascade into) — anything else fails the
+    * soak immediately. */
+  private def retrying[T](what: String)(body: => T): T = {
+    var last: Throwable = null
+    (1 to 60).foreach { _ =>
+      try return body
+      catch {
+        case t: Throwable
+            if FlakyFileSystem.isInjected(t) ||
+              (t.isInstanceOf[IllegalStateException] &&
+                t.getMessage != null &&
+                (t.getMessage.contains("optimistic attempts") ||
+                  t.getMessage.contains("claim invariant") ||
+                  t.getMessage.contains("kept failing"))) =>
+          last = t
+          Thread.sleep(25L)
+      }
+    }
+    throw new IllegalStateException(
+      s"$what did not converge through fault injection", last)
+  }
+
+  test("210 mixed commits at 2% rename/create/delete/list faults: bounded, clean, replayable, exactly-once") {
+    val (cowRoot, cowLocal) = objRoot("cow")
+    val (morRoot, morLocal) = objRoot("mor")
+    val (epochRoot, epochLocal) = objRoot("epoch")
+
+    FlakyFileSystem.arm(newSeed = 14L, rate = 0.02)
+    try {
+      val cowBatches = scala.collection.concurrent.TrieMap[Long, DataFrame]()
+      val morBatches = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      val epochBatches = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      val cowBatchId = new AtomicLong(0L)
+      def commitCow(b: DataFrame): Unit = {
+        cowBatches.put(cowBatchId.getAndIncrement(), b)
+        // latest-per-key merges are idempotent, so a response-lost commit
+        // retried whole is safe — exactly the operational posture a real
+        // flaky store demands of its writers
+        retrying("commitCow")(VersionedTableImpl.commitMerge(
+          spark, cowRoot, b, NB, maxAttempts = 30, staleClaimMs = 3000L))
+      }
+
+      val done = new AtomicBoolean(false)
+      val readerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val reads = new AtomicLong(0L)
+      val reader = new Thread(() => {
+        try {
+          while (!done.get()) {
+            try {
+              val cv = VersionedTableImpl.currentVersion(spark, cowRoot)
+              if (cv >= 1)
+                assert(VersionedTableImpl.readVersion(spark, cowRoot, cv).count() >= 0)
+              val mv = VersionedTableImpl.currentVersion(spark, morRoot)
+              if (mv >= 1)
+                assert(MorTableImpl.readMor(spark, morRoot, mv).count() >= 0)
+              reads.incrementAndGet()
+            } catch {
+              // a reader on a flaky store retries transient 5xx — but ONLY
+              // the injected marker; any other error is a protocol bug
+              case t: Throwable if FlakyFileSystem.isInjected(t) => ()
+            }
+          }
+        } catch { case t: Throwable => readerErr.set(t) }
+      }, "fault-soak-reader")
+      reader.setDaemon(true)
+      reader.start()
+
+      val pool = Executors.newFixedThreadPool(3)
+      val N = 210
+      try {
+        (0 until N).foreach { i =>
+          (i % 3: @unchecked) match {
+            case 0 =>
+              commitCow(batch(Seq((i / 3 % 40).toLong),
+                if (i % 15 == 12) Seq(((i / 3 + 20) % 40).toLong) else Nil))
+            case 1 =>
+              morBatches.synchronized {
+                val b = batch(Seq((i / 3 % 30).toLong))
+                morBatches += b
+                retrying("morAppend")(MorTableImpl.commitAppend(
+                  spark, morRoot, b, NB, maxAttempts = 10, staleClaimMs = 3000L))
+              }
+            case 2 =>
+              val b = batch(Seq((i / 3 % 20).toLong))
+              epochBatches += b
+              retrying("epoch")(graft.streaming.LakehouseSink.versionedBatch(
+                b, id = i / 3, epochRoot, appId = "fsoak", NB,
+                compactOver = None, emitFeed = false))
+          }
+
+          if (i % 21 == 20)
+            retrying("optimize")(VersionedTableImpl.optimizeTable(spark,
+              cowRoot, NB, maxFiles = 4, keepVersions = 30, graceMs = 0L))
+          if (i % 33 == 32) retrying("morVacuum") {
+            val mv = VersionedTableImpl.currentVersion(spark, morRoot)
+            VersionedTableImpl.vacuum(spark, morRoot,
+              keepFrom = math.max(1, mv - 10), graceMs = 0L)
+          }
+          if (i % 35 == 17) { // racing-writer burst under faults
+            val fs = (0 until 3).map { j =>
+              pool.submit(new Callable[Unit] {
+                def call(): Unit = commitCow(batch(Seq(1000L + 10 * j + i)))
+              })
+            }
+            fs.foreach(_.get(180, TimeUnit.SECONDS))
+          }
+        }
+
+        // exactly-once epochs THROUGH the faults: every epoch eventually
+        // wrote its marker (retrying guaranteed it), so a replay is a no-op
+        val evBefore = retrying("epochVer")(
+          VersionedTableImpl.currentVersion(spark, epochRoot))
+        retrying("epochReplay")(graft.streaming.LakehouseSink.versionedBatch(
+          epochBatches.head, id = 0L, epochRoot, appId = "fsoak", NB,
+          compactOver = None, emitFeed = false))
+        val evAfter = retrying("epochVer2")(
+          VersionedTableImpl.currentVersion(spark, epochRoot))
+        assert(evAfter == evBefore,
+          "a replayed epoch must not commit a new version")
+      } finally {
+        done.set(true)
+        pool.shutdown()
+        reader.join(30000)
+      }
+      assert(readerErr.get() == null,
+        s"continuous reader failed mid-soak: ${readerErr.get()}")
+      assert(reads.get() > 10, s"reader must have run throughout: ${reads.get()}")
+      val nInjected = FlakyFileSystem.injected.get()
+      assert(nInjected > 50,
+        s"the harness must actually have injected faults: $nInjected")
+      info(s"injected $nInjected faults, ${reads.get()} concurrent reads")
+
+      // ---- faults off: final maintenance, then the long-haul contract
+      FlakyFileSystem.disarm()
+      // crashed-writer garbage FIRST (quiescent, so age 0): a stranded
+      // mid-commit .tmp- descriptor — one whose own cleanup delete was
+      // faulted — PINS its segments in vacuum's in-flight rule, so the
+      // sweep must precede the final vacuum or dead segments survive it
+      Seq(cowRoot, morRoot, epochRoot).foreach(r =>
+        VersionedTableImpl.sweepStranded(spark, r, olderThanMs = 0L))
+      VersionedTableImpl.optimizeTable(spark, cowRoot, NB,
+        maxFiles = 1, keepVersions = 1, graceMs = 0L)
+      val cowCur = VersionedTableImpl.currentVersion(spark, cowRoot)
+      assert(segsReferenced(cowRoot, cowCur).size <= NB + 1)
+      assert(segsOnDisk(cowLocal) == segsReferenced(cowRoot, cowCur),
+        "spent COW segments must be swept once only the current version is kept")
+      val morCur0 = VersionedTableImpl.currentVersion(spark, morRoot)
+      val morCur = MorTableImpl.compactMor(spark, morRoot, maxFiles = 0, NB)
+        .getOrElse(morCur0)
+      VersionedTableImpl.vacuum(spark, morRoot, keepFrom = morCur, graceMs = 0L)
+      assert(segsReferenced(morRoot, morCur).size <= 2)
+      assert(segsOnDisk(morLocal) == segsReferenced(morRoot, morCur))
+      VersionedTableImpl.optimizeTable(spark, epochRoot, NB,
+        maxFiles = 1, keepVersions = 1, graceMs = 0L)
+      Seq(cowLocal, morLocal, epochLocal).foreach { local =>
+        val leaks = strandedUnder(local)
+        assert(leaks.isEmpty, s"stranded artifacts under $local: $leaks")
+      }
+
+      // ---- state == one-shot replay of every batch, per table
+      val cowReplay = objRoot("cow_rp")._1
+      VersionedTableImpl.commitMerge(spark, cowReplay,
+        cowBatches.values.reduce(_ unionByName _), NB)
+      assert(stateSet(VersionedTableImpl.readVersion(spark, cowRoot, cowCur)) ==
+        stateSet(VersionedTableImpl.readVersion(spark, cowReplay, 1)),
+        "COW state under fault injection != one-shot replay")
+      val morReplay = objRoot("mor_rp")._1
+      MorTableImpl.commitAppend(spark, morReplay,
+        morBatches.reduce(_ unionByName _), NB)
+      assert(stateSet(MorTableImpl.readMor(spark, morRoot, morCur)) ==
+        stateSet(MorTableImpl.readMor(spark, morReplay, 1)),
+        "MOR state under fault injection != one-shot replay")
+      val epochReplay = objRoot("epoch_rp")._1
+      VersionedTableImpl.commitMerge(spark, epochReplay,
+        epochBatches.reduce(_ unionByName _), NB)
+      val ev = VersionedTableImpl.currentVersion(spark, epochRoot)
+      assert(stateSet(VersionedTableImpl.readVersion(spark, epochRoot, ev)) ==
+        stateSet(VersionedTableImpl.readVersion(spark, epochReplay, 1)),
+        "epoch-committed state under fault injection != one-shot replay")
+    } finally FlakyFileSystem.disarm()
+  }
+}
