@@ -189,11 +189,12 @@ object LakehouseSink {
     * the feed. Compaction versions record an empty artifact. */
   def versionedSink(envStream: DataFrame, root: String, checkpointDir: String,
       nBuckets: Int, compactOver: Option[Int] = None,
-      emitFeed: Boolean = true): StreamingQuery = {
+      emitFeed: Boolean = true,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val appId = appIdFor(checkpointDir)
     envStream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         versionedBatch(batch, id, root, appId, nBuckets, compactOver, emitFeed)
       }

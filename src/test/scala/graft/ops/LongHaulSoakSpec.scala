@@ -50,18 +50,28 @@ class LongHaulSoakSpec extends SparkSpec {
   // batches win latest-per-key deterministically
   private val eid = new AtomicLong(1L)
 
-  /** One envelope batch: upsert `keys` (op INSERT), optionally delete
-    * `dels` (op DELETE — event_id ≡ 2 mod 8). */
-  private def batch(keys: Seq[Long], dels: Seq[Long] = Nil): DataFrame = {
-    val rows =
-      keys.map(k => (8L * eid.getAndIncrement(), k)) ++
+  /** (event_id, user_id) rows: upsert `keys` (op INSERT), optionally
+    * delete `dels` (op DELETE — event_id ≡ 2 mod 8). */
+  private def tuples(keys: Seq[Long], dels: Seq[Long] = Nil): Seq[(Long, Long)] =
+    keys.map(k => (8L * eid.getAndIncrement(), k)) ++
       dels.map(k => (8L * eid.getAndIncrement() + 2L, k))
-    CdcSynth.envelope(rows.toDF("event_id", "user_id")
+
+  /** The soak's deterministic payload derivations over (event_id,
+    * user_id) rows — applied identically to batch fixtures and to the
+    * LIVE epoch stream, so the one-shot replay compares like for like. */
+  private def enrich(rows: DataFrame): DataFrame =
+    CdcSynth.envelope(rows
       .withColumn("event_type", concat(lit("t"), pmod(col("user_id"), lit(3L))))
       .withColumn("value", col("event_id").cast("double") / 4.0)
       .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("event_id")))
       .withColumn("props", concat(lit("{\"k\":"), col("user_id") * 7L, lit("}"))))
-  }
+
+  /** One envelope batch over [[tuples]]. */
+  private def batch(keys: Seq[Long], dels: Seq[Long] = Nil): DataFrame =
+    envOf(tuples(keys, dels))
+
+  private def envOf(ts: Seq[(Long, Long)]): DataFrame =
+    enrich(ts.toDF("event_id", "user_id"))
 
   private def stateSet(df: DataFrame): Set[(Long, String, Double)] =
     df.select(col("user_id"), col("last_seq"), col("value"))
@@ -130,6 +140,36 @@ class LongHaulSoakSpec extends SparkSpec {
     reader.setDaemon(true)
     reader.start()
 
+    // EPOCH LANE, round 14: a LIVE versionedSink micro-batch query
+    // (ProcessingTime) over a MemoryStream — KILLED mid-lifetime and
+    // restarted from its checkpoint twice, then a full CHECKPOINT RESET
+    // onto a fresh lineage (fresh checkpoint-derived appId), all while the
+    // COW/MOR lanes, maintenance cadences and the continuous reader keep
+    // running. The round-13 soak drove versionedBatch directly; the sink's
+    // kill/restart behavior only existed as point tests. Every epoch batch
+    // carries a UNIQUE key (3000 + epoch) alongside a recycled one, so a
+    // SKIPPED epoch surfaces as a missing key in the final replay equality
+    // instead of being masked by a later overwrite of the same key.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val ckptA = java.nio.file.Files.createTempDirectory("soak_epoch_ckptA").toString
+    val ckptB = java.nio.file.Files.createTempDirectory("soak_epoch_ckptB").toString
+    val inputA = MemoryStream[(Long, Long)](spark)
+    val inputB = MemoryStream[(Long, Long)](spark)
+    def epochEnv(in: MemoryStream[(Long, Long)]): DataFrame =
+      enrich(in.toDF().toDF("event_id", "user_id"))
+    def liveSink(in: MemoryStream[(Long, Long)], ckpt: String) =
+      graft.streaming.LakehouseSink.versionedSink(
+        epochEnv(in), epochRoot, ckpt, NB, compactOver = None,
+        emitFeed = false, trigger = Trigger.ProcessingTime(50L))
+    def flush(in: MemoryStream[(Long, Long)], ckpt: String): Unit =
+      graft.streaming.LakehouseSink.versionedSink(
+        epochEnv(in), epochRoot, ckpt, NB, compactOver = None,
+        emitFeed = false).awaitTermination()
+    var epochQuery = liveSink(inputA, ckptA)
+    var epochIn = inputA
+    var restarts = 0
+
     val pool = Executors.newFixedThreadPool(3)
     val commitNanos = scala.collection.mutable.ArrayBuffer[Long]()
     val descAfterOptimize = scala.collection.mutable.ArrayBuffer[Long]()
@@ -147,14 +187,30 @@ class LongHaulSoakSpec extends SparkSpec {
               morBatches += b
               MorTableImpl.commitAppend(spark, morRoot, b, NB)
             }
-          case 2 => // streaming epoch: exactly-once marker discipline
-            val b = batch(Seq((i / 3 % 20).toLong))
-            epochBatches += b
-            graft.streaming.LakehouseSink.versionedBatch(
-              b, id = i / 3, epochRoot, appId = "soak", NB,
-              compactOver = None, emitFeed = false)
+          case 2 => // streaming epoch through the LIVE query
+            val ts = tuples(Seq(3000L + i / 3, (i / 3 % 20).toLong))
+            epochBatches += envOf(ts)
+            epochIn.addData(ts: _*)
         }
         commitNanos += System.nanoTime() - t0
+
+        if (i == 62 || i == 125) { // KILL the live query mid-lifetime and
+          // restart from the SAME checkpoint: an in-flight micro-batch can
+          // die between its table commit and its checkpoint commit, and
+          // the restart must re-land it exactly-once through the marker
+          // gate (a state-identical re-commit at most)
+          epochQuery.stop()
+          restarts += 1
+          epochQuery = liveSink(inputA, ckptA)
+        }
+        if (i == 167) { // CHECKPOINT RESET onto a fresh lineage: batch ids
+          // restart at 0 under a NEW checkpoint-derived appId — the old
+          // lineage's markers must not swallow the new lineage's commits
+          epochQuery.stop()
+          restarts += 1
+          epochIn = inputB
+          epochQuery = liveSink(inputB, ckptB)
+        }
 
         if (i % 21 == 20) { // COW maintenance cadence (compact + vacuum);
           // retention of 30 keeps the vacuum floor ~12+ s behind the
@@ -194,14 +250,30 @@ class LongHaulSoakSpec extends SparkSpec {
         }
       }
 
-      // exactly-once epochs: replaying an old epoch id is a version no-op
+      // quiesce the live query, then FLUSH both lineages with AvailableNow
+      // drains (data added just before a kill may still be undrained)
+      epochQuery.stop()
+      flush(inputA, ckptA)
+      flush(inputB, ckptB)
+      // MARKER DISCIPLINE across kills, restarts and the reset:
+      //  - no DUPLICATED epoch: an idle re-drain of either lineage appends
+      //    no version, and the version count is bounded by epochs + one
+      //    legal crash-replay per restart (a kill between table commit and
+      //    checkpoint commit re-lands one batch as a state-identical
+      //    version — never more);
+      //  - no SKIPPED epoch: every batch's unique key must survive to the
+      //    replay equality below.
       val evBefore = VersionedTableImpl.currentVersion(spark, epochRoot)
-      graft.streaming.LakehouseSink.versionedBatch(
-        epochBatches.head, id = 0L, epochRoot, appId = "soak", NB,
-        compactOver = None, emitFeed = false)
+      assert(evBefore <= epochBatches.size + restarts + 1,
+        s"epoch versions $evBefore exceed ${epochBatches.size} batches + " +
+          s"$restarts restart replays — a duplicated epoch slipped the markers")
+      flush(inputA, ckptA)
+      flush(inputB, ckptB)
       assert(VersionedTableImpl.currentVersion(spark, epochRoot) == evBefore,
-        "a replayed epoch must not commit a new version")
+        "an idle re-drain must not commit a new version")
+      assert(restarts == 3, s"fixture: 2 kills + 1 reset expected: $restarts")
     } finally {
+      scala.util.Try(epochQuery.stop())
       done.set(true)
       pool.shutdown()
       reader.join(30000)
