@@ -38,16 +38,31 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // Split sizing for THIS box (local NVMe, 32 cores, sf0.1–sf1
-      // inputs): the defaults (128 MB partitions, 4 MB per-file open
-      // cost) are sized for object-store seeks and bin a 10-small-file
-      // table into one task — a CPU-dense narrow map (q210's normalize,
-      // q26's formatting) then runs single-threaded while 31 cores idle.
-      // 1 MB bins + 64 KB open cost let every input file become a task;
-      // on a real cluster these stay at their store-appropriate values.
+      // inputs): the default 128 MB partitions bin a 10-small-file table
+      // into one task — a CPU-dense narrow map (q210's normalize, q26's
+      // formatting) then runs single-threaded while 31 cores idle. Three
+      // knobs, each pinned by a measured failure mode:
+      //  - 1 MB bins: a multi-file table (ScaleGen outputs, per-epoch
+      //    sink files) splits into roughly per-file tasks;
+      //  - 64 KB open cost: MANY-tiny-file reads (q234's avro
+      //    containers) still BIN ~12 files per task — the 4 MB default
+      //    would force one task per file, a pure scheduling tax measured
+      //    at 3x on q234;
+      //  - minPartitionNum=1: Spark floors maxSplitBytes at the open
+      //    cost whenever totalBytes/minPartitionNum falls below it, and
+      //    the default (parallelism, 32) made every SMALL table shatter
+      //    into 64 KB splits — dozens of ZERO-ROW tasks per scan on the
+      //    single-row-group testdata files (parquet only splits at
+      //    row-group boundaries), which regressed every multi-job query
+      //    (q33 4.1→6.2 s, q71, q25 in round 13). With 1, bytesPerCore
+      //    is the table size and the bin cap rules.
+      // On a real cluster all three stay at store-appropriate values.
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_SPLIT_BYTES", "1m"))
       .config("spark.sql.files.openCostInBytes",
         sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "64k"))
+      .config("spark.sql.files.minPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITIONS", "1"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

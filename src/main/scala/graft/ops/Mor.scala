@@ -610,7 +610,14 @@ object MorTableImpl {
   private val roRoots = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
 
-  def clearCaches(): Unit = { roots.clear(); roRoots.clear() }
+  def clearCaches(): Unit = {
+    roots.clear(); roRoots.clear()
+    // the immutable-artifact metadata cache too: entries are sound across
+    // clears (immutable paths), but a bench pass that re-pays its index
+    // builds must re-pay the footer reads as well or the second pass's
+    // fixture timings understate the cold cost
+    ManifestIo.MetaCache.clear()
+  }
 
   val NBuckets = 8
 
