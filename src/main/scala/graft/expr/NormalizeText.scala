@@ -20,11 +20,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * the rare non-ASCII chars whose 1:1 lowercase IS in [a-z] (U+212A
   * KELVIN SIGN → 'k') keep the letter exactly as the lower+regex chain
   * does, instead of being spaced. The only remaining divergence is the
-  * handful of Unicode one-to-MANY lowercase expansions (e.g. İ →
-  * i + combining dot, which the chain turns into "i " and this fold into
-  * " "): acceptable for a normalizer whose output alphabet is
-  * [a-z0-9 ] by definition, and DuckDB's lower() disagrees with the
-  * JVM's on those codepoints anyway.
+  * handful of Unicode one-to-MANY lowercase expansions (e.g. İ U+0130,
+  * whose FULL lowercase is i + combining dot): `String.toLowerCase` in
+  * the chain expands it and the regex spaces the combining mark — "İx"
+  * → "i x" — while `Character.toLowerCase` here SIMPLE-maps U+0130 to
+  * 'i' (JDK 17), so the fold yields "ix". The divergence is a lost word
+  * boundary after such a char, not a spaced-out letter: acceptable for
+  * a normalizer whose output alphabet is [a-z0-9 ] by definition, and
+  * DuckDB's lower() disagrees with the JVM's on those codepoints anyway.
   */
 object NormalizeAscii {
 

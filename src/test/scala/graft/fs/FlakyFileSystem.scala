@@ -14,7 +14,8 @@ class FlakyIOException(msg: String) extends IOException(msg)
 
 /** FAULT-INJECTING object store (round-13 "Next round" #1): the
   * [[ObjectStoreFileSystem]] semantics shim, with rename / create /
-  * delete / listStatus failing pseudo-randomly in one of two modes:
+  * delete / listStatus / open failing pseudo-randomly in one of two
+  * modes:
   *
   *  - **request lost** — the fault fires BEFORE the operation: nothing
   *    happened, the caller sees an IOException (a 5xx/timeout on the
@@ -28,7 +29,11 @@ class FlakyIOException(msg: String) extends IOException(msg)
   *    object materialized, modeling a conditional PUT that landed with
   *    the 200 lost.
   *
-  * Listing faults are request-lost only (no side effect to lose).
+  * Listing and open faults are request-lost only (no side effect to
+  * lose). An independent LATENCY axis ([[FlakyFileSystem.armLatency]])
+  * stalls ops for a deterministic random delay instead — half before
+  * the effect, half after it — so timing-sensitive protocol windows
+  * (claim staleness, takeover) race real skew, not just instant faults.
   * Decisions are a pure hash of (seed, op, path, per-(op,path) call
   * ordinal) — deterministic for a fixed call sequence, independent of
   * wall clock. Injection happens only at the OUTERMOST entry per thread:
@@ -45,6 +50,15 @@ object FlakyFileSystem {
   private val ordinals =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
 
+  // -------- the LATENCY axis (round-15 stretch): random DELAY instead of
+  // loss, so claim staleness, takeover, and the commit loop's backoffs
+  // race real timing skew. A delayed op always COMPLETES — the adversary
+  // here is the clock, not the effect. Composes with loss injection.
+  @volatile private var latMillionths: Int = 0
+  @volatile private var latMinMs: Int = 0
+  @volatile private var latSpanMs: Int = 1
+  val delayed = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Arm injection at `rate` (0..1) with a fixed seed; resets ordinals
     * so a run's decision sequence is reproducible. */
   def arm(newSeed: Long, rate: Double): Unit = {
@@ -55,6 +69,35 @@ object FlakyFileSystem {
   }
 
   def disarm(): Unit = rateMillionths = 0
+
+  /** Arm latency injection: each store op independently stalls with
+    * probability `rate` for a deterministic delay in [minMs, maxMs] —
+    * half the stalls BEFORE the effect (slow request), half AFTER it
+    * (slow response: the effect is visible to racers while the caller
+    * still thinks it is in flight — the half that races staleness). */
+  def armLatency(newSeed: Long, rate: Double, minMs: Int, maxMs: Int): Unit = {
+    seed = newSeed
+    delayed.set(0L)
+    latMinMs = minMs
+    latSpanMs = math.max(1, maxMs - minMs + 1)
+    latMillionths = math.round(rate * 1e6).toInt
+  }
+
+  def disarmLatency(): Unit = latMillionths = 0
+
+  /** (delayMs, afterEffect): 0 delay = no stall this call. */
+  private[fs] def latRoll(op: String, path: String): (Long, Boolean) = {
+    val r = latMillionths
+    if (r <= 0) return (0L, false)
+    val n = ordinals.computeIfAbsent(s"lat|$op|$path",
+      _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+    val h = scala.util.hashing.MurmurHash3.stringHash(s"lat|$seed|$op|$path|$n")
+    if ((h & 0x7fffffff) % 1000000 >= r) (0L, false)
+    else {
+      delayed.incrementAndGet()
+      (latMinMs + ((h >>> 8) & 0x7fffff) % latSpanMs, ((h >>> 4) & 1) == 1)
+    }
+  }
 
   /** 0 = no fault, 1 = request lost, 2 = response lost. */
   private[fs] def roll(op: String, path: String): Int = {
@@ -92,6 +135,8 @@ class FlakyFileSystem extends ObjectStoreFileSystem {
 
   private def guarded[T](op: String, f: Path)(body: => T): T = {
     if (depth.get() > 0) return body
+    val (lat, after) = latRoll(op, f.toString)
+    if (lat > 0 && !after) Thread.sleep(lat)
     val mode = roll(op, f.toString)
     if (mode == 1)
       throw new FlakyIOException(s"injected: $op($f) request lost")
@@ -99,6 +144,7 @@ class FlakyFileSystem extends ObjectStoreFileSystem {
     val out =
       try body
       finally depth.set(0)
+    if (lat > 0 && after) Thread.sleep(lat)
     if (mode == 2)
       throw new FlakyIOException(
         s"injected: $op($f) response lost (effect applied)")
@@ -113,9 +159,29 @@ class FlakyFileSystem extends ObjectStoreFileSystem {
 
   override def listStatus(f: Path): Array[FileStatus] = {
     // request-lost only: a listing has no effect whose response can lose
-    if (depth.get() == 0 && roll("list", f.toString) != 0)
-      throw new FlakyIOException(s"injected: list($f) request lost")
+    if (depth.get() == 0) {
+      val (lat, _) = latRoll("list", f.toString)
+      if (lat > 0) Thread.sleep(lat)
+      if (roll("list", f.toString) != 0)
+        throw new FlakyIOException(s"injected: list($f) request lost")
+    }
     super.listStatus(f)
+  }
+
+  override def open(f: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    // READ faults (round-15 "Next round" #2), request-lost only: a read
+    // has no effect whose response can lose. The injected exception is
+    // NOT a FileNotFoundException — it models a degraded read path (5xx/
+    // timeout), which the commit protocol must treat as "presence
+    // unknown", never as "positively absent" (the publish read-back
+    // distinction this round's Versioned fix encodes).
+    if (depth.get() == 0) {
+      val (lat, _) = latRoll("open", f.toString)
+      if (lat > 0) Thread.sleep(lat)
+      if (roll("open", f.toString) != 0)
+        throw new FlakyIOException(s"injected: open($f) request lost")
+    }
+    super.open(f, bufferSize)
   }
 
   /** Wrap a create so (a) the shim's conditional-PUT close — which runs
@@ -125,6 +191,8 @@ class FlakyFileSystem extends ObjectStoreFileSystem {
   private def createGuarded(f: Path,
       mk: () => FSDataOutputStream): FSDataOutputStream = {
     if (depth.get() > 0) return mk()
+    val (lat, latAfter) = latRoll("create", f.toString)
+    if (lat > 0 && !latAfter) Thread.sleep(lat)
     val mode = roll("create", f.toString)
     if (mode == 1)
       throw new FlakyIOException(s"injected: create($f) request lost")
@@ -141,6 +209,8 @@ class FlakyFileSystem extends ObjectStoreFileSystem {
         depth.set(1)
         try inner.close()
         finally depth.set(0)
+        // slow response: the object is live while the caller still waits
+        if (lat > 0 && latAfter) Thread.sleep(lat)
         if (mode == 2)
           throw new FlakyIOException(
             s"injected: create($f) response lost at close (object materialized)")
