@@ -217,6 +217,20 @@ private[ops] object ManifestIo {
       Some(out.result())
     } catch { case _: Exception => None }
 
+  /** Segment names of ANY layered descriptor (COW or MOR) — driver-side,
+    * one footer-and-page read. None on any hiccup, including a legacy
+    * flat manifest (no `segment` column): callers treat None as "cannot
+    * tell" and act conservatively. */
+  def readDescriptorSegmentNames(conf: Configuration,
+      fs: org.apache.hadoop.fs.FileSystem, path: Path): Option[Seq[String]] =
+    try {
+      val out = Seq.newBuilder[String]
+      partsOf(fs, path).foreach { p =>
+        readGroups(conf, p) { g => out += g.getString("segment", 0) }
+      }
+      Some(out.result())
+    } catch { case _: Exception => None }
+
   /** Driver-side read-back of MOR segment rows — None past `maxRows`
     * (the scale guard: a legacy million-file segment stays a distributed
     * read) or on any missing/null field. */

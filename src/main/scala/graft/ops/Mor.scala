@@ -241,13 +241,15 @@ object MorTableImpl {
         carried :+ ((segName, None: Option[Seq[Long]])), None)
       val claimed = VersionedTableImpl.claimVersionId(
         s, root, newV, staleClaimMs)
+      var beaten = false
       if (claimed.isDefined) {
         val won =
           try { VersionedTableImpl.publish(fs, tmp, visiblePath(root, newV),
             "commitAppend"); true }
           catch {
             case _: IllegalStateException // beaten via takeover edge
-              if manifestCommitted(fs, visiblePath(root, newV)) => false
+              if manifestCommitted(fs, visiblePath(root, newV)) =>
+              beaten = true; false
             case e: Throwable => // failed without committing: unblock
               VersionedTableImpl.releaseClaim(s, root, newV, claimed.get, staleClaimMs)
               throw e
@@ -282,9 +284,19 @@ object MorTableImpl {
       }
       // lost: delta files + delta segment stay valid (commits commute);
       // only the descriptor — and any legacy consolidation written for
-      // this attempt — dies before the re-base retry
+      // this attempt — dies before the re-base retry. A BEATEN publish
+      // first checks whether the "racer" was us (response-lost PUT with
+      // failing read-backs — the committed descriptor then references
+      // OUR delta segment): ours → the commit stands; unreadable → keep
+      // the consolidation (strand; vacuum reclaims a dead one).
+      val raceVerdict: Option[Boolean] =
+        if (!beaten) Some(false)
+        else VersionedTableImpl.committedReferences(s, fs,
+          visiblePath(root, newV), segName +: consolidated.toSeq)
+      if (raceVerdict.contains(true)) return newV // we won, response-lost
       fs.delete(tmp, true)
-      consolidated.foreach(deleteSegment(fs, root, _))
+      if (raceVerdict.contains(false))
+        consolidated.foreach(deleteSegment(fs, root, _))
       if (attempt >= maxAttempts)
         throw new IllegalStateException(
           s"commitAppend lost $maxAttempts optimistic attempts at $root")
@@ -598,11 +610,19 @@ object MorTableImpl {
       }
       try VersionedTableImpl.publish(fs, tmp, visiblePath(root, newV), "MOR compaction")
       catch {
-        case _: IllegalStateException // beaten via takeover edge: yield
+        case _: IllegalStateException // beaten via takeover edge: yield —
+          // unless the committed manifest is OURS (response-lost publish):
+          // deleting consSeg/baseSeg would gut the committed fold
           if manifestCommitted(fs, visiblePath(root, newV)) =>
-          fs.delete(tmp, true)
-          deleteSegment(fs, root, consSeg); deleteSegment(fs, root, baseSeg)
-          return None
+          VersionedTableImpl.committedReferences(s, fs,
+              visiblePath(root, newV), Seq(consSeg, baseSeg)) match {
+            case Some(true) => return Some(newV)
+            case Some(false) =>
+              fs.delete(tmp, true)
+              deleteSegment(fs, root, consSeg); deleteSegment(fs, root, baseSeg)
+              return None
+            case None => fs.delete(tmp, true); return None
+          }
         case e: Throwable => // failed without committing: unblock the version
           VersionedTableImpl.releaseClaim(s, root, newV, cid, staleClaimMs); throw e
       }

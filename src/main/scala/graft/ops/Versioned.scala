@@ -339,6 +339,26 @@ object VersionedTableImpl {
       case e: java.io.IOException => if (isFnfChain(e)) Absent else Unknown
     }
 
+  /** After a publish reported "beaten" at a committed `dest`: does the
+    * committed manifest reference any of OUR staged segments — i.e., was
+    * the "racer" actually us, with the pointer PUT's response lost and
+    * its read-backs failing? The beaten path's cleanup deletes the
+    * attempt's staged segments; when the committed manifest IS ours,
+    * that deletion guts the committed version (the round-15 scripted
+    * response-lost schedule caught exactly this). Tri-state:
+    * Some(true) = ours (the commit stands — return it won),
+    * Some(false) = positively a racer's (delete is safe),
+    * None = cannot tell (strand the segments; vacuum's segment sweep
+    * reclaims dead ones later). */
+  private[ops] def committedReferences(s: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dest: Path,
+      segs: Seq[String]): Option[Boolean] =
+    manifestDataPath(fs, dest).flatMap { dp =>
+      ManifestIo.readDescriptorSegmentNames(
+        s.sparkContext.hadoopConfiguration, fs, dp)
+        .map { names => val set = names.toSet; segs.exists(set) }
+    }
+
   /** Checked publish: the single commit point — an atomic rename, or in
     * conditional-create mode one create-exclusive pointer PUT (see the
     * mode note above) — followed by an mtime stamp: rename PRESERVES the
@@ -1181,6 +1201,7 @@ object VersionedTableImpl {
       // outermost race window — the OTHER publisher's batch is committed
       // and intact, so ours re-merges like any lost race instead of
       // dying loudly; any other publish failure still throws.
+      var beaten = false
       claimVersionId(s, root, newV, staleClaimMs, lin).foreach { cid =>
         val dest = if (pendingStage) lin.pending(root, newV)
                    else lin.visible(root, newV)
@@ -1188,7 +1209,7 @@ object VersionedTableImpl {
           try { publish(fs, tmp, dest, what); true }
           catch {
             case _: IllegalStateException
-              if manifestCommitted(fs, dest) => false
+              if manifestCommitted(fs, dest) => beaten = true; false
             case e: Throwable =>
               // publish failed WITHOUT committing: give the version back
               // now rather than wedging writers behind the staleness
@@ -1200,10 +1221,24 @@ object VersionedTableImpl {
       }
       // lost the race: staged descriptor + this attempt's segments die now
       // (the retry re-merges and writes fresh ones); the moved data files
-      // are unreferenced (vacuum-eligible)
+      // are unreferenced (vacuum-eligible). UNLESS the "racer" at a
+      // beaten publish was US — a response-lost pointer PUT whose
+      // read-backs all failed: the committed manifest then references
+      // the staged segment, and deleting it guts the committed version.
+      // Disambiguate by the committed descriptor's CONTENT; on an
+      // unreadable descriptor, strand the segments (vacuum's segment
+      // sweep reclaims dead ones) rather than risk the live ones.
+      val raceVerdict: Option[Boolean] =
+        if (!beaten) Some(false) // claim lost: nothing of ours published
+        else committedReferences(s, fs,
+          if (pendingStage) lin.pending(root, newV) else lin.visible(root, newV),
+          segName +: consolidated.toSeq)
+      if (raceVerdict.contains(true)) return newV // we won, response-lost
       fs.delete(tmp, true)
-      deleteSegment(fs, root, segName)
-      consolidated.foreach(deleteSegment(fs, root, _))
+      if (raceVerdict.contains(false)) {
+        deleteSegment(fs, root, segName)
+        consolidated.foreach(deleteSegment(fs, root, _))
+      }
       if (attempt >= maxAttempts)
         throw new IllegalStateException(
           s"$what lost $maxAttempts optimistic attempts at $root (last target ${lin.prefix}$newV)")
@@ -2023,10 +2058,19 @@ object VersionedTableImpl {
     }
     try publish(fs, tmp, visiblePath(root, newV), "compaction")
     catch {
-      case _: IllegalStateException // beaten via takeover edge: yield
+      case _: IllegalStateException // beaten via takeover edge: yield —
+        // unless the committed manifest is OURS (response-lost publish
+        // whose read-backs failed): deleting the staged segments would
+        // gut it. Content-checked; unknown strands (vacuum reclaims).
         if manifestCommitted(fs, visiblePath(root, newV)) =>
-        fs.delete(tmp, true); deleteSegment(fs, root, segName)
-        consolidated.foreach(deleteSegment(fs, root, _)); return None
+        committedReferences(s, fs, visiblePath(root, newV),
+            segName +: consolidated.toSeq) match {
+          case Some(true) => return Some(newV)
+          case Some(false) =>
+            fs.delete(tmp, true); deleteSegment(fs, root, segName)
+            consolidated.foreach(deleteSegment(fs, root, _)); return None
+          case None => fs.delete(tmp, true); return None
+        }
       case e: Throwable => // failed without committing: unblock the version
         releaseClaim(s, root, newV, cid, staleClaimMs); throw e
     }
@@ -2092,9 +2136,15 @@ object VersionedTableImpl {
     }
     try publish(fs, tmp, visiblePath(root, newV), "rebucket")
     catch {
-      case _: IllegalStateException // beaten via takeover edge: yield
+      case _: IllegalStateException // beaten via takeover edge: yield —
+        // same response-lost self-win disambiguation as compactVersion
         if manifestCommitted(fs, visiblePath(root, newV)) =>
-        fs.delete(tmp, true); deleteSegment(fs, root, segName); return None
+        committedReferences(s, fs, visiblePath(root, newV), Seq(segName)) match {
+          case Some(true) => return Some(newV)
+          case Some(false) =>
+            fs.delete(tmp, true); deleteSegment(fs, root, segName); return None
+          case None => fs.delete(tmp, true); return None
+        }
       case e: Throwable => // failed without committing: unblock the version
         releaseClaim(s, root, newV, cid, staleClaimMs); throw e
     }

@@ -30,11 +30,14 @@ object ScriptedFaultFileSystem {
   val failOpens = new ConcurrentHashMap[String, AtomicInteger]()
   val failOpensFnf = new ConcurrentHashMap[String, AtomicInteger]()
   val loseCreateResponses = new ConcurrentHashMap[String, AtomicInteger]()
+  /** `create` REQUEST lost: throws before anything materializes. */
+  val failCreates = new ConcurrentHashMap[String, AtomicInteger]()
   /** Total scripted faults actually fired (for test sanity checks). */
   val fired = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def reset(): Unit = {
     failOpens.clear(); failOpensFnf.clear(); loseCreateResponses.clear()
+    failCreates.clear()
     fired.set(0L)
   }
 
@@ -75,6 +78,8 @@ class ScriptedFaultFileSystem extends ObjectStoreFileSystem {
 
   private def loseResponse(f: Path,
       mk: () => FSDataOutputStream): FSDataOutputStream = {
+    if (take(failCreates, f.toString))
+      throw new IOException(s"scripted: create($f) request lost")
     // decide BEFORE create so the budget is consumed exactly once per
     // materialized object, then throw only after close applied the effect
     val lose = take(loseCreateResponses, f.toString)
