@@ -266,6 +266,31 @@ object StreamMain {
         }
     }
 
+    // crashed-writer reclamation (after any drain): `sweep-stranded-hours
+    // = H` (H ≥ 0) sweeps aged staging dirs, mid-commit descriptors,
+    // takeover asides and pointer-disowned `.data-` dirs under the
+    // lakehouse roots — the config face of
+    // [[ops.VersionedTableImpl.sweepStranded]], sitting alongside
+    // `compact-over-files` in the maintenance surface. The unit is HOURS
+    // because the threshold must exceed any plausible in-flight commit (a
+    // racing writer's fresh staging is indistinguishable from a crashed
+    // one's); 0 is legal only for provably quiescent runs.
+    val sweepHours = conf.get(
+      s"${GraftConfig.Root}.connector.sweep-stranded-hours").map(_.toDouble)
+    sweepHours.filter(_ >= 0).foreach { h =>
+      val roots = Seq("lakehouse-versioned" -> s"$outDir/vtable",
+        "lakehouse-staged" -> s"$outDir/vtable",
+        "lakehouse-mor" -> s"$outDir/mortable")
+        .collect { case (n, r) if sinkNames.contains(n) => r }.distinct
+      roots.foreach { r =>
+        val swept = ops.VersionedTableImpl.sweepStranded(
+          spark, r, (h * 3600 * 1000).toLong)
+        if (swept.nonEmpty) System.err.println(
+          s"[sweep-stranded] reclaimed ${swept.size} aged crashed-writer " +
+            s"artifacts under $r")
+      }
+    }
+
     def filesUnder(dir: String, ext: String): Seq[java.io.File] = {
       val b = Seq.newBuilder[java.io.File]
       def walk(f: java.io.File): Unit =

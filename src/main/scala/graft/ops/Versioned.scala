@@ -235,21 +235,29 @@ object VersionedTableImpl {
 
   /** The path actually holding manifest `p`'s parquet rows, if committed:
     * `p` itself (rename mode) or the immutable data dir its pointer names
-    * (conditional mode). Try-guarded: a pointer deleted between the probe
-    * and the read resolves to None, like a missing manifest. */
+    * (conditional mode). A pointer deleted between the probe and the read
+    * (FileNotFound) resolves to None, like a missing manifest. Any OTHER
+    * read failure PROPAGATES: a degraded read path is not "missing" —
+    * resolving it to None would let a reader conclude a LIVE version is
+    * an empty table (and would strip an injected-fault marker the soak
+    * harnesses retry on). The round-15 tri-state discipline, applied to
+    * the read side. */
   private[ops] def manifestDataPath(fs: org.apache.hadoop.fs.FileSystem,
       p: Path): Option[Path] =
     if (fs.exists(p)) Some(p)
     else {
       val ptr = ptrOf(p)
       if (!fs.exists(ptr)) None
-      else scala.util.Try {
-        val in = fs.open(ptr)
-        val name =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        new Path(p.getParent, name)
-      }.toOption
+      else
+        try {
+          val in = fs.open(ptr)
+          val name =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          Some(new Path(p.getParent, name))
+        } catch {
+          case e: java.io.IOException if isFnfChain(e) => None
+        }
     }
 
   /** The file whose mtime is the commit stamp (the dir in rename mode,
@@ -353,10 +361,14 @@ object VersionedTableImpl {
   private[ops] def committedReferences(s: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, dest: Path,
       segs: Seq[String]): Option[Boolean] =
-    manifestDataPath(fs, dest).flatMap { dp =>
+    try manifestDataPath(fs, dest).flatMap { dp =>
       ManifestIo.readDescriptorSegmentNames(
         s.sparkContext.hadoopConfiguration, fs, dp)
         .map { names => val set = names.toSet; segs.exists(set) }
+    } catch {
+      // a degraded read path here means "cannot tell" — exactly None's
+      // contract (the caller strands rather than deletes)
+      case _: java.io.IOException => None
     }
 
   /** Checked publish: the single commit point — an atomic rename, or in
@@ -2202,7 +2214,9 @@ object VersionedTableImpl {
     *  3. ANALYZE the resulting current version (stats artifact for cost
     *     decisions and export bloom sizing);
     *  4. vacuum versions below the retention horizon (tagged versions
-    *     and live branches stay pinned regardless).
+    *     and live branches stay pinned regardless);
+    *  5. sweep aged crashed-writer garbage ([[sweepStranded]], age-gated
+    *     at hours by default — see the step comment below).
     *
     * Every step is idempotent and claim-protocol-safe, so a maintenance
     * cadence can fire this concurrently with writers; a lost compaction
@@ -2220,7 +2234,8 @@ object VersionedTableImpl {
       sortCols: Seq[String] = Nil,
       purgeTombstonesBelow: Option[String] = None,
       graceMs: Long = 30L * 60 * 1000,
-      rebucketOverBytes: Option[Long] = None): DataFrame = {
+      rebucketOverBytes: Option[Long] = None,
+      sweepStrandedOlderThanMs: Long = 6L * 3600 * 1000): DataFrame = {
     // repairs read the table's recorded retention floor (what past
     // vacuums actually swept): a feed whose diff needs an expired version
     // is forfeit — not retried forever, never read loudly-missing
@@ -2236,12 +2251,22 @@ object VersionedTableImpl {
     if (cur >= 1) analyze(s, root, cur)
     val keepFrom = math.max(1, cur - keepVersions + 1)
     val swept = vacuum(s, root, keepFrom, graceMs)
+    //  5. age-gated crashed-writer sweep ([[sweepStranded]]): the garbage
+    //     vacuum cannot touch — root staging dirs, mid-commit tmp
+    //     descriptors, takeover asides, and conditional-mode `.data-`
+    //     dirs the destination pointer positively disowns. The default
+    //     threshold is HOURS: it must exceed any plausible in-flight
+    //     commit, because a racing writer's fresh staging looks identical
+    //     to a crashed one's.
+    val stranded = sweepStranded(s, root, sweepStrandedOlderThanMs)
     import s.implicits._
     Seq((repaired.size.toLong, compacted.map(_.toLong),
       regrown.map(_.toLong),
-      cur.toLong, keepFrom.toLong, swept.size.toLong))
+      cur.toLong, keepFrom.toLong, swept.size.toLong,
+      stranded.size.toLong))
       .toDF("feeds_repaired", "compacted_version", "rebucketed_version",
-        "current_version", "vacuum_keep_from", "files_reclaimed")
+        "current_version", "vacuum_keep_from", "files_reclaimed",
+        "stranded_swept")
   }
 
   /** RESTORE: commit a NEW version whose state is exactly version `v` —

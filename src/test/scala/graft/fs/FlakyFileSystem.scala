@@ -59,16 +59,26 @@ object FlakyFileSystem {
   @volatile private var latSpanMs: Int = 1
   val delayed = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Arm injection at `rate` (0..1) with a fixed seed; resets ordinals
-    * so a run's decision sequence is reproducible. */
-  def arm(newSeed: Long, rate: Double): Unit = {
+  /** Arm injection with a fixed seed; resets ordinals so a run's decision
+    * sequence is reproducible. `rate` (0..1) applies to EFFECTFUL ops
+    * (rename/create/delete) and listings; `readRate` to `open`. Reads get
+    * their own knob because a composite maintenance pass (optimize =
+    * repair + compact + analyze + vacuum) performs an order of magnitude
+    * more opens than effectful ops — at the effect rate, no whole-pass
+    * retry budget converges, which stresses the harness's patience, not
+    * the protocol. Defaults to a quarter of `rate`. */
+  def arm(newSeed: Long, rate: Double, readRate: Double = -1.0): Unit = {
     seed = newSeed
     ordinals.clear()
     injected.set(0L)
     rateMillionths = math.round(rate * 1e6).toInt
+    readRateMillionths =
+      if (readRate >= 0) math.round(readRate * 1e6).toInt
+      else rateMillionths / 4
   }
 
-  def disarm(): Unit = rateMillionths = 0
+  def disarm(): Unit = { rateMillionths = 0; readRateMillionths = 0 }
+  @volatile private var readRateMillionths: Int = 0
 
   /** Arm latency injection: each store op independently stalls with
     * probability `rate` for a deterministic delay in [minMs, maxMs] —
@@ -101,7 +111,7 @@ object FlakyFileSystem {
 
   /** 0 = no fault, 1 = request lost, 2 = response lost. */
   private[fs] def roll(op: String, path: String): Int = {
-    val r = rateMillionths
+    val r = if (op == "open") readRateMillionths else rateMillionths
     if (r <= 0) return 0
     val n = ordinals.computeIfAbsent(s"$op|$path",
       _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()

@@ -12,9 +12,12 @@ import graft.fs.FlakyFileSystem
 
 /** FAULT-INJECTION SOAK (round-13 "Next round" #1): the long-haul soak's
   * 210 mixed commits re-run on [[graft.fs.FlakyFileSystem]] — the object
-  * store shim failing rename/create/delete/list pseudo-randomly at 2%,
-  * half the faults RESPONSE-LOST (the operation landed, the caller's ack
-  * didn't). The deterministic crash matrix (TxnSpec) proves chosen crash
+  * store shim failing rename/create/delete/list — and, since round 15,
+  * OPEN (the read path itself, request-lost only) — pseudo-randomly at
+  * 2%, half the effectful faults RESPONSE-LOST (the operation landed,
+  * the caller's ack didn't). Read faults are the adversary the round-15
+  * tri-state read-back discipline exists for: a PUT in doubt whose
+  * read-back also fails must strand, never delete. The deterministic crash matrix (TxnSpec) proves chosen crash
   * points recover; probabilistic injection finds the crash points nobody
   * chose — the round-11 takeover livelock and the round-13
   * reader-vs-vacuum race were both found by adversarial schedules, and
@@ -104,7 +107,16 @@ class FaultInjectionSoakSpec extends SparkSpec {
 
   /** Retry through INJECTED faults (and the bounded-attempt / fail-closed
     * IllegalStateExceptions they cascade into) — anything else fails the
-    * soak immediately. */
+    * soak immediately. The ISE messages are matched WITHOUT requiring the
+    * injected marker in the cause chain, because those aborts are the
+    * DOWNSTREAM echo of an earlier fault and legitimately drop it (a
+    * claim-invariant abort happens a whole commit attempt after the
+    * response-lost PUT that caused it) — but every such marker-less
+    * retry is COUNTED and the count asserted bounded at the end, so a
+    * real protocol failure producing those messages on its own cannot
+    * converge silently behind the harness (round-14 advisory #4). */
+  private val markerlessIse = new AtomicLong(0L)
+
   private def retrying[T](what: String)(body: => T): T = {
     var last: Throwable = null
     (1 to 60).foreach { _ =>
@@ -116,7 +128,9 @@ class FaultInjectionSoakSpec extends SparkSpec {
                 t.getMessage != null &&
                 (t.getMessage.contains("optimistic attempts") ||
                   t.getMessage.contains("claim invariant") ||
+                  t.getMessage.contains("pointer state UNKNOWN") ||
                   t.getMessage.contains("kept failing"))) =>
+          if (!FlakyFileSystem.isInjected(t)) markerlessIse.incrementAndGet()
           last = t
           Thread.sleep(25L)
       }
@@ -125,12 +139,22 @@ class FaultInjectionSoakSpec extends SparkSpec {
       s"$what did not converge through fault injection", last)
   }
 
-  test("210 mixed commits at 2% rename/create/delete/list faults: bounded, clean, replayable, exactly-once") {
+  test("210 mixed commits at 2% rename/create/delete/list/open faults: bounded, clean, replayable, exactly-once") {
     val (cowRoot, cowLocal) = objRoot("cow")
     val (morRoot, morLocal) = objRoot("mor")
     val (epochRoot, epochLocal) = objRoot("epoch")
 
-    FlakyFileSystem.arm(newSeed = 14L, rate = 0.02)
+    // Effectful ops fault at 2%. Opens fault at 0.1%: a real store's SDK
+    // retries transient read 5xx internally (S3A's retry policy) before
+    // the engine ever sees them, and the engine performs ~3 orders of
+    // magnitude more opens than commits (every mergeSchema plan footer-
+    // reads the whole table) — at the effect rate no whole-operation
+    // retry budget can converge a composite maintenance pass, which
+    // stresses the harness's patience, not the protocol. 0.1% still
+    // lands dozens of read faults per run on the paths that matter
+    // (pointer read-backs, manifest resolution, scan planning); the
+    // deterministic read-fault schedules live in ReadSafetySpec.
+    FlakyFileSystem.arm(newSeed = 14L, rate = 0.02, readRate = 0.001)
     try {
       val cowBatches = scala.collection.concurrent.TrieMap[Long, DataFrame]()
       val morBatches = scala.collection.mutable.ArrayBuffer[DataFrame]()
@@ -233,7 +257,16 @@ class FaultInjectionSoakSpec extends SparkSpec {
       val nInjected = FlakyFileSystem.injected.get()
       assert(nInjected > 50,
         s"the harness must actually have injected faults: $nInjected")
-      info(s"injected $nInjected faults, ${reads.get()} concurrent reads")
+      // marker-less harness retries are downstream echoes of injected
+      // faults, so they must stay a small FRACTION of the injected count:
+      // a protocol that produced claim-invariant / lost-attempts aborts
+      // on its own would blow through this bound
+      assert(markerlessIse.get() <= math.max(20L, nInjected / 5),
+        s"too many marker-less ISE retries (${markerlessIse.get()} vs " +
+          s"$nInjected injected) — a real protocol failure may be hiding " +
+          "behind the harness")
+      info(s"injected $nInjected faults (${markerlessIse.get()} marker-less " +
+        s"ISE echoes), ${reads.get()} concurrent reads")
 
       // ---- faults off: final maintenance, then the long-haul contract
       FlakyFileSystem.disarm()

@@ -431,6 +431,62 @@ class StreamLakehouseSpec extends SparkSpec {
       "rebucket fires once; later drains no-op")
   }
 
+  test("config-driven sweep-stranded-hours reclaims aged crashed-writer garbage; fresh staging survives") {
+    import graft.ops.VersionedTableImpl
+    val tmp = Files.createTempDirectory("graft_vlake_sweep").toString
+    val (logDir, outDir, confPath) = (s"$tmp/log", s"$tmp/out", s"$tmp/conf.hocon")
+    def writeConf(extra: String): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(confPath),
+        s"""keyspaces-cdc-streams.stream {
+           |  source = shardlog
+           |  connector {
+           |    sink = "lakehouse-versioned"
+           |    record-format = full
+           |    fields-to-include = "user_id,event_type,value,k"
+           |    partition-keys = "user_id"
+           |    lakehouse-buckets = 8
+           |$extra
+           |  }
+           |}""".stripMargin)
+    writeConf("")
+    val rows = events(0 until 40)
+    val env = CdcSynth.envelope(rows.toDF())
+    val shard = pmod(coalesce(col("image.user_id"), col("oldImage.user_id")), lit(4L))
+    graft.sources.ShardLog.record(env, logDir, shard)
+    graft.StreamMain.run(spark, confPath, logDir, outDir)
+    val root = s"$outDir/vtable"
+    val vEnd = VersionedTableImpl.currentVersion(spark, root)
+    assert(vEnd >= 1)
+    val before = VersionedTableImpl.readVersion(spark, root, vEnd).count()
+
+    // plant crashed-writer garbage (a dead drain's staging + a mid-commit
+    // descriptor), aged past the configured threshold — and a FRESH
+    // staging dir that must survive (a racing writer mid-commit)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aged = new org.apache.hadoop.fs.Path(root, ".v_staging_crashed")
+    fs.mkdirs(aged)
+    fs.create(new org.apache.hadoop.fs.Path(aged, "part-0.parquet"), true).close()
+    val agedTmp = new org.apache.hadoop.fs.Path(root, "_versions/.tmp-crashed.parquet")
+    fs.create(agedTmp, true).close()
+    val past = System.currentTimeMillis() - 2L * 3600 * 1000
+    Seq(new org.apache.hadoop.fs.Path(aged, "part-0.parquet"), aged, agedTmp)
+      .foreach(p => fs.setTimes(p, past, past))
+    val fresh = new org.apache.hadoop.fs.Path(root, ".mor_staging_live")
+    fs.mkdirs(fresh)
+
+    // config rollout: sweep-stranded-hours = 1; the idle drain's
+    // maintenance reclaims exactly the aged garbage
+    writeConf("    sweep-stranded-hours = 1")
+    graft.StreamMain.run(spark, confPath, logDir, outDir)
+    assert(!fs.exists(aged), "aged crashed staging must be reclaimed")
+    assert(!fs.exists(agedTmp), "aged mid-commit descriptor must be reclaimed")
+    assert(fs.exists(fresh), "fresh (possibly live) staging must survive")
+    assert(VersionedTableImpl.currentVersion(spark, root) == vEnd &&
+      VersionedTableImpl.readVersion(spark, root, vEnd).count() == before,
+      "the sweep is garbage-only: table state untouched")
+  }
+
   test("config-driven MOR sink: delta commits through the connector surface") {
     import graft.ops.{MorTableImpl, VersionedTableImpl}
     val tmp = Files.createTempDirectory("graft_mor_cli").toString
