@@ -222,10 +222,19 @@ class LongHaulSoakSpec extends SparkSpec {
           descAfterOptimize +=
             VersionedTableImpl.descriptorDf(spark, cowRoot, cur).count()
         }
-        if (i % 33 == 32) { // MOR vacuum cadence (single writer: no grace)
+        if (i % 33 == 32) { // MOR vacuum cadence (single writer: no grace).
+          // Retention 30, NOT 10: the same round-10 lesson the COW cadence
+          // cites above — the CONTINUOUS reader resolves currentVersion,
+          // then plans and opens files, and under a shared-SparkContext
+          // sbt run its count() job can queue 10+ s behind other suites'
+          // jobs (observed once in a full `sbt test`: FAILED_READ_FILE on
+          // a version that had aged past a 10-version floor mid-read).
+          // MOR versions also advance faster than COW (auto-folds add
+          // versions), so the floor needs the wider margin; reclamation
+          // under load is still exercised (30 < the lane's ~90 versions).
           val mv = VersionedTableImpl.currentVersion(spark, morRoot)
           VersionedTableImpl.vacuum(spark, morRoot,
-            keepFrom = math.max(1, mv - 10), graceMs = 0L)
+            keepFrom = math.max(1, mv - 30), graceMs = 0L)
         }
         if (i % 35 == 17) { // RACING-WRITER burst: 3 concurrent merges
           val fs = (0 until 3).map { j =>
