@@ -46,7 +46,10 @@ object JobProf {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val r = JobRec(e.jobId, e.time)
         r.desc = Option(e.properties)
-          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .flatMap(p => Option(p.getProperty("spark.job.description"))
+            .orElse(Option(p.getProperty("callSite.short"))))
+          .filter(_.nonEmpty)
+          .orElse(e.stageInfos.lastOption.map(_.name))
           .getOrElse("")
         jobs.put(e.jobId, r)
       }
@@ -78,6 +81,12 @@ object JobProf {
       ended.sortBy(j => -(j.end - j.start)).take(8).foreach { j =>
         println(f"     job ${j.id}%4d ${(j.end - j.start) / 1e3}%6.2f s  ${j.desc.take(90)}")
       }
+      // call-site census: which line submits how many jobs / how much time
+      ended.groupBy(_.desc).toSeq
+        .map { case (d, js) => (d, js.size, js.map(j => (j.end - j.start) / 1e3).sum) }
+        .sortBy(-_._3).take(12).foreach { case (d, n, t) =>
+          println(f"     site $n%4d jobs ${t}%6.2f s  ${d.take(90)}")
+        }
     }
 
     Indexes.all.filter(ib => prefixes.exists(s"index:${ib.name}".startsWith))
