@@ -41,6 +41,8 @@ object GraftExtensions {
 
     graft.expr.DotF64.function,
 
+    graft.expr.NearestF64.function,
+
     graft.expr.ZOrder.function,
 
     (new FunctionIdentifier("simhash"),

@@ -282,45 +282,41 @@ object VectorOpsImpl {
     * (graft.streaming.StreamIndex). Appends `assigned` to whatever columns
     * `e` carries. Stateless and narrow, so it applies to batch and
     * streaming frames alike. */
-  private[graft] def assignCenters(e: DataFrame,
-      cents: Seq[(Long, Array[Double])]): DataFrame = {
-    def dist2(c: Array[Double]): Column =
-      (1 to Dims).map { i =>
-        val d = expr(s"CAST(element_at(embedding, $i) AS DOUBLE)") - lit(c(i - 1))
-        d * d
-      }.reduce(_ + _)
-    val candidates = array(cents.map { case (cl, cv) =>
-      struct(dist2(cv).as("d"), lit(cl).as("l"))
-    }: _*)
-    e.select(col("*"), array_min(candidates).getField("l").as("assigned"))
-  }
-
-  /** [[assignCenters]] re-expressed with higher-order functions for plans
-    * that have NO scan boundary to split the stage — the streaming
-    * micro-batch path (graft.streaming.StreamIndex): there the fully
-    * unrolled k × Dims argmin shares one generated method with the source
-    * deserializer and overflows Janino's 64 KB limit, silently dropping
-    * the WHOLE stage to interpreted eval. This form bakes the codebook as
-    * an array literal and folds the distance with `aggregate`: the lambda
-    * itself evaluates interpreted (HOFs don't codegen), but the stage's
-    * generated code stays small and COMPILES, so everything around the
-    * argmin keeps whole-stage codegen. Same left-associative IEEE fold,
-    * same (d², label) struct-min tie-break — assignments are bitwise
-    * identical to [[assignCenters]] (StreamIndexSpec proves it row-for-row
-    * against the batch build). */
-  private[graft] def assignCentersCompact(e: DataFrame,
-      cents: Seq[(Long, Array[Double])]): DataFrame = {
-    val centsSql = cents.map { case (cl, cv) =>
+  /** The codebook as a SQL array-of-structs literal (ConstantFolding turns
+    * it into one reference object, so generated code stays IDENTICAL across
+    * Lloyd iterations — see graft.expr.NearestF64's scaladoc). */
+  private[graft] def centersSql(cents: Seq[(Long, Array[Double])]): String =
+    cents.map { case (cl, cv) =>
       s"named_struct('l', ${cl}L, 'v', array(${cv.map(v => s"${v}D").mkString(",")}))"
     }.mkString("array(", ",", ")")
-    val assigned =
-      s"""array_min(transform($centsSql, c -> named_struct(
-         |  'd', aggregate(sequence(1, $Dims), 0D, (acc, i) ->
-         |    acc + (CAST(element_at(embedding, i) AS DOUBLE) - element_at(c.v, i))
-         |        * (CAST(element_at(embedding, i) AS DOUBLE) - element_at(c.v, i))),
-         |  'l', c.l))).l""".stripMargin
-    e.select(col("*"), expr(assigned).as("assigned"))
+
+  private[graft] def assignCenters(e: DataFrame,
+      cents: Seq[(Long, Array[Double])]): DataFrame = {
+    // native argmin (graft.expr.NearestF64Expr): ONE static call in
+    // generated code instead of k×Dims inlined literal statements — the
+    // round-16 replacement for the unrolled array_min(array(struct(…)))
+    // text, which recompiled a fresh multi-thousand-statement method per
+    // Lloyd iteration (measured: 4.3 s driver gap on
+    // index:embed_kmeans_model) and shipped ~1.6 MB task binaries.
+    // Bitwise-identical assignments: same widen-then-subtract per element,
+    // same left-associative per-center sum, same (d², label) tie-break
+    // (NearestF64's scaladoc carries the parity argument; NearestF64Spec
+    // proves it row-for-row against the unrolled form).
+    graft.expr.NearestF64.register(e.sparkSession)
+    e.select(col("*"),
+      expr(s"nearestf64(embedding, ${centersSql(cents)}).l").as("assigned"))
   }
+
+  /** [[assignCenters]] for plans that have NO scan boundary to split the
+    * stage — the streaming micro-batch path (graft.streaming.StreamIndex).
+    * Historically a higher-order-function fold (interpreted lambda) so the
+    * stage's generated code stayed under Janino's method limit; since the
+    * native nearestf64 is one static call, both paths share the same
+    * expression and the batch/stream row-for-row equality
+    * (StreamIndexSpec) holds by construction. */
+  private[graft] def assignCentersCompact(e: DataFrame,
+      cents: Seq[(Long, Array[Double])]): DataFrame =
+    assignCenters(e, cents)
 
   /** IVF coarse quantization (assignment view). */
   def ivfAssign(s: SparkSession, dir: String): DataFrame =
@@ -376,33 +372,31 @@ object VectorOpsImpl {
     * recompute quantized means. Returns (center_id, center, cluster size);
     * an empty cluster keeps its previous center with size 0.
     *
-    * The assignment is MATERIALIZED before the aggregation (the same
-    * build-the-index-then-read-it discipline as [[assignCache]]): fusing
-    * the k×64-literal argmin into the 64-decimal-sum partial aggregate
-    * puts both in one generated method, which blows Janino's 64 KB limit
-    * and silently drops the whole stage to interpreted eval. Split, each
-    * stage codegens (the argmin alone is q53's compiled shape; the 64-sum
-    * aggregate alone is q52's). At deployment scale the per-iteration
-    * assignment is persisted next to the corpus, which is this same split. */
+    * ONE job per iteration: the argmin fuses straight into the
+    * 64-decimal-sum partial aggregate (scan → nearestf64 → hash agg, all
+    * one codegen'd stage). Through round 15 the assignment had to be
+    * MATERIALIZED first — the k×64-literal unrolled argmin plus the
+    * 64-sum aggregate in one generated method blew Janino's 64 KB limit —
+    * which cost a cache job + the aggregate job + executor memory per
+    * iteration. With the argmin reduced to one static call
+    * (graft.expr.NearestF64) the fused stage compiles comfortably, the
+    * corpus is read once per iteration, and nothing is pinned in memory. */
   private def lloydStep(e: DataFrame,
       cents: Seq[(Long, Array[Double])]): Seq[(Long, Array[Double], Long)] = {
-    val asg = assignCenters(e, cents).cache()
-    try {
-      val sums = count(lit(1)).as("n") +:
-        (1 to Dims).map(i => expr(sparkCentComp(i)).as(s"s$i"))
-      val byId = asg
-        .groupBy(col("assigned")).agg(sums.head, sums.tail: _*)
-        .collect()
-        .map(r => r.getLong(0) -> r).toMap
-      cents.map { case (cid, old) =>
-        byId.get(cid) match {
-          case Some(r) =>
-            val n = r.getLong(1)
-            (cid, (1 to Dims).map(i => r.getDouble(1 + i) / n).toArray, n)
-          case None => (cid, old, 0L)
-        }
+    val sums = count(lit(1)).as("n") +:
+      (1 to Dims).map(i => expr(sparkCentComp(i)).as(s"s$i"))
+    val byId = assignCenters(e, cents)
+      .groupBy(col("assigned")).agg(sums.head, sums.tail: _*)
+      .collect()
+      .map(r => r.getLong(0) -> r).toMap
+    cents.map { case (cid, old) =>
+      byId.get(cid) match {
+        case Some(r) =>
+          val n = r.getLong(1)
+          (cid, (1 to Dims).map(i => r.getDouble(1 + i) / n).toArray, n)
+        case None => (cid, old, 0L)
       }
-    } finally asg.unpersist()
+    }
   }
 
   /** Center history: index t = centers (+ cluster sizes) after t Lloyd
@@ -464,12 +458,7 @@ object VectorOpsImpl {
   private def pqKmeansCodebooks(s: SparkSession,
       dir: String): IndexedSeq[Seq[(Long, Array[Double])]] =
     pqKmeansCache.computeIfAbsent(dir, { d =>
-      def subDist2(m: Int, cv: Array[Double]): Column =
-        (1 to PqSub).map { j =>
-          val i = m * PqSub + j
-          val dd = expr(s"CAST(element_at(embedding, $i) AS DOUBLE)") - lit(cv(j - 1))
-          dd * dd
-        }.reduce(_ + _)
+      graft.expr.NearestF64.register(s)
       var books: IndexedSeq[Seq[(Long, Array[Double])]] =
         (0 until PqM).map { m =>
           kmeansSeeds(s, d).map { case (cid, cv) =>
@@ -478,12 +467,12 @@ object VectorOpsImpl {
         }
       val e = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       (1 to KmeansIters).foreach { _ =>
+        // all 8 per-subspace argmins as offset-windowed nearestf64 calls —
+        // generated source identical across iterations (see assignCenters)
         val assigned = e.select(col("embedding") +:
           (0 until PqM).map { m =>
-            val candidates = array(books(m).map { case (cl, cv) =>
-              struct(subDist2(m, cv).as("d"), lit(cl).as("l"))
-            }: _*)
-            array_min(candidates).getField("l").as(s"a$m")
+            expr(s"nearestf64(embedding, ${centersSql(books(m))}, ${m * PqSub}).l")
+              .as(s"a$m")
           }: _*).cache()
         try {
           // The 8 per-subspace aggregations are independent k-row jobs over
@@ -515,17 +504,10 @@ object VectorOpsImpl {
     * codebook bakes into one codegen'd projection, no join, no shuffle. */
   private def pqKmeansCodes(s: SparkSession, dir: String): DataFrame = {
     val books = pqKmeansCodebooks(s, dir)
-    def subDist2(m: Int, cv: Array[Double]): Column =
-      (1 to PqSub).map { j =>
-        val i = m * PqSub + j
-        val dd = expr(s"CAST(element_at(embedding, $i) AS DOUBLE)") - lit(cv(j - 1))
-        dd * dd
-      }.reduce(_ + _)
+    graft.expr.NearestF64.register(s)
     val codeCols = (0 until PqM).map { m =>
-      val candidates = array(books(m).map { case (cl, cv) =>
-        struct(subDist2(m, cv).as("d"), lit(cl).as("l"))
-      }: _*)
-      array_min(candidates).getField("l").as(s"code$m")
+      expr(s"nearestf64(embedding, ${centersSql(books(m))}, ${m * PqSub}).l")
+        .as(s"code$m")
     }
     Tables(s, dir, "embeddings").select(col("vec_id") +: codeCols: _*)
   }
@@ -633,12 +615,7 @@ object VectorOpsImpl {
       dir: String): IndexedSeq[Seq[(Long, Array[Double])]] =
     residualPqCache.computeIfAbsent(dir, { d =>
       val r = residuals(s, d)
-      def subDist2(m: Int, cv: Array[Double]): Column =
-        (1 to PqSub).map { j =>
-          val i = m * PqSub + j
-          val dd = element_at(col("res"), i) - lit(cv(j - 1))
-          dd * dd
-        }.reduce(_ + _)
+      graft.expr.NearestF64.register(s)
       var books: IndexedSeq[Seq[(Long, Array[Double])]] = {
         val seedRows = r
           .withColumn("sk", md5(concat(lit("seed:"), col("vec_id").cast(StringType))))
@@ -655,10 +632,8 @@ object VectorOpsImpl {
       (1 to KmeansIters).foreach { _ =>
         val assigned = r.select(col("res") +:
           (0 until PqM).map { m =>
-            val candidates = array(books(m).map { case (cl, cv) =>
-              struct(subDist2(m, cv).as("d"), lit(cl).as("l"))
-            }: _*)
-            array_min(candidates).getField("l").as(s"a$m")
+            expr(s"nearestf64(res, ${centersSql(books(m))}, ${m * PqSub}).l")
+              .as(s"a$m")
           }: _*).cache()
         try {
           // Same concurrent-submission shape as [[pqKmeansCodebooks]]: 8
@@ -689,17 +664,10 @@ object VectorOpsImpl {
     * the complete IVF-PQ index entry: coarse cell + 8-byte residual code. */
   private def residualPqCodes(s: SparkSession, dir: String): DataFrame = {
     val books = residualPqCodebooks(s, dir)
-    def subDist2(m: Int, cv: Array[Double]): Column =
-      (1 to PqSub).map { j =>
-        val i = m * PqSub + j
-        val dd = element_at(col("res"), i) - lit(cv(j - 1))
-        dd * dd
-      }.reduce(_ + _)
+    graft.expr.NearestF64.register(s)
     val codeCols = (0 until PqM).map { m =>
-      val candidates = array(books(m).map { case (cl, cv) =>
-        struct(subDist2(m, cv).as("d"), lit(cl).as("l"))
-      }: _*)
-      array_min(candidates).getField("l").as(s"code$m")
+      expr(s"nearestf64(res, ${centersSql(books(m))}, ${m * PqSub}).l")
+        .as(s"code$m")
     }
     residuals(s, dir).select(col("vec_id") :: col("assigned") :: codeCols.toList: _*)
   }
@@ -843,19 +811,22 @@ object VectorOpsImpl {
     // centroid-direction score: dot(e, center(assigned)) / |e| — within a
     // cluster this ranks identically to cosine-to-centroid (|center| is a
     // per-cluster constant) with one fewer 64-term chain in the plan.
-    // Compact HOF form (baked center-array literal + aggregate fold, the
-    // assignCentersCompact pattern): the 8×64-term unrolled alternative
-    // overflows codegen; the fold is bitwise-equal to the left-assoc
-    // unrolled sum (0D + t1 ≡ t1).
-    val centsSql = cents.map { case (cl, cv) =>
-      s"named_struct('l', ${cl}L, 'v', array(${cv.map(v => s"${v}D").mkString(",")}))"
-    }.mkString("array(", ",", ")")
+    // Through round 15 the center lookup was a per-row HOF `filter` over
+    // the baked codebook and the dot a per-row HOF `aggregate` fold — both
+    // evaluate INTERPRETED (HOF lambdas don't codegen), on a corpus-sized
+    // scan. Now: `array_position` into parallel baked literal arrays for
+    // the lookup and native `dotf64` for the dot — the whole projection
+    // codegens. Bitwise parity: array_position picks the same unique
+    // center the filter matched; dotf64's left-associative widen-then-
+    // multiply fold from 0.0 is the HOF fold's exact IEEE sequence
+    // (0D + t1 ≡ t1; DotF64's scaladoc carries the argument).
+    val labelsSql = cents.map(c => s"${c._1}L").mkString("array(", ",", ")")
+    val cvsSql = cents.map(c => c._2.map(v => s"${v}D").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
     val scored = asg
       .withColumn("cv",
-        expr(s"element_at(filter($centsSql, c -> c.l = assigned), 1).v"))
-      .withColumn("cdot",
-        expr(s"""aggregate(sequence(1, $Dims), 0D, (acc, i) ->
-                |  acc + CAST(element_at(embedding, i) AS DOUBLE) * element_at(cv, i))""".stripMargin))
+        expr(s"element_at($cvsSql, CAST(array_position($labelsSql, assigned) AS INT))"))
+      .withColumn("cdot", expr(s"dotf64(embedding, cv)"))
       .select(col("vec_id"), col("assigned").as("cluster"),
         (col("cdot") / expr(s"sqrt(${sparkDot("embedding", "embedding")})")).as("score"))
     val members = broadcast(comp).join(scored, comp("id") === scored("vec_id"))
@@ -1142,15 +1113,6 @@ object VectorOpsImpl {
   val PqM = 8                    // subspaces
   val PqSub: Int = Dims / PqM    // dims per subspace
 
-  /** Per-subspace squared L2 distance to a codebook vector, unrolled
-    * left-associative (subspace m covers 1-based dims m·8+1 … m·8+8). */
-  private def pqSubDist2(m: Int, cv: Array[Double], elem: Int => Column): Column =
-    (1 to PqSub).map { j =>
-      val i = m * PqSub + j
-      val d = elem(i) - lit(cv(i - 1))
-      d * d
-    }.reduce(_ + _)
-
   private def embCol(name: String)(i: Int): Column =
     expr(s"CAST(element_at($name, $i) AS DOUBLE)")
 
@@ -1167,11 +1129,13 @@ object VectorOpsImpl {
     * scan; no join, no shuffle. Same plan discipline as [[assignAll]]. */
   private def pqCodes(s: SparkSession, dir: String): DataFrame = {
     val cents = centroidVectors(s, dir)
+    graft.expr.NearestF64.register(s)
     val codeCols = (0 until PqM).map { m =>
-      val candidates = array(cents.map { case (cl, cv) =>
-        struct(pqSubDist2(m, cv, embCol("embedding")).as("d"), lit(cl).as("l"))
-      }: _*)
-      array_min(candidates).getField("l").as(s"code$m")
+      val sub = cents.map { case (cl, cv) =>
+        (cl, cv.slice(m * PqSub, m * PqSub + PqSub))
+      }
+      expr(s"nearestf64(embedding, ${centersSql(sub)}, ${m * PqSub}).l")
+        .as(s"code$m")
     }
     Tables(s, dir, "embeddings").select(col("vec_id") +: codeCols: _*)
   }
@@ -2109,16 +2073,9 @@ object VectorOpsImpl {
     * with map-side combine — the corpus never shuffles. */
   def kmeansQuality(s: SparkSession, dir: String): DataFrame = {
     val cents = kmeansHistory(s, dir)(KmeansIters).map { case (cid, cv, _) => (cid, cv) }
-    def dist2(c: Array[Double]): Column =
-      (1 to Dims).map { i =>
-        val d = expr(s"CAST(element_at(embedding, $i) AS DOUBLE)") - lit(c(i - 1))
-        d * d
-      }.reduce(_ + _)
-    val candidates = array(cents.map { case (cl, cv) =>
-      struct(dist2(cv).as("d"), lit(cl).as("l"))
-    }: _*)
+    graft.expr.NearestF64.register(s)
     Tables(s, dir, "embeddings")
-      .select(array_min(candidates).as("m"))
+      .select(expr(s"nearestf64(embedding, ${centersSql(cents)})").as("m"))
       .select(col("m.l").as("center_id"), col("m.d").as("d"))
       .groupBy(col("center_id"))
       .agg(count(lit(1)).as("n"),
