@@ -371,18 +371,13 @@ object DedupOpsImpl {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
     var changed = 1L
+    var round = 0
     while (changed > 0) {
+      round += 1
       // runs to convergence, no round cap: every round strictly decreases at
       // least one label (bounded below by the component minimum), so
-      // termination is guaranteed in <= diameter rounds — a silent cap would
-      // instead return WRONG components for long chains.
-      //
-      // NOTE (round 16): a pointer-jump variant (comp(u) <- comp(comp(u))
-      // per round, to converge in O(log d) rounds) was tried in round 15 and
-      // REVERTED: the unmaterialized labels-self-join was referenced twice
-      // per round and per-round cost grew ~4-5x each iteration at sf0.1
-      // until the bench timed out. Any reintroduction must checkpoint the
-      // jumped labels per round and be benchmarked before commit.
+      // termination is guaranteed — a silent cap would instead return WRONG
+      // components for long chains.
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("ncomp")).as("nmin"))
@@ -391,10 +386,42 @@ object DedupOpsImpl {
         .select(col("id"), col("comp").as("old"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
         .localCheckpoint()
-      changed = updated.filter(col("comp") =!= col("old")).count()
+      // pointer jump (round 16, measured this time): comp(u) <- comp(comp(u))
+      // over the MATERIALIZED round, collapsing label chains so convergence
+      // takes O(log diameter)-ish rounds instead of O(diameter) — q109's
+      // pair graph needed 27 neighbor-min-only rounds (14 with the jump).
+      // The round-15 attempt hung the bench because it self-joined an
+      // UNCHECKPOINTED `updated` (the join subtree was duplicated and
+      // re-planned on a lineage that doubled per round, ~4-5x cost growth
+      // each iteration at sf0.1); here both sides of the self-join read the
+      // SAME LogicalRDD leaf of this round's checkpoint, so every round's
+      // plan is the same constant shape. The jump only starts at round 3:
+      // most callers' graphs (near-dup clusters) converge in 2-4 rounds,
+      // where an extra labels-self-join per round costs more than the
+      // rounds it saves (measured: index:dedup_components 0.76 -> 1.42 s
+      // with jump-from-round-1; only deep graphs like q109's amortize it).
+      // Soundness: labels only decrease and comp(v) <= v always holds, so
+      // the jump stays within the component and above its minimum — same
+      // monotone fixpoint, reached in fewer rounds. `changed` compares the
+      // round's FINAL labels against its start: 0 means the neighbor-min
+      // step itself moved nothing (a jump can only move labels the min step
+      // or an earlier jump already lowered), i.e. the true CC fixpoint.
+      val next =
+        if (round < 3) updated
+        else {
+          val jumped = updated
+            .join(updated.select(col("id").as("jid"), col("comp").as("jcomp")),
+              col("comp") === col("jid"), "left")
+            .select(col("id"), col("old"),
+              coalesce(col("jcomp"), col("comp")).as("comp"))
+            .localCheckpoint()
+          graft.ops.Memo.unpersistAll(updated) // jumped is materialized; free the half-round
+          jumped
+        }
+      changed = next.filter(col("comp") =!= col("old")).count()
       // roll: free the previous round's checkpoint blocks now that the new
       // round is materialized — the loop holds one round of storage, ever
-      labels = graft.ops.Memo.roll(labels, updated).select(col("id"), col("comp"))
+      labels = graft.ops.Memo.roll(labels, next).select(col("id"), col("comp"))
     }
     graft.ops.Memo.unpersistAll(edges)
     labels

@@ -90,22 +90,36 @@ object PcaOpsImpl {
         val s0 = math.sqrt((0 until Dims).map(i => a(i) * a(i)).reduce(_ + _))
         a.map(_ / s0)
       }
-      /** One materialized pass: sv=(x−μ)·v, sw=(x−μ)·w per row, then the
-        * 128 quantized sums of sv·(x_i−μ_i) and sw·(x_i−μ_i). Returns
-        * (Cv, Cw) with the 1/n already applied (raw/1e12/n, the oracle's
-        * division order). */
+      /** ONE fused pass: sv=(x−μ)·v, sw=(x−μ)·w per row feeding the 128
+        * quantized sums of sv·(x_i−μ_i) and sw·(x_i−μ_i) in a single job.
+        * Returns (Cv, Cw) with the 1/n already applied (raw/1e12/n, the
+        * oracle's division order).
+        *
+        * Iteration-stable generated code (the NearestF64/DotF64 round-16
+        * discipline): the centered array bakes only μ (fixed across
+        * iterations) as inline constants, and v/w enter as array-literal
+        * ARGUMENTS to dotf64 — ConstantFolding turns each into one codegen
+        * reference object, so every iteration reuses the same compiled
+        * stage instead of paying a fresh Janino pass over 128 new scalar
+        * literals (the round-16 baseline's 2.7 s driver gap on
+        * index:embed_pca_model). Bitwise parity: dotf64's widen-then-
+        * multiply left-associative fold from 0.0 is the unrolled chain's
+        * exact IEEE sequence (0.0 + t1 ≡ t1 — DotF64's scaladoc), and the
+        * fused aggregate evaluates sv/sw once per row exactly like the
+        * previous materialized view. Fusing is safe now because the
+        * projection is two static calls, not 128 inlined terms (the old
+        * split existed to stay under Janino's 64 KB method limit). */
       def cvw(v: Array[Double], w: Array[Double]): (Array[Double], Array[Double]) = {
-        def proj(a: Array[Double]): Column =
-          (1 to Dims).map(i => (embD(i) - lit(mu(i - 1))) * lit(a(i - 1))).reduce(_ + _)
-        val st = e.select(col("embedding"), proj(v).as("sv"), proj(w).as("sw")).cache()
-        try {
-          val sums =
-            (1 to Dims).map(i => qsum(col("sv") * (embD(i) - lit(mu(i - 1)))).as(s"u$i")) ++
-              (1 to Dims).map(i => qsum(col("sw") * (embD(i) - lit(mu(i - 1)))).as(s"z$i"))
-          val r = st.agg(sums.head, sums.tail: _*).collect()(0)
-          ((0 until Dims).map(i => r.getDouble(i) / 1e12 / n).toArray,
-            (0 until Dims).map(i => r.getDouble(Dims + i) / 1e12 / n).toArray)
-        } finally st.unpersist()
+        val centered = array((1 to Dims).map(i => embD(i) - lit(mu(i - 1))): _*)
+        val st = e.select(col("embedding"),
+          call_function("dotf64", centered, lit(v)).as("sv"),
+          call_function("dotf64", centered, lit(w)).as("sw"))
+        val sums =
+          (1 to Dims).map(i => qsum(col("sv") * (embD(i) - lit(mu(i - 1)))).as(s"u$i")) ++
+            (1 to Dims).map(i => qsum(col("sw") * (embD(i) - lit(mu(i - 1)))).as(s"z$i"))
+        val r = st.agg(sums.head, sums.tail: _*).collect()(0)
+        ((0 until Dims).map(i => r.getDouble(i) / 1e12 / n).toArray,
+          (0 until Dims).map(i => r.getDouble(Dims + i) / 1e12 / n).toArray)
       }
 
       var v = Array.fill(Dims)(0.125)

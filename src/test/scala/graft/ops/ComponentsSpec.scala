@@ -17,6 +17,19 @@ class ComponentsSpec extends SparkSpec {
     assert(comp.values.toSet == Set(1L), s"chain did not converge: $comp")
   }
 
+  test("deep chain (diameter 120) converges in O(log d) rounds via pointer jump") {
+    // diameter-120 path: neighbor-min alone needs ~120 sequential rounds
+    // (q109's real pair graph needed 27); with the per-round pointer jump
+    // the loop must still land on the exact min-label fixpoint, in far
+    // fewer rounds — this pins correctness at depths where a jump bug
+    // (e.g. jumping off a stale half-round) would surface as a wrong label.
+    val pairs = (1 until 121).map(i => (i.toLong, (i + 1).toLong)).toDF("a_id", "b_id")
+    val comp = DedupOpsImpl.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 121)
+    assert(comp.values.toSet == Set(1L), s"deep chain did not converge: $comp")
+  }
+
   test("disjoint clusters keep distinct minimum labels") {
     val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L), (31L, 30L))
       .toDF("a_id", "b_id")
