@@ -43,6 +43,8 @@ object GraftExtensions {
 
     graft.expr.NearestF64.function,
 
+    graft.expr.MinShingleMd5.function,
+
     graft.expr.ZOrder.function,
 
     (new FunctionIdentifier("simhash"),

@@ -99,12 +99,16 @@ object TextOpsImpl {
 
   /** Document fingerprint: minimum md5 over character 5-gram shingles
     * (winnowing-style content signature, stable under reordering of
-    * surrounding content). */
+    * surrounding content). Native expression (graft.expr.MinShingleMd5):
+    * the HOF `array_min(transform(sequence(...), i -> md5(substr(...))))`
+    * form evaluated an interpreted lambda per shingle and allocated a
+    * 32-char hex string per shingle; the native walk hashes each window
+    * in place and keeps a running 16-byte min — bitwise-identical output
+    * (MinShingleMd5Spec pins it against the HOF text). */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents").select(
       col("doc_id"),
-      expr("array_min(transform(sequence(1, length(text) - 4), i -> md5(substr(text, i, 5))))")
-        .as("fp"))
+      expr("minshinglemd5(text, 5)").as("fp"))
       .orderBy(col("doc_id"))
 
   /** Winnowing parameters: word-3-gram hashes (k), selection window (w).
@@ -137,23 +141,22 @@ object TextOpsImpl {
 
   def winnowIndex(s: SparkSession, dir: String): DataFrame =
     graft.ops.Memo.getOrCache(winnowCache, s, dir, { d =>
-      import org.apache.spark.sql.expressions.Window
-      val psh = Tables(s, d, "documents")
+      // Native per-document winnowing (graft.expr.WinnowFps): hash, window-
+      // min, full-window selection and per-doc dedup all happen inside one
+      // codegen'd narrow projection — the round-15 plan posexploded O(len)
+      // (doc_id, pos, hash) rows, shuffled them into a per-doc Window for
+      // the running min and ran a global DISTINCT (two shuffles + an
+      // interpreted md5 HOF per shingle; index:text_winnow burned 22 s of
+      // task CPU at sf0.1 for 1.6 s of wall). Set-identical output —
+      // WinnowFps' scaladoc carries the parity argument, WinnowFpsSpec pins
+      // it row-for-row against the old windowed plan, and q101/q102/q88
+      // stay oracle-green.
+      graft.expr.WinnowFps.register(s)
+      Tables(s, d, "documents")
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= WinnowK)
-        .withColumn("ntok", size(col("toks")).cast(LongType))
-        .select(col("doc_id"), col("ntok"),
-          posexplode(expr(s"transform(sequence(1, size(toks) - ${WinnowK - 1}), " +
-            "i -> md5(concat(try_element_at(toks, i), ' ', try_element_at(toks, i + 1), " +
-            "' ', try_element_at(toks, i + 2))))")).as(Seq("pos0", "h")))
-        .withColumn("pos", col("pos0") + 1).drop("pos0")
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        .rowsBetween(Window.currentRow, WinnowW - 1)
-      psh.withColumn("fp", min(col("h")).over(w))
-        // winnowing selects from FULL windows only: the last shingle
-        // position that starts one is ntok - (k-1) - (w-1)
-        .filter(col("pos") <= col("ntok") - (WinnowK - 1) - (WinnowW - 1))
-        .select(col("doc_id"), col("fp")).distinct()
+        .select(col("doc_id"),
+          explode(expr(s"winnowfps(toks, $WinnowK, $WinnowW)")).as("fp"))
         .cache()
     })
 
