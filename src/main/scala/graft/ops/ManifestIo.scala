@@ -231,6 +231,53 @@ private[ops] object ManifestIo {
       Some(out.result())
     } catch { case _: Exception => None }
 
+  /** Driver-side read of a FULL layered descriptor — the (segment,
+    * buckets) rows plus the constant nbuckets column — replacing a Spark
+    * `read.parquet(...).collect()` job on every manifest resolution
+    * (round-16: the lake entries ran 10-15 such metadata jobs each; a
+    * descriptor is O(live segments) driver metadata by design, so a
+    * distributed read of it was pure scheduling overhead). Mirrors
+    * [[writeDescriptor]]'s encoding AND Spark's own writer (both emit the
+    * standard 3-level LIST with `list`/`element` names — the file-header
+    * note above): buckets field unset → None (the "all buckets" mask),
+    * set-but-empty → Some(Nil), nbuckets from the first row when the
+    * schema carries it. None on ANY hiccup — legacy flat manifests (no
+    * `segment` field), unexpected nulls, short reads — and callers fall
+    * back to the distributed path, the [[readMorSegmentRows]] discipline. */
+  def readDescriptorRows(conf: Configuration,
+      fs: org.apache.hadoop.fs.FileSystem, path: Path):
+      Option[(Vector[(String, Option[Seq[Long]])], Option[Long])] =
+    try {
+      val out = Vector.newBuilder[(String, Option[Seq[Long]])]
+      var nb: Option[Long] = None
+      var first = true
+      partsOf(fs, path).foreach { p =>
+        readGroups(conf, p) { g =>
+          val t = g.getType
+          if (!t.containsField("segment") || g.getFieldRepetitionCount("segment") == 0)
+            return None // legacy flat manifest (or null segment): not ours
+          val seg = g.getString("segment", 0)
+          val bks: Option[Seq[Long]] =
+            if (!t.containsField("buckets") || g.getFieldRepetitionCount("buckets") == 0)
+              None
+            else {
+              val lst = g.getGroup("buckets", 0)
+              val n = lst.getFieldRepetitionCount("list")
+              Some((0 until n).map(i => lst.getGroup("list", i).getLong("element", 0)))
+            }
+          if (first) {
+            first = false
+            nb =
+              if (t.containsField("nbuckets") && g.getFieldRepetitionCount("nbuckets") > 0)
+                Some(g.getLong("nbuckets", 0))
+              else None
+          }
+          out += ((seg, bks))
+        }
+      }
+      Some((out.result(), nb))
+    } catch { case _: Exception => None }
+
   /** Driver-side read-back of MOR segment rows — None past `maxRows`
     * (the scale guard: a legacy million-file segment stays a distributed
     * read) or on any missing/null field. */

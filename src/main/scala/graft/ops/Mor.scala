@@ -67,7 +67,16 @@ object MorTableImpl {
         StructField("min_key", LongType), StructField("max_key", LongType),
         StructField("bytes", LongType))))
     else manifestDataPath(fsOf(s, root), visiblePath(root, v)) match {
-      case Some(p) => resolveDescriptor(s, root, s.read.parquet(p.toString))
+      case Some(p) =>
+        // driver-side fast path (Versioned.descriptorPairs note): the
+        // descriptor is metadata-sized; fall back to the distributed read
+        // for anything readDescriptorRows cannot parse
+        ManifestIo.readDescriptorRows(
+            s.sparkContext.hadoopConfiguration, fsOf(s, root), p) match {
+          case Some((rows, nb)) =>
+            VersionedTableImpl.resolveFromPairs(s, root, rows, nb, None)
+          case None => resolveDescriptor(s, root, s.read.parquet(p.toString))
+        }
       case None => // fail LOUDLY: a missing manifest for a committed-range
         // version is corruption or a bad argument, never an empty table
         throw new IllegalStateException(

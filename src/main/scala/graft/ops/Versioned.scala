@@ -605,9 +605,21 @@ object VersionedTableImpl {
 
   /** Descriptor rows collected to the driver — O(live segments) metadata,
     * what the commit paths carry forward. Left(df) = a legacy file-rows
-    * manifest (pre-layering era) the caller must consolidate once. */
+    * manifest (pre-layering era) the caller must consolidate once.
+    *
+    * Fast path (round 16): the descriptor is read DRIVER-SIDE
+    * ([[ManifestIo.readDescriptorRows]]) — a descriptor is metadata-sized
+    * by design, and the previous Spark `collect()` paid a full scheduled
+    * job (plus AQE planning) per resolution, 10-15 such jobs per lake
+    * maintenance entry. Any read hiccup (including a legacy flat
+    * manifest) falls back to the distributed read below. */
   private[ops] def descriptorPairs(s: SparkSession, root: String, v: Int,
       lin: Lineage = Main): Either[DataFrame, Seq[(String, Option[Seq[Long]])]] = {
+    manifestDataPath(fsOf(s, root), lin.visible(root, v)).foreach { p =>
+      ManifestIo.readDescriptorRows(
+          s.sparkContext.hadoopConfiguration, fsOf(s, root), p)
+        .foreach { case (rows, _) => return Right(rows) }
+    }
     val df = descriptorDf(s, root, v, lin)
     if (df.columns.contains("file")) Left(df)
     else Right(df.select(col("segment"), col("buckets")).collect().toSeq
@@ -643,6 +655,16 @@ object VersionedTableImpl {
         if (r.isNullAt(2)) None else Some(r.getLong(2)))
     val pairs0 = rows.toSeq.map(r =>
       (r.getString(0), Option(r.getSeq[Long](1)).map(_.toSeq)))
+    resolveFromPairs(s, root, pairs0, nb, buckets)
+  }
+
+  /** The shared back half of descriptor resolution: prune segments, read
+    * them, mask to the descriptor's current buckets. `pairs0`/`nb` arrive
+    * either from the driver-side descriptor read (fast path) or from the
+    * distributed collect above (fallback). */
+  private[ops] def resolveFromPairs(s: SparkSession, root: String,
+      pairs0: Seq[(String, Option[Seq[Long]])], nb: Option[Long],
+      buckets: Option[Seq[Long]]): DataFrame = {
     // segment pruning: an explicit-array segment none of whose buckets is
     // wanted contributes nothing — skip its scan entirely
     val pairs = buckets.fold(pairs0) { bs =>
@@ -675,7 +697,47 @@ object VersionedTableImpl {
     * resolved view every reader consumes; see the layering note above. */
   private[graft] def manifest(s: SparkSession, root: String, v: Int,
       lin: Lineage = Main): DataFrame =
-    resolveDescriptor(s, root, descriptorDf(s, root, v, lin))
+    resolveDescriptorAt(s, root, v, None, lin)
+
+  /** Copy version v's DESCRIPTOR to `tmp`, metadata→metadata — the
+    * restore/branch-fork/promote write. Driver-side read+write when the
+    * descriptor parses (no Spark jobs; a descriptor is O(segments)
+    * metadata); the Spark coalesce(1) copy remains the legacy-manifest
+    * fallback. An all-null nbuckets column degrades to the no-column form
+    * on copy — readers treat the two identically (nb resolves to None
+    * either way). */
+  private def copyDescriptorTo(s: SparkSession, root: String, v: Int,
+      tmp: Path, lin: Lineage = Main): Unit = {
+    val fast = manifestDataPath(fsOf(s, root), lin.visible(root, v)).flatMap(p =>
+      ManifestIo.readDescriptorRows(
+        s.sparkContext.hadoopConfiguration, fsOf(s, root), p))
+    fast match {
+      case Some((rows, nb)) =>
+        ManifestIo.writeDescriptor(
+          s.sparkContext.hadoopConfiguration, tmp, rows, nb)
+      case None =>
+        descriptorDf(s, root, v, lin).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+    }
+  }
+
+  /** [[resolveDescriptor]] addressed by version: descriptor rows come from
+    * the DRIVER-SIDE parquet read when possible (metadata-sized by design;
+    * the Spark collect was a full scheduled job per resolution — see
+    * [[descriptorPairs]]), falling back to the distributed path on any
+    * hiccup, legacy manifests included. */
+  private def resolveDescriptorAt(s: SparkSession, root: String, v: Int,
+      buckets: Option[Seq[Long]], lin: Lineage = Main): DataFrame =
+    manifestDataPath(fsOf(s, root), lin.visible(root, v)) match {
+      case None => resolveFromPairs(s, root, Seq.empty, None, buckets)
+      case Some(p) =>
+        ManifestIo.readDescriptorRows(
+            s.sparkContext.hadoopConfiguration, fsOf(s, root), p) match {
+          case Some((rows, nb)) => resolveFromPairs(s, root, rows, nb, buckets)
+          case None =>
+            resolveDescriptor(s, root, descriptorDf(s, root, v, lin), buckets)
+        }
+    }
 
   /** The bucket count of version v — the manifest's own record, never the
     * caller's parameter. `orElse` bootstraps an empty table (v = 0).
@@ -695,10 +757,17 @@ object VersionedTableImpl {
     manifestDataPath(fsOf(s, root), lin.visible(root, v)) match {
       case None => orElse
       case Some(p) =>
-        val m = s.read.parquet(p.toString)
-        if (!m.columns.contains("nbuckets")) orElse // empty-column era
-        else m.select(col("nbuckets")).limit(1).collect().headOption
-          .fold(orElse)(_.getLong(0).toInt) // zero-row manifest: empty fork
+        // driver-side fast path ([[descriptorPairs]] note): nb None covers
+        // both the empty-column era and a zero-row manifest (empty fork)
+        ManifestIo.readDescriptorRows(
+            s.sparkContext.hadoopConfiguration, fsOf(s, root), p) match {
+          case Some((_, nb)) => nb.fold(orElse)(_.toInt)
+          case None => // legacy manifest: distributed read
+            val m = s.read.parquet(p.toString)
+            if (!m.columns.contains("nbuckets")) orElse // empty-column era
+            else m.select(col("nbuckets")).limit(1).collect().headOption
+              .fold(orElse)(_.getLong(0).toInt) // zero-row manifest: empty fork
+        }
     }
 
   /** Bucket-pruned explicit file list — ONLY for bucket-scoped reads
@@ -706,7 +775,7 @@ object VersionedTableImpl {
     * version reads go through [[readManifest]] instead. */
   private def filesOf(s: SparkSession, root: String, v: Int,
       buckets: Option[Seq[Long]], lin: Lineage = Main): Seq[String] =
-    resolveDescriptor(s, root, descriptorDf(s, root, v, lin), buckets)
+    resolveDescriptorAt(s, root, v, buckets, lin)
       .select(col("file")).collect().map(_.getString(0)).toSeq // metadata
 
   /** Stage→data move shared by every COW write path ([[commitLoop]],
@@ -1940,15 +2009,12 @@ object VersionedTableImpl {
   /** [[vacuum]]'s pin capture for a COMMITTED version (same Pin shape as
     * the in-flight capture): descriptor rows, or inline files for a
     * legacy flat manifest. */
-  private def pinOf0(s: SparkSession, root: String, v: Int) = {
-    val df = descriptorDf(s, root, v)
-    if (df.columns.contains("file"))
-      (Nil, df.select(col("file")).collect().map(_.getString(0)).toSeq)
-    else
-      (df.select(col("segment"), col("buckets")).collect().toSeq
-        .map(r => (r.getString(0), Option(r.getSeq[Long](1)).map(_.toSeq))),
-        Seq.empty[String])
-  }
+  private def pinOf0(s: SparkSession, root: String, v: Int) =
+    descriptorPairs(s, root, v) match { // driver-side fast path inside
+      case Left(df) =>
+        (Nil, df.select(col("file")).collect().map(_.getString(0)).toSeq)
+      case Right(rows) => (rows, Seq.empty[String])
+    }
 
   /** COMPACT the current version's over-fragmented buckets into a NEW
     * version with identical state — the versioned table's small-files
@@ -2300,7 +2366,7 @@ object VersionedTableImpl {
         s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
       // copy the DESCRIPTOR, not the resolved file rows: restore stays a
       // metadata-sized write (segments are immutable and shared)
-      descriptorDf(s, root, v).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      copyDescriptorTo(s, root, v, tmp)
       claimVersionId(s, root, newV, staleClaimMs).foreach { cid =>
         val won =
           try { publish(fs, tmp, visiblePath(root, newV), "restore"); true }
@@ -2422,7 +2488,7 @@ object VersionedTableImpl {
     // fork's segments are shared, not copied — a fork is O(segments))
     val tmp = new Path(root,
       s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
-    descriptorDf(s, root, fork).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    copyDescriptorTo(s, root, fork, tmp)
     publish(fs, tmp, lin.visible(root, 0), s"branch '$name' fork")
     fork
   }
@@ -2473,8 +2539,7 @@ object VersionedTableImpl {
     val newV = fork + 1
     val tmp = new Path(root,
       s"_versions/.tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
-    descriptorDf(s, root, head, branchLineage(name))
-      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    copyDescriptorTo(s, root, head, tmp, branchLineage(name))
     val cid = claimVersionId(s, root, newV, staleClaimMs).getOrElse {
       fs.delete(tmp, true)
       return Left(s"lost the claim on v$newV to a concurrent main commit")
